@@ -1,0 +1,433 @@
+"""CSVW metadata model -> frozen compiled plan (driver-side only).
+
+Implements the semantics of the reference's metadata layer
+(rdf-tabular metadata.rb): type dispatch of TableGroup / Table / Schema /
+Column / Dialect documents, property inheritance down the tree
+(metadata.rb:29-41), defaults (metadata.rb:42-49), column-name defaulting
+from titles (metadata.rb:1621-1628), and normalization of urls against a
+base. The output is a :class:`CompiledTableGroup` of plain frozen
+dataclasses that :mod:`rdf_tabular_spark.operators` compiles into Spark
+column expressions — none of this touches executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from .context import encode_column_name, expand_iri
+from .datatypes import DATATYPES, UNSUPPORTED
+
+#: properties inherited TableGroup -> Table -> Schema -> Column
+INHERITED = [
+    "aboutUrl", "datatype", "default", "lang", "null", "ordered",
+    "propertyUrl", "required", "separator", "textDirection", "valueUrl",
+]
+
+INHERITED_DEFAULTS: dict[str, Any] = {
+    "default": "",
+    "lang": "und",
+    "null": [""],
+    "ordered": False,
+    "required": False,
+    "separator": None,
+    "textDirection": "ltr",
+}
+
+DIALECT_DEFAULTS: dict[str, Any] = {
+    "commentPrefix": None,
+    "delimiter": ",",
+    "doubleQuote": True,
+    "encoding": "utf-8",
+    "header": True,
+    "lineTerminators": None,
+    "quoteChar": '"',
+    "skipBlankRows": False,
+    "skipColumns": 0,
+    "skipInitialSpace": False,
+    "skipRows": 0,
+}
+
+
+@dataclass(frozen=True)
+class Dialect:
+    commentPrefix: str | None = None
+    delimiter: str = ","
+    doubleQuote: bool = True
+    encoding: str = "utf-8"
+    header: bool = True
+    headerRowCount: int | None = None
+    lineTerminators: str | None = None
+    quoteChar: str = '"'
+    skipBlankRows: bool = False
+    skipColumns: int = 0
+    skipInitialSpace: bool = False
+    skipRows: int = 0
+    trim: Any = None
+
+    @property
+    def header_row_count(self) -> int:
+        if self.headerRowCount is not None:
+            return self.headerRowCount
+        return 1 if self.header else 0
+
+    @property
+    def effective_trim(self) -> str:
+        # default for trim comes from skipInitialSpace (metadata.rb:1780-1783)
+        if self.trim is None:
+            return "start" if self.skipInitialSpace else "true"
+        if self.trim is True:
+            return "true"
+        if self.trim is False:
+            return "false"
+        return str(self.trim)
+
+    @property
+    def escape_char(self) -> str:
+        return '"' if self.doubleQuote else "\\"
+
+    @classmethod
+    def from_json(cls, obj: dict | None) -> "Dialect":
+        obj = obj or {}
+        known = {k: obj[k] for k in obj if k in cls.__dataclass_fields__}
+        return cls(**known)
+
+
+@dataclass(frozen=True)
+class CompiledDatatype:
+    base: str = "string"
+    format: Any = None  # str | dict (numeric) | None
+    length: int | None = None
+    minLength: int | None = None
+    maxLength: int | None = None
+    minimum: Any = None
+    maximum: Any = None
+    minInclusive: Any = None
+    maxInclusive: Any = None
+    minExclusive: Any = None
+    maxExclusive: Any = None
+    id: str | None = None  # custom derived-datatype IRI
+
+    @property
+    def iri(self) -> str:
+        return self.id or DATATYPES.get(self.base, DATATYPES["string"])
+
+    @classmethod
+    def from_json(cls, obj: Any) -> "CompiledDatatype":
+        if obj is None:
+            return cls()
+        if isinstance(obj, str):
+            return cls(base=obj)
+        kwargs = {k: obj[k] for k in obj if k in cls.__dataclass_fields__}
+        kwargs["id"] = obj.get("@id")
+        kwargs.setdefault("base", "string")
+        return cls(**kwargs)
+
+
+@dataclass(frozen=True)
+class CompiledColumn:
+    name: str
+    number: int  # 1-based logical column number
+    source_number: int  # 1-based physical column number (skipColumns offset)
+    titles: dict[str, list[str]] = field(default_factory=dict)
+    datatype: CompiledDatatype = field(default_factory=CompiledDatatype)
+    about_url: str | None = None
+    property_url: str | None = None
+    value_url: str | None = None
+    default: str = ""
+    lang: str = "und"
+    null: tuple[str, ...] = ("",)
+    ordered: bool = False
+    required: bool = False
+    separator: str | None = None
+    virtual: bool = False
+    suppress_output: bool = False
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    column_reference: tuple[str, ...]
+    resource: str  # resolved referenced-table url
+    referenced_columns: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class CompiledTable:
+    url: str
+    id: str | None = None
+    columns: tuple[CompiledColumn, ...] = ()
+    dialect: Dialect = field(default_factory=Dialect)
+    primary_key: tuple[str, ...] = ()
+    row_titles: tuple[str, ...] = ()
+    foreign_keys: tuple[ForeignKey, ...] = ()
+    suppress_output: bool = False
+    common_properties: dict = field(default_factory=dict)
+    notes: Any = None
+
+
+@dataclass(frozen=True)
+class CompiledTableGroup:
+    tables: tuple[CompiledTable, ...] = ()
+    id: str | None = None
+    common_properties: dict = field(default_factory=dict)
+    notes: Any = None
+
+
+def _as_title_map(titles: Any, default_lang: str) -> dict[str, list[str]]:
+    """Natural-language property -> {lang: [values]} (metadata.rb:1130-1131)."""
+    if titles is None:
+        return {}
+    if isinstance(titles, str):
+        return {default_lang: [titles]}
+    if isinstance(titles, list):
+        return {default_lang: [str(t) for t in titles]}
+    if isinstance(titles, dict):
+        return {k: ([v] if isinstance(v, str) else list(v)) for k, v in titles.items()}
+    return {}
+
+
+def _context_language(context: Any) -> str:
+    if isinstance(context, list):
+        for part in context:
+            if isinstance(part, dict) and "@language" in part:
+                return part["@language"]
+    return "und"
+
+
+def _is_common_property(key: str) -> bool:
+    return ":" in key and not key.startswith("@")
+
+
+class _Inherit:
+    """Effective inherited-property resolution along the metadata tree."""
+
+    def __init__(self, *levels: dict):
+        self.levels = [lvl or {} for lvl in levels]  # innermost first
+
+    def get(self, prop: str, default: Any = None) -> Any:
+        for lvl in self.levels:
+            if prop in lvl and lvl[prop] is not None:
+                return lvl[prop]
+        if default is not None:
+            return default
+        return INHERITED_DEFAULTS.get(prop)
+
+
+def _resolve_url(url: str | None, base: str | None) -> str | None:
+    if url is None:
+        return None
+    return expand_iri(url, base=base)
+
+
+def _compile_column(
+    obj: dict, number: int, skip_columns: int, inherit: _Inherit,
+    default_lang: str,
+) -> CompiledColumn:
+    titles = _as_title_map(obj.get("titles"), default_lang)
+    name = obj.get("name")
+    if not name:
+        for lang in (default_lang, "und"):
+            if titles.get(lang):
+                name = encode_column_name(titles[lang][0])
+                break
+    if not name:
+        # fall back to any language's first title, then _col.N
+        for vals in titles.values():
+            if vals:
+                name = encode_column_name(vals[0])
+                break
+    name = name or f"_col.{number}"
+
+    col_inherit = _Inherit(obj, *inherit.levels)
+    null = col_inherit.get("null")
+    if isinstance(null, str):
+        null = [null]
+    dt = col_inherit.get("datatype")
+    datatype = CompiledDatatype.from_json(dt)
+    if datatype.base in UNSUPPORTED:
+        raise ValueError(f"unsupported datatype base {datatype.base!r}")
+
+    return CompiledColumn(
+        name=name,
+        number=number,
+        source_number=number + skip_columns,
+        titles=titles,
+        datatype=datatype,
+        about_url=col_inherit.get("aboutUrl"),
+        property_url=col_inherit.get("propertyUrl"),
+        value_url=col_inherit.get("valueUrl"),
+        default=col_inherit.get("default"),
+        lang=obj.get("lang", col_inherit.get("lang")),
+        null=tuple(null),
+        ordered=bool(col_inherit.get("ordered")),
+        required=bool(col_inherit.get("required")),
+        separator=col_inherit.get("separator"),
+        virtual=bool(obj.get("virtual", False)),
+        suppress_output=bool(obj.get("suppressOutput", False)),
+    )
+
+
+def _compile_table(
+    obj: dict, base: str | None, group_inherit: _Inherit,
+    group_dialect: dict | None, default_lang: str,
+) -> CompiledTable:
+    url = _resolve_url(obj.get("url"), base)
+    schema = obj.get("tableSchema") or {}
+    if isinstance(schema, str):  # schema-by-URL (roles.json style)
+        schema_url = _resolve_url(schema, base)
+        schema = _load_json_ref(schema_url)
+    dialect = Dialect.from_json(obj.get("dialect") or group_dialect)
+    inherit = _Inherit(schema, obj, *group_inherit.levels)
+    skip = dialect.skipColumns
+
+    columns = tuple(
+        _compile_column(c, i + 1, skip, inherit, default_lang)
+        for i, c in enumerate(schema.get("columns") or [])
+    )
+
+    pk = schema.get("primaryKey") or ()
+    if isinstance(pk, str):
+        pk = (pk,)
+    row_titles = schema.get("rowTitles") or ()
+    if isinstance(row_titles, str):
+        row_titles = (row_titles,)
+
+    fks = []
+    for fk in schema.get("foreignKeys") or []:
+        colref = fk.get("columnReference")
+        if isinstance(colref, str):
+            colref = (colref,)
+        ref = fk.get("reference") or {}
+        ref_cols = ref.get("columnReference")
+        if isinstance(ref_cols, str):
+            ref_cols = (ref_cols,)
+        resource = _resolve_url(ref.get("resource"), base)
+        fks.append(ForeignKey(tuple(colref), resource, tuple(ref_cols or ())))
+
+    return CompiledTable(
+        url=url,
+        id=_resolve_url(obj.get("@id"), base),
+        columns=columns,
+        dialect=dialect,
+        primary_key=tuple(pk),
+        row_titles=tuple(row_titles),
+        foreign_keys=tuple(fks),
+        suppress_output=bool(obj.get("suppressOutput", False)),
+        common_properties={k: v for k, v in obj.items() if _is_common_property(k)},
+        notes=obj.get("notes"),
+    )
+
+
+_JSON_REF_BASE: list[str] = []  # directory stack for schema-by-URL loads
+
+
+def _load_json_ref(url: str) -> dict:
+    """Load a referenced schema document. file:// and plain paths only —
+    this engine never fetches over the network."""
+    path = url
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+    raise FileNotFoundError(f"schema reference not found: {url}")
+
+
+def detect_type(doc: dict) -> str:
+    """Type-dispatch heuristic of Metadata.new (metadata.rb:276-297)."""
+    t = doc.get("@type")
+    if t in ("TableGroup", "Table", "Schema", "Column", "Dialect", "Template"):
+        return t
+    if "tables" in doc:
+        return "TableGroup"
+    if "url" in doc or "tableSchema" in doc:
+        return "Table"
+    if "columns" in doc or "primaryKey" in doc or "foreignKeys" in doc:
+        return "Schema"
+    if any(k in doc for k in DIALECT_DEFAULTS):
+        return "Dialect"
+    return "Table"
+
+
+def parse_metadata(doc: dict, base: str | None = None) -> CompiledTableGroup:
+    """Parse + normalize a CSVW metadata document into a compiled plan.
+
+    *base* is the metadata document's own URL (urls resolve against it)."""
+    default_lang = _context_language(doc.get("@context"))
+    kind = detect_type(doc)
+    if kind == "Table":
+        group_doc = {
+            k: v for k, v in doc.items()
+            if k in ("@context", "dialect") or k in INHERITED
+        }
+        group_doc["tables"] = [doc]
+        doc = group_doc
+    elif kind != "TableGroup":
+        raise ValueError(f"cannot root a metadata document of type {kind}")
+
+    group_inherit = _Inherit({k: doc[k] for k in INHERITED if k in doc})
+    tables = tuple(
+        _compile_table(t, base, group_inherit, doc.get("dialect"), default_lang)
+        for t in doc.get("tables") or []
+    )
+    return CompiledTableGroup(
+        tables=tables,
+        id=_resolve_url(doc.get("@id"), base),
+        common_properties={k: v for k, v in doc.items() if _is_common_property(k)},
+        notes=doc.get("notes"),
+    )
+
+
+def load_metadata(path: str, base: str | None = None) -> CompiledTableGroup:
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    if base is None:
+        base = "file://" + os.path.abspath(path)
+    return parse_metadata(doc, base=base)
+
+
+def default_table_for(url: str, columns_from_header: list[str],
+                      default_lang: str = "und") -> CompiledTable:
+    """Embedded-metadata table: columns named from the CSV header row
+    (discovery step 4/5, metadata.rb:237-241 + 1786-1880)."""
+    cols = tuple(
+        CompiledColumn(
+            name=encode_column_name(t) if t else f"_col.{i + 1}",
+            number=i + 1,
+            source_number=i + 1,
+            titles={default_lang: [t]} if t else {},
+        )
+        for i, t in enumerate(columns_from_header)
+    )
+    return CompiledTable(url=url, columns=cols)
+
+
+def merge_embedded_titles(table: CompiledTable, header: list[str],
+                          default_lang: str = "und") -> CompiledTable:
+    """Compatibility merge of embedded header titles into a declared schema
+    (light version of verify_compatible!, metadata.rb:996-1079): declared
+    columns win; missing names default from header titles."""
+    from dataclasses import replace
+
+    non_virtual = [c for c in table.columns if not c.virtual]
+    if header and non_virtual and len(header) != len(non_virtual):
+        raise ValueError(
+            f"{table.url}: header has {len(header)} columns, "
+            f"schema declares {len(non_virtual)} non-virtual columns")
+    new_cols = []
+    hi = 0
+    for col in table.columns:
+        if col.virtual:
+            new_cols.append(col)
+            continue
+        title = header[hi] if hi < len(header) else None
+        hi += 1
+        updates = {}
+        if not col.titles and title:
+            updates["titles"] = {default_lang: [title]}
+        if col.name.startswith("_col.") and title:
+            updates["name"] = encode_column_name(title)
+        new_cols.append(replace(col, **updates) if updates else col)
+    return replace(table, columns=tuple(new_cols))

@@ -1,0 +1,138 @@
+"""Stage 2: CSVW-style annotation of extracted structures -> candidate
+triples.
+
+Each extraction kind is a *virtual table* whose annotation mirrors the CSVW
+column model — aboutUrl/propertyUrl/valueUrl templates over stable IRIs
+(reference: the template machinery of metadata.rb:1950-1962, re-applied to
+the source-code domain per the north rule). All emission is pure column
+expressions (percent-encoded concat — exactly what compile_template
+generates for ``{var}`` forms), exploded into the standard triple schema.
+
+IRI scheme (deterministic — resumable/idempotent):
+  repo entity   kg:repo/<repo>
+  file entity   kg:file/<repo>/<path>
+  module entity kg:mod/<normalized name>        (linked/canonicalized later)
+  symbol entity kg:sym/<repo>/<name>
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import TRIPLE_COLUMNS
+from ..csvw.datatypes import RDF_TYPE, XSD
+
+KG = "http://rdf-tabular-spark.dev/kg#"
+KGI = "http://rdf-tabular-spark.dev/kg/"
+
+
+def _enc(c: Column) -> Column:
+    # RFC3986-ish percent-encode, JVM-side (same patch-up as templates.py)
+    e = F.url_encode(c)
+    e = F.replace(e, F.lit("+"), F.lit("%20"))
+    return F.replace(e, F.lit("%2F"), F.lit("/"))
+
+
+def repo_iri(repo: Column) -> Column:
+    return F.concat(F.lit(KGI + "repo/"), _enc(repo))
+
+
+def file_iri(repo: Column, path: Column) -> Column:
+    return F.concat(F.lit(KGI + "file/"), _enc(repo), F.lit("/"), _enc(path))
+
+
+def module_iri(name: Column) -> Column:
+    return F.concat(F.lit(KGI + "mod/"), _enc(name))
+
+
+def symbol_iri(repo: Column, name: Column) -> Column:
+    return F.concat(F.lit(KGI + "sym/"), _enc(repo), F.lit("/"), _enc(name))
+
+
+def _t(subj, pred, obj, is_iri=True, dt=None, lang=None) -> Column:
+    return F.struct(
+        subj.cast("string").alias("subj"),
+        (F.lit(pred) if isinstance(pred, str) else pred).cast("string").alias("pred"),
+        (F.lit(obj) if isinstance(obj, str) else obj).cast("string").alias("obj"),
+        F.lit(is_iri).alias("obj_is_iri"),
+        F.lit(dt).cast("string").alias("obj_datatype"),
+        F.lit(lang).cast("string").alias("obj_lang"),
+    )
+
+
+def file_level_triples(source_with_sha: DataFrame) -> DataFrame:
+    """One bundle of per-file triples straight off the source scan — no
+    shuffle: type/containment/lang/commit/sha256."""
+    repo, path = F.col("repo"), F.col("path")
+    f_iri, r_iri = file_iri(repo, path), repo_iri(repo)
+    arr = F.array(
+        _t(f_iri, RDF_TYPE, KG + "File"),
+        _t(f_iri, KG + "inRepo", r_iri),
+        _t(r_iri, RDF_TYPE, KG + "Repository"),
+        _t(f_iri, KG + "path", path, is_iri=False),
+        _t(f_iri, KG + "lang", F.col("lang"), is_iri=False),
+        _t(f_iri, KG + "commit", F.col("commit"), is_iri=False),
+        _t(f_iri, KG + "sha256", F.col("content_sha256"), is_iri=False,
+           dt=XSD + "hexBinary"),
+    )
+    return (
+        source_with_sha.select(F.explode(arr).alias("t"))
+        .select(*[F.col(f"t.{c}").alias(c) for c in TRIPLE_COLUMNS])
+    )
+
+
+def structure_triples(extracted: DataFrame) -> DataFrame:
+    """Extracted structure rows -> candidate triples (mention-level: module
+    objects use the *raw mention* IRI; stage 3 canonicalizes them)."""
+    repo, path, name = F.col("repo"), F.col("path"), F.col("name")
+    f_iri = file_iri(repo, path)
+    s_iri = symbol_iri(repo, name)
+    m_iri = module_iri(name)
+
+    import_arr = F.array(
+        _t(f_iri, KG + "imports", m_iri),
+        _t(m_iri, RDF_TYPE, KG + "Module"),
+        _t(m_iri, KG + "mention", name, is_iri=False),
+    )
+    dep_arr = F.concat(
+        F.array(
+            _t(f_iri, KG + "dependsOn", m_iri),
+            _t(m_iri, RDF_TYPE, KG + "Module"),
+            _t(m_iri, KG + "mention", name, is_iri=False),
+        ),
+        F.when(
+            F.col("detail").isNotNull(),
+            F.array(_t(m_iri, KG + "versionSpec", F.col("detail"), is_iri=False)),
+        ).otherwise(F.array().cast(
+            "array<struct<subj:string,pred:string,obj:string,obj_is_iri:boolean,"
+            "obj_datatype:string,obj_lang:string>>")),
+    )
+    def_arr = F.array(
+        _t(f_iri, KG + "defines", s_iri),
+        _t(s_iri, RDF_TYPE, KG + "Function"),
+        _t(s_iri, KG + "name", name, is_iri=False),
+        _t(s_iri, KG + "atIndex", F.col("row_idx"), is_iri=False,
+           dt=XSD + "integer"),
+    )
+    class_arr = F.array(
+        _t(f_iri, KG + "defines", s_iri),
+        _t(s_iri, RDF_TYPE, KG + "Class"),
+        _t(s_iri, KG + "name", name, is_iri=False),
+        _t(s_iri, KG + "atIndex", F.col("row_idx"), is_iri=False,
+           dt=XSD + "integer"),
+    )
+
+    arr = (
+        F.when(F.col("kind") == "import", import_arr)
+        .when(F.col("kind") == "dep", dep_arr)
+        .when(F.col("kind") == "def", def_arr)
+        .when(F.col("kind") == "class", class_arr)
+        .otherwise(F.array().cast(
+            "array<struct<subj:string,pred:string,obj:string,obj_is_iri:boolean,"
+            "obj_datatype:string,obj_lang:string>>"))
+    )
+    return (
+        extracted.select(F.explode(arr).alias("t"))
+        .select(*[F.col(f"t.{c}").alias(c) for c in TRIPLE_COLUMNS])
+    )

@@ -1,0 +1,107 @@
+"""Stage 1: per-file tabular-structure extraction (imports / symbol defs /
+manifest dependency rows) via vectorized Arrow UDFs.
+
+Layout first: ``repartitionByRange(repo, path)`` colocates each repo's files
+(north_rule requirement) so downstream per-repo work is shuffle-local.
+Inside ``mapInPandas`` everything is pandas ``str.extractall`` — vectorized
+over Arrow record batches, never row-at-a-time Python. Per-file row
+numbering (`_row` = index of the structure within its file) happens here,
+not in a global window (SURVEY.md §7.4-4).
+
+The per-row invariant ``content_sha256 = sha256(content)`` is computed
+JVM-side (``F.sha2``) before the UDF and carried through every stage
+(BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EXTRACT_SCHEMA = (
+    "repo string, path string, commit string, lang string, "
+    "content_sha256 string, kind string, name string, detail string, "
+    "row_idx int"
+)
+
+# per-language extraction rules == the CSVW-style "metadata" of the virtual
+# tables (each regex plays the role of a column datatype/format annotation)
+LANG_RULES: dict[str, list[tuple[str, str, int]]] = {
+    # lang -> [(kind, regex-with-named-groups, flags)]
+    "python": [
+        ("import", r"^import\s+(?P<name>[\w.]+)(?:\s+as\s+(?P<detail>\w+))?", re.M),
+        ("import", r"^from\s+(?P<name>[\w.]+)\s+import\s+(?P<detail>[\w*, ]+)", re.M),
+        ("def", r"^\s*def\s+(?P<name>\w+)\s*\((?P<detail>[^)]*)\)", re.M),
+        ("class", r"^\s*class\s+(?P<name>\w+)", re.M),
+    ],
+    "ruby": [
+        ("import", r"^require\s+['\"](?P<name>[\w./-]+)['\"]", re.M),
+        ("def", r"^\s*def\s+(?P<name>[\w?!]+)", re.M),
+        ("class", r"^\s*class\s+(?P<name>\w+)", re.M),
+    ],
+    "javascript": [
+        ("import", r"require\(['\"](?P<name>[\w./@-]+)['\"]\)", 0),
+        ("import", r"^import\s+.*?from\s+['\"](?P<name>[\w./@-]+)['\"]", re.M),
+        ("def", r"function\s+(?P<name>\w+)\s*\(", 0),
+        ("class", r"class\s+(?P<name>\w+)", 0),
+    ],
+    "json": [
+        ("dep", r"\"(?P<name>[\w./@-]+)\"\s*:\s*\"(?P<detail>[~^]?[\d][\w.+-]*)\"", 0),
+    ],
+}
+
+
+def extract_structures(source: DataFrame, range_partitions: int | None = None) -> DataFrame:
+    """source(repo,path,commit,lang,content) -> one row per extracted
+    structure, repartitioned by (repo, path) range."""
+    import pandas as pd
+
+    n = range_partitions or source.sparkSession.sparkContext.defaultParallelism * 2
+    with_sha = source.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    arranged = with_sha.repartitionByRange(n, "repo", "path")
+
+    def run(iterator):
+        compiled = {
+            lang: [(kind, re.compile(rx, fl)) for kind, rx, fl in rules]
+            for lang, rules in LANG_RULES.items()
+        }
+        for pdf in iterator:
+            outs = []
+            for lang, rules in compiled.items():
+                sub = pdf[pdf["lang"] == lang]
+                if sub.empty:
+                    continue
+                for kind, rx in rules:
+                    # vectorized: one extractall per (rule, batch)
+                    found = sub["content"].str.extractall(rx)
+                    if found.empty:
+                        continue
+                    found = found.reset_index()
+                    src = sub.iloc[found["level_0"].values if "level_0" in found
+                                   else found["index"].values]
+                    frame = pd.DataFrame({
+                        "repo": src["repo"].values,
+                        "path": src["path"].values,
+                        "commit": src["commit"].values,
+                        "lang": src["lang"].values,
+                        "content_sha256": src["content_sha256"].values,
+                        "kind": kind,
+                        "name": found["name"].values,
+                        "detail": found["detail"].values
+                        if "detail" in found else None,
+                    })
+                    outs.append(frame)
+            if not outs:
+                yield pd.DataFrame(
+                    {c: [] for c in ["repo", "path", "commit", "lang",
+                                     "content_sha256", "kind", "name",
+                                     "detail", "row_idx"]})
+                continue
+            allf = pd.concat(outs, ignore_index=True)
+            # per-file structure numbering — no global window (C16 analog)
+            allf["row_idx"] = allf.groupby(["repo", "path"]).cumcount().astype("int32")
+            yield allf
+
+    return arranged.mapInPandas(run, schema=EXTRACT_SCHEMA)

@@ -1,0 +1,164 @@
+"""Stage 3: entity linking + canonicalization (north rule).
+
+Module mentions (import/dependency names) referring to the same logical
+module get one canonical IRI. Pipeline — all set-level, skew-aware:
+
+1. distinct mentions (tiny vs. the triple stream: map-side-combined distinct)
+2. normalize + character-3-gram shingles (pure column expressions)
+3. minhash signatures: B bands x R rows, each minhash = ``array_min`` over
+   ``hash(shingle, seed)`` — native, no UDF (the reference has no analog;
+   this generalizes its cross-table IRI linking J2 into a similarity join)
+4. LSH blocking: explode band keys, self-join per (band, key) bucket;
+   bucket sizes are capped (hot-bucket guard) before the pair join
+5. Jaccard rescoring on the shingle sets (``array_intersect/array_union``)
+6. connected components by iterative min-label propagation (driver loop,
+   localCheckpoint every iteration to cut lineage), canonical = min mention
+7. broadcast remap of the mention IRIs inside the triple stream
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .annotate import KGI, module_iri
+
+N_BANDS = 8
+ROWS_PER_BAND = 2
+MAX_BUCKET = 256  # hot-bucket guard: drop LSH buckets larger than this
+
+
+def normalize_mention(c):
+    n = F.lower(c)
+    n = F.regexp_replace(n, r"^\./", "")
+    n = F.regexp_replace(n, r"[/._-]+", ".")
+    return n
+
+
+def shingles(c, k: int = 3):
+    padded = F.concat(F.lit("^"), c, F.lit("$"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(padded, i, k)))
+
+
+def minhash_bands(sh):
+    """array of N_BANDS band-hash values over ROWS_PER_BAND minhashes each."""
+    bands = []
+    for b in range(N_BANDS):
+        row_hashes = [
+            F.array_min(F.transform(sh, lambda x, s=b * ROWS_PER_BAND + r: F.hash(x, F.lit(s))))
+            for r in range(ROWS_PER_BAND)
+        ]
+        bands.append(F.hash(*row_hashes, F.lit(b)))
+    return F.array(*bands)
+
+
+def candidate_pairs(mentions: DataFrame, jaccard_threshold: float = 0.55) -> DataFrame:
+    """mentions(mention) -> similar pairs (a, b, jaccard), a < b."""
+    m = (
+        mentions.select(F.col("mention"))
+        .distinct()
+        .withColumn("norm", normalize_mention(F.col("mention")))
+        .withColumn("sh", shingles(F.col("norm")))
+        .withColumn("bands", minhash_bands(F.col("sh")))
+    )
+    exploded = m.select(
+        "mention", "sh", F.posexplode("bands").alias("band", "key"))
+
+    # hot-bucket guard: two-phase count, drop degenerate buckets
+    sizes = exploded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    bucketed = (
+        exploded.join(sizes.filter(F.col("n") <= MAX_BUCKET), ["band", "key"])
+        .drop("n")
+    )
+    a = bucketed.select(
+        "band", "key", F.col("mention").alias("a"), F.col("sh").alias("sh_a"))
+    b = bucketed.select(
+        "band", "key", F.col("mention").alias("b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .dropDuplicates(["a", "b"])
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+    return pairs
+
+
+def connected_components(
+    mentions: DataFrame, pairs: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """(mention, canonical) via iterative min-label propagation."""
+    labels = mentions.select("mention").distinct().withColumn(
+        "label", F.col("mention"))
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    )
+    edges = edges.localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.mention)
+            .groupBy("x")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.mention == neighbor_min.x, "left")
+            .select(
+                "mention",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "mention")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("mention", F.col("label").alias("canonical"))
+
+
+def entity_table(labels: DataFrame) -> DataFrame:
+    """Canonical entity table: (iri, kind, canonical_key, aliases)."""
+    return (
+        labels.groupBy("canonical")
+        .agg(F.sort_array(F.collect_set("mention")).alias("aliases"))
+        .select(
+            module_iri(F.col("canonical")).alias("iri"),
+            F.lit("Module").alias("kind"),
+            F.col("canonical").alias("canonical_key"),
+            F.col("aliases"),
+        )
+    )
+
+
+def remap_triples(triples: DataFrame, labels: DataFrame) -> DataFrame:
+    """Rewrite mention-level module IRIs to canonical IRIs. The mention map
+    is tiny relative to the triple stream -> broadcast hash joins, no
+    shuffle of the triples."""
+    iri_map = labels.filter(F.col("mention") != F.col("canonical")).select(
+        module_iri(F.col("mention")).alias("from_iri"),
+        module_iri(F.col("canonical")).alias("to_iri"),
+    )
+    bmap = F.broadcast(iri_map)
+    out = (
+        triples.join(bmap, triples.subj == bmap.from_iri, "left")
+        .withColumn("subj", F.coalesce(F.col("to_iri"), F.col("subj")))
+        .drop("from_iri", "to_iri")
+    )
+    out = (
+        out.join(bmap, (out.obj == bmap.from_iri) & out.obj_is_iri, "left")
+        .withColumn("obj", F.coalesce(F.col("to_iri"), F.col("obj")))
+        .drop("from_iri", "to_iri")
+    )
+    return out

@@ -1,0 +1,129 @@
+"""Top-level API: CSVW tabular data + metadata -> triple DataFrame / JSON.
+
+The Spark re-expression of the reference's Reader (reader.rb:63-348):
+metadata is compiled on the driver, each table becomes a DataFrame scan +
+cell pipeline + triple emission, the per-table streams union, and graph set
+semantics apply a final dedup. Multi-table groups fan out driver-side
+(S10); FK/PK validation are join/agg operators (validate.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import TRIPLE_COLUMNS
+from .csvw.context import expand_iri
+from .csvw.datatypes import CSVW_NS, RDF_TYPE, XSD
+from .csvw.metadata import (
+    CompiledTable,
+    CompiledTableGroup,
+    default_table_for,
+    load_metadata,
+    merge_embedded_titles,
+    parse_metadata,
+)
+from .operators.cells import build_cells
+from .operators.dedup import dedupe_triples
+from .operators.emit import TRIPLE_SCHEMA, emit_table_triples, skolem_str
+from .sources.csv_source import TableScan, read_table
+
+
+@dataclass
+class ReadResult:
+    triples: DataFrame
+    group: CompiledTableGroup
+    scans: dict[str, TableScan] = field(default_factory=dict)
+
+
+def _url_to_path(url: str, url_map: dict[str, str] | None, search_dir: str | None) -> str:
+    if url_map and url in url_map:
+        return url_map[url]
+    parsed = urlparse(url)
+    if parsed.scheme == "file":
+        return parsed.path
+    if parsed.scheme in ("", None):
+        return url
+    if search_dir:
+        candidate = os.path.join(search_dir, os.path.basename(parsed.path))
+        if os.path.exists(candidate):
+            return candidate
+    raise FileNotFoundError(
+        f"cannot map table url {url!r} to a local file; pass url_map")
+
+
+def to_triples(
+    spark: SparkSession,
+    metadata: dict | str,
+    *,
+    base: str | None = None,
+    url_map: dict[str, str] | None = None,
+    search_dir: str | None = None,
+    mode: str = "minimal",
+    dedupe: bool = True,
+) -> ReadResult:
+    """Run the csv2rdf pipeline.
+
+    - *metadata*: metadata dict, or path to a metadata JSON file.
+    - *base*: base IRI the urls in the metadata resolve against.
+    - *url_map*: table url -> local file path (the sandbox never fetches).
+    - *mode*: 'minimal' (cell triples only) or 'standard' (envelope too).
+    """
+    if isinstance(metadata, str):
+        if search_dir is None:
+            search_dir = os.path.dirname(os.path.abspath(metadata))
+        group = load_metadata(metadata, base=base)
+    else:
+        group = parse_metadata(metadata, base=base)
+
+    parts: list[DataFrame] = []
+    scans: dict[str, TableScan] = {}
+    group_node = group.id or skolem_str("group", *(t.url for t in group.tables))
+
+    for table in group.tables:
+        if table.suppress_output and mode != "validate":
+            # still scanned when validating; suppressed for output (C15)
+            pass
+        path = _url_to_path(table.url, url_map, search_dir)
+        scan = read_table(spark, table, path)
+        scans[table.url] = scan
+        table = merge_embedded_titles(
+            table, scan.header_titles) if table.columns else default_table_for(
+            table.url, scan.header_titles)
+        if table.suppress_output:
+            continue
+
+        cells = build_cells(scan.df, table)
+        table_node = table.id or skolem_str("table", table.url)
+        parts.append(emit_table_triples(cells, table, mode=mode, table_node=table_node))
+
+        if mode == "standard":
+            env = [
+                (table_node, RDF_TYPE, CSVW_NS + "Table", True, None, None),
+                (table_node, CSVW_NS + "url", table.url, True, None, None),
+                (group_node, CSVW_NS + "table", table_node, True, None, None),
+            ]
+            env += [
+                (table_node, "http://www.w3.org/2000/01/rdf-schema#comment",
+                 c, False, None, None)
+                for c in scan.comments
+            ]
+            parts.append(spark.createDataFrame(env, TRIPLE_SCHEMA))
+
+    if mode == "standard":
+        head = [(group_node, RDF_TYPE, CSVW_NS + "TableGroup", True, None, None)]
+        parts.append(spark.createDataFrame(head, TRIPLE_SCHEMA))
+
+    if not parts:
+        triples = spark.createDataFrame([], TRIPLE_SCHEMA)
+    else:
+        triples = parts[0]
+        for p in parts[1:]:
+            triples = triples.unionByName(p)
+    if dedupe:
+        triples = dedupe_triples(triples)
+    return ReadResult(triples=triples.select(*TRIPLE_COLUMNS), group=group, scans=scans)

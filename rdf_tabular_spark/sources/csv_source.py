@@ -1,0 +1,165 @@
+"""Dialect-aware CSV scan (S1-S6).
+
+Strategy: read the file as text lines with a stable per-file line index,
+apply skipRows / header / comment / blank-row dialect logic as expression
+filters, and parse each data line JVM-side with ``from_csv`` (so quoting /
+escaping / delimiter come from the dialect, reference metadata.rb:1273-1280).
+
+Line numbering uses ``zipWithIndex`` (two cheap passes, order-stable): a
+CSVW table is one url = one file, so this stays correct and avoids any
+global sort. The 10^12-file path (kg/) numbers rows inside the per-file
+extraction UDF instead and never comes through here.
+
+Limitation (documented): cells containing embedded line terminators need
+``multiLine`` parsing; fall back to ``spark.read.csv`` + a per-file window
+for that case (not exercised by the CSVW fixtures).
+"""
+
+from __future__ import annotations
+
+import csv as pycsv
+import io
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..csvw.metadata import CompiledTable, Dialect
+
+
+@dataclass
+class TableScan:
+    """A scanned table: data rows + embedded metadata extracted on the way."""
+
+    df: DataFrame  # _row, _sourceRow, _c0.._cN (raw strings, post-skipColumns)
+    header_titles: list[str] = field(default_factory=list)
+    comments: list[str] = field(default_factory=list)
+    n_physical_columns: int = 0
+
+
+def _parse_csv_line(line: str, dialect: Dialect) -> list[str]:
+    r = pycsv.reader(
+        io.StringIO(line),
+        delimiter=dialect.delimiter,
+        quotechar=dialect.quoteChar or '"',
+        doublequote=dialect.doubleQuote,
+        escapechar=None if dialect.doubleQuote else "\\",
+    )
+    for row in r:
+        return row
+    return []
+
+
+def read_table(
+    spark: SparkSession, table: CompiledTable, path: str
+) -> TableScan:
+    d = table.dialect
+    skip = d.skipRows
+    header_n = d.header_row_count
+
+    lines = spark.read.text(path)
+    indexed = lines.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1] + 1))
+    df = spark.createDataFrame(
+        indexed,
+        StructType([
+            StructField("value", StringType()),
+            StructField("_sourceRow", LongType()),
+        ]),
+    )
+
+    comments: list[str] = []
+    header_titles: list[str] = []
+
+    # skipped-region + header rows are few: inspect on the driver (S2/S6)
+    if skip or header_n:
+        head = [r.value for r in df.orderBy("_sourceRow").limit(skip + header_n).collect()]
+        for line in head[:skip]:
+            text = line
+            if d.commentPrefix and text.startswith(d.commentPrefix):
+                text = text[len(d.commentPrefix):]
+            if text.strip():
+                comments.append(text)
+        for line in head[skip : skip + header_n]:
+            if d.commentPrefix and line.startswith(d.commentPrefix):
+                comments.append(line[len(d.commentPrefix):])
+                continue
+            cells = _parse_csv_line(line, d)[d.skipColumns:]
+            if not header_titles:
+                header_titles = [c.strip() for c in cells]
+        df = df.filter(F.col("_sourceRow") > skip + header_n)
+
+    # comment rows inside the data region (S3)
+    if d.commentPrefix:
+        comment_rows = df.filter(F.col("value").startswith(d.commentPrefix))
+        comments.extend(
+            r.value[len(d.commentPrefix):] for r in comment_rows.collect())
+        df = df.filter(~F.col("value").startswith(d.commentPrefix))
+
+    # determine physical width: declared schema, else the header row
+    non_virtual = [c for c in table.columns if not c.virtual]
+    n_cols = (len(non_virtual) + d.skipColumns) if non_virtual else max(
+        len(header_titles) + d.skipColumns, 1)
+
+    schema_ddl = ", ".join(f"`_x{i}` string" for i in range(n_cols))
+    opts = {
+        "sep": d.delimiter,
+        "quote": d.quoteChar or '"',
+        "escape": d.escape_char,
+        "mode": "PERMISSIVE",
+    }
+    parsed = df.select(
+        "_sourceRow",
+        F.from_csv(F.col("value"), schema_ddl, opts).alias("r"),
+        "value",
+    )
+    cols = [F.col(f"r._x{i + d.skipColumns}").alias(f"_c{i}")
+            for i in range(n_cols - d.skipColumns)]
+    parsed = parsed.select("_sourceRow", "value", *cols)
+
+    if d.skipBlankRows:
+        concat_all = F.concat_ws(
+            "", *[F.coalesce(F.col(f"_c{i}"), F.lit(""))
+                  for i in range(n_cols - d.skipColumns)])
+        parsed = parsed.filter(F.trim(F.col("value")) != "").filter(concat_all != "")
+
+    # data-row numbering (C16): per single-file table a window over the line
+    # index is exact; arithmetic shortcut when nothing was filtered
+    from pyspark.sql.window import Window
+
+    if d.commentPrefix or d.skipBlankRows:
+        parsed = parsed.withColumn(
+            "_row", F.row_number().over(Window.orderBy("_sourceRow")).cast("long"))
+    else:
+        parsed = parsed.withColumn("_row", F.col("_sourceRow") - (skip + header_n))
+
+    return TableScan(
+        df=parsed.drop("value"),
+        header_titles=header_titles,
+        comments=comments,
+        n_physical_columns=n_cols,
+    )
+
+
+def inline_table(spark: SparkSession, rows: list[list[str]],
+                 table: CompiledTable) -> TableScan:
+    """In-memory input (S13): list-of-lists, first header_row_count rows are
+    headers."""
+    d = table.dialect
+    header_n = d.header_row_count
+    header = [str(c) for c in rows[0][d.skipColumns:]] if (rows and header_n) else []
+    data = rows[header_n:]
+    n = max((len(r) for r in data), default=len(header) + d.skipColumns)
+    recs = [
+        tuple([i + 1 + header_n + d.skipRows, i + 1]
+              + [str(v) if v is not None else None for v in r[d.skipColumns:n]]
+              + [None] * (n - d.skipColumns - len(r[d.skipColumns:n])))
+        for i, r in enumerate(data)
+    ]
+    fields = [StructField("_sourceRow", LongType()), StructField("_row", LongType())]
+    fields += [StructField(f"_c{i}", StringType()) for i in range(n - d.skipColumns)]
+    return TableScan(
+        df=spark.createDataFrame(recs, StructType(fields)),
+        header_titles=header,
+        n_physical_columns=n,
+    )

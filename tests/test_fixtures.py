@@ -1,0 +1,67 @@
+"""End-to-end golden tests: CSVW fixtures -> minimal-mode triples, compared
+against the reference's emitted Turtle (set-wise, bnode-canonicalized,
+P/R >= 0.95 gate per BASELINE.md; we assert exact match where we can)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tests.conftest import FIXTURE_DIR
+from tests.ttl import compare_graphs, parse_ttl, spark_triples
+
+BASE = "http://example.org/"
+
+
+def run_fixture(spark, metadata_file: str, golden_ttl: str, url_map=None,
+                min_pr: float = 1.0):
+    from rdf_tabular_spark.reader import to_triples
+
+    with open(os.path.join(FIXTURE_DIR, metadata_file)) as f:
+        doc = json.load(f)
+    result = to_triples(
+        spark, doc, base=BASE + metadata_file, search_dir=FIXTURE_DIR,
+        url_map=url_map, mode="minimal")
+    ours = spark_triples(result.triples)
+    with open(os.path.join(FIXTURE_DIR, golden_ttl)) as f:
+        golden = parse_ttl(f.read())
+    report = compare_graphs(ours, golden)
+    assert report["precision"] >= min_pr and report["recall"] >= min_pr, report
+    return report
+
+
+def test_tree_ops_minimal(spark):
+    run_fixture(spark, "tree-ops.csv-metadata.json", "tree-ops-minimal.ttl")
+
+
+def test_tree_ops_ext_minimal(spark):
+    run_fixture(spark, "tree-ops-ext.json", "tree-ops-ext-minimal.ttl")
+
+
+def test_tree_ops_virtual_minimal(spark):
+    run_fixture(spark, "tree-ops-virtual.json", "tree-ops-virtual-minimal.ttl")
+
+
+def test_countries_minimal(spark):
+    run_fixture(spark, "countries.json", "countries-minimal.ttl", url_map={
+        "http://example.org/countries.csv": os.path.join(FIXTURE_DIR, "countries.csv"),
+        "http://example.org/country_slice.csv": os.path.join(FIXTURE_DIR, "country_slice.csv"),
+    })
+
+
+def test_country_codes_and_names_minimal(spark):
+    """No metadata: embedded header only (F6)."""
+    from rdf_tabular_spark.reader import to_triples
+
+    url = BASE + "country-codes-and-names.csv"
+    result = to_triples(
+        spark, {"url": url}, base=url,
+        url_map={url: os.path.join(FIXTURE_DIR, "country-codes-and-names.csv")},
+        mode="minimal")
+    ours = spark_triples(result.triples)
+    with open(os.path.join(FIXTURE_DIR, "country-codes-and-names-minimal.ttl")) as f:
+        golden = parse_ttl(f.read())
+    report = compare_graphs(ours, golden)
+    assert report["precision"] == 1.0 and report["recall"] == 1.0, report
