@@ -78,9 +78,9 @@ def extract_structures(source: DataFrame, range_partitions: int | None = None) -
                     found = sub["content"].str.extractall(rx)
                     if found.empty:
                         continue
-                    found = found.reset_index()
-                    src = sub.iloc[found["level_0"].values if "level_0" in found
-                                   else found["index"].values]
+                    # extractall index level 0 = source row labels in `sub`
+                    src_labels = found.index.get_level_values(0)
+                    src = sub.loc[src_labels]
                     frame = pd.DataFrame({
                         "repo": src["repo"].values,
                         "path": src["path"].values,

@@ -1,0 +1,201 @@
+"""Document deduplication family: exact, n-gram-Jaccard (exact, with prefix
+blocking), MinHash+LSH (approximate, the scale path), SimHash, and
+embedding-cosine near-dup.
+
+Design notes for 100 TB:
+- exact dedup is a map-side-combined hash agg over the content hash;
+- the exact Jaccard path uses prefix filtering (PPJoin-style): a pair at
+  Jaccard >= t must share one of each doc's ((1-t)*|s|)+1 lexicographically
+  smallest shingles, so the candidate join only explodes that prefix, not
+  every shingle;
+- MinHash-LSH keeps signatures tiny (B*R ints/doc) and self-joins per band
+  bucket — sub-linear candidate generation for web-scale corpora;
+- portable hashes (md5) wherever the DuckDB oracle needs to replicate the
+  exact result.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Distinct word-k-gram shingles of the normalized text."""
+    toks = F.split(normalize_text(c), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])
+    return F.array_distinct(F.transform(idx, shingle_at))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates (by md5 of normalized text) with the
+    elected keeper = min id. Returns (fp, n, keep_id)."""
+    withfp = df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
+    return (
+        withfp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.8, k: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """EXACT near-duplicate pairs at word-k-gram Jaccard >= threshold.
+
+    Prefix-filtered: only each document's smallest ((1-t)|s|)+1 shingles
+    (lexicographic order — replicable in plain SQL) generate candidates."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.sort_array(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    prefix_len = (
+        F.floor(F.size("sh") * F.lit(1.0 - threshold)).cast("int") + F.lit(1))
+    prefixed = base.withColumn("prefix", F.slice("sh", F.lit(1), prefix_len))
+    tokens = prefixed.select("id", "sh", F.explode("prefix").alias("tok"))
+
+    a = tokens.select(F.col("tok"), F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    b = tokens.select(F.col("tok"), F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "tok")
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signature(sh: Column, n_hashes: int = 32) -> Column:
+    """n_hashes MinHash values, each = min(hash(shingle, seed)). Native."""
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda x, s=s: F.hash(x, F.lit(s))))
+        for s in range(n_hashes)
+    ])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, threshold: float = 0.8, k: int = 3,
+    bands: int = 16, rows_per_band: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+    verify: bool = True,
+) -> DataFrame:
+    """Approximate near-dup pairs: shingle -> minhash -> band buckets ->
+    bucket self-join; optional exact-Jaccard re-verification of candidates
+    (the scale path: candidates ≪ n², verification is cheap)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), bands * rows_per_band))
+    band_keys = F.array(*[
+        F.hash(F.lit(bnd), *[
+            F.element_at("sig", bnd * rows_per_band + r + 1)
+            for r in range(rows_per_band)])
+        for bnd in range(bands)
+    ])
+    bucketed = base.withColumn("bk", band_keys).select(
+        "id", "sh", F.posexplode("bk").alias("band", "key"))
+    a = bucketed.select("band", "key", F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    b = bucketed.select("band", "key", F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    if verify:
+        pairs = pairs.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+        ).filter(F.col("jaccard") >= threshold)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard")
+                        if verify else F.lit(None).alias("jaccard"))
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over tokens: per bit, sign of the sum of per-token
+    contributions (+1/-1 from xxhash64 bit b). Pure column expressions."""
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for b in range(64):
+        contrib = F.aggregate(
+            th, F.lit(0).cast("long"),
+            lambda acc, h, bb=b: acc + F.when(
+                F.shiftright(h, bb).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        bit_cols.append(F.when(contrib > 0, F.lit(1).cast("long") << b)
+                        .otherwise(F.lit(0).cast("long")))
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim.bitwiseOR(c)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked on
+    16-bit chunks (a pair within distance 3 must share one of 4 chunks)."""
+    sh = simhash64(df, id_col, text_col)
+    chunks = F.array(*[
+        F.struct(F.lit(i).alias("chunk"),
+                 F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"))
+        for i in range(4)
+    ])
+    e = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", "c.chunk", "c.v")
+    a = e.select(F.col("chunk"), F.col("v"), F.col(id_col).alias("a"),
+                 F.col("simhash").alias("ha"))
+    b = e.select(F.col("chunk"), F.col("v"), F.col(id_col).alias("b"),
+                 F.col("simhash").alias("hb"))
+    return (
+        a.join(b, ["chunk", "v"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def cosine_sim(va: Column, vb: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda v: F.sqrt(F.aggregate(  # noqa: E731
+        v, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double")))
+    return dot / (norm(va) * norm(vb))
+
+
+def embedding_near_pairs(
+    emb: DataFrame, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Blocked on *block_col* when given
+    (e.g. a cluster/label id — IVF-style), else full cross self-join (only
+    for small n / as the verification baseline)."""
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                   *([F.col(block_col).alias("blk")] if block_col else []))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                   *([F.col(block_col).alias("blk")] if block_col else []))
+    joined = a.join(b, on="blk" if block_col else None, how="inner") \
+        if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,104 @@
+"""Text analysis operators: token counting, quality scoring, language id,
+document fingerprinting. All pure column expressions (JVM-side), each with
+an ANSI-SQL twin for the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "an", "of", "to", "in", "is", "and", "or", "for"]
+
+
+def normalize_text(c: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def tokens(c: Column) -> Column:
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(c: Column) -> Column:
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Sub-word-ish token count: words + digits + punctuation runs, the
+    standard BPE-approximating regex."""
+    arr = F.regexp_extract_all(
+        F.lower(c), F.lit(r"([a-z]{1,6}|\d{1,3}|[^a-z\d\s])"), 1)
+    return F.size(arr)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = token_count(c)
+    n_char = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    mean_word_len = F.when(n_tok > 0, (F.length(F.regexp_replace(c, r"\s+", "")) / n_tok))
+    return df.withColumns({
+        "n_chars_m": n_char.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "punct_ratio": F.round(punct / F.greatest(n_char, F.lit(1)), 6),
+        "stopword_ratio": F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 6),
+        "mean_word_len": F.round(F.coalesce(mean_word_len, F.lit(0.0)), 6),
+    })
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from the standard length/punct/stopword
+    heuristics (training-data filtering baseline)."""
+    qf = quality_features(df, text_col)
+    length_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0).otherwise(0.2)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.5)
+    word_ok = F.when((F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12), 1.0).otherwise(0.3)
+    return qf.withColumn(
+        "quality", F.round((length_ok + punct_ok + word_ok) / 3.0, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-lexicon language id: per language, count marker-token hits;
+    argmax (deterministic tie-break by language code)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t, ms=markers: t.isin(*ms))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # array_max picks highest hits; struct comparison breaks ties on the
+    # SECOND field ascending — reverse tie-break via negated lang is overkill:
+    # keep (hits, lang) and accept lexicographically-largest lang on ties.
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+    """Document fingerprints: (a) md5 of the normalized text (exact); (b) a
+    winnowing-style shingle fingerprint = min md5 over word k-shingles.
+    md5 on purpose: DuckDB computes the identical value."""
+    norm = normalize_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])
+    shingle_hashes = F.transform(idx, lambda i: F.md5(shingle_at(i)))
+    return df.withColumns({
+        "fp_exact": F.md5(norm),
+        "fp_min_shingle": F.array_min(shingle_hashes),
+    })
