@@ -58,6 +58,9 @@ def extract_structures(source: DataFrame, range_partitions: int | None = None) -
     structure, repartitioned by (repo, path) range."""
     import pandas as pd
 
+    from ..deploy import ensure_py_files
+
+    ensure_py_files(source.sparkSession)
     n = range_partitions or source.sparkSession.sparkContext.defaultParallelism * 2
     with_sha = source.withColumn("content_sha256", F.sha2(F.col("content"), 256))
     arranged = with_sha.repartitionByRange(n, "repo", "path")

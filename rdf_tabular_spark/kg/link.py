@@ -43,10 +43,22 @@ def shingles(c, k: int = 3):
 
 def minhash_bands(sh):
     """array of N_BANDS band-hash values over ROWS_PER_BAND minhashes each."""
+    n_hashes = N_BANDS * ROWS_PER_BAND
+    # single fold updating all minima at once (keeps codegen small); the
+    # lambda takes exactly the declared params — an extra default-arg param
+    # would be bound by Spark to the element index
+    init = F.array_repeat(F.lit(9223372036854775807).cast("long"), n_hashes)
+    sig = F.aggregate(
+        sh, init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[F.hash(x, F.lit(s)).cast("long") for s in range(n_hashes)]),
+            lambda u, v: F.least(u, v)),
+    )
     bands = []
     for b in range(N_BANDS):
         row_hashes = [
-            F.array_min(F.transform(sh, lambda x, s=b * ROWS_PER_BAND + r: F.hash(x, F.lit(s))))
+            F.element_at(sig, b * ROWS_PER_BAND + r + 1)
             for r in range(ROWS_PER_BAND)
         ]
         bands.append(F.hash(*row_hashes, F.lit(b)))

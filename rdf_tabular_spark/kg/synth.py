@@ -107,6 +107,9 @@ def synth_source_table(
     (content is a pure function of the row index)."""
     import pandas as pd
 
+    from ..deploy import ensure_py_files
+
+    ensure_py_files(spark)
     n_repos = n_repos or max(10, n_files // 200)
     rng = spark.range(0, n_files, 1, partitions or spark.sparkContext.defaultParallelism)
 

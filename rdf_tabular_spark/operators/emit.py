@@ -124,7 +124,14 @@ def _fallback_expand(template: str, bindings: dict[str, Column]) -> Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from pyspark.sql import SparkSession
+
     from ..csvw.templates import expand as py_expand
+    from ..deploy import ensure_py_files
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ensure_py_files(active)
 
     names = [n for n in template_variables(template) if n in bindings]
 

@@ -80,10 +80,17 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(sh: Column, n_hashes: int = 32) -> Column:
     """n_hashes MinHash values, each = min(hash(shingle, seed)). Native."""
-    return F.array(*[
-        F.array_min(F.transform(sh, lambda x, s=s: F.hash(x, F.lit(s))))
-        for s in range(n_hashes)
-    ])
+    # One fold over the shingle array updating all n_hashes minima at once —
+    # 32 separate transform+array_min expressions bloat whole-stage codegen
+    # (multi-MiB task binaries); this keeps the tree linear in n_hashes.
+    init = F.array_repeat(F.lit(9223372036854775807).cast("long"), n_hashes)
+    return F.aggregate(
+        sh, init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[F.hash(x, F.lit(s)).cast("long") for s in range(n_hashes)]),
+            lambda u, v: F.least(u, v)),
+    )
 
 
 def minhash_lsh_pairs(
@@ -130,17 +137,19 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     contributions (+1/-1 from xxhash64 bit b). Pure column expressions."""
     toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
     th = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_cols = []
-    for b in range(64):
-        contrib = F.aggregate(
-            th, F.lit(0).cast("long"),
-            lambda acc, h, bb=b: acc + F.when(
-                F.shiftright(h, bb).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
-        bit_cols.append(F.when(contrib > 0, F.lit(1).cast("long") << b)
-                        .otherwise(F.lit(0).cast("long")))
-    sim = bit_cols[0]
-    for c in bit_cols[1:]:
-        sim = sim.bitwiseOR(c)
+    n = F.size(th)
+
+    def bit_set(b: int) -> Column:
+        # contribution sum for bit b is 2*ones - n; bit set when positive
+        ones = F.size(F.filter(
+            th, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+        mask = (1 << b) if b < 63 else -(1 << 63)  # two's-complement sign bit
+        return F.when(ones * 2 > n, F.lit(mask).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+
+    sim = bit_set(0)
+    for b in range(1, 64):
+        sim = sim.bitwiseOR(bit_set(b))
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 

@@ -77,7 +77,10 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     repartition so each task's batch fits accelerator memory)."""
     import pandas as pd
 
-    schema = f"media_id long, kind string, feature array<float>, n_bytes long"
+    from ..deploy import ensure_py_files
+
+    ensure_py_files(media.sparkSession)
+    schema = "media_id long, kind string, feature array<float>, n_bytes long"
 
     def run(iterator):
         for pdf in iterator:
@@ -96,6 +99,10 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
     payload transform raises in-sandbox (decode_strict) but the plumbing —
     filter-pushdown on kind, mapInPandas signature — is real."""
     import pandas as pd
+
+    from ..deploy import ensure_py_files
+
+    ensure_py_files(media.sparkSession)
 
     def run(iterator):
         for pdf in iterator:

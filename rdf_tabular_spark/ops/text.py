@@ -71,9 +71,15 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-lexicon language id: per language, count marker-token hits;
     argmax (deterministic tie-break by language code)."""
     toks = tokens(F.lower(F.col(text_col)))
+
+    # NB: the lambda must take exactly one parameter — PySpark binds a second
+    # parameter of a higher-order-function lambda to the element *index*.
+    def marker_hits(markers: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
     scores = [
         F.struct(
-            F.size(F.filter(toks, lambda t, ms=markers: t.isin(*ms))).alias("hits"),
+            marker_hits(markers).alias("hits"),
             F.lit(lang).alias("lang"),
         )
         for lang, markers in sorted(LANG_MARKERS.items())
