@@ -529,13 +529,15 @@ def sql_similarity_topk() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _kg_run(spark: SparkSession, n_files: int = 300):
-    from rdf_tabular_spark.kg import annotate, extract, link, synth
+def _kg_pipeline(src: DataFrame):
+    """extract -> annotate -> link -> canonical dedup over a source table of
+    input_hint shape (repo, path, commit, lang, content [, content_sha256])."""
+    from rdf_tabular_spark.kg import annotate, extract, link
     from rdf_tabular_spark.operators.dedup import dedupe_triples
     from rdf_tabular_spark import TRIPLE_COLUMNS
 
-    src = synth.synth_source_table(spark, n_files).withColumn(
-        "content_sha256", F.sha2(F.col("content"), 256))
+    if "content_sha256" not in src.columns:
+        src = src.withColumn("content_sha256", F.sha2(F.col("content"), 256))
     extracted = extract.extract_structures(src.drop("content_sha256"))
     raw = annotate.file_level_triples(src).unionByName(
         annotate.structure_triples(extracted))
@@ -546,6 +548,14 @@ def _kg_run(spark: SparkSession, n_files: int = 300):
     entities = link.entity_table(labels)
     triples = dedupe_triples(link.remap_triples(raw, labels)).select(*TRIPLE_COLUMNS)
     return src, entities, triples
+
+
+def _kg_run(spark: SparkSession, n_files: int = 300):
+    from rdf_tabular_spark.kg import synth
+
+    src = synth.synth_source_table(spark, n_files).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256))
+    return _kg_pipeline(src)
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:

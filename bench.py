@@ -1,0 +1,165 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "headline_suite_wall", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "kg_triples": N, "kg_triples_per_sec": N}
+
+``--scaling`` mode (run manually, results recorded in BASELINE.md): runs
+the north-rule KG job at two parallelism levels (local[8] vs local[32],
+the sandbox stand-in for N vs 4N executors) in fresh subprocesses and
+prints throughput at both plus efficiency = (T8/T32)/4... see BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _mk_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .appName("rdf_tabular_spark-bench")
+        .getOrCreate()
+    )
+
+
+# headline subset of __spark_entry__.queries(): the ones that do real work
+# at sf0.1 (tiny-dimension CSVW demos excluded)
+BENCH_QUERIES = [
+    "csvw_uax35_number",
+    "csvw_uax35_date",
+    "csvw_pk_violations",
+    "csvw_fk_violations",
+    "csvw_list_split",
+    "csvw_row_numbers",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "similarity_topk",
+]
+
+KG_FILES_PER_SF = 200_000  # n_files = KG_FILES_PER_SF * sf
+
+
+def ensure_kg_source(spark, n_files: int) -> str:
+    """Materialize the deterministic synthetic source table (input_hint
+    shape) to parquet once; the timed job reads it like the production
+    Iceberg source table. Also the 'same input' for the scaling runs."""
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"), f"kg_source_{n_files}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from rdf_tabular_spark.kg import synth
+
+        synth.synth_source_table(spark, n_files).write.mode(
+            "overwrite").parquet(path)
+    return path
+
+
+def kg_job(spark, n_files: int):
+    """The north-rule job: source table -> extract -> triples -> link ->
+    canonical graph. Returns (n_triples, wall_s); source materialization is
+    not timed (it is the input, not the pipeline)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+
+    src_path = ensure_kg_source(spark, n_files)
+    src = spark.read.parquet(src_path)
+    t0 = time.time()
+    _, _, triples = entry._kg_pipeline(src)
+    n = triples.count()
+    return n, time.time() - t0
+
+
+def run_suite(sf_dir: str, cpus: int) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    spark = _mk_spark(cpus)
+    qs = entry.queries()
+    per_query: dict[str, float] = {}
+    t_suite = time.time()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        per_query[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {per_query[name]}s", file=sys.stderr)
+
+    n_files = max(1000, int(KG_FILES_PER_SF * (sf or 0.1)))
+    n_triples, kg_wall = kg_job(spark, n_files)
+    per_query["kg_pipeline"] = round(kg_wall, 3)
+    total = time.time() - t_suite
+    spark.stop()
+    return {
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "kg_files": n_files,
+        "kg_triples": n_triples,
+        "kg_triples_per_sec": round(n_triples / kg_wall, 1),
+    }
+
+
+def run_scaling(sf: float) -> dict:
+    """Same KG job, same input, at local[8] and local[32] in fresh JVMs."""
+    out = {}
+    n_files = max(1000, int(KG_FILES_PER_SF * sf))
+    for cpus in (8, 32):
+        code = (
+            "import sys, json; sys.path.insert(0, %r)\n"
+            "import bench\n"
+            "spark = bench._mk_spark(%d)\n"
+            "n, wall = bench.kg_job(spark, %d)\n"
+            "print(json.dumps({'cpus': %d, 'triples': n, 'wall_s': round(wall,2),"
+            " 'triples_per_sec': round(n/wall,1)}))\n"
+            % (os.path.dirname(os.path.abspath(__file__)), cpus, n_files, cpus)
+        )
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+        out[f"local[{cpus}]"] = json.loads(line)
+        print(f"  local[{cpus}]: {line}", file=sys.stderr)
+    t8 = out["local[8]"]["triples_per_sec"]
+    t32 = out["local[32]"]["triples_per_sec"]
+    out["scaling_efficiency_8_to_32"] = round((t32 / t8) / 4.0, 3)
+    out["n_files"] = n_files
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        sf = float(sys.argv[sys.argv.index("--scaling") + 1]) \
+            if len(sys.argv) > sys.argv.index("--scaling") + 1 else 0.1
+        print(json.dumps(run_scaling(sf)))
+        return
+    print(json.dumps(run_suite(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -173,6 +173,7 @@ class CompiledTableGroup:
     id: str | None = None
     common_properties: dict = field(default_factory=dict)
     notes: Any = None
+    context_lang: str = "und"  # @context {"@language": ...}, default none
 
 
 def _as_title_map(titles: Any, default_lang: str) -> dict[str, list[str]]:
@@ -324,14 +325,19 @@ _JSON_REF_BASE: list[str] = []  # directory stack for schema-by-URL loads
 
 
 def _load_json_ref(url: str) -> dict:
-    """Load a referenced schema document. file:// and plain paths only —
-    this engine never fetches over the network."""
+    """Load a referenced schema document. file:// and plain paths only (a
+    basename fallback into the _JSON_REF_BASE search dirs maps remote urls
+    to local mirrors) — this engine never fetches over the network."""
     path = url
     if path.startswith("file://"):
         path = path[len("file://"):]
-    if os.path.exists(path):
-        with open(path, encoding="utf-8") as f:
-            return json.load(f)
+    candidates = [path] + [
+        os.path.join(d, os.path.basename(path)) for d in _JSON_REF_BASE
+    ]
+    for cand in candidates:
+        if os.path.exists(cand):
+            with open(cand, encoding="utf-8") as f:
+                return json.load(f)
     raise FileNotFoundError(f"schema reference not found: {url}")
 
 
@@ -377,6 +383,7 @@ def parse_metadata(doc: dict, base: str | None = None) -> CompiledTableGroup:
         id=_resolve_url(doc.get("@id"), base),
         common_properties={k: v for k, v in doc.items() if _is_common_property(k)},
         notes=doc.get("notes"),
+        context_lang=default_lang,
     )
 
 

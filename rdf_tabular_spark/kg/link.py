@@ -77,10 +77,14 @@ def candidate_pairs(mentions: DataFrame, jaccard_threshold: float = 0.55) -> Dat
     exploded = m.select(
         "mention", "sh", F.posexplode("bands").alias("band", "key"))
 
-    # hot-bucket guard: two-phase count, drop degenerate buckets
-    sizes = exploded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    # hot-bucket guard: drop degenerate buckets via a windowed count —
+    # one shuffle on (band, key), which the self-join below reuses
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "key")
     bucketed = (
-        exploded.join(sizes.filter(F.col("n") <= MAX_BUCKET), ["band", "key"])
+        exploded.withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("n") <= MAX_BUCKET)
         .drop("n")
     )
     a = bucketed.select(

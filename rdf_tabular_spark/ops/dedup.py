@@ -58,17 +58,28 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.sort_array(word_shingles(F.col(text_col), k)).alias("sh"),
     )
-    prefix_len = (
-        F.floor(F.size("sh") * F.lit(1.0 - threshold)).cast("int") + F.lit(1))
-    prefixed = base.withColumn("prefix", F.slice("sh", F.lit(1), prefix_len))
-    tokens = prefixed.select("id", "sh", F.explode("prefix").alias("tok"))
-
-    a = tokens.select(F.col("tok"), F.col("id").alias("a"), F.col("sh").alias("sh_a"))
-    b = tokens.select(F.col("tok"), F.col("id").alias("b"), F.col("sh").alias("sh_b"))
-    return (
-        a.join(b, "tok")
+    # candidates-then-verify: the exploded prefix join carries only
+    # (tok_hash, id) — never the shingle arrays — so the shuffle is narrow;
+    # arrays are re-attached to the (much smaller) candidate pair set.
+    # Shingles are compared as xxhash64 values (set sizes are identical to
+    # the string comparison modulo 64-bit collisions).
+    hashed = base.select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"),
+    ).withColumn("prefix", F.slice(
+        "shh", F.lit(1),
+        F.floor(F.size("shh") * F.lit(1.0 - threshold)).cast("int") + F.lit(1)))
+    tokens = hashed.select("id", F.explode("prefix").alias("tok"))
+    cand = (
+        tokens.select(F.col("tok"), F.col("id").alias("a"))
+        .join(tokens.select(F.col("tok"), F.col("id").alias("b")), "tok")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
+    )
+    sides = hashed.select("id", "shh")
+    return (
+        cand.join(sides.withColumnsRenamed({"id": "a", "shh": "sh_a"}), "a")
+        .join(sides.withColumnsRenamed({"id": "b", "shh": "sh_b"}), "b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))

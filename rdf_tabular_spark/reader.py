@@ -28,6 +28,7 @@ from .csvw.metadata import (
     parse_metadata,
 )
 from .operators.cells import build_cells
+from .operators.common_props import common_property_triples, provenance_triples
 from .operators.dedup import dedupe_triples
 from .operators.emit import TRIPLE_SCHEMA, emit_table_triples, skolem_str
 from .sources.csv_source import TableScan, read_table
@@ -65,6 +66,7 @@ def to_triples(
     search_dir: str | None = None,
     mode: str = "minimal",
     dedupe: bool = True,
+    prov: dict | None = None,
 ) -> ReadResult:
     """Run the csv2rdf pipeline.
 
@@ -72,13 +74,25 @@ def to_triples(
     - *base*: base IRI the urls in the metadata resolve against.
     - *url_map*: table url -> local file path (the sandbox never fetches).
     - *mode*: 'minimal' (cell triples only) or 'standard' (envelope too).
+    - *prov*: None (noProv) or {'started_at', 'ended_at'[, 'metadata_urls']}
+      xsd:dateTime lexicals for the T5 provenance activity (standard mode;
+      timestamps are injected so runs stay deterministic, reader.rb:221-248).
     """
-    if isinstance(metadata, str):
-        if search_dir is None:
-            search_dir = os.path.dirname(os.path.abspath(metadata))
-        group = load_metadata(metadata, base=base)
-    else:
-        group = parse_metadata(metadata, base=base)
+    from .csvw import metadata as metadata_mod
+
+    if search_dir is not None:
+        metadata_mod._JSON_REF_BASE.append(search_dir)
+    try:
+        if isinstance(metadata, str):
+            if search_dir is None:
+                search_dir = os.path.dirname(os.path.abspath(metadata))
+                metadata_mod._JSON_REF_BASE.append(search_dir)
+            group = load_metadata(metadata, base=base)
+        else:
+            group = parse_metadata(metadata, base=base)
+    finally:
+        if search_dir is not None and metadata_mod._JSON_REF_BASE:
+            metadata_mod._JSON_REF_BASE.pop()
 
     parts: list[DataFrame] = []
     scans: dict[str, TableScan] = {}
@@ -112,10 +126,28 @@ def to_triples(
                  c, False, None, None)
                 for c in scan.comments
             ]
+            # T4: table-level common properties + notes (reader.rb:338-343)
+            lang = None if group.context_lang == "und" else group.context_lang
+            props = dict(table.common_properties)
+            if table.notes is not None:
+                props["notes"] = table.notes
+            env += common_property_triples(table_node, props, table.url, lang)
             parts.append(spark.createDataFrame(env, TRIPLE_SCHEMA))
 
     if mode == "standard":
         head = [(group_node, RDF_TYPE, CSVW_NS + "TableGroup", True, None, None)]
+        # T4: group-level common properties + notes (reader.rb:174-179)
+        lang = None if group.context_lang == "und" else group.context_lang
+        gprops = dict(group.common_properties)
+        if group.notes is not None:
+            gprops["notes"] = group.notes
+        gbase = group.tables[0].url if group.tables else (base or "")
+        head += common_property_triples(group_node, gprops, gbase, lang)
+        if prov is not None:
+            head += provenance_triples(
+                group_node, [t.url for t in group.tables],
+                metadata_urls=prov.get("metadata_urls", []),
+                started_at=prov["started_at"], ended_at=prov["ended_at"])
         parts.append(spark.createDataFrame(head, TRIPLE_SCHEMA))
 
     if not parts:

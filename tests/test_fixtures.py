@@ -65,3 +65,67 @@ def test_country_codes_and_names_minimal(spark):
         golden = parse_ttl(f.read())
     report = compare_graphs(ours, golden)
     assert report["precision"] == 1.0 and report["recall"] == 1.0, report
+
+
+def run_fixture_std(spark, metadata_file: str, golden_ttl: str, url_map=None):
+    from rdf_tabular_spark.reader import to_triples
+
+    with open(os.path.join(FIXTURE_DIR, metadata_file)) as f:
+        doc = json.load(f)
+    result = to_triples(
+        spark, doc, base=BASE + metadata_file, search_dir=FIXTURE_DIR,
+        url_map=url_map, mode="standard")
+    ours = spark_triples(result.triples)
+    with open(os.path.join(FIXTURE_DIR, golden_ttl)) as f:
+        golden = parse_ttl(f.read())
+    report = compare_graphs(ours, golden)
+    assert report["precision"] == 1.0 and report["recall"] == 1.0, report
+
+
+def test_tree_ops_standard(spark):
+    """T2 envelope + T4 common properties (reader.rb:170-179, 258-298)."""
+    run_fixture_std(spark, "tree-ops.csv-metadata.json", "tree-ops-standard.ttl")
+
+
+def test_tree_ops_ext_standard(spark):
+    run_fixture_std(spark, "tree-ops-ext.json", "tree-ops-ext-standard.ttl")
+
+
+def test_country_codes_and_names_standard(spark):
+    from rdf_tabular_spark.reader import to_triples
+
+    url = BASE + "country-codes-and-names.csv"
+    result = to_triples(
+        spark, {"url": url}, base=url,
+        url_map={url: os.path.join(FIXTURE_DIR, "country-codes-and-names.csv")},
+        mode="standard")
+    ours = spark_triples(result.triples)
+    with open(os.path.join(FIXTURE_DIR,
+                           "country-codes-and-names-standard.ttl")) as f:
+        golden = parse_ttl(f.read())
+    report = compare_graphs(ours, golden)
+    assert report["precision"] == 1.0 and report["recall"] == 1.0, report
+
+
+ROLES_URL_MAP = {
+    BASE + "gov.uk/professions.csv": os.path.join(FIXTURE_DIR, "gov.uk", "professions.csv"),
+    BASE + "senior-roles.csv": os.path.join(FIXTURE_DIR, "senior-roles.csv"),
+    BASE + "junior-roles.csv": os.path.join(FIXTURE_DIR, "junior-roles.csv"),
+}
+
+
+def test_roles_minimal(spark):
+    """S10 multi-table fan-out + C15 suppressOutput table + schema-by-URL
+    (roles.json: tableSchema: "senior-roles.json")."""
+    run_fixture(spark, "roles.json", "roles-minimal.ttl", url_map=ROLES_URL_MAP)
+
+
+def test_roles_standard(spark):
+    run_fixture_std(spark, "roles.json", "roles-standard.ttl", url_map=ROLES_URL_MAP)
+
+
+def test_countries_standard(spark):
+    run_fixture_std(spark, "countries.json", "countries-standard.ttl", url_map={
+        BASE + "countries.csv": os.path.join(FIXTURE_DIR, "countries.csv"),
+        BASE + "country_slice.csv": os.path.join(FIXTURE_DIR, "country_slice.csv"),
+    })

@@ -88,6 +88,12 @@ class TurtleParser:
     def _resolve_pname(self, p: str) -> str:
         if p == "a":
             return RDF_NS + "type"
+        if p.startswith("_:"):  # labeled blank node
+            if not hasattr(self, "_bnode_labels"):
+                self._bnode_labels: dict[str, str] = {}
+            if p not in self._bnode_labels:
+                self._bnode_labels[p] = self._new_bnode()
+            return self._bnode_labels[p]
         pre, _, local = p.partition(":")
         if pre in self.prefixes:
             return self.prefixes[pre] + local
