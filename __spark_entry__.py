@@ -538,7 +538,10 @@ def _kg_pipeline(src: DataFrame):
 
     if "content_sha256" not in src.columns:
         src = src.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    extracted = extract.extract_structures(src.drop("content_sha256"))
+    # extraction feeds both the triple stream and the mention stream —
+    # persist so the mapInPandas UDF runs once (the checkpointed KGPipeline
+    # gets this for free from its per-stage parquet writes)
+    extracted = extract.extract_structures(src.drop("content_sha256")).persist()
     raw = annotate.file_level_triples(src).unionByName(
         annotate.structure_triples(extracted))
     mentions = extracted.filter(F.col("kind").isin("import", "dep")).select(

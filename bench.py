@@ -123,11 +123,15 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def run_scaling(sf: float) -> dict:
-    """Same KG job, same input, at local[8] and local[32] in fresh JVMs."""
+def run_scaling(sf: float, pair: tuple[int, int] = (8, 32)) -> dict:
+    """Same KG job, same input, at local[N] and local[4N] in fresh JVMs.
+
+    Note: on SMT hosts the 8->32 pair is bounded by hardware (32 threads
+    deliver ~2.7x the arithmetic throughput of 8 on this box); the 2->8
+    pair stays within physically-backed cores. BASELINE.md reports both."""
     out = {}
     n_files = max(1000, int(KG_FILES_PER_SF * sf))
-    for cpus in (8, 32):
+    for cpus in pair:
         code = (
             "import sys, json; sys.path.insert(0, %r)\n"
             "import bench\n"
@@ -143,9 +147,10 @@ def run_scaling(sf: float) -> dict:
         line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
         out[f"local[{cpus}]"] = json.loads(line)
         print(f"  local[{cpus}]: {line}", file=sys.stderr)
-    t8 = out["local[8]"]["triples_per_sec"]
-    t32 = out["local[32]"]["triples_per_sec"]
-    out["scaling_efficiency_8_to_32"] = round((t32 / t8) / 4.0, 3)
+    lo, hi = pair
+    t_lo = out[f"local[{lo}]"]["triples_per_sec"]
+    t_hi = out[f"local[{hi}]"]["triples_per_sec"]
+    out[f"scaling_efficiency_{lo}_to_{hi}"] = round((t_hi / t_lo) / (hi / lo), 3)
     out["n_files"] = n_files
     return out
 
@@ -154,9 +159,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        sf = float(sys.argv[sys.argv.index("--scaling") + 1]) \
-            if len(sys.argv) > sys.argv.index("--scaling") + 1 else 0.1
-        print(json.dumps(run_scaling(sf)))
+        i = sys.argv.index("--scaling")
+        sf = float(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 0.1
+        pair = (8, 32)
+        if "--pair" in sys.argv:
+            j = sys.argv.index("--pair")
+            lo, hi = sys.argv[j + 1].split(",")
+            pair = (int(lo), int(hi))
+        print(json.dumps(run_scaling(sf, pair)))
         return
     print(json.dumps(run_suite(sf_dir, cpus)))
 

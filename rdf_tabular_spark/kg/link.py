@@ -74,6 +74,11 @@ def candidate_pairs(mentions: DataFrame, jaccard_threshold: float = 0.55) -> Dat
         .withColumn("sh", shingles(F.col("norm")))
         .withColumn("bands", minhash_bands(F.col("sh")))
     )
+    # the distinct-mention set is orders of magnitude smaller than the
+    # mention stream; localCheckpoint it so the LSH self-join's two sides
+    # (and the downstream CC loop) don't each re-run the distinct + minhash
+    # over the full extraction output
+    m = m.localCheckpoint(eager=False)
     exploded = m.select(
         "mention", "sh", F.posexplode("bands").alias("band", "key"))
 
@@ -112,12 +117,19 @@ def connected_components(
 ) -> DataFrame:
     """(mention, canonical) via iterative min-label propagation."""
     labels = mentions.select("mention").distinct().withColumn(
-        "label", F.col("mention"))
+        "label", F.col("mention")).persist()
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
-    )
-    edges = edges.localCheckpoint()
+    ).persist()
+    if edges.isEmpty():  # nothing to merge: every mention is its own entity
+        out = labels.select("mention", F.col("label").alias("canonical"))
+        return out
+    # persist (not localCheckpoint) per iteration: checkpointing each loop
+    # forces eager materialization at the full shuffle-partition count and
+    # defeats AQE partition coalescing — on a high-core session that made
+    # each tiny iteration pay hundreds of empty tasks. Lineage depth is
+    # bounded by max_iter, so persist is enough.
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.y == labels.mention)
@@ -128,17 +140,16 @@ def connected_components(
             labels.join(neighbor_min, labels.mention == neighbor_min.x, "left")
             .select(
                 "mention",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
             )
-        ).localCheckpoint()
+        ).persist()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "mention")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("old_label"))
+            .limit(1).count()
         )
-        labels = new_labels
+        labels.unpersist()
+        labels = new_labels.select("mention", "label")
         if changed == 0:
             break
     return labels.select("mention", F.col("label").alias("canonical"))

@@ -1,0 +1,219 @@
+"""S12/EP3: JSON serialization — csv2json (reference reader.rb:398-624).
+
+Minimal mode: a flat list of per-subject objects in row order. Standard
+mode: a ``{"tables": [{url, common-props, row: [...]}]}`` envelope where
+each row carries ``url``/``rownum``/``titles``/``describes``.
+
+Spark-first shape: each row's objects are assembled **as JSON text with
+pure column expressions** — per about-template group a ``to_json(struct)``
+whose field order fixes key order, single-reference ``valueUrl`` nesting
+(J3, reader.rb:592-601) resolved *statically* from template identity so the
+nesting is part of the expression tree, not a runtime join. The driver only
+concatenates per-row fragments (at 10^12 scale you would instead write the
+fragments as JSONL and never collect).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..csvw.context import PREFIXES, expand_iri
+from ..csvw.datatypes import RDF_TYPE
+from ..csvw.metadata import CompiledColumn, CompiledTable
+from .cells import cell_values
+from .emit import _column_bindings, compile_iri_template
+
+_INT_BASES = {
+    "integer", "long", "int", "short", "byte", "nonNegativeInteger",
+    "positiveInteger", "nonPositiveInteger", "negativeInteger",
+    "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte",
+}
+_FLOAT_BASES = {"double", "float", "number", "decimal"}
+
+
+def compact_iri(iri: str) -> str:
+    """IRI -> pname via the CSVW context prefixes (longest namespace wins);
+    full IRI when no prefix matches (reader.rb:558-564)."""
+    best = None
+    for pre, ns in PREFIXES.items():
+        if iri.startswith(ns) and len(ns) < len(iri):
+            if best is None or len(ns) > len(PREFIXES[best]):
+                best = pre
+    if best is None:
+        return iri
+    local = iri[len(PREFIXES[best]):]
+    return f"{best}:{local}"
+
+
+def _json_key(col: CompiledColumn, table: CompiledTable) -> str:
+    if col.property_url is None:
+        return col.name
+    template = col.property_url
+    if "{" in template:
+        # templates over the per-column statics (_name/_column/_sourceColumn)
+        # are constant per column -> expand driver-side
+        from urllib.parse import unquote
+
+        from ..csvw.templates import expand as py_expand, template_variables
+
+        if set(template_variables(template)) <= {"_name", "_column",
+                                                 "_sourceColumn"}:
+            template = py_expand(template, {
+                "_name": unquote(col.name),
+                "_column": str(col.number),
+                "_sourceColumn": str(col.source_number),
+            })
+        else:
+            return template  # dynamic propertyUrl: unsupported in JSON mode
+    expanded = expand_iri(template, base=table.url)
+    if expanded == RDF_TYPE:
+        return "@type"
+    return compact_iri(expanded)
+
+
+def _typed_value(col: CompiledColumn, item: Column) -> Column:
+    base = col.datatype.base
+    lex = item["lex"]
+    if base in _INT_BASES:
+        return lex.cast("long")
+    if base in _FLOAT_BASES:
+        return lex.cast("double")
+    if base == "boolean":
+        return lex.cast("boolean")
+    return lex
+
+
+def _group_key(col: CompiledColumn) -> str:
+    return col.about_url or ""
+
+
+def build_row_fragments(
+    cells_df: DataFrame, table: CompiledTable,
+) -> DataFrame:
+    """cells DF -> (_row, _sourceRow, frag) where *frag* is the JSON text of
+    this row's objects, comma-joined (wrap in [] to parse)."""
+    base = table.url
+
+    # group columns by aboutUrl template (row subjects)
+    group_order: list[str] = []
+    groups: dict[str, list[CompiledColumn]] = {}
+    for col in table.columns:
+        if col.suppress_output:
+            continue
+        k = _group_key(col)
+        if k not in groups:
+            groups[k] = []
+            group_order.append(k)
+        groups[k].append(col)
+
+    # J3 static nesting: a valueUrl template equal to another group's
+    # aboutUrl template inlines that group (self-references stay strings)
+    inlined: set[str] = set()
+
+    def value_expr(col: CompiledColumn, own_group: str, depth: int) -> Column | None:
+        bindings = _column_bindings(table, col)
+        values = cell_values(col.name)
+        if col.value_url:
+            target = col.value_url
+            if (depth < 3 and target != own_group and target in groups
+                    and target != ""):
+                inlined.add(target)
+                nested = group_struct(target, depth + 1)
+                cond = F.lit(True) if col.virtual else (F.size(values) > 0)
+                vu = compile_iri_template(col.value_url, bindings, base)
+                return F.when(cond & vu.isNotNull(), nested)
+            vu = compile_iri_template(col.value_url, bindings, base)
+            cond = F.lit(True) if col.virtual else (F.size(values) > 0)
+            if _json_key(col, table) == "@type":
+                # rdf:type objects are compacted pnames in JSON
+                static = col.value_url if "{" not in col.value_url else None
+                v = F.lit(compact_iri(expand_iri(static, base=base))) \
+                    if static else vu
+                return F.when(cond & vu.isNotNull(), v)
+            return F.when(cond & vu.isNotNull(), vu)
+        if col.separator is not None:
+            arr = F.transform(values, lambda it: _typed_value(col, it))
+            return F.when(F.size(values) > 0, arr)
+        return F.when(F.size(values) > 0,
+                      _typed_value(col, F.element_at(values, 1)))
+
+    def group_struct(gkey: str, depth: int = 0) -> Column:
+        cols = groups[gkey]
+        fields: list[Column] = []
+        about = compile_iri_template(gkey or None, _all_bindings(table), base)
+        if about is not None:
+            fields.append(about.alias("@id"))
+        present = F.lit(False)
+        for col in cols:
+            v = value_expr(col, gkey, depth)
+            if v is None:
+                continue
+            fields.append(v.alias(_json_key(col, table)))
+            present = present | v.isNotNull()
+        return F.when(present, F.struct(*fields)).otherwise(F.lit(None))
+
+    # building order matters: value_expr marks inlined groups while structs
+    # are constructed, so construct all structs first
+    structs = {k: group_struct(k) for k in group_order}
+    top = [F.to_json(structs[k]) for k in group_order if k not in inlined]
+    frag = F.concat_ws(",", F.array_compact(F.array(*top)))
+    return cells_df.select(
+        F.col("_row"), F.col("_sourceRow"), frag.alias("frag"))
+
+
+def _all_bindings(table: CompiledTable):
+    # bindings across all columns (about templates may use any column)
+    from .emit import _column_bindings
+
+    merged = {}
+    for col in table.columns:
+        merged.update(_column_bindings(table, col))
+    return merged
+
+
+def simplify_common_value(value, base: str | None = None):
+    """Common-property values in JSON output: value objects collapse to
+    their @value / @id (reader.rb:566-585)."""
+    if isinstance(value, list):
+        return [simplify_common_value(v, base) for v in value]
+    if isinstance(value, dict):
+        if "@value" in value:
+            return value["@value"]
+        if set(value.keys()) == {"@id"}:
+            return expand_iri(value["@id"], base=base)
+        return {
+            k: (expand_iri(v, base=base) if k == "@id" else
+                simplify_common_value(v, base))
+            for k, v in value.items()
+        }
+    return value
+
+
+def assemble_minimal(frag_rows: list[tuple[int, str]]) -> list:
+    objs: list = []
+    for _row, frag in sorted(frag_rows):
+        if frag:
+            objs.extend(json.loads(f"[{frag}]"))
+    return objs
+
+
+def assemble_standard_table(
+    table: CompiledTable, frag_rows: list[tuple[int, int, str]],
+) -> dict:
+    out: dict = {"url": table.url}
+    for k, v in table.common_properties.items():
+        out[k] = simplify_common_value(v, base=table.url)
+    if table.notes is not None:
+        out["notes"] = simplify_common_value(table.notes, base=table.url)
+    rows = []
+    for _row, _source_row, frag in sorted(frag_rows):
+        rows.append({
+            "url": f"{table.url.split('#', 1)[0]}#row={_source_row}",
+            "rownum": _row,
+            "describes": json.loads(f"[{frag}]") if frag else [],
+        })
+    out["row"] = rows
+    return out

@@ -68,11 +68,17 @@ def ngram_jaccard_pairs(
     ).withColumn("prefix", F.slice(
         "shh", F.lit(1),
         F.floor(F.size("shh") * F.lit(1.0 - threshold)).cast("int") + F.lit(1)))
-    tokens = hashed.select("id", F.explode("prefix").alias("tok"))
+    # PPJoin length filter: Jaccard >= t forces t*|b| <= |a| <= |b|/t,
+    # pruning candidates before the pair dedup shuffle
+    tokens = hashed.select(
+        "id", F.size("shh").alias("sz"), F.explode("prefix").alias("tok"))
     cand = (
-        tokens.select(F.col("tok"), F.col("id").alias("a"))
-        .join(tokens.select(F.col("tok"), F.col("id").alias("b")), "tok")
-        .filter(F.col("a") < F.col("b"))
+        tokens.select(F.col("tok"), F.col("id").alias("a"), F.col("sz").alias("sz_a"))
+        .join(tokens.select(F.col("tok"), F.col("id").alias("b"), F.col("sz").alias("sz_b")), "tok")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.col("sz_a") * F.lit(threshold) <= F.col("sz_b"))
+            & (F.col("sz_b") * F.lit(threshold) <= F.col("sz_a")))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
@@ -113,33 +119,41 @@ def minhash_lsh_pairs(
     """Approximate near-dup pairs: shingle -> minhash -> band buckets ->
     bucket self-join; optional exact-Jaccard re-verification of candidates
     (the scale path: candidates ≪ n², verification is cheap)."""
-    base = df.select(
+    # candidates-then-verify: the band-bucket self-join shuffles only
+    # (band, key, id) — the hashed-shingle arrays are re-attached to the far
+    # smaller candidate pair set for exact-Jaccard verification.
+    hashed = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), bands * rows_per_band))
+        F.transform(word_shingles(F.col(text_col), k),
+                    lambda s: F.xxhash64(s)).alias("shh"),
+    ).withColumn("sig", minhash_signature(F.col("shh"), bands * rows_per_band))
     band_keys = F.array(*[
         F.hash(F.lit(bnd), *[
             F.element_at("sig", bnd * rows_per_band + r + 1)
             for r in range(rows_per_band)])
         for bnd in range(bands)
     ])
-    bucketed = base.withColumn("bk", band_keys).select(
-        "id", "sh", F.posexplode("bk").alias("band", "key"))
-    a = bucketed.select("band", "key", F.col("id").alias("a"), F.col("sh").alias("sh_a"))
-    b = bucketed.select("band", "key", F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    bucketed = hashed.select("id", F.explode(band_keys).alias("key"))
     pairs = (
-        a.join(b, ["band", "key"])
+        bucketed.select(F.col("key"), F.col("id").alias("a"))
+        .join(bucketed.select(F.col("key"), F.col("id").alias("b")), "key")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    if verify:
-        pairs = pairs.withColumn(
+    if not verify:
+        return pairs.select("a", "b", F.lit(None).cast("double").alias("jaccard"))
+    sides = hashed.select("id", "shh")
+    return (
+        pairs.join(sides.withColumnsRenamed({"id": "a", "shh": "sh_a"}), "a")
+        .join(sides.withColumnsRenamed({"id": "b", "shh": "sh_b"}), "b")
+        .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b"))
-        ).filter(F.col("jaccard") >= threshold)
-    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard")
-                        if verify else F.lit(None).alias("jaccard"))
+            / F.size(F.array_union("sh_a", "sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",

@@ -159,3 +159,71 @@ def to_triples(
     if dedupe:
         triples = dedupe_triples(triples)
     return ReadResult(triples=triples.select(*TRIPLE_COLUMNS), group=group, scans=scans)
+
+
+def to_json(
+    spark: SparkSession,
+    metadata: dict | str,
+    *,
+    base: str | None = None,
+    url_map: dict[str, str] | None = None,
+    search_dir: str | None = None,
+    mode: str = "minimal",
+):
+    """EP3/S12: csv2json serialization (reader.rb:398-624).
+
+    Returns the parsed JSON value: minimal -> list of per-subject objects;
+    standard -> {"tables": [...]} envelope. Row objects are assembled
+    distributed as JSON text (operators/json_rows.py); the driver only
+    concatenates fragments in row order.
+    """
+    from .operators.json_rows import (
+        assemble_minimal,
+        assemble_standard_table,
+        build_row_fragments,
+        simplify_common_value,
+    )
+
+    from .csvw import metadata as metadata_mod
+
+    if search_dir is not None:
+        metadata_mod._JSON_REF_BASE.append(search_dir)
+    try:
+        if isinstance(metadata, str):
+            if search_dir is None:
+                search_dir = os.path.dirname(os.path.abspath(metadata))
+                metadata_mod._JSON_REF_BASE.append(search_dir)
+            group = load_metadata(metadata, base=base)
+        else:
+            group = parse_metadata(metadata, base=base)
+    finally:
+        if search_dir is not None and metadata_mod._JSON_REF_BASE:
+            metadata_mod._JSON_REF_BASE.pop()
+
+    tables_out = []
+    minimal_objs: list = []
+    for table in group.tables:
+        if table.suppress_output:
+            continue
+        path = _url_to_path(table.url, url_map, search_dir)
+        scan = read_table(spark, table, path)
+        table = merge_embedded_titles(
+            table, scan.header_titles) if table.columns else default_table_for(
+            table.url, scan.header_titles)
+        cells = build_cells(scan.df, table)
+        frags = build_row_fragments(cells, table).collect()
+        if mode == "minimal":
+            minimal_objs.extend(
+                assemble_minimal([(r["_row"], r["frag"]) for r in frags]))
+        else:
+            tables_out.append(assemble_standard_table(
+                table, [(r["_row"], r["_sourceRow"], r["frag"]) for r in frags]))
+
+    if mode == "minimal":
+        return minimal_objs
+    envelope: dict = {"tables": tables_out}
+    for k, v in group.common_properties.items():
+        envelope[k] = simplify_common_value(v, base=base)
+    if group.notes is not None:
+        envelope["notes"] = simplify_common_value(group.notes, base=base)
+    return envelope

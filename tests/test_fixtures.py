@@ -129,3 +129,45 @@ def test_countries_standard(spark):
         BASE + "countries.csv": os.path.join(FIXTURE_DIR, "countries.csv"),
         BASE + "country_slice.csv": os.path.join(FIXTURE_DIR, "country_slice.csv"),
     })
+
+
+# ---- EP3/S12: csv2json golden tests -------------------------------------
+
+
+def run_json_fixture(spark, metadata_file: str, golden_json: str,
+                     mode: str = "minimal", url_map=None):
+    from rdf_tabular_spark.reader import to_json
+
+    with open(os.path.join(FIXTURE_DIR, metadata_file)) as f:
+        doc = json.load(f)
+    got = to_json(spark, doc, base=BASE + metadata_file,
+                  search_dir=FIXTURE_DIR, url_map=url_map, mode=mode)
+    with open(os.path.join(FIXTURE_DIR, golden_json)) as f:
+        want = json.load(f)
+    assert got == want
+
+
+def test_json_tree_ops_minimal(spark):
+    run_json_fixture(spark, "tree-ops.csv-metadata.json", "tree-ops-minimal.json")
+
+
+def test_json_tree_ops_standard(spark):
+    run_json_fixture(spark, "tree-ops.csv-metadata.json",
+                     "tree-ops-standard.json", mode="standard")
+
+
+def test_json_tree_ops_ext_minimal(spark):
+    run_json_fixture(spark, "tree-ops-ext.json", "tree-ops-ext-minimal.json")
+
+
+def test_json_tree_ops_virtual_minimal(spark):
+    """J3 single-reference nesting resolved statically from templates."""
+    run_json_fixture(spark, "tree-ops-virtual.json",
+                     "tree-ops-virtual-minimal.json")
+
+
+def test_json_countries_minimal(spark):
+    run_json_fixture(spark, "countries.json", "countries-minimal.json", url_map={
+        BASE + "countries.csv": os.path.join(FIXTURE_DIR, "countries.csv"),
+        BASE + "country_slice.csv": os.path.join(FIXTURE_DIR, "country_slice.csv"),
+    })
