@@ -542,14 +542,23 @@ def _kg_pipeline(src: DataFrame):
     # persist so the mapInPandas UDF runs once (the checkpointed KGPipeline
     # gets this for free from its per-stage parquet writes)
     extracted = extract.extract_structures(src.drop("content_sha256")).persist()
-    raw = annotate.file_level_triples(src).unionByName(
-        annotate.structure_triples(extracted))
     mentions = extracted.filter(F.col("kind").isin("import", "dep")).select(
         F.col("name").alias("mention"))
     labels = link.connected_components(
         mentions, link.candidate_pairs(mentions, 0.55))
     entities = link.entity_table(labels)
-    triples = dedupe_triples(link.remap_triples(raw, labels)).select(*TRIPLE_COLUMNS)
+    # set-dedup only where duplicates can exist: per-occurrence edges +
+    # module metadata after canonicalization. File/repo triples are unique
+    # by construction and never touched by the remap, so they bypass the
+    # (expensive, wide-string) dedup shuffle entirely.
+    remappable = annotate.edge_triples(extracted).unionByName(
+        annotate.module_metadata_triples(extracted))
+    triples = (
+        dedupe_triples(link.remap_triples(remappable, labels))
+        .unionByName(annotate.file_level_triples(src))
+        .unionByName(annotate.repo_triples(src))
+        .select(*TRIPLE_COLUMNS)
+    )
     return src, entities, triples
 
 

@@ -62,14 +62,17 @@ def _t(subj, pred, obj, is_iri=True, dt=None, lang=None) -> Column:
 
 
 def file_level_triples(source_with_sha: DataFrame) -> DataFrame:
-    """One bundle of per-file triples straight off the source scan — no
-    shuffle: type/containment/lang/commit/sha256."""
+    """Per-file triples straight off the source scan — no shuffle, and
+    **unique by construction** (one bundle per distinct file IRI):
+    type/containment/lang/commit/sha256. Repo-level triples come from
+    :func:`repo_triples` so they are emitted once per repo, not once per
+    file (a hot monorepo would otherwise push 10^7 duplicate rows into the
+    set-dedup shuffle)."""
     repo, path = F.col("repo"), F.col("path")
     f_iri, r_iri = file_iri(repo, path), repo_iri(repo)
     arr = F.array(
         _t(f_iri, RDF_TYPE, KG + "File"),
         _t(f_iri, KG + "inRepo", r_iri),
-        _t(r_iri, RDF_TYPE, KG + "Repository"),
         _t(f_iri, KG + "path", path, is_iri=False),
         _t(f_iri, KG + "lang", F.col("lang"), is_iri=False),
         _t(f_iri, KG + "commit", F.col("commit"), is_iri=False),
@@ -82,32 +85,63 @@ def file_level_triples(source_with_sha: DataFrame) -> DataFrame:
     )
 
 
-def structure_triples(extracted: DataFrame) -> DataFrame:
-    """Extracted structure rows -> candidate triples (mention-level: module
-    objects use the *raw mention* IRI; stage 3 canonicalizes them)."""
+def repo_triples(source: DataFrame) -> DataFrame:
+    """(repo, rdf:type, kg:Repository) from the DISTINCT repo set — a
+    map-side-combined distinct over short strings, so repo-level facts
+    enter the graph once per repo."""
+    r_iri = repo_iri(F.col("repo"))
+    return source.select("repo").distinct().select(
+        r_iri.alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit(KG + "Repository").alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+
+
+def module_metadata_triples(extracted: DataFrame) -> DataFrame:
+    """Module type/mention/versionSpec triples from the DISTINCT mention
+    vocabulary, not per occurrence — at web scale ``import os`` appears
+    10^9 times but is one entity, so these facts must never ride the
+    per-occurrence stream into the set-dedup shuffle."""
+    names = (
+        extracted.filter(F.col("kind").isin("import", "dep"))
+        .select("name").distinct()
+    )
+    m_iri = module_iri(F.col("name"))
+    meta = names.select(F.explode(F.array(
+        _t(m_iri, RDF_TYPE, KG + "Module"),
+        _t(m_iri, KG + "mention", F.col("name"), is_iri=False),
+    )).alias("t")).select(*[F.col(f"t.{c}").alias(c) for c in TRIPLE_COLUMNS])
+    versions = (
+        extracted.filter((F.col("kind") == "dep") & F.col("detail").isNotNull())
+        .select("name", "detail").distinct()
+        .select(
+            module_iri(F.col("name")).alias("subj"),
+            F.lit(KG + "versionSpec").alias("pred"),
+            F.col("detail").alias("obj"),
+            F.lit(False).alias("obj_is_iri"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+    )
+    return meta.unionByName(versions)
+
+
+def edge_triples(extracted: DataFrame) -> DataFrame:
+    """Per-occurrence edge triples (file->module, file->symbol + symbol
+    metadata). Module metadata lives in :func:`module_metadata_triples`;
+    feed this a stream pre-deduplicated on (repo, path, kind, name) so the
+    only duplicates left for the final set-dedup are canonicalization
+    collisions."""
     repo, path, name = F.col("repo"), F.col("path"), F.col("name")
     f_iri = file_iri(repo, path)
     s_iri = symbol_iri(repo, name)
     m_iri = module_iri(name)
 
-    import_arr = F.array(
-        _t(f_iri, KG + "imports", m_iri),
-        _t(m_iri, RDF_TYPE, KG + "Module"),
-        _t(m_iri, KG + "mention", name, is_iri=False),
-    )
-    dep_arr = F.concat(
-        F.array(
-            _t(f_iri, KG + "dependsOn", m_iri),
-            _t(m_iri, RDF_TYPE, KG + "Module"),
-            _t(m_iri, KG + "mention", name, is_iri=False),
-        ),
-        F.when(
-            F.col("detail").isNotNull(),
-            F.array(_t(m_iri, KG + "versionSpec", F.col("detail"), is_iri=False)),
-        ).otherwise(F.array().cast(
-            "array<struct<subj:string,pred:string,obj:string,obj_is_iri:boolean,"
-            "obj_datatype:string,obj_lang:string>>")),
-    )
+    import_arr = F.array(_t(f_iri, KG + "imports", m_iri))
+    dep_arr = F.array(_t(f_iri, KG + "dependsOn", m_iri))
     def_arr = F.array(
         _t(f_iri, KG + "defines", s_iri),
         _t(s_iri, RDF_TYPE, KG + "Function"),
@@ -136,3 +170,14 @@ def structure_triples(extracted: DataFrame) -> DataFrame:
         extracted.select(F.explode(arr).alias("t"))
         .select(*[F.col(f"t.{c}").alias(c) for c in TRIPLE_COLUMNS])
     )
+
+
+def structure_triples(extracted: DataFrame) -> DataFrame:
+    """Extracted structure rows -> candidate triples (mention-level: module
+    objects use the *raw mention* IRI; stage 3 canonicalizes them).
+
+    Composition of :func:`edge_triples` + :func:`module_metadata_triples`
+    — the pipeline uses the parts directly so per-entity facts skip the
+    per-occurrence stream."""
+    return edge_triples(extracted).unionByName(
+        module_metadata_triples(extracted))

@@ -103,8 +103,10 @@ class KGPipeline:
 
         raw_triples = self._run_stage(
             "triples",
-            lambda: annotate.file_level_triples(src).unionByName(
-                annotate.structure_triples(extracted)))
+            lambda: annotate.file_level_triples(src)
+            .unionByName(annotate.repo_triples(src))
+            .unionByName(annotate.edge_triples(extracted))
+            .unionByName(annotate.module_metadata_triples(extracted)))
 
         mentions = extracted.filter(
             F.col("kind").isin("import", "dep")).select(

@@ -171,3 +171,68 @@ def test_json_countries_minimal(spark):
         BASE + "countries.csv": os.path.join(FIXTURE_DIR, "countries.csv"),
         BASE + "country_slice.csv": os.path.join(FIXTURE_DIR, "country_slice.csv"),
     })
+
+
+# ---- validation mode: PK/FK integrity (A1/J1) ---------------------------
+
+
+def test_pk_violation_test232(spark):
+    """Reference fixture test232: duplicate primary-key values are detected
+    (reader.rb:652-660; reader_spec.rb:267-290)."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.operators.cells import build_cells
+    from rdf_tabular_spark.operators.validate import pk_violations
+    from rdf_tabular_spark.reader import to_triples
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    with open(os.path.join(FIXTURE_DIR, "test232-metadata.json")) as f:
+        doc = json.load(f)
+    group = parse_metadata(doc, base=BASE + "test232-metadata.json")
+    table = group.tables[0]
+    scan = read_table(spark, table, os.path.join(FIXTURE_DIR, "test232.csv"))
+    cells = build_cells(scan.df, table)
+    v = pk_violations(cells, table).collect()
+    assert len(v) == 1 and v[0]["PK"] == "1" and v[0]["n"] == 2
+
+
+def test_fk_integrity_roles(spark):
+    """J1: junior-roles FKs into senior-roles + professions are consistent
+    (reader_spec.rb:292-300); a poisoned key is caught by the anti-join."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.operators.cells import build_cells
+    from rdf_tabular_spark.operators.validate import fk_violations
+    from rdf_tabular_spark.reader import to_triples
+    from rdf_tabular_spark.sources.csv_source import read_table
+    from rdf_tabular_spark.csvw import metadata as metadata_mod
+
+    with open(os.path.join(FIXTURE_DIR, "roles.json")) as f:
+        doc = json.load(f)
+    metadata_mod._JSON_REF_BASE.append(FIXTURE_DIR)
+    try:
+        group = parse_metadata(doc, base=BASE + "roles.json")
+    finally:
+        metadata_mod._JSON_REF_BASE.pop()
+    tables = {t.url: t for t in group.tables}
+    cells = {}
+    for url, t in tables.items():
+        cells[url] = build_cells(
+            read_table(spark, t, ROLES_URL_MAP[url]).df, t)
+    junior = tables[BASE + "junior-roles.csv"]
+    assert junior.foreign_keys, "junior-roles.json should declare foreignKeys"
+    for fk in junior.foreign_keys:
+        missing = fk_violations(
+            cells[junior.url], fk, cells[fk.resource]).collect()
+        assert missing == [], f"unexpected FK violations: {missing}"
+    # poison one referencing value -> exactly that violation surfaces
+    from pyspark.sql import functions as F
+
+    fk = junior.foreign_keys[0]
+    poisoned = cells[junior.url].withColumn(
+        f"cell_{fk.column_reference[0]}",
+        F.array(F.named_struct(
+            F.lit("lex"), F.lit("no-such-key"),
+            F.lit("dt"), F.lit(None).cast("string"),
+            F.lit("lang"), F.lit(None).cast("string"),
+            F.lit("err"), F.lit(None).cast("string"))))
+    bad = fk_violations(poisoned, fk, cells[fk.resource]).collect()
+    assert len(bad) >= 1 and bad[0]["k0"] == "no-such-key"
