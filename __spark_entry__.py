@@ -524,6 +524,87 @@ def sql_similarity_topk() -> str:
     """
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: rank label partitions by centroid cosine, exact-search
+    the best 2 — the scale path vs q_similarity_topk's brute force."""
+    from rdf_tabular_spark.ops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return ivf_topk(emb, _query_vec(), k=10, n_probe=2)
+
+
+def sql_similarity_ivf() -> str:
+    qv = "[" + ",".join(repr(v) for v in _query_vec()) + "]"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    dims AS (
+      SELECT label, unnest(generate_series(1, 64)) AS i, unnest(v) AS val
+      FROM e),
+    dimavg AS (SELECT label, i, avg(val) AS a FROM dims GROUP BY label, i),
+    cent AS (SELECT label, list(a ORDER BY i) AS c FROM dimavg GROUP BY label),
+    ranked AS (
+      SELECT label,
+             list_sum(list_transform(generate_series(1, 64), i -> c[i] * ({qv})[i]))
+             / (sqrt(list_sum(list_transform(c, x -> x * x)))
+                * sqrt(list_sum(list_transform({qv}, x -> x * x)))) AS sim
+      FROM cent ORDER BY sim DESC LIMIT 2),
+    cand AS (SELECT e.* FROM e WHERE label IN (SELECT label FROM ranked)),
+    scored AS (
+      SELECT vec_id,
+             round(list_sum(list_transform(generate_series(1, 64), i -> v[i] * ({qv})[i]))
+             / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                * sqrt(list_sum(list_transform({qv}, x -> x * x)))), 6) AS cosine
+      FROM cand)
+    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: video frame-sampling as a sequence/explode
+    expansion over the media metadata (no decode)."""
+    from rdf_tabular_spark.ops.multimodal import attach_media_column, sample_frames
+
+    media = attach_media_column(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, every_ms=1000)
+
+
+def sql_multimodal_frames() -> str:
+    return """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(doc_id * 40 % 60000 AS INTEGER) AS duration_ms
+      FROM documents)
+    SELECT media_id,
+           CAST(unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) AS INTEGER) AS frame_ts_ms
+    FROM media WHERE kind = 'video'
+    """
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over opaque binary
+    payloads (decode stubbed deterministically; plumbing real)."""
+    from rdf_tabular_spark.ops.multimodal import attach_media_column, extract_features
+
+    media = attach_media_column(_t(spark, sf_dir, "documents"))
+    return extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+def sql_multimodal_features() -> str:
+    return """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+    FROM documents
+    """
+
+
 # ---------------------------------------------------------------------------
 # Source-code KG construction (north rule) — synthetic input, rows-only checks
 # ---------------------------------------------------------------------------
@@ -629,6 +710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "similarity_topk": q_similarity_topk,
+        "similarity_ivf": q_similarity_ivf,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
         "kg_triples": q_kg_triples,
         "kg_entities": q_kg_entities,
         "kg_sha_invariant": q_kg_sha_invariant,
@@ -653,6 +737,9 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": sql_text_langid(),
         "text_fingerprint": sql_text_fingerprint(),
         "similarity_topk": sql_similarity_topk(),
+        "similarity_ivf": sql_similarity_ivf(),
+        "multimodal_frames": sql_multimodal_frames(),
+        "multimodal_features": sql_multimodal_features(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions
         # (murmur3 / xxhash64) have no DuckDB twin -> rows-only check;
         # kg_*: synthetic non-SQL pipeline -> rows-only check.

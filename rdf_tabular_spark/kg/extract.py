@@ -53,17 +53,23 @@ LANG_RULES: dict[str, list[tuple[str, str, int]]] = {
 }
 
 
-def extract_structures(source: DataFrame, range_partitions: int | None = None) -> DataFrame:
+def extract_structures(source: DataFrame, range_partitions: int | None = None,
+                       for_streaming: bool = False) -> DataFrame:
     """source(repo,path,commit,lang,content) -> one row per extracted
-    structure, repartitioned by (repo, path) range."""
+    structure, repartitioned by (repo, path) range. *for_streaming* skips
+    the range repartition (unsupported on streaming DataFrames; micro-batch
+    file boundaries already colocate a file's rows)."""
     import pandas as pd
 
     from ..deploy import ensure_py_files
 
     ensure_py_files(source.sparkSession)
-    n = range_partitions or source.sparkSession.sparkContext.defaultParallelism * 2
     with_sha = source.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    arranged = with_sha.repartitionByRange(n, "repo", "path")
+    if for_streaming:
+        arranged = with_sha
+    else:
+        n = range_partitions or source.sparkSession.sparkContext.defaultParallelism * 2
+        arranged = with_sha.repartitionByRange(n, "repo", "path")
 
     def run(iterator):
         compiled = {
