@@ -411,7 +411,7 @@ def cell_errors_expr(col: CompiledColumn) -> Column:
 def cell_binding(col: CompiledColumn) -> Column:
     """Template variable value: first value's lexical form (or all values
     comma-joined for separator columns happens at the template layer)."""
-    return F.coalesce(F.element_at(cell_values(col.name), 1)["lex"], F.lit(""))
+    return F.coalesce(F.try_element_at(cell_values(col.name), F.lit(1))["lex"], F.lit(""))
 
 
 def cell_binding_arr(col: CompiledColumn) -> Column:

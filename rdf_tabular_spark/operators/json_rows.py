@@ -138,7 +138,7 @@ def build_row_fragments(
             arr = F.transform(values, lambda it: _typed_value(col, it))
             return F.when(F.size(values) > 0, arr)
         return F.when(F.size(values) > 0,
-                      _typed_value(col, F.element_at(values, 1)))
+                      _typed_value(col, F.try_element_at(values, F.lit(1))))
 
     def group_struct(gkey: str, depth: int = 0) -> Column:
         cols = groups[gkey]

@@ -19,7 +19,7 @@ from ..csvw.metadata import CompiledTable, ForeignKey
 
 
 def _cell_first_value(name: str):
-    return F.element_at(F.col(f"cell_{name}"), 1)["lex"]
+    return F.try_element_at(F.col(f"cell_{name}"), F.lit(1))["lex"]
 
 
 def pk_violations(cells_df: DataFrame, table: CompiledTable) -> DataFrame:
@@ -42,15 +42,18 @@ def fk_violations(
 ) -> DataFrame:
     """Referencing key tuples with no match in the referenced table
     (left-anti equi-join), plus non-unique referenced keys."""
+    keys = [f"k{i}" for i in range(len(fk.column_reference))]
     lhs = referencing_cells.select(
         *[_cell_first_value(c).alias(f"k{i}") for i, c in enumerate(fk.column_reference)]
     )
+    # a null referencing key imposes no constraint (the reference only
+    # checks rows whose FK cells have values)
+    for k in keys:
+        lhs = lhs.filter(F.col(k).isNotNull())
     rhs = referenced_cells.select(
         *[_cell_first_value(c).alias(f"k{i}") for i, c in enumerate(fk.referenced_columns)]
     )
-    missing = lhs.join(rhs.distinct(), on=[f"k{i}" for i in range(len(fk.column_reference))],
-                       how="left_anti")
-    return missing
+    return lhs.join(rhs.distinct(), on=keys, how="left_anti")
 
 
 def fk_duplicate_targets(referenced_cells: DataFrame, fk: ForeignKey) -> DataFrame:

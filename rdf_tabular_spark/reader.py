@@ -227,3 +227,105 @@ def to_json(
     if group.notes is not None:
         envelope["notes"] = simplify_common_value(group.notes, base=base)
     return envelope
+
+
+def validate(
+    spark: SparkSession,
+    metadata: dict | str,
+    *,
+    base: str | None = None,
+    url_map: dict[str, str] | None = None,
+    search_dir: str | None = None,
+) -> DataFrame:
+    """Validation mode (reference ``validate: true``): run the cell
+    pipeline for every table (including suppressOutput tables) and return
+    one DataFrame of problems — C11 cell errors, A1 primary-key
+    duplicates, J1 foreign-key violations and duplicate FK targets.
+
+    Schema: (kind, table, row, source_row, column, detail). Empty result
+    means the table group is valid. All checks are set-level operators
+    (aggregations / anti-joins), never driver-side state."""
+    from .operators.validate import (
+        cell_errors,
+        fk_duplicate_targets,
+        fk_violations,
+        pk_violations,
+    )
+
+    from .csvw import metadata as metadata_mod
+
+    if search_dir is not None:
+        metadata_mod._JSON_REF_BASE.append(search_dir)
+    try:
+        if isinstance(metadata, str):
+            if search_dir is None:
+                search_dir = os.path.dirname(os.path.abspath(metadata))
+                metadata_mod._JSON_REF_BASE.append(search_dir)
+            group = load_metadata(metadata, base=base)
+        else:
+            group = parse_metadata(metadata, base=base)
+    finally:
+        if search_dir is not None and metadata_mod._JSON_REF_BASE:
+            metadata_mod._JSON_REF_BASE.pop()
+
+    out_schema = ("kind string, table string, row long, source_row long, "
+                  "column string, detail string")
+    parts: list[DataFrame] = []
+    cells_by_url: dict[str, DataFrame] = {}
+    tables_by_url: dict[str, CompiledTable] = {}
+    for table in group.tables:
+        path = _url_to_path(table.url, url_map, search_dir)
+        scan = read_table(spark, table, path)
+        table = merge_embedded_titles(
+            table, scan.header_titles) if table.columns else default_table_for(
+            table.url, scan.header_titles)
+        cells = build_cells(scan.df, table)
+        cells_by_url[table.url] = cells
+        tables_by_url[table.url] = table
+
+        errs = cell_errors(cells, table).select(
+            F.lit("cell").alias("kind"), F.lit(table.url).alias("table"),
+            F.col("row").cast("long"), F.col("source_row").cast("long"),
+            F.col("column"), F.col("error").alias("detail"))
+        parts.append(errs)
+
+        pk = pk_violations(cells, table)
+        if table.primary_key:
+            parts.append(pk.select(
+                F.lit("pk_duplicate").alias("kind"),
+                F.lit(table.url).alias("table"),
+                F.lit(None).cast("long").alias("row"),
+                F.lit(None).cast("long").alias("source_row"),
+                F.lit(",".join(table.primary_key)).alias("column"),
+                F.concat_ws("|", *[F.col(c) for c in table.primary_key],
+                            F.col("n")).alias("detail")))
+
+    for url, table in tables_by_url.items():
+        for fk in table.foreign_keys:
+            if fk.resource not in cells_by_url:
+                continue
+            missing = fk_violations(
+                cells_by_url[url], fk, cells_by_url[fk.resource])
+            keys = [f"k{i}" for i in range(len(fk.column_reference))]
+            parts.append(missing.select(
+                F.lit("fk_missing").alias("kind"), F.lit(url).alias("table"),
+                F.lit(None).cast("long").alias("row"),
+                F.lit(None).cast("long").alias("source_row"),
+                F.lit(",".join(fk.column_reference)).alias("column"),
+                F.concat_ws("|", *keys).alias("detail")))
+            dup = fk_duplicate_targets(cells_by_url[fk.resource], fk)
+            dkeys = [f"k{i}" for i in range(len(fk.referenced_columns))]
+            parts.append(dup.select(
+                F.lit("fk_duplicate_target").alias("kind"),
+                F.lit(fk.resource).alias("table"),
+                F.lit(None).cast("long").alias("row"),
+                F.lit(None).cast("long").alias("source_row"),
+                F.lit(",".join(fk.referenced_columns)).alias("column"),
+                F.concat_ws("|", *dkeys, F.col("n")).alias("detail")))
+
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result

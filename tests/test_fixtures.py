@@ -236,3 +236,25 @@ def test_fk_integrity_roles(spark):
             F.lit("err"), F.lit(None).cast("string"))))
     bad = fk_violations(poisoned, fk, cells[fk.resource]).collect()
     assert len(bad) >= 1 and bad[0]["k0"] == "no-such-key"
+
+
+def test_validate_api_test232_and_roles(spark):
+    """Top-level validation mode: test232 yields exactly one pk_duplicate
+    problem; the consistent roles group yields none."""
+    from rdf_tabular_spark.reader import validate
+
+    with open(os.path.join(FIXTURE_DIR, "test232-metadata.json")) as f:
+        doc = json.load(f)
+    problems = validate(
+        spark, doc, base=BASE + "test232-metadata.json",
+        url_map={BASE + "test232.csv": os.path.join(FIXTURE_DIR, "test232.csv")},
+    ).collect()
+    assert [p["kind"] for p in problems] == ["pk_duplicate"]
+    assert problems[0]["detail"] == "1|2"
+
+    with open(os.path.join(FIXTURE_DIR, "roles.json")) as f:
+        doc = json.load(f)
+    problems = validate(spark, doc, base=BASE + "roles.json",
+                        url_map=ROLES_URL_MAP,
+                        search_dir=FIXTURE_DIR).collect()
+    assert problems == [], problems
