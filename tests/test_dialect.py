@@ -1,0 +1,98 @@
+"""Dialect-aware scan (S1-S6) unit tests, mirroring the reference's
+row/cell-iteration cases (metadata_spec.rb:1030-1091): skipRows,
+headerRowCount, commentPrefix, skipBlankRows, skipColumns, delimiter,
+trim, and row/sourceRow numbering."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tests.conftest import FIXTURE_DIR
+
+
+def _scan(spark, tmp_path, content: str, dialect: dict, columns=None):
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    p = tmp_path / "t.csv"
+    p.write_text(content)
+    meta = {
+        "@context": "http://www.w3.org/ns/csvw",
+        "url": "http://example.org/t.csv",
+        "dialect": dialect,
+    }
+    if columns is not None:
+        meta["tableSchema"] = {"columns": columns}
+    group = parse_metadata(meta, base="http://example.org/meta.json")
+    table = group.tables[0]
+    return read_table(spark, table, str(p)), table
+
+
+def test_skip_rows_and_header(spark, tmp_path):
+    """skipRows=1 then header; skipped region + header feed embedded
+    metadata; data rows numbered from 1, sourceRow = physical line."""
+    content = "# a comment line\ncol_a,col_b\n1,x\n2,y\n"
+    scan, _ = _scan(spark, tmp_path, content,
+                    {"skipRows": 1, "commentPrefix": "#"})
+    rows = sorted(scan.df.collect(), key=lambda r: r["_row"])
+    assert scan.header_titles == ["col_a", "col_b"]
+    # only the prefix is stripped (reference metadata.rb:881-888 sub)
+    assert scan.comments == [" a comment line"]
+    assert [(r["_row"], r["_sourceRow"], r["_c0"], r["_c1"]) for r in rows] == [
+        (1, 3, "1", "x"), (2, 4, "2", "y")]
+
+
+def test_comment_rows_removed_from_data(spark, tmp_path):
+    content = "a,b\n1,x\n#mid comment\n2,y\n"
+    scan, _ = _scan(spark, tmp_path, content, {"commentPrefix": "#"})
+    rows = sorted(scan.df.collect(), key=lambda r: r["_row"])
+    assert [(r["_row"], r["_sourceRow"]) for r in rows] == [(1, 2), (2, 4)]
+    assert scan.comments == ["mid comment"]
+
+
+def test_skip_blank_rows(spark, tmp_path):
+    content = "a,b\n1,x\n,\n2,y\n"
+    scan, _ = _scan(spark, tmp_path, content, {"skipBlankRows": True})
+    rows = sorted(scan.df.collect(), key=lambda r: r["_row"])
+    assert [(r["_row"], r["_c0"]) for r in rows] == [(1, "1"), (2, "2")]
+
+
+def test_skip_columns_and_tsv(spark, tmp_path):
+    content = "skipme\tA\tB\n0\t1\tx\n0\t2\ty\n"
+    scan, _ = _scan(spark, tmp_path, content,
+                    {"delimiter": "\t", "skipColumns": 1})
+    rows = sorted(scan.df.collect(), key=lambda r: r["_row"])
+    assert scan.header_titles == ["A", "B"]
+    assert [(r["_c0"], r["_c1"]) for r in rows] == [("1", "x"), ("2", "y")]
+
+
+def test_no_header(spark, tmp_path):
+    content = "1,x\n2,y\n"
+    scan, _ = _scan(spark, tmp_path, content, {"header": False})
+    rows = sorted(scan.df.collect(), key=lambda r: r["_row"])
+    assert scan.header_titles == []
+    assert [(r["_row"], r["_sourceRow"]) for r in rows] == [(1, 1), (2, 2)]
+
+
+def test_quoted_fields_with_delimiter(spark, tmp_path):
+    content = 'a,b\n"x,y",2\n"he said ""hi""",3\n'
+    scan, _ = _scan(spark, tmp_path, content, {})
+    rows = sorted(scan.df.collect(), key=lambda r: r["_row"])
+    assert rows[0]["_c0"] == "x,y"
+    assert rows[1]["_c0"] == 'he said "hi"'
+
+
+def test_trim_dialect(spark, tmp_path):
+    from rdf_tabular_spark.operators.cells import build_cells
+    from pyspark.sql import functions as F
+
+    content = "a\n  padded  \n"
+    scan, table = _scan(spark, tmp_path, content, {"trim": True},
+                        columns=[{"name": "a"}])
+    cells = build_cells(scan.df, table)
+    v = cells.select(
+        F.try_element_at(F.col("cell_a"), F.lit(1))["lex"].alias("v")).collect()
+    assert v[0]["v"] == "padded"
