@@ -258,3 +258,20 @@ def test_validate_api_test232_and_roles(spark):
                         url_map=ROLES_URL_MAP,
                         search_dir=FIXTURE_DIR).collect()
     assert problems == [], problems
+
+
+def test_ntriples_roundtrip(spark):
+    """S11 RDF text sink: serialize tree-ops minimal triples to N-Triples,
+    re-parse with the Turtle parser, compare as graphs."""
+    from rdf_tabular_spark.operators.ntriples import to_ntriples_lines
+    from rdf_tabular_spark.reader import to_triples
+
+    with open(os.path.join(FIXTURE_DIR, "tree-ops.csv-metadata.json")) as f:
+        doc = json.load(f)
+    result = to_triples(spark, doc, base=BASE + "tree-ops.csv-metadata.json",
+                        search_dir=FIXTURE_DIR, mode="minimal")
+    text = "\n".join(r["line"] for r in to_ntriples_lines(result.triples).collect())
+    reparsed = parse_ttl(text)
+    ours = spark_triples(result.triples)
+    report = compare_graphs(reparsed, ours)
+    assert report["precision"] == 1.0 and report["recall"] == 1.0, report
