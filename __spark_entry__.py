@@ -614,7 +614,6 @@ def _kg_pipeline(src: DataFrame):
     """extract -> annotate -> link -> canonical dedup over a source table of
     input_hint shape (repo, path, commit, lang, content [, content_sha256])."""
     from rdf_tabular_spark.kg import annotate, extract, link
-    from rdf_tabular_spark.operators.dedup import dedupe_triples
     from rdf_tabular_spark import TRIPLE_COLUMNS
 
     if "content_sha256" not in src.columns:
@@ -628,14 +627,20 @@ def _kg_pipeline(src: DataFrame):
     labels = link.connected_components(
         mentions, link.candidate_pairs(mentions, 0.55))
     entities = link.entity_table(labels)
-    # set-dedup only where duplicates can exist: per-occurrence edges +
-    # module metadata after canonicalization. File/repo triples are unique
-    # by construction and never touched by the remap, so they bypass the
-    # (expensive, wide-string) dedup shuffle entirely.
-    remappable = annotate.edge_triples(extracted).unionByName(
-        annotate.module_metadata_triples(extracted))
+    # no triple-level set-dedup anywhere: canonicalization happens on the
+    # NARROW extracted rows (broadcast alias join + dedup of ~80-byte rows
+    # instead of ~300-byte IRI triples), module metadata comes from the
+    # label map, and file/repo/def triples are unique by construction — so
+    # every emitted stream is already a set.
+    canon = link.canonicalize_mentions(extracted, labels)
+    import_edges = canon.dropDuplicates(["repo", "path", "kind", "name"])
+    defs = extracted.filter(~F.col("kind").isin("import", "dep"))
+    # (file defines sym) duplicates when a file repeats a symbol name
+    def_edges = defs.dropDuplicates(["repo", "path", "name"])
     triples = (
-        dedupe_triples(link.remap_triples(remappable, labels))
+        annotate.edge_triples(import_edges.unionByName(def_edges))
+        .unionByName(link.module_metadata_from_labels(labels, canon))
+        .unionByName(annotate.symbol_metadata_triples(defs))
         .unionByName(annotate.file_level_triples(src))
         .unionByName(annotate.repo_triples(src))
         .select(*TRIPLE_COLUMNS)

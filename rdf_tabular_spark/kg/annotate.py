@@ -142,26 +142,12 @@ def edge_triples(extracted: DataFrame) -> DataFrame:
 
     import_arr = F.array(_t(f_iri, KG + "imports", m_iri))
     dep_arr = F.array(_t(f_iri, KG + "dependsOn", m_iri))
-    def_arr = F.array(
-        _t(f_iri, KG + "defines", s_iri),
-        _t(s_iri, RDF_TYPE, KG + "Function"),
-        _t(s_iri, KG + "name", name, is_iri=False),
-        _t(s_iri, KG + "atIndex", F.col("row_idx"), is_iri=False,
-           dt=XSD + "integer"),
-    )
-    class_arr = F.array(
-        _t(f_iri, KG + "defines", s_iri),
-        _t(s_iri, RDF_TYPE, KG + "Class"),
-        _t(s_iri, KG + "name", name, is_iri=False),
-        _t(s_iri, KG + "atIndex", F.col("row_idx"), is_iri=False,
-           dt=XSD + "integer"),
-    )
+    def_arr = F.array(_t(f_iri, KG + "defines", s_iri))
 
     arr = (
         F.when(F.col("kind") == "import", import_arr)
         .when(F.col("kind") == "dep", dep_arr)
-        .when(F.col("kind") == "def", def_arr)
-        .when(F.col("kind") == "class", class_arr)
+        .when(F.col("kind").isin("def", "class"), def_arr)
         .otherwise(F.array().cast(
             "array<struct<subj:string,pred:string,obj:string,obj_is_iri:boolean,"
             "obj_datatype:string,obj_lang:string>>"))
@@ -172,12 +158,46 @@ def edge_triples(extracted: DataFrame) -> DataFrame:
     )
 
 
+def symbol_metadata_triples(extracted: DataFrame) -> DataFrame:
+    """Symbol type/name/atIndex facts from DISTINCT sets. Symbol IRIs are
+    repo-scoped (``kg:sym/<repo>/<name>``), so a popular symbol name is one
+    entity per repo no matter how many files define it — its facts must not
+    ride the per-occurrence stream into a dedup shuffle."""
+    defs = extracted.filter(F.col("kind").isin("def", "class"))
+    s_iri = symbol_iri(F.col("repo"), F.col("name"))
+    type_name = (
+        defs.select("repo", "name", "kind").distinct()
+        .select(F.explode(F.array(
+            _t(s_iri, RDF_TYPE,
+               F.when(F.col("kind") == "class", F.lit(KG + "Class"))
+               .otherwise(F.lit(KG + "Function"))),
+            _t(s_iri, KG + "name", F.col("name"), is_iri=False),
+        )).alias("t"))
+        .select(*[F.col(f"t.{c}").alias(c) for c in TRIPLE_COLUMNS])
+        # the name triple duplicates when a name is both def and class
+        .dropDuplicates(TRIPLE_COLUMNS)
+    )
+    at_index = (
+        defs.select("repo", "name", "row_idx").distinct()
+        .select(
+            symbol_iri(F.col("repo"), F.col("name")).alias("subj"),
+            F.lit(KG + "atIndex").alias("pred"),
+            F.col("row_idx").cast("string").alias("obj"),
+            F.lit(False).alias("obj_is_iri"),
+            F.lit(XSD + "integer").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+    )
+    return type_name.unionByName(at_index)
+
+
 def structure_triples(extracted: DataFrame) -> DataFrame:
     """Extracted structure rows -> candidate triples (mention-level: module
     objects use the *raw mention* IRI; stage 3 canonicalizes them).
 
-    Composition of :func:`edge_triples` + :func:`module_metadata_triples`
-    — the pipeline uses the parts directly so per-entity facts skip the
+    Composition of :func:`edge_triples` + per-entity metadata — the
+    pipeline uses the parts directly so per-entity facts skip the
     per-occurrence stream."""
     return edge_triples(extracted).unionByName(
-        module_metadata_triples(extracted))
+        module_metadata_triples(extracted)).unionByName(
+        symbol_metadata_triples(extracted))

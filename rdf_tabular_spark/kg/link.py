@@ -189,3 +189,60 @@ def remap_triples(triples: DataFrame, labels: DataFrame) -> DataFrame:
         .drop("from_iri", "to_iri")
     )
     return out
+
+
+def canonicalize_mentions(extracted: DataFrame, labels: DataFrame) -> DataFrame:
+    """Rewrite import/dep mention names to their canonical form on the
+    NARROW extracted rows (broadcast join) and deduplicate there — ~80-byte
+    rows instead of ~300-byte IRI triples. Downstream edge emission is then
+    globally unique by construction and the triple-level set-dedup shuffle
+    disappears from the hot path."""
+    alias_map = F.broadcast(
+        labels.filter(F.col("mention") != F.col("canonical")))
+    return (
+        extracted.filter(F.col("kind").isin("import", "dep"))
+        .join(alias_map, F.col("name") == F.col("mention"), "left")
+        .withColumn("name", F.coalesce(F.col("canonical"), F.col("name")))
+        .drop("mention", "canonical")
+    )
+
+
+def module_metadata_from_labels(labels: DataFrame, canon_deps: DataFrame) -> DataFrame:
+    """Module type/mention/versionSpec triples straight from the label map
+    (canonical vocabulary) — replaces remapping + dedup of per-occurrence
+    metadata."""
+    from .. import TRIPLE_COLUMNS
+    from .annotate import KG, module_iri, _t
+    from ..csvw.datatypes import RDF_TYPE
+
+    canon_iri = module_iri(F.col("canonical"))
+    type_rows = labels.select("canonical").distinct().select(
+        module_iri(F.col("canonical")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit(KG + "Module").alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    mention_rows = labels.select(
+        canon_iri.alias("subj"),
+        F.lit(KG + "mention").alias("pred"),
+        F.col("mention").alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    ).dropDuplicates(["subj", "obj"])
+    version_rows = (
+        canon_deps.filter((F.col("kind") == "dep") & F.col("detail").isNotNull())
+        .select("name", "detail").distinct()
+        .select(
+            module_iri(F.col("name")).alias("subj"),
+            F.lit(KG + "versionSpec").alias("pred"),
+            F.col("detail").alias("obj"),
+            F.lit(False).alias("obj_is_iri"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+    )
+    return type_rows.unionByName(mention_rows).unionByName(version_rows) \
+        .select(*TRIPLE_COLUMNS)

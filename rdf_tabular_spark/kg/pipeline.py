@@ -105,8 +105,7 @@ class KGPipeline:
             "triples",
             lambda: annotate.file_level_triples(src)
             .unionByName(annotate.repo_triples(src))
-            .unionByName(annotate.edge_triples(extracted))
-            .unionByName(annotate.module_metadata_triples(extracted)))
+            .unionByName(annotate.structure_triples(extracted)))
 
         mentions = extracted.filter(
             F.col("kind").isin("import", "dep")).select(
