@@ -627,24 +627,11 @@ def _kg_pipeline(src: DataFrame):
     labels = link.connected_components(
         mentions, link.candidate_pairs(mentions, 0.55))
     entities = link.entity_table(labels)
-    # no triple-level set-dedup anywhere: canonicalization happens on the
-    # NARROW extracted rows (broadcast alias join + dedup of ~80-byte rows
-    # instead of ~300-byte IRI triples), module metadata comes from the
-    # label map, and file/repo/def triples are unique by construction — so
-    # every emitted stream is already a set.
-    canon = link.canonicalize_mentions(extracted, labels)
-    import_edges = canon.dropDuplicates(["repo", "path", "kind", "name"])
-    defs = extracted.filter(~F.col("kind").isin("import", "dep"))
-    # (file defines sym) duplicates when a file repeats a symbol name
-    def_edges = defs.dropDuplicates(["repo", "path", "name"])
-    triples = (
-        annotate.edge_triples(import_edges.unionByName(def_edges))
-        .unionByName(link.module_metadata_from_labels(labels, canon))
-        .unionByName(annotate.symbol_metadata_triples(defs))
-        .unionByName(annotate.file_level_triples(src))
-        .unionByName(annotate.repo_triples(src))
-        .select(*TRIPLE_COLUMNS)
-    )
+    # set semantics without any triple-level dedup shuffle — see
+    # rdf_tabular_spark/kg/assemble.py
+    from rdf_tabular_spark.kg.assemble import build_graph
+
+    triples = build_graph(src, extracted, labels)
     return src, entities, triples
 
 

@@ -26,8 +26,16 @@ import time
 def _mk_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    builder = SparkSession.builder.master(f"local[{cpus}]")
+    if os.path.isdir("/dev/shm"):
+        # shuffle spill on tmpfs: the sandbox /tmp sits on a shared virtual
+        # disk whose throughput, not CPU, becomes the ceiling for the
+        # shuffle-heavy stages (a real cluster provisions shuffle disks)
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

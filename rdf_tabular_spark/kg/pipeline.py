@@ -25,8 +25,6 @@ from dataclasses import asdict, dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import TRIPLE_COLUMNS
-from ..operators.dedup import dedupe_triples
 from . import annotate, extract, link, synth
 
 
@@ -101,12 +99,6 @@ class KGPipeline:
             lambda: extract.extract_structures(
                 src.drop("content_sha256"), self.config.range_partitions))
 
-        raw_triples = self._run_stage(
-            "triples",
-            lambda: annotate.file_level_triples(src)
-            .unionByName(annotate.repo_triples(src))
-            .unionByName(annotate.structure_triples(extracted)))
-
         mentions = extracted.filter(
             F.col("kind").isin("import", "dep")).select(
             F.col("name").alias("mention"))
@@ -118,10 +110,10 @@ class KGPipeline:
 
         entities = self._run_stage("entities", lambda: link.entity_table(labels))
 
+        from .assemble import build_graph
+
         final = self._run_stage(
-            "graph",
-            lambda: dedupe_triples(
-                link.remap_triples(raw_triples, labels)).select(*TRIPLE_COLUMNS))
+            "graph", lambda: build_graph(src, extracted, labels))
 
         self._write_lineage()
         return {
