@@ -26,7 +26,7 @@ XSD_BASES = [
     "NCName", "negativeInteger", "NMTOKEN", "nonNegativeInteger",
     "nonPositiveInteger", "normalizedString", "NOTATION", "positiveInteger",
     "QName", "short", "string", "time", "token", "unsignedByte",
-    "unsignedInt", "unsignedLong", "unsignedShort",
+    "unsignedInt", "unsignedLong", "unsignedShort", "yearMonthDuration",
 ]
 
 #: datatype name -> expanded IRI (including the CSVW aliases)

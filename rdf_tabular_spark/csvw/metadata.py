@@ -247,8 +247,10 @@ def _compile_column(
         null = [null]
     dt = col_inherit.get("datatype")
     datatype = CompiledDatatype.from_json(dt)
-    if datatype.base in UNSUPPORTED:
-        raise ValueError(f"unsupported datatype base {datatype.base!r}")
+    # Unsupported bases are NOT a compile failure: the reference degrades each
+    # cell to a plain literal with a per-value error and only warns at the
+    # metadata level (metadata.rb:2251-2253, spec "Unsupported datatypes").
+    # The cell pipeline checks UNSUPPORTED membership per item.
 
     return CompiledColumn(
         name=name,

@@ -141,18 +141,34 @@ def is_native_compilable(template: str) -> bool:
     return True
 
 
+#: reserved char -> its Java URLEncoder escape (for the +/# un-encode pass).
+#: '*' is absent: URLEncoder leaves it literal, which reserved expansion wants.
+_RESERVED_ESCAPES = [
+    (":", "%3A"), ("/", "%2F"), ("?", "%3F"), ("#", "%23"), ("[", "%5B"),
+    ("]", "%5D"), ("@", "%40"), ("!", "%21"), ("$", "%24"), ("&", "%26"),
+    ("'", "%27"), ("(", "%28"), (")", "%29"), ("+", "%2B"), (",", "%2C"),
+    (";", "%3B"), ("=", "%3D"),
+]
+
+
 def pct_encode_col(col: Column, keep_reserved: bool) -> Column:
     """Percent-encode a string column RFC6570-style, JVM-side.
 
     ``url_encode`` is form-encoding; patch its deltas (space->'+', '~'
-    escaped, '*' kept) back to RFC 3986 semantics. For +/# operators the
-    reserved set passes through untouched (values are used verbatim)."""
-    if keep_reserved:
-        return col
+    escaped, '*' kept) back to RFC 3986 semantics. For the +/# operators the
+    reserved set (and existing %XX triplets) passes through, but everything
+    else — spaces, non-ASCII — must still be encoded (RFC 6570 §3.2.3), so
+    we fully encode then un-encode the reserved characters."""
     enc = F.url_encode(col)
-    enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+    enc = F.replace(enc, F.lit("+"), F.lit("%20"))  # '+' here is a space
     enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
-    enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+    if keep_reserved:
+        for ch, esc in _RESERVED_ESCAPES:
+            enc = F.replace(enc, F.lit(esc), F.lit(ch))
+        # %25 last: a literal '%' (e.g. an existing pct-triplet) passes through
+        enc = F.replace(enc, F.lit("%25"), F.lit("%"))
+    else:
+        enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
     return enc
 
 

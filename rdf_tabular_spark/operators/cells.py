@@ -39,6 +39,7 @@ from ..csvw.datatypes import (
     NO_WS_COLLAPSE,
     NO_WS_REPLACE,
     NUMERIC_BASES,
+    UNSUPPORTED,
     XSD,
     lexical_regex_for,
 )
@@ -236,7 +237,11 @@ def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Col
     lex: Column = v
     valid: Column = F.lit(True)
 
-    if base in NUMERIC_BASES:
+    if base in UNSUPPORTED:
+        # per-value error, plain literal out (metadata.rb:2251-2253)
+        valid = F.lit(False)
+        err_msgs.append(F.concat(v, F.lit(f" uses unsupported datatype: {base}")))
+    elif base in NUMERIC_BASES:
         fmt = dt.format if isinstance(dt.format, dict) else (
             {"pattern": dt.format} if isinstance(dt.format, str) else {})
         plan = uax35.compile_number_pattern(
@@ -253,14 +258,18 @@ def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Col
         if base in INTEGER_BOUNDS:
             lo, hi = INTEGER_BOUNDS[base]
             as_num = lex.cast("decimal(38,0)")
+            # bounds go through string→decimal: unsignedLong's 2^64-1
+            # overflows a Java long in py4j literal conversion
             if lo is not None:
-                cond = valid & (as_num < lo)
+                lo_c = F.lit(str(lo)).cast("decimal(38,0)")
+                cond = valid & (as_num < lo_c)
                 err_msgs.append(F.when(cond, F.concat(lex, F.lit(f" is not a valid {base}"))))
-                valid = valid & (as_num >= lo)
+                valid = valid & (as_num >= lo_c)
             if hi is not None:
-                cond = valid & (as_num > hi)
+                hi_c = F.lit(str(hi)).cast("decimal(38,0)")
+                cond = valid & (as_num > hi_c)
                 err_msgs.append(F.when(cond, F.concat(lex, F.lit(f" is not a valid {base}"))))
-                valid = valid & (as_num <= hi)
+                valid = valid & (as_num <= hi_c)
     elif base == "boolean":
         if dt.format:
             t, _, f_ = str(dt.format).partition("|")
