@@ -624,8 +624,7 @@ def _kg_pipeline(src: DataFrame):
     extracted = extract.extract_structures(src.drop("content_sha256")).persist()
     mentions = extracted.filter(F.col("kind").isin("import", "dep")).select(
         F.col("name").alias("mention"))
-    labels = link.connected_components(
-        mentions, link.candidate_pairs(mentions, 0.55))
+    labels = link.link_mentions(mentions, 0.55)
     entities = link.entity_table(labels)
     # set semantics without any triple-level dedup shuffle — see
     # rdf_tabular_spark/kg/assemble.py

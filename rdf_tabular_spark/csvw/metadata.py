@@ -144,6 +144,10 @@ class CompiledColumn:
     separator: str | None = None
     virtual: bool = False
     suppress_output: bool = False
+    #: whether ``name`` was declared in the metadata (vs derived from titles
+    #: or defaulted) — compatibility checking distinguishes the two
+    #: (metadata.rb:1043-1047)
+    name_declared: bool = False
 
 
 @dataclass(frozen=True)
@@ -269,6 +273,7 @@ def _compile_column(
         separator=col_inherit.get("separator"),
         virtual=bool(obj.get("virtual", False)),
         suppress_output=bool(obj.get("suppressOutput", False)),
+        name_declared="name" in obj,
     )
 
 
@@ -422,7 +427,7 @@ def merge_embedded_titles(table: CompiledTable, header: list[str],
 
     non_virtual = [c for c in table.columns if not c.virtual]
     if header and non_virtual and len(header) != len(non_virtual):
-        raise ValueError(
+        raise CompatibilityError(
             f"{table.url}: header has {len(header)} columns, "
             f"schema declares {len(non_virtual)} non-virtual columns")
     new_cols = []
@@ -440,3 +445,105 @@ def merge_embedded_titles(table: CompiledTable, header: list[str],
             updates["name"] = encode_column_name(title)
         new_cols.append(replace(col, **updates) if updates else col)
     return replace(table, columns=tuple(new_cols))
+
+
+class CompatibilityError(ValueError):
+    """Embedded and declared metadata are incompatible in validating mode
+    (reference ``RDF::Tabular::Error`` from ``verify_compatible!``,
+    metadata.rb:996-1079)."""
+
+
+def _titles_match(ta: dict[str, list[str]], tb: dict[str, list[str]]) -> bool:
+    """Title-set compatibility (metadata.rb:1048-1063): match when any
+    und-language title appears on the other side in any language, when the
+    same language shares a title, or when one language tag is a prefix of
+    the other with a shared title."""
+    tb_all = [t for vs in tb.values() for t in vs]
+    if any(t in tb_all for t in ta.get("und", [])):
+        return True
+    ta_all = [t for vs in ta.values() for t in vs]
+    if any(t in ta_all for t in tb.get("und", [])):
+        return True
+    for lang, values in ta.items():
+        if set(tb.get(lang, ())) & set(values):
+            return True
+    for la, values in ta.items():
+        for lb in tb:
+            if (la.startswith(lb) or lb.startswith(la)) and set(tb.get(lb, ())) & set(values):
+                return True
+    return False
+
+
+def verify_compatible(
+    a: "CompiledTableGroup | CompiledTable",
+    b: CompiledTable,
+    *,
+    validate: bool = True,
+    warnings: list[str] | None = None,
+) -> list[str]:
+    """Check that table description *b* (typically embedded metadata built
+    from a CSV header) is compatible with *a* (the found/declared metadata)
+    — a faithful port of ``Metadata#verify_compatible!``
+    (metadata.rb:996-1079).
+
+    In validating mode incompatibilities raise :class:`CompatibilityError`;
+    otherwise they are appended to the returned warnings list and
+    processing continues. Name mismatches between two *declared* names are
+    an error in both modes (metadata.rb:1043-1044).
+    """
+    warnings = warnings if warnings is not None else []
+
+    def problem(msg: str) -> None:
+        if validate:
+            raise CompatibilityError(msg)
+        warnings.append(msg)
+
+    if isinstance(a, CompiledTableGroup):
+        for t in a.tables:
+            if t.url == b.url:
+                return verify_compatible(
+                    t, b, validate=validate, warnings=warnings)
+        problem(
+            f"TableGroups must have Table with matching url "
+            f"{[t.url for t in a.tables]!r} vs {b.url!r}")
+        return warnings
+
+    if a.url != b.url:
+        problem(f"Tables must have the same url: {a.url!r} vs {b.url!r}")
+
+    non_virtual = [c for c in a.columns if not c.virtual]
+    object_columns = list(b.columns)
+
+    # no header -> no column definitions -> compatible (metadata.rb:1020)
+    if len(non_virtual) != len(object_columns) and object_columns:
+        problem(
+            "Columns must have the same number of non-virtual columns: "
+            f"{[c.name for c in non_virtual]!r} vs "
+            f"{[c.name for c in object_columns]!r}")
+        # virtual columns must follow every non-virtual one (metadata.rb:1027)
+        seen_virtual = False
+        for c in a.columns:
+            if c.virtual:
+                seen_virtual = True
+            elif seen_virtual:
+                raise CompatibilityError(
+                    "Virtual columns may not appear before non-virtual columns")
+
+    for index, cb in enumerate(object_columns):
+        ca = non_virtual[index] if index < len(non_virtual) else None
+        ta = ca.titles if ca is not None else {}
+        tb = cb.titles or {}
+        ca_named = ca is not None and ca.name_declared
+        if not ca_named and not cb.name_declared and not ta and not tb:
+            continue
+        if ca_named and cb.name_declared:
+            if ca.name != cb.name:
+                # error regardless of mode (metadata.rb:1043-1044)
+                raise CompatibilityError(
+                    f"Columns don't match on name: {ca.name}, {cb.name}")
+            continue
+        if validate or (ta and tb):
+            if _titles_match(ta, tb):
+                continue
+            problem(f"Columns don't match on titles: {ta!r} vs {tb!r}")
+    return warnings

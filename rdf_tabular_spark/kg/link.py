@@ -26,6 +26,11 @@ from .annotate import KGI, module_iri
 N_BANDS = 8
 ROWS_PER_BAND = 2
 MAX_BUCKET = 256  # hot-bucket guard: drop LSH buckets larger than this
+#: vocabulary size below which linking runs driver-local (the mention
+#: vocabulary is broadcast-sized anyway; a distributed LSH self-join + CC
+#: loop on a few thousand rows is pure scheduling latency). Same adaptive
+#: philosophy as AQE's broadcast-vs-SMJ choice from runtime stats.
+SMALL_VOCAB = 4096
 
 
 def normalize_mention(c):
@@ -63,6 +68,89 @@ def minhash_bands(sh):
         ]
         bands.append(F.hash(*row_hashes, F.lit(b)))
     return F.array(*bands)
+
+
+def _norm_py(s: str) -> str:
+    import re as _re
+
+    return _re.sub(r"[/._-]+", ".", _re.sub(r"^\./", "", s.lower()))
+
+
+def _shingles_py(s: str, k: int = 3) -> frozenset:
+    padded = "^" + s + "$"
+    if len(padded) <= k:
+        return frozenset([padded[:k]])
+    return frozenset(padded[i:i + k] for i in range(len(padded) - k + 1))
+
+
+def link_mentions_local(names: list[str],
+                        jaccard_threshold: float = 0.55) -> list[tuple[str, str]]:
+    """Driver-local twin of candidate_pairs + connected_components for
+    sub-broadcast vocabularies: crc32 minhash banding -> exact-Jaccard
+    verification -> union-find. Deterministic (crc32, no PYTHONHASHSEED
+    dependence) so resumed runs relink identically. Returns
+    (mention, canonical) rows."""
+    from zlib import crc32
+
+    n_hashes = N_BANDS * ROWS_PER_BAND
+    sh: dict[str, frozenset] = {}
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for nm in names:
+        s = _shingles_py(_norm_py(nm))
+        sh[nm] = s
+        sig = [
+            min(crc32(t.encode("utf-8"), seed) for t in s)
+            for seed in range(n_hashes)
+        ]
+        for b in range(N_BANDS):
+            key = (b, crc32(repr(sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]).encode()))
+            buckets.setdefault(key, []).append(nm)
+
+    parent: dict[str, str] = {nm: nm for nm in names}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    seen: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if len(members) > MAX_BUCKET:
+            continue  # same hot-bucket guard as the distributed path
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                pair = (a, b) if a < b else (b, a)
+                if pair in seen:
+                    continue
+                seen.add(pair)
+                sa, sb = sh[a], sh[b]
+                if len(sa & sb) / len(sa | sb) >= jaccard_threshold:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+    return [(nm, find(nm)) for nm in names]
+
+
+def link_mentions(mentions: DataFrame,
+                  jaccard_threshold: float = 0.55) -> DataFrame:
+    """Adaptive entity linking: mentions(mention) -> labels
+    (mention, canonical).
+
+    The distinct-mention vocabulary decides the physical strategy (checked
+    with a LIMIT probe, not a full count): at or below SMALL_VOCAB rows the
+    whole link runs on the driver; above it, the distributed minhash-LSH
+    self-join + label-propagation CC path runs."""
+    spark = mentions.sparkSession
+    distinct = mentions.select("mention").distinct()
+    probe = distinct.limit(SMALL_VOCAB + 1).collect()
+    if len(probe) <= SMALL_VOCAB:
+        names = sorted(r["mention"] for r in probe)
+        rows = link_mentions_local(names, jaccard_threshold)
+        return spark.createDataFrame(rows, "mention string, canonical string")
+    return connected_components(
+        distinct, candidate_pairs(distinct, jaccard_threshold))
 
 
 def candidate_pairs(mentions: DataFrame, jaccard_threshold: float = 0.55) -> DataFrame:

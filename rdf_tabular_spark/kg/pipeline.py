@@ -104,9 +104,8 @@ class KGPipeline:
             F.col("name").alias("mention"))
         labels = self._run_stage(
             "labels",
-            lambda: link.connected_components(
-                mentions,
-                link.candidate_pairs(mentions, self.config.jaccard_threshold)))
+            lambda: link.link_mentions(
+                mentions, self.config.jaccard_threshold))
 
         entities = self._run_stage("entities", lambda: link.entity_table(labels))
 

@@ -25,6 +25,8 @@ from .csvw.metadata import (
     default_table_for,
     load_metadata,
     merge_embedded_titles,
+    verify_compatible,
+    CompatibilityError,
     parse_metadata,
 )
 from .operators.cells import build_cells
@@ -276,9 +278,23 @@ def validate(
     for table in group.tables:
         path = _url_to_path(table.url, url_map, search_dir)
         scan = read_table(spark, table, path)
-        table = merge_embedded_titles(
-            table, scan.header_titles) if table.columns else default_table_for(
-            table.url, scan.header_titles)
+        # schema-vs-embedded-header compatibility (verify_compatible!,
+        # metadata.rb:996-1079): in validation mode an incompatibility is a
+        # reported problem; the declared schema then proceeds unmerged
+        compat_err = None
+        if table.columns and scan.header_titles:
+            embedded = default_table_for(table.url, scan.header_titles)
+            try:
+                verify_compatible(table, embedded, validate=True)
+            except CompatibilityError as e:
+                compat_err = str(e)
+                parts.append(spark.createDataFrame(
+                    [("schema_incompatible", table.url, None, None, None,
+                      compat_err)], out_schema))
+        if not table.columns:
+            table = default_table_for(table.url, scan.header_titles)
+        elif compat_err is None:
+            table = merge_embedded_titles(table, scan.header_titles)
         cells = build_cells(scan.df, table)
         cells_by_url[table.url] = cells
         tables_by_url[table.url] = table

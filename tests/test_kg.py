@@ -73,3 +73,53 @@ def test_resume_skips_completed_stages(spark, results, tmp_path_factory):
     # same config hash -> stages resumed, outputs identical
     assert res2["triples"].count() == results["triples"].count()
     assert all(d["resumed"] or d["wall_s"] < 5.0 for d in pipe2.lineage)
+
+
+def test_adaptive_linking_parity(spark):
+    """Driver-local linking (sub-SMALL_VOCAB fast path) groups the same
+    aliases as the distributed LSH + CC path on a vocabulary with real
+    near-duplicates, and link_mentions picks the local path for it."""
+    from rdf_tabular_spark.kg import link
+
+    names = [
+        "requests", "Requests", "requests.adapters",
+        "lodash", "lo-dash", "lo_dash",
+        "numpy", "numpyy",
+        "left-pad", "left_pad", "./left-pad",
+        "completely.unrelated.module",
+    ]
+    mentions = spark.createDataFrame([(n,) for n in names], "mention string")
+
+    local_rows = dict(link.link_mentions_local(sorted(names), 0.55))
+    dist = {
+        r["mention"]: r["canonical"]
+        for r in link.connected_components(
+            mentions, link.candidate_pairs(mentions, 0.55)).collect()
+    }
+
+    def groups(lab):
+        g = {}
+        for m, c in lab.items():
+            g.setdefault(c, set()).add(m)
+        return sorted(tuple(sorted(v)) for v in g.values())
+
+    # same grouping; identical canonical choice (min of each group) follows
+    assert groups(local_rows) == groups(dist)
+    # exact-normalization aliases must merge on both paths
+    assert local_rows["lo-dash"] == local_rows["lo_dash"]
+    assert local_rows["left-pad"] == local_rows["./left-pad"]
+    assert (local_rows["completely.unrelated.module"]
+            == "completely.unrelated.module")
+
+    via_adaptive = {
+        r["mention"]: r["canonical"]
+        for r in link.link_mentions(mentions, 0.55).collect()
+    }
+    assert groups(via_adaptive) == groups(local_rows)
+
+
+def test_local_linking_deterministic():
+    from rdf_tabular_spark.kg.link import link_mentions_local
+
+    names = sorted(f"pkg{i // 3}.mod{i}" for i in range(60))
+    assert link_mentions_local(names) == link_mentions_local(list(names))
