@@ -275,3 +275,41 @@ def test_ntriples_roundtrip(spark):
     ours = spark_triples(result.triples)
     report = compare_graphs(reparsed, ours)
     assert report["precision"] == 1.0 and report["recall"] == 1.0, report
+
+
+def test_countries_csv_direct_minimal(spark):
+    """countries.csv opened directly, no found metadata: default TableGroup
+    + embedded header (discovery step 4/5, metadata.rb:237-241) —
+    reader_spec.rb "countries.csv" -> countries.csv-minimal.ttl."""
+    from rdf_tabular_spark.reader import to_triples
+
+    url = BASE + "countries.csv"
+    result = to_triples(
+        spark, {"url": url}, base=url,
+        url_map={url: os.path.join(FIXTURE_DIR, "countries.csv")},
+        mode="minimal")
+    ours = spark_triples(result.triples)
+    with open(os.path.join(FIXTURE_DIR, "countries.csv-minimal.ttl")) as f:
+        golden = parse_ttl(f.read())
+    report = compare_graphs(ours, golden)
+    assert report["precision"] == 1.0 and report["recall"] == 1.0, report
+
+
+def test_countries_csv_direct_standard(spark):
+    from rdf_tabular_spark.reader import to_triples
+
+    url = BASE + "countries.csv"
+    result = to_triples(
+        spark, {"url": url}, base=url,
+        url_map={url: os.path.join(FIXTURE_DIR, "countries.csv")},
+        mode="standard")
+    ours = spark_triples(result.triples)
+    with open(os.path.join(FIXTURE_DIR, "countries.csv-standard.ttl")) as f:
+        golden = parse_ttl(f.read())
+    report = compare_graphs(ours, golden)
+    assert report["precision"] == 1.0 and report["recall"] == 1.0, report
+
+
+def test_tree_ops_virtual_standard(spark):
+    run_fixture_std(
+        spark, "tree-ops-virtual.json", "tree-ops-virtual-standard.ttl")

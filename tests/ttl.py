@@ -46,6 +46,7 @@ def _unescape(s: str) -> str:
 class TurtleParser:
     def __init__(self, text: str):
         self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
         self.triples: list[Triple] = []
         self._bnode_n = 0
         self.tokens = self._tokenize(text)
@@ -56,8 +57,11 @@ class TurtleParser:
         body_lines = []
         for line in text.splitlines():
             m = re.match(r"\s*@prefix\s+([\w-]*):\s*<([^>]*)>\s*\.", line)
+            mb = re.match(r"\s*@base\s+<([^>]*)>\s*\.", line)
             if m:
                 self.prefixes[m.group(1)] = m.group(2)
+            elif mb:
+                self.base = mb.group(1)
             else:
                 body_lines.append(line)
         toks = []
@@ -67,6 +71,15 @@ class TurtleParser:
                 continue
             toks.append((kind, m.group(0)))
         return toks
+
+    def _iri(self, tok: str) -> str:
+        """<...> token -> absolute IRI (resolved against @base if present)."""
+        iri = tok[1:-1]
+        if self.base:
+            from urllib.parse import urljoin
+
+            return urljoin(self.base, iri)
+        return iri
 
     def _new_bnode(self) -> str:
         self._bnode_n += 1
@@ -112,7 +125,7 @@ class TurtleParser:
             if tok == "a":
                 pred = RDF_NS + "type"
             elif kind == "iri":
-                pred = tok[1:-1]
+                pred = self._iri(tok)
             elif kind == "pname":
                 pred = self._resolve_pname(tok)
             else:
@@ -133,7 +146,7 @@ class TurtleParser:
     def _node(self, subject=False) -> str:
         kind, tok = self.next()
         if kind == "iri":
-            return tok[1:-1]
+            return self._iri(tok)
         if kind == "pname":
             return self._resolve_pname(tok)
         if tok == "[":
@@ -155,7 +168,7 @@ class TurtleParser:
             if k2 == "dtsep":
                 self.next()
                 k3, t3 = self.next()
-                dt = t3[1:-1] if k3 == "iri" else self._resolve_pname(t3)
+                dt = self._iri(t3) if k3 == "iri" else self._resolve_pname(t3)
             elif k2 == "lang":
                 self.next()
                 lang = t2[1:]
@@ -204,7 +217,7 @@ class TurtleParser:
             if k2 == "dtsep":
                 self.next()
                 k3, t3 = self.next()
-                dt = t3[1:-1] if k3 == "iri" else self._resolve_pname(t3)
+                dt = self._iri(t3) if k3 == "iri" else self._resolve_pname(t3)
             elif k2 == "lang":
                 self.next()
                 lang = t2[1:]
