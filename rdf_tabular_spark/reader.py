@@ -33,7 +33,7 @@ from .operators.cells import build_cells
 from .operators.common_props import common_property_triples, provenance_triples
 from .operators.dedup import dedupe_triples
 from .operators.emit import TRIPLE_SCHEMA, emit_table_triples, skolem_str
-from .sources.csv_source import TableScan, read_table
+from .sources.csv_source import TableScan, inline_table, read_table
 
 
 @dataclass
@@ -59,6 +59,66 @@ def _url_to_path(url: str, url_map: dict[str, str] | None, search_dir: str | Non
         f"cannot map table url {url!r} to a local file; pass url_map")
 
 
+def _load_group(metadata: dict | str, base: str | None,
+                search_dir: str | None):
+    """Shared metadata-loading preamble of the three entry points ->
+    (CompiledTableGroup, html_text | None, effective search_dir).
+
+    A path ending in .html takes the S7 branch: the document's
+    ``application/csvm+json`` script block is the metadata (reader.rb:94-107)
+    and the raw HTML is kept so fragment table urls can scan its tables."""
+    from .csvw import metadata as metadata_mod
+
+    html_text: str | None = None
+    pushed = 0
+    if search_dir is not None:
+        metadata_mod._JSON_REF_BASE.append(search_dir)
+        pushed += 1
+    try:
+        if isinstance(metadata, str) and metadata.lower().endswith((".html", ".htm")):
+            from .sources.html_source import csvm_metadata
+
+            with open(metadata, encoding="utf-8") as f:
+                html_text = f.read()
+            doc = csvm_metadata(html_text)
+            if doc is None:
+                raise ValueError(
+                    f"{metadata}: no application/csvm+json metadata block")
+            if search_dir is None:
+                search_dir = os.path.dirname(os.path.abspath(metadata))
+                metadata_mod._JSON_REF_BASE.append(search_dir)
+                pushed += 1
+            group = parse_metadata(doc, base=base)
+        elif isinstance(metadata, str):
+            if search_dir is None:
+                search_dir = os.path.dirname(os.path.abspath(metadata))
+                metadata_mod._JSON_REF_BASE.append(search_dir)
+                pushed += 1
+            group = load_metadata(metadata, base=base)
+        else:
+            group = parse_metadata(metadata, base=base)
+    finally:
+        for _ in range(pushed):
+            metadata_mod._JSON_REF_BASE.pop()
+    return group, html_text, search_dir
+
+
+def _scan_table(spark: SparkSession, table: CompiledTable,
+                html_text: str | None, url_map: dict[str, str] | None,
+                search_dir: str | None) -> TableScan:
+    """Scan dispatch: fragment urls into an HTML document read its
+    ``<table>`` rows through the in-memory path; everything else is the
+    dialect-aware file scan."""
+    if html_text is not None and "#" in table.url:
+        from .sources.html_source import html_table_rows
+
+        rows = html_table_rows(html_text, table.url.rsplit("#", 1)[1])
+        if rows is not None:
+            return inline_table(spark, rows, table, first_number=len(rows) + 1)
+    path = _url_to_path(table.url, url_map, search_dir)
+    return read_table(spark, table, path)
+
+
 def to_triples(
     spark: SparkSession,
     metadata: dict | str,
@@ -82,19 +142,7 @@ def to_triples(
     """
     from .csvw import metadata as metadata_mod
 
-    if search_dir is not None:
-        metadata_mod._JSON_REF_BASE.append(search_dir)
-    try:
-        if isinstance(metadata, str):
-            if search_dir is None:
-                search_dir = os.path.dirname(os.path.abspath(metadata))
-                metadata_mod._JSON_REF_BASE.append(search_dir)
-            group = load_metadata(metadata, base=base)
-        else:
-            group = parse_metadata(metadata, base=base)
-    finally:
-        if search_dir is not None and metadata_mod._JSON_REF_BASE:
-            metadata_mod._JSON_REF_BASE.pop()
+    group, html_text, search_dir = _load_group(metadata, base, search_dir)
 
     parts: list[DataFrame] = []
     scans: dict[str, TableScan] = {}
@@ -104,8 +152,7 @@ def to_triples(
         if table.suppress_output and mode != "validate":
             # still scanned when validating; suppressed for output (C15)
             pass
-        path = _url_to_path(table.url, url_map, search_dir)
-        scan = read_table(spark, table, path)
+        scan = _scan_table(spark, table, html_text, url_map, search_dir)
         scans[table.url] = scan
         table = merge_embedded_titles(
             table, scan.header_titles) if table.columns else default_table_for(
@@ -186,29 +233,14 @@ def to_json(
         simplify_common_value,
     )
 
-    from .csvw import metadata as metadata_mod
-
-    if search_dir is not None:
-        metadata_mod._JSON_REF_BASE.append(search_dir)
-    try:
-        if isinstance(metadata, str):
-            if search_dir is None:
-                search_dir = os.path.dirname(os.path.abspath(metadata))
-                metadata_mod._JSON_REF_BASE.append(search_dir)
-            group = load_metadata(metadata, base=base)
-        else:
-            group = parse_metadata(metadata, base=base)
-    finally:
-        if search_dir is not None and metadata_mod._JSON_REF_BASE:
-            metadata_mod._JSON_REF_BASE.pop()
+    group, html_text, search_dir = _load_group(metadata, base, search_dir)
 
     tables_out = []
     minimal_objs: list = []
     for table in group.tables:
         if table.suppress_output:
             continue
-        path = _url_to_path(table.url, url_map, search_dir)
-        scan = read_table(spark, table, path)
+        scan = _scan_table(spark, table, html_text, url_map, search_dir)
         table = merge_embedded_titles(
             table, scan.header_titles) if table.columns else default_table_for(
             table.url, scan.header_titles)
@@ -254,21 +286,7 @@ def validate(
         pk_violations,
     )
 
-    from .csvw import metadata as metadata_mod
-
-    if search_dir is not None:
-        metadata_mod._JSON_REF_BASE.append(search_dir)
-    try:
-        if isinstance(metadata, str):
-            if search_dir is None:
-                search_dir = os.path.dirname(os.path.abspath(metadata))
-                metadata_mod._JSON_REF_BASE.append(search_dir)
-            group = load_metadata(metadata, base=base)
-        else:
-            group = parse_metadata(metadata, base=base)
-    finally:
-        if search_dir is not None and metadata_mod._JSON_REF_BASE:
-            metadata_mod._JSON_REF_BASE.pop()
+    group, html_text, search_dir = _load_group(metadata, base, search_dir)
 
     out_schema = ("kind string, table string, row long, source_row long, "
                   "column string, detail string")
@@ -276,8 +294,7 @@ def validate(
     cells_by_url: dict[str, DataFrame] = {}
     tables_by_url: dict[str, CompiledTable] = {}
     for table in group.tables:
-        path = _url_to_path(table.url, url_map, search_dir)
-        scan = read_table(spark, table, path)
+        scan = _scan_table(spark, table, html_text, url_map, search_dir)
         # schema-vs-embedded-header compatibility (verify_compatible!,
         # metadata.rb:996-1079): in validation mode an incompatibility is a
         # reported problem; the declared schema then proceeds unmerged

@@ -142,16 +142,28 @@ def read_table(
 
 
 def inline_table(spark: SparkSession, rows: list[list[str]],
-                 table: CompiledTable) -> TableScan:
+                 table: CompiledTable, first_number: int | None = None) -> TableScan:
     """In-memory input (S13): list-of-lists, first header_row_count rows are
-    headers."""
+    headers.
+
+    *first_number* overrides the first data row's number AND source number
+    (both equal) — the HTML scan needs this: the reference pre-increments
+    its row counter once per ``<tr>`` (``number += 1 if row.xpath('th')`` is
+    always truthy, metadata.rb:869), so HTML data rows number from
+    (total tr count)+1, as pinned by countries_embed-standard.ttl."""
     d = table.dialect
     header_n = d.header_row_count
     header = [str(c) for c in rows[0][d.skipColumns:]] if (rows and header_n) else []
     data = rows[header_n:]
     n = max((len(r) for r in data), default=len(header) + d.skipColumns)
+
+    def nums(i: int) -> list[int]:
+        if first_number is not None:
+            return [i + first_number, i + first_number]
+        return [i + 1 + header_n + d.skipRows, i + 1]
+
     recs = [
-        tuple([i + 1 + header_n + d.skipRows, i + 1]
+        tuple(nums(i)
               + [str(v) if v is not None else None for v in r[d.skipColumns:n]]
               + [None] * (n - d.skipColumns - len(r[d.skipColumns:n])))
         for i, r in enumerate(data)

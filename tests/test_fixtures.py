@@ -313,3 +313,80 @@ def test_countries_csv_direct_standard(spark):
 def test_tree_ops_virtual_standard(spark):
     run_fixture_std(
         spark, "tree-ops-virtual.json", "tree-ops-virtual-standard.ttl")
+
+
+def test_json_roles_minimal(spark):
+    run_json_fixture(spark, "roles.json", "roles-minimal.json",
+                     url_map=ROLES_URL_MAP)
+
+
+def test_json_countries_csv_direct_minimal(spark):
+    from rdf_tabular_spark.reader import to_json
+
+    url = BASE + "countries.csv"
+    got = to_json(spark, {"url": url}, base=url,
+                  url_map={url: os.path.join(FIXTURE_DIR, "countries.csv")},
+                  mode="minimal")
+    with open(os.path.join(FIXTURE_DIR, "countries.csv-minimal.json")) as f:
+        want = json.load(f)
+    assert got == want
+
+
+# ---- S7: HTML input (csvm+json script metadata + HTML tables) -----------
+
+
+def run_html_fixture(spark, html_file: str, golden_ttl: str, mode: str):
+    from rdf_tabular_spark.reader import to_triples
+
+    result = to_triples(
+        spark, os.path.join(FIXTURE_DIR, html_file), base=BASE + html_file,
+        mode=mode)
+    ours = spark_triples(result.triples)
+    with open(os.path.join(FIXTURE_DIR, golden_ttl)) as f:
+        golden = parse_ttl(f.read())
+    report = compare_graphs(ours, golden)
+    assert report["precision"] == 1.0 and report["recall"] == 1.0, report
+
+
+def test_countries_html_minimal(spark):
+    """S7: csvm+json script block is the metadata; tables are external CSVs
+    (reader.rb:94-107)."""
+    run_html_fixture(spark, "countries.html",
+                     "countries_html-minimal.ttl", "minimal")
+
+
+def test_countries_html_standard(spark):
+    run_html_fixture(spark, "countries.html",
+                     "countries_html-standard.ttl", "standard")
+
+
+def test_countries_embed_html_minimal(spark):
+    """S7: fragment table urls (#countries) read the <th>/<td> rows of the
+    HTML document itself (metadata.rb:851-873)."""
+    run_html_fixture(spark, "countries_embed.html",
+                     "countries_embed-minimal.ttl", "minimal")
+
+
+def test_countries_embed_html_standard(spark):
+    run_html_fixture(spark, "countries_embed.html",
+                     "countries_embed-standard.ttl", "standard")
+
+
+def test_json_countries_html_standard(spark):
+    from rdf_tabular_spark.reader import to_json
+
+    got = to_json(spark, os.path.join(FIXTURE_DIR, "countries.html"),
+                  base=BASE + "countries.html", mode="standard")
+    with open(os.path.join(FIXTURE_DIR, "countries_html-standard.json")) as f:
+        want = json.load(f)
+    assert got == want
+
+
+def test_json_countries_embed_html_minimal(spark):
+    from rdf_tabular_spark.reader import to_json
+
+    got = to_json(spark, os.path.join(FIXTURE_DIR, "countries_embed.html"),
+                  base=BASE + "countries_embed.html", mode="minimal")
+    with open(os.path.join(FIXTURE_DIR, "countries_embed-minimal.json")) as f:
+        want = json.load(f)
+    assert got == want
