@@ -621,7 +621,17 @@ def _kg_pipeline(src: DataFrame):
     # extraction feeds both the triple stream and the mention stream —
     # persist so the mapInPandas UDF runs once (the checkpointed KGPipeline
     # gets this for free from its per-stage parquet writes)
-    extracted = extract.extract_structures(src.drop("content_sha256")).persist()
+    # layout="source": the production source table (Iceberg, 10^12 files)
+    # is written sorted by (repo, path); extraction is row-local, so the
+    # hot path never re-shuffles content. The checkpointed KGPipeline keeps
+    # the explicit repartitionByRange where stage outputs are written.
+    # The persisted cache is projected to the columns the graph stages
+    # actually read (commit/lang/content_sha256 ride the src scan instead)
+    # — cache bytes are heap churn, and heap bandwidth is the scaling
+    # ceiling of the JVM-side stages.
+    extracted = extract.extract_structures(
+        src.drop("content_sha256"), layout="source", carry_sha=False).select(
+        "repo", "path", "kind", "name", "detail", "row_idx").persist()
     mentions = extracted.filter(F.col("kind").isin("import", "dep")).select(
         F.col("name").alias("mention"))
     labels = link.link_mentions(mentions, 0.55)

@@ -29,11 +29,21 @@ def build_graph(src: DataFrame, extracted: DataFrame,
                 labels: DataFrame) -> DataFrame:
     """(source, extracted structures, mention labels) -> final triple set."""
     canon = link.canonicalize_mentions(extracted, labels)
-    import_edges = canon.dropDuplicates(["repo", "path", "kind", "name"])
     defs = extracted.filter(~F.col("kind").isin("import", "dep"))
-    def_edges = defs.dropDuplicates(["repo", "path", "name"])
+    # one dedup shuffle for all edges, on ONLY the columns edge emission
+    # reads — dropDuplicates shuffles whole rows, so projecting first
+    # roughly halves the shuffled bytes; def/class collapse to one key
+    # value because both emit the same (file defines sym) edge
+    edge_cols = ["repo", "path", "kind", "name"]
+    edge_stream = canon.select(*edge_cols).unionByName(
+        defs.select(*edge_cols)).withColumn(
+        "_ekey",
+        F.when(F.col("kind").isin("def", "class"), F.lit("defsym"))
+        .otherwise(F.col("kind")))
+    edges = edge_stream.dropDuplicates(
+        ["repo", "path", "_ekey", "name"]).drop("_ekey")
     return (
-        annotate.edge_triples(import_edges.unionByName(def_edges))
+        annotate.edge_triples(edges)
         .unionByName(link.module_metadata_from_labels(labels, canon))
         .unionByName(annotate.symbol_metadata_triples(defs))
         .unionByName(annotate.file_level_triples(src))

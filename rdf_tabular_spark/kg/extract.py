@@ -25,6 +25,10 @@ EXTRACT_SCHEMA = (
     "content_sha256 string, kind string, name string, detail string, "
     "row_idx int"
 )
+#: hot-path variant: the per-row sha invariant is emitted from the source
+#: scan itself (annotate.file_level_triples), so extraction need not hash +
+#: Arrow-transfer it per structure row
+EXTRACT_SCHEMA_NO_SHA = EXTRACT_SCHEMA.replace("content_sha256 string, ", "")
 
 # per-language extraction rules == the CSVW-style "metadata" of the virtual
 # tables (each regex plays the role of a column datatype/format annotation)
@@ -54,22 +58,46 @@ LANG_RULES: dict[str, list[tuple[str, str, int]]] = {
 
 
 def extract_structures(source: DataFrame, range_partitions: int | None = None,
-                       for_streaming: bool = False) -> DataFrame:
+                       for_streaming: bool = False,
+                       layout: str = "range",
+                       carry_sha: bool = True) -> DataFrame:
     """source(repo,path,commit,lang,content) -> one row per extracted
-    structure, repartitioned by (repo, path) range. *for_streaming* skips
-    the range repartition (unsupported on streaming DataFrames; micro-batch
-    file boundaries already colocate a file's rows)."""
+    structure.
+
+    *layout*:
+
+    - ``"range"`` (default): explicit ``repartitionByRange(repo, path)``
+      before the UDF — the checkpointed pipeline uses this so its stage
+      writes land repo-contiguous (resume ranges, partition pruning).
+    - ``"source"``: trust the input table's own layout and extract
+      straight off the scan. One source row IS one file, so extraction
+      and per-file numbering never need colocation — and a production
+      Iceberg source table at 10^12 files is already written sorted by
+      (repo, path); re-shuffling 100 TB of `content` to recreate a layout
+      the table already has would make the content shuffle the whole
+      job's bottleneck. Scan parallelism then comes from file splits
+      (size `spark.sql.files.maxPartitionBytes` accordingly).
+
+    *for_streaming* forces the source layout (repartitionByRange is
+    unsupported on streaming DataFrames; micro-batch file boundaries
+    already colocate a file's rows)."""
     import pandas as pd
 
     from ..deploy import ensure_py_files
 
     ensure_py_files(source.sparkSession)
-    with_sha = source.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    if for_streaming:
-        arranged = with_sha
+    if carry_sha:
+        arranged = source.withColumn(
+            "content_sha256", F.sha2(F.col("content"), 256))
     else:
+        arranged = source
+    if not (for_streaming or layout == "source"):
         n = range_partitions or source.sparkSession.sparkContext.defaultParallelism * 2
-        arranged = with_sha.repartitionByRange(n, "repo", "path")
+        arranged = arranged.repartitionByRange(n, "repo", "path")
+
+    carry = ["repo", "path", "commit", "lang"] + (
+        ["content_sha256"] if carry_sha else [])
+    out_cols = carry + ["kind", "name", "detail", "row_idx"]
 
     def run(iterator):
         compiled = {
@@ -90,27 +118,21 @@ def extract_structures(source: DataFrame, range_partitions: int | None = None,
                     # extractall index level 0 = source row labels in `sub`
                     src_labels = found.index.get_level_values(0)
                     src = sub.loc[src_labels]
-                    frame = pd.DataFrame({
-                        "repo": src["repo"].values,
-                        "path": src["path"].values,
-                        "commit": src["commit"].values,
-                        "lang": src["lang"].values,
-                        "content_sha256": src["content_sha256"].values,
-                        "kind": kind,
-                        "name": found["name"].values,
-                        "detail": found["detail"].values
-                        if "detail" in found else None,
-                    })
+                    frame = pd.DataFrame(
+                        {c: src[c].values for c in carry} | {
+                            "kind": kind,
+                            "name": found["name"].values,
+                            "detail": found["detail"].values
+                            if "detail" in found else None,
+                        })
                     outs.append(frame)
             if not outs:
-                yield pd.DataFrame(
-                    {c: [] for c in ["repo", "path", "commit", "lang",
-                                     "content_sha256", "kind", "name",
-                                     "detail", "row_idx"]})
+                yield pd.DataFrame({c: [] for c in out_cols})
                 continue
             allf = pd.concat(outs, ignore_index=True)
             # per-file structure numbering — no global window (C16 analog)
             allf["row_idx"] = allf.groupby(["repo", "path"]).cumcount().astype("int32")
             yield allf
 
-    return arranged.mapInPandas(run, schema=EXTRACT_SCHEMA)
+    return arranged.mapInPandas(
+        run, schema=EXTRACT_SCHEMA if carry_sha else EXTRACT_SCHEMA_NO_SHA)
