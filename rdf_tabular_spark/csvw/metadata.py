@@ -349,19 +349,31 @@ def _load_json_ref(url: str) -> dict:
 
 
 def detect_type(doc: dict) -> str:
-    """Type-dispatch heuristic of Metadata.new (metadata.rb:276-297)."""
+    """Type-dispatch heuristic of Metadata.new (metadata.rb:276-297).
+    ``Template`` maps to Transformation, as in the reference."""
     t = doc.get("@type")
-    if t in ("TableGroup", "Table", "Schema", "Column", "Dialect", "Template"):
+    if t == "Template":
+        return "Transformation"
+    if t in ("TableGroup", "Table", "Schema", "Column", "Dialect",
+             "Transformation"):
         return t
     if "tables" in doc:
         return "TableGroup"
-    if "url" in doc or "tableSchema" in doc:
+    if any(k in doc for k in ("dialect", "tableSchema", "transformations")):
         return "Table"
-    if "columns" in doc or "primaryKey" in doc or "foreignKeys" in doc:
+    if any(k in doc for k in ("targetFormat", "scriptFormat", "source")):
+        return "Transformation"
+    if any(k in doc for k in ("columns", "primaryKey", "foreignKeys",
+                              "rowTitles")):
         return "Schema"
-    if any(k in doc for k in DIALECT_DEFAULTS):
+    if "name" in doc or "virtual" in doc:
+        return "Column"
+    if any(k in doc for k in Dialect.__dataclass_fields__):
         return "Dialect"
-    return "Table"
+    # a url-only document behaves as a single-table description; a fully
+    # untyped one is an (empty) TableGroup (metadata.rb:288 `:"" =>
+    # TableGroup`)
+    return "Table" if "url" in doc else "TableGroup"
 
 
 def parse_metadata(doc: dict, base: str | None = None) -> CompiledTableGroup:

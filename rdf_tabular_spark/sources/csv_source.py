@@ -10,9 +10,11 @@ CSVW table is one url = one file, so this stays correct and avoids any
 global sort. The 10^12-file path (kg/) numbers rows inside the per-file
 extraction UDF instead and never comes through here.
 
-Limitation (documented): cells containing embedded line terminators need
-``multiLine`` parsing; fall back to ``spark.read.csv`` + a per-file window
-for that case (not exercised by the CSVW fixtures).
+Cells containing embedded line terminators are detected up front (a line
+with an odd number of quote characters) and routed to a ``multiLine``
+``spark.read.csv`` fallback that numbers CSV *records* instead of physical
+lines — which matches the reference anyway: Ruby's CSV iterates records,
+so its sourceNumbers are record indices.
 """
 
 from __future__ import annotations
@@ -51,6 +53,95 @@ def _parse_csv_line(line: str, dialect: Dialect) -> list[str]:
     return []
 
 
+def _read_table_multiline(
+    spark: SparkSession, table: CompiledTable, path: str
+) -> TableScan:
+    """Fallback scan for files whose cells embed line terminators: let the
+    JVM CSV parser handle record framing (``multiLine``), then apply the
+    dialect's skip/comment/blank logic over *records*."""
+    d = table.dialect
+    skip = d.skipRows
+    header_n = d.header_row_count
+
+    non_virtual = [c for c in table.columns if not c.virtual]
+    if non_virtual:
+        n_cols = len(non_virtual) + d.skipColumns
+    else:
+        import csv as _csv
+        import io as _io
+
+        with open(path, encoding=d.encoding or "utf-8", newline="") as f:
+            first = next(_csv.reader(f, delimiter=d.delimiter,
+                                     quotechar=d.quoteChar or '"'), [])
+        n_cols = max(len(first), 1)
+
+    schema = StructType([
+        StructField(f"_x{i}", StringType()) for i in range(n_cols)])
+    parsed = (
+        spark.read.options(
+            sep=d.delimiter, quote=d.quoteChar or '"',
+            escape=d.escape_char, multiLine=True, mode="PERMISSIVE",
+            encoding=d.encoding or "utf-8")
+        .schema(schema).csv(path)
+    )
+    indexed = parsed.rdd.zipWithIndex().map(
+        lambda t: tuple(t[0]) + (t[1] + 1,))
+    df = spark.createDataFrame(
+        indexed, StructType(schema.fields + [
+            StructField("_sourceRow", LongType())]))
+
+    comments: list[str] = []
+    header_titles: list[str] = []
+    if skip or header_n:
+        head = df.orderBy("_sourceRow").limit(skip + header_n).collect()
+        for r in head[:skip]:
+            text = " ".join(v for v in tuple(r)[:n_cols] if v is not None)
+            if d.commentPrefix and text.startswith(d.commentPrefix):
+                text = text[len(d.commentPrefix):]
+            if text.strip():
+                comments.append(text)
+        for r in head[skip:skip + header_n]:
+            cells = [v if v is not None else "" for v in tuple(r)[:n_cols]]
+            if d.commentPrefix and cells and str(cells[0]).startswith(d.commentPrefix):
+                comments.append(" ".join(map(str, cells))[len(d.commentPrefix):])
+                continue
+            if not header_titles:
+                header_titles = [str(c).strip() for c in cells[d.skipColumns:]]
+        df = df.filter(F.col("_sourceRow") > skip + header_n)
+
+    if d.commentPrefix:
+        first_col = F.coalesce(F.col("_x0"), F.lit(""))
+        comment_rows = df.filter(first_col.startswith(d.commentPrefix))
+        comments.extend(
+            " ".join(str(v) for v in tuple(r)[:n_cols] if v is not None)[
+                len(d.commentPrefix):]
+            for r in comment_rows.collect())
+        df = df.filter(~first_col.startswith(d.commentPrefix))
+
+    cols = [F.col(f"_x{i + d.skipColumns}").alias(f"_c{i}")
+            for i in range(n_cols - d.skipColumns)]
+    out = df.select("_sourceRow", *cols)
+    if d.skipBlankRows:
+        concat_all = F.concat_ws(
+            "", *[F.coalesce(F.col(f"_c{i}"), F.lit(""))
+                  for i in range(n_cols - d.skipColumns)])
+        out = out.filter(concat_all != "")
+
+    from pyspark.sql.window import Window
+
+    if d.commentPrefix or d.skipBlankRows:
+        out = out.withColumn(
+            "_row", F.row_number().over(Window.orderBy("_sourceRow")).cast("long"))
+    else:
+        out = out.withColumn("_row", F.col("_sourceRow") - (skip + header_n))
+    return TableScan(
+        df=out,
+        header_titles=header_titles,
+        comments=comments,
+        n_physical_columns=n_cols,
+    )
+
+
 def read_table(
     spark: SparkSession, table: CompiledTable, path: str
 ) -> TableScan:
@@ -59,6 +150,14 @@ def read_table(
     header_n = d.header_row_count
 
     lines = spark.read.text(path)
+    if d.quoteChar:
+        # embedded line terminators leave a line with an odd quote count;
+        # such files go through the record-framing (multiLine) scan
+        q = d.quoteChar
+        n_quotes = F.length(F.col("value")) - F.length(
+            F.replace(F.col("value"), F.lit(q), F.lit("")))
+        if lines.filter(n_quotes % 2 == 1).limit(1).count() > 0:
+            return _read_table_multiline(spark, table, path)
     indexed = lines.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1] + 1))
     df = spark.createDataFrame(
         indexed,

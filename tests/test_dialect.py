@@ -96,3 +96,39 @@ def test_trim_dialect(spark, tmp_path):
     v = cells.select(
         F.try_element_at(F.col("cell_a"), F.lit(1))["lex"].alias("v")).collect()
     assert v[0]["v"] == "padded"
+
+
+def test_multiline_cells(spark, tmp_path):
+    """Cells with embedded line terminators route through the multiLine
+    record-framing scan; row numbers are record indices (reference: Ruby
+    CSV iterates records, so sourceNumbers are record-based there too)."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    p = tmp_path / "ml.csv"
+    p.write_text('a,b\n1,"line1\nline2"\n2,plain\n3,"x\ny\nz"\n')
+    table = parse_metadata(
+        {"url": "http://example.org/ml.csv"},
+        base="http://example.org/ml.csv").tables[0]
+    scan = read_table(spark, table, str(p))
+    assert scan.header_titles == ["a", "b"]
+    rows = {r["_c0"]: r for r in scan.df.collect()}
+    assert rows["1"]["_c1"] == "line1\nline2"
+    assert rows["2"]["_c1"] == "plain"
+    assert rows["3"]["_c1"] == "x\ny\nz"
+    # record-based numbering: data records 1..3
+    assert sorted(r["_row"] for r in rows.values()) == [1, 2, 3]
+    assert sorted(r["_sourceRow"] for r in rows.values()) == [2, 3, 4]
+
+
+def test_multiline_not_triggered_by_balanced_quotes(spark, tmp_path):
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    p = tmp_path / "q.csv"
+    p.write_text('a,b\n1,"quoted, with comma"\n')
+    table = parse_metadata(
+        {"url": "http://example.org/q.csv"},
+        base="http://example.org/q.csv").tables[0]
+    scan = read_table(spark, table, str(p))
+    assert [r["_c1"] for r in scan.df.collect()] == ["quoted, with comma"]
