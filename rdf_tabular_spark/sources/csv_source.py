@@ -149,6 +149,11 @@ def read_table(
     skip = d.skipRows
     header_n = d.header_row_count
 
+    # non-UTF-8 encodings go through the JVM CSV reader, which honors the
+    # encoding option; spark.read.text is UTF-8-only (S1 dialect `encoding`)
+    if d.encoding and d.encoding.lower().replace("-", "") not in ("utf8", "ascii"):
+        return _read_table_multiline(spark, table, path)
+
     lines = spark.read.text(path)
     if d.quoteChar:
         # embedded line terminators leave a line with an odd quote count;

@@ -1,0 +1,61 @@
+"""CLI smoke tests (python -m rdf_tabular_spark), the analog of the
+reference's CLI registration tests (format.rb:40-71). Run in-process
+against the shared session-scoped Spark fixture via main()'s internals."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rdf_tabular_spark.__main__ import _infer_metadata, _run
+from tests.conftest import FIXTURE_DIR
+
+
+class _Args:
+    def __init__(self, **kw):
+        self.metadata = None
+        self.base = None
+        self.mode = "minimal"
+        self.json = False
+        self.format = "ntriples"
+        self.output = None
+        self.validate = False
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def test_cli_ntriples(spark, capsys):
+    args = _Args(input=f"{FIXTURE_DIR}/tree-ops.csv",
+                 metadata=f"{FIXTURE_DIR}/tree-ops.csv-metadata.json",
+                 base="http://example.org/tree-ops.csv")
+    assert _run(spark, args) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 10  # 2 rows x 5 columns, minimal mode
+    assert all(line.endswith(" .") for line in out)
+
+
+def test_cli_json(spark, capsys, tmp_path):
+    out_file = tmp_path / "out.json"
+    args = _Args(input=f"{FIXTURE_DIR}/tree-ops.csv",
+                 metadata=f"{FIXTURE_DIR}/tree-ops.csv-metadata.json",
+                 base="http://example.org/tree-ops.csv",
+                 json=True, output=str(out_file))
+    assert _run(spark, args) == 0
+    got = json.loads(out_file.read_text())
+    assert isinstance(got, list) and len(got) == 2
+    assert got[0]["GID"] == "1"
+
+
+def test_cli_validate_detects_pk_violation(spark, capsys):
+    args = _Args(input=f"{FIXTURE_DIR}/test232-metadata.json",
+                 base="http://example.org/test232-metadata.json",
+                 validate=True)
+    assert _run(spark, args) == 1  # duplicate PK in test232.csv
+
+
+def test_cli_tsv_inference():
+    args = _Args(input="/tmp/x.tsv")
+    meta, base = _infer_metadata(args)
+    assert meta["dialect"]["delimiter"] == "\t"
+    assert base.startswith("file:///")

@@ -132,3 +132,21 @@ def test_multiline_not_triggered_by_balanced_quotes(spark, tmp_path):
         base="http://example.org/q.csv").tables[0]
     scan = read_table(spark, table, str(p))
     assert [r["_c1"] for r in scan.df.collect()] == ["quoted, with comma"]
+
+
+def test_non_utf8_encoding(spark, tmp_path):
+    """S1 dialect `encoding`: ISO-8859-1 input routes through the JVM CSV
+    reader, which honors the encoding option."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    p = tmp_path / "latin.csv"
+    p.write_bytes("name,city\nJosé,Málaga\nZoë,Zürich\n".encode("iso-8859-1"))
+    table = parse_metadata(
+        {"url": "http://example.org/latin.csv",
+         "dialect": {"encoding": "iso-8859-1"}},
+        base="http://example.org/latin.csv").tables[0]
+    scan = read_table(spark, table, str(p))
+    assert scan.header_titles == ["name", "city"]
+    rows = sorted((r["_c0"], r["_c1"]) for r in scan.df.collect())
+    assert rows == [("José", "Málaga"), ("Zoë", "Zürich")]

@@ -390,3 +390,24 @@ def test_json_countries_embed_html_minimal(spark):
     with open(os.path.join(FIXTURE_DIR, "countries_embed-minimal.json")) as f:
         want = json.load(f)
     assert got == want
+
+
+def test_doap_self_description(spark):
+    """The gem's own DOAP record (etc/doap.csv + metadata -> etc/doap.ttl):
+    a real-world table exercising fixed aboutUrl (all rows one subject),
+    {+var} valueUrl templates, pname propertyUrls (rdf:/dc:/foaf:),
+    language tags, M/d/yyyy dates, and null='' row-sparseness."""
+    from rdf_tabular_spark.reader import to_triples
+
+    etc = "/root/reference/etc"
+    url = BASE + "doap.csv"
+    with open(os.path.join(etc, "doap.csv-metadata.json")) as f:
+        doc = json.load(f)
+    result = to_triples(
+        spark, doc, base=BASE + "doap.csv-metadata.json",
+        url_map={url: os.path.join(etc, "doap.csv")}, mode="minimal")
+    ours = spark_triples(result.triples)
+    with open(os.path.join(etc, "doap.ttl")) as f:
+        golden = parse_ttl(f.read())
+    report = compare_graphs(ours, golden)
+    assert report["precision"] >= 0.95 and report["recall"] >= 0.95, report
