@@ -60,6 +60,10 @@ def _analyze_grouped_digits(part: str, group_char: str) -> tuple[int, int, int, 
     min_digits = bare.count("0")
     all_digits = len(bare)
     groups = part.split(group_char)[1:]
+    # adjacent or trailing separators mean a zero-size group — malformed
+    # picture (would compile to an invalid \d{1,0} repetition)
+    if any(not gp for gp in groups):
+        raise PatternError(f"empty digit group in number pattern {part!r}")
     primary = len(groups[-1]) if groups else 0
     secondary = primary if len(groups) <= 1 else len(groups[-2])
     return min_digits, all_digits, primary, secondary

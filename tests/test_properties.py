@@ -1,0 +1,165 @@
+"""Property-based tests (hypothesis) for the driver-side compilers — a
+layer the reference's spec suite does not have (SURVEY §5.4). All pure
+Python: no Spark session.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rdf_tabular_spark.csvw import uax35
+from rdf_tabular_spark.csvw.templates import expand, is_native_compilable
+from rdf_tabular_spark.kg.link import link_mentions_local
+
+# ---------------------------------------------------------------------------
+# UAX-35 number normalization
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=-10**15, max_value=10**15))
+def test_default_pattern_accepts_plain_integers(n):
+    plan = uax35.compile_number_pattern(None)
+    assert uax35.normalize_number(str(n), plan) == str(n)
+
+
+@given(st.integers(min_value=0, max_value=10**15))
+def test_grouped_integers_normalize_to_plain(n):
+    """Western 3-digit grouping strips to the plain lexical form."""
+    plan = uax35.compile_number_pattern(None)
+    grouped = f"{n:,}"
+    assert uax35.normalize_number(grouped, plan) == str(n)
+
+
+@given(st.integers(min_value=-10**9, max_value=10**9),
+       st.integers(min_value=0, max_value=999))
+def test_decimal_lexical_preserved(i, frac):
+    """Normalization preserves the decimal lexical form digit-for-digit —
+    values never roundtrip through floats (SURVEY §7.4-2)."""
+    plan = uax35.compile_number_pattern(None)
+    s = f"{i}.{frac:03d}"
+    assert uax35.normalize_number(s, plan) == s
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+def test_percent_shift_matches_decimal_arithmetic(n):
+    from decimal import Decimal
+
+    plan = uax35.compile_number_pattern(None)
+    out = uax35.normalize_number(f"{n}%", plan)
+    assert out is not None
+    assert Decimal(out) == Decimal(n) / 100
+    out = uax35.normalize_number(f"{n}‰", plan)
+    assert Decimal(out) == Decimal(n) / 1000
+
+
+@given(st.text(alphabet="0#,.", min_size=1, max_size=8))
+def test_number_pattern_compiler_never_emits_invalid_regex(pattern):
+    """Whatever the picture pattern, the compiler either raises
+    PatternError or emits a Python-AND-Java-safe regex (no named groups)."""
+    try:
+        regex = uax35.build_number_regex(pattern)
+    except uax35.PatternError:
+        return
+    re.compile(regex)
+    assert "(?P<" not in regex and "(?<" not in regex
+
+
+@given(st.dates(), st.sampled_from(
+    ["yyyy-MM-dd", "dd-MM-yyyy", "M/d/yyyy", "yyyyMMdd", "dd.MM.yyyy"]))
+def test_date_patterns_roundtrip_all_dates(d, pattern):
+    """Any calendar date formatted per the pattern normalizes to its ISO
+    lexical form."""
+    fmt = {
+        "yyyy-MM-dd": f"{d.year:04d}-{d.month:02d}-{d.day:02d}",
+        "dd-MM-yyyy": f"{d.day:02d}-{d.month:02d}-{d.year:04d}",
+        "M/d/yyyy": f"{d.month}/{d.day}/{d.year:04d}",
+        "yyyyMMdd": f"{d.year:04d}{d.month:02d}{d.day:02d}",
+        "dd.MM.yyyy": f"{d.day:02d}.{d.month:02d}.{d.year:04d}",
+    }[pattern]
+    plan = uax35.compile_date_pattern(pattern)
+    assert uax35.normalize_date(fmt, plan) == d.isoformat()
+
+
+# ---------------------------------------------------------------------------
+# RFC 6570 templates
+# ---------------------------------------------------------------------------
+
+_var_names = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+_values = st.text(
+    alphabet=string.ascii_letters + string.digits + " /?#[]@!$&'()*+,;=-._~%é",
+    max_size=20)
+
+
+@given(_var_names, _values)
+def test_simple_expansion_is_unreserved_safe(name, value):
+    """{var} output contains only unreserved chars and %XX triplets."""
+    out = expand("{%s}" % name, {name: value})
+    # linear scan (an alternation-star regex backtracks pathologically on
+    # near-miss strings)
+    i, ok = 0, True
+    while i < len(out):
+        if out[i] == "%":
+            ok = ok and re.fullmatch(r"%[0-9A-F]{2}", out[i:i + 3]) is not None
+            i += 3
+        else:
+            ok = ok and (out[i].isalnum() or out[i] in "-._~")
+            i += 1
+    assert ok, out
+
+
+@given(_var_names, _values)
+def test_reserved_expansion_roundtrip_ascii(name, value):
+    """{+var} keeps reserved characters verbatim and never double-encodes
+    an existing percent triplet."""
+    out = expand("{+%s}" % name, {name: value})
+    assert "%25" not in out or "%25" in value.replace("%", "%25")
+    for ch in ":/?#[]@!$&'()*+,;=":
+        if ch in value:
+            assert ch in out
+
+
+@given(_var_names, _values, _values)
+def test_multi_var_expansion_is_concatenation(name, v1, v2):
+    name2 = name + "x"
+    joint = expand("{%s},{%s}" % (name, name2), {name: v1, name2: v2})
+    parts = expand("{%s}" % name, {name: v1}), expand("{%s}" % name2, {name2: v2})
+    assert joint == parts[0] + "," + parts[1]
+
+
+@given(st.text(alphabet=string.ascii_lowercase + "{}+#?/;*:1", max_size=20))
+def test_native_compilable_is_total(template):
+    """The classifier never crashes; every template is classified."""
+    try:
+        assert is_native_compilable(template) in (True, False)
+    except ValueError:
+        pass  # malformed prefix like {v:} — expander would reject too
+
+
+# ---------------------------------------------------------------------------
+# entity linking (driver-local path)
+# ---------------------------------------------------------------------------
+
+_mention = st.text(
+    alphabet=string.ascii_lowercase + string.digits + "./-_", min_size=1,
+    max_size=16)
+
+
+@settings(max_examples=25)
+@given(st.lists(_mention, min_size=1, max_size=40, unique=True))
+def test_local_linking_properties(names):
+    labels = dict(link_mentions_local(sorted(names)))
+    # total: every mention labeled
+    assert set(labels) == set(names)
+    # canonical is a member of its own group and is the group minimum
+    groups: dict[str, list[str]] = {}
+    for m, c in labels.items():
+        groups.setdefault(c, []).append(m)
+    for canon, members in groups.items():
+        assert canon in members
+        assert canon == min(members)
+    # idempotent/deterministic
+    assert dict(link_mentions_local(sorted(names))) == labels
