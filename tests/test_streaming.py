@@ -88,3 +88,46 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     want = {(r["window_start"], r["event_type"]): r["n"]
             for r in windowed_event_counts(events).collect()}
     assert all(want[k] == v for k, v in got.items())
+
+
+def test_stateful_entity_registry(spark, tmp_path):
+    """applyInPandasWithState registry: each (entity, alias) emitted exactly
+    once across micro-batches; state persists between batches."""
+    import pandas as pd
+
+    from rdf_tabular_spark.streaming.stateful import incremental_entity_registry
+
+    src = tmp_path / "mentions"
+    src.mkdir()
+    # batch 1: two aliases of lodash-ish names + one numpy
+    pd.DataFrame({"mention": ["lo-dash", "lo_dash", "numpy"]}).to_parquet(
+        src / "b1.parquet")
+
+    stream = (spark.readStream.schema("mention string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    emitted: list[tuple[str, str]] = []
+
+    def run_once():
+        emitted.clear()
+        q = (incremental_entity_registry(stream)
+             .writeStream.foreachBatch(
+                 lambda df, _e: emitted.extend(
+                     (r["entity_key"], r["mention"]) for r in df.collect()))
+             .option("checkpointLocation", str(tmp_path / "chk"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    first = set(emitted)
+    assert ("lo.dash", "lo-dash") in first and ("lo.dash", "lo_dash") in first
+    assert ("numpy", "numpy") in first
+
+    # batch 2 (resumed from checkpoint): one repeat (suppressed by the
+    # persisted state) + one genuinely new alias
+    pd.DataFrame({"mention": ["lo-dash", "lo.dash", "requests"]}).to_parquet(
+        src / "b2.parquet")
+    run_once()
+    second = emitted
+    assert ("lo.dash", "lo-dash") not in second
+    assert ("lo.dash", "lo.dash") in second
+    assert ("requests", "requests") in second
