@@ -94,6 +94,100 @@ def sql_csvw_triples_minimal() -> str:
     """
 
 
+def q_csvw_triples_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 standard-mode envelope (reader.rb:259-298): Table/Row nodes,
+    csvw:rownum/url/describes, deterministic skolem bnode ids — every id
+    replicated bit-for-bit by the DuckDB oracle (sha256 + chr(0) joins)."""
+    from rdf_tabular_spark.operators.dedup import dedupe_triples
+    from rdf_tabular_spark.operators.emit import emit_table_triples
+
+    cells, table = _nation_cells(spark, sf_dir)
+    return dedupe_triples(emit_table_triples(cells, table, mode="standard"))
+
+
+def sql_csvw_triples_standard() -> str:
+    url = EX + "nation.csv"
+    csvw = "http://www.w3.org/ns/csvw#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return f"""
+    WITH n AS (
+      SELECT *, row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+    ids AS (
+      SELECT *,
+        '_:row' || substr(sha256('{url}' || chr(0) || CAST(rn + 1 AS VARCHAR)), 1, 20) AS row_node,
+        '_:t' || substr(sha256('{url}'), 1, 20) AS tnode,
+        '{EX}nation/' || n_nationkey AS subj
+      FROM n)
+    SELECT subj, '{url}#n_nationkey' AS pred,
+           CAST(n_nationkey AS VARCHAR) AS obj, FALSE AS obj_is_iri,
+           '{XSD}integer' AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang
+    FROM ids
+    UNION ALL SELECT subj, '{url}#n_name', n_name, FALSE, NULL, NULL FROM ids
+    UNION ALL SELECT subj, '{url}#n_regionkey',
+           '{EX}region/' || n_regionkey, TRUE, NULL, NULL FROM ids
+    UNION ALL SELECT tnode, '{csvw}row', row_node, TRUE, NULL, NULL FROM ids
+    UNION ALL SELECT row_node, '{csvw}rownum', CAST(rn AS VARCHAR), FALSE,
+           '{XSD}integer', NULL FROM ids
+    UNION ALL SELECT row_node, '{rdf_type}', '{csvw}Row', TRUE, NULL, NULL FROM ids
+    UNION ALL SELECT row_node, '{csvw}url',
+           '{url}#row=' || CAST(rn + 1 AS VARCHAR), TRUE, NULL, NULL FROM ids
+    UNION ALL SELECT row_node, '{csvw}describes', subj, TRUE, NULL, NULL FROM ids
+    """
+
+
+def q_csvw_datatype_byte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/C9/C11: integer-subtype bounds validation — out-of-range byte
+    values degrade to plain literals with a populated error channel
+    (metadata.rb:2082-2088)."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.operators.cells import build_cells
+
+    meta = {
+        "@context": "http://www.w3.org/ns/csvw",
+        "url": EX + "lineitem.csv",
+        "tableSchema": {"columns": [{"name": "q", "datatype": "byte"}]},
+    }
+    table = parse_metadata(meta).tables[0]
+    li = _t(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_quantity").cast("int") * 7).cast("string").alias("_c0"),
+    ).withColumn("_row", F.lit(1)).withColumn("_sourceRow", F.lit(2))
+    cells = build_cells(staged, table)
+    item = F.element_at(F.col("cell_q"), 1)
+    return cells.select(
+        "l_orderkey", "l_linenumber",
+        item["lex"].alias("lex"),
+        item["dt"].alias("dt"),
+        item["err"].isNotNull().alias("has_err"),
+    )
+
+
+def sql_csvw_datatype_byte() -> str:
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_quantity AS INTEGER) * 7 AS VARCHAR) AS lex,
+           CASE WHEN CAST(l_quantity AS INTEGER) * 7 BETWEEN -128 AND 127
+                THEN '{XSD}byte' END AS dt,
+           NOT (CAST(l_quantity AS INTEGER) * 7 BETWEEN -128 AND 127) AS has_err
+    FROM lineitem
+    """
+
+
+def q_agg_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase salted aggregation for hot keys (north rule
+    'salted aggregation for hot repos') — result identical to a plain
+    GROUP BY, plan splits every key B ways before the final combine."""
+    from rdf_tabular_spark.operators.dedup import salted_agg_count
+
+    events = _t(spark, sf_dir, "events")
+    return salted_agg_count(events, ["event_type"], salt_buckets=16)
+
+
+def sql_agg_salted_counts() -> str:
+    return "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"
+
+
 def q_csvw_uax35_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8: UAX-35 date-pattern parse 'M/d/yyyy' → canonical xsd:date lexical
     (uax35.rb:52-181), via the real compiled cell pipeline."""
@@ -694,6 +788,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "csvw_triples_minimal": q_csvw_triples_minimal,
+        "csvw_triples_standard": q_csvw_triples_standard,
+        "csvw_datatype_byte": q_csvw_datatype_byte,
+        "agg_salted_counts": q_agg_salted_counts,
         "csvw_uax35_date": q_csvw_uax35_date,
         "csvw_uax35_number": q_csvw_uax35_number,
         "csvw_pk_violations": q_csvw_pk_violations,
@@ -723,6 +820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "csvw_triples_minimal": sql_csvw_triples_minimal(),
+        "csvw_triples_standard": sql_csvw_triples_standard(),
+        "csvw_datatype_byte": sql_csvw_datatype_byte(),
+        "agg_salted_counts": sql_agg_salted_counts(),
         "csvw_uax35_date": sql_csvw_uax35_date(),
         "csvw_uax35_number": sql_csvw_uax35_number(),
         "csvw_pk_violations": sql_csvw_pk_violations(),
