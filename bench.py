@@ -139,6 +139,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     spark = _mk_spark(cpus)
     qs = entry.queries()
+    # JVM/JIT + scan warm-up so per-query numbers reflect steady state
+    # rather than charging first-query session costs to whoever runs first
+    spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "documents"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     per_query: dict[str, float] = {}
     t_suite = time.time()
     for name in BENCH_QUERIES:
