@@ -60,16 +60,26 @@ class KGPipeline:
     def _run_stage(self, name: str, build) -> DataFrame:
         path = self._stage_path(name)
         t0 = time.time()
-        if not self._done(name):
+        resumed = self._done(name)
+        if not resumed:
             build().write.mode("overwrite").parquet(path)
         df = self.spark.read.parquet(path)
-        n = df.count()
+        # per-partition lineage (north rule): row count per physical
+        # partition of the checkpointed output — one map-side-combined agg;
+        # a resume can verify any partition range without a full rescan
+        per_part = {
+            r["p"]: r["rows"]
+            for r in df.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("rows")).collect()
+        }
         self.lineage.append({
             "stage": name,
             "config_hash": self.config.config_hash,
-            "rows": n,
+            "rows": sum(per_part.values()),
+            "n_partitions": len(per_part),
+            "partition_rows": per_part,
             "wall_s": round(time.time() - t0, 3),
-            "resumed": self._done(name) and time.time() - t0 < 0.5,
+            "resumed": resumed,
         })
         return df
 
@@ -80,6 +90,17 @@ class KGPipeline:
             [(d["stage"], d["config_hash"], d["rows"], d["wall_s"]) for d in self.lineage],
             "stage string, config_hash string, rows long, wall_s double",
         ).write.mode("overwrite").parquet(path)
+        # per-partition metrics table: (stage, partition, rows)
+        rows = [
+            (d["stage"], int(p), int(n))
+            for d in self.lineage for p, n in d["partition_rows"].items()
+        ]
+        self.spark.createDataFrame(
+            rows or [("", -1, 0)],
+            "stage string, partition int, rows long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.config.checkpoint_dir,
+                         f"partitions-{self.config.config_hash}"))
 
     # -- stages ---------------------------------------------------------------
     def source(self) -> DataFrame:

@@ -123,3 +123,21 @@ def test_local_linking_deterministic():
 
     names = sorted(f"pkg{i // 3}.mod{i}" for i in range(60))
     assert link_mentions_local(names) == link_mentions_local(list(names))
+
+
+def test_per_partition_lineage(spark, results):
+    """North rule: per-partition lineage — partition row counts recorded
+    for every stage and summing to the stage total."""
+    import os
+
+    pipe = results["_pipe"]
+    for d in pipe.lineage:
+        assert d["n_partitions"] >= 1
+        assert sum(d["partition_rows"].values()) == d["rows"]
+    ppath = os.path.join(pipe.config.checkpoint_dir,
+                         f"partitions-{pipe.config.config_hash}")
+    pdf = spark.read.parquet(ppath)
+    per_stage = {r["stage"]: r["total"] for r in pdf.groupBy("stage").agg(
+        F.sum("rows").alias("total")).collect()}
+    got = {d["stage"]: d["rows"] for d in pipe.lineage}
+    assert per_stage == got
