@@ -657,6 +657,61 @@ def sql_similarity_ivf() -> str:
     """
 
 
+def _rademacher(bits: int = 8, dim: int = 64, seed: int = 7) -> list[list[int]]:
+    import hashlib
+
+    return [
+        [1 if hashlib.sha256(f"{seed}|{b}|{i}".encode()).digest()[0] % 2 == 0
+         else -1 for i in range(dim)]
+        for b in range(bits)
+    ]
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH ANN (the bucketed scale path): probe the
+    query's bucket + Hamming-1 neighbors, exact-rescore candidates only.
+    Hyperplanes are deterministic (sha256-derived ±1), so the DuckDB oracle
+    reproduces the bucketing bit-for-bit."""
+    from rdf_tabular_spark.ops.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return lsh_topk(emb, _query_vec(), k=10, bits=8)
+
+
+def sql_similarity_lsh() -> str:
+    q = _query_vec()
+    planes = _rademacher()
+    qv = "[" + ",".join(repr(v) for v in q) + "]"
+    # query-side probes, computed exactly as lsh_topk does on the driver
+    qsig = 0
+    for b, r in enumerate(planes):
+        if sum(x * y for x, y in zip(q, r)) >= 0:
+            qsig |= 1 << b
+    probes = sorted({qsig} | {qsig ^ (1 << b) for b in range(8)})
+    bit_terms = []
+    for b, r in enumerate(planes):
+        rv = "[" + ",".join(f"{x}.0" for x in r) + "]"
+        bit_terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"i -> v[i] * ({rv})[i])) >= 0 THEN {1 << b} ELSE 0 END)")
+    bucket = " + ".join(bit_terms)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    cand AS (SELECT * FROM b WHERE bucket IN ({",".join(map(str, probes))})),
+    scored AS (
+      SELECT vec_id,
+             round(list_sum(list_transform(generate_series(1, 64), i -> v[i] * ({qv})[i]))
+             / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                * sqrt(list_sum(list_transform({qv}, x -> x * x)))), 6) AS cosine
+      FROM cand)
+    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: video frame-sampling as a sequence/explode
     expansion over the media metadata (no decode)."""
@@ -816,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
+        "similarity_lsh": q_similarity_lsh,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "kg_triples": q_kg_triples,
@@ -846,6 +902,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": sql_text_fingerprint(),
         "similarity_topk": sql_similarity_topk(),
         "similarity_ivf": sql_similarity_ivf(),
+        "similarity_lsh": sql_similarity_lsh(),
         "multimodal_frames": sql_multimodal_frames(),
         "multimodal_features": sql_multimodal_features(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions
