@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -559,3 +560,186 @@ def verify_compatible(
                 continue
             problem(f"Columns don't match on titles: {ta!r} vs {tb!r}")
     return warnings
+
+
+#: column-name syntax (metadata.rb:108)
+NAME_SYNTAX = re.compile(
+    r"^(?:_col|[a-zA-Z0-9]|%[0-9a-fA-F]{2})(?:[a-zA-Z0-9._]|%[0-9a-fA-F]{2})*$")
+
+_STRINGY_BASES = {"string", "normalizedString", "token", "language", "Name",
+                  "NMTOKEN", "hexBinary", "base64Binary", "binary"}
+_RANGED_BASES = {
+    "decimal", "integer", "long", "int", "short", "byte", "double", "number",
+    "float", "nonNegativeInteger", "positiveInteger", "unsignedLong",
+    "unsignedInt", "unsignedShort", "unsignedByte", "nonPositiveInteger",
+    "negativeInteger", "date", "dateTime", "datetime", "dateTimeStamp",
+    "time", "duration", "dayTimeDuration", "yearMonthDuration",
+}
+
+
+def _cmp_val(v: Any):
+    try:
+        return (0, float(v))
+    except (TypeError, ValueError):
+        return (1, str(v))
+
+
+def _validate_datatype(dt: Any, where: str, errors: list, warnings: list) -> None:
+    if dt is None:
+        return
+    if isinstance(dt, str):
+        if dt in UNSUPPORTED:
+            warnings.append(f"{where}: unsupported datatype base {dt!r}")
+        return
+    base = dt.get("base", "string")
+    if base in UNSUPPORTED:
+        warnings.append(f"{where}: unsupported datatype base {base!r}")
+    length, min_l, max_l = dt.get("length"), dt.get("minLength"), dt.get("maxLength")
+    if length is not None and min_l is not None and length < min_l:
+        errors.append(f"{where}: length < minLength")
+    if length is not None and max_l is not None and length > max_l:
+        errors.append(f"{where}: length > maxLength")
+    if min_l is not None and max_l is not None and min_l > max_l:
+        errors.append(f"{where}: minLength > maxLength")
+    if any(v is not None for v in (length, min_l, max_l)) \
+            and base not in _STRINGY_BASES:
+        errors.append(
+            f"{where}: length facets only allowed on string/binary datatypes")
+
+    mins = {k: dt[k] for k in ("minimum", "minInclusive", "minExclusive") if k in dt}
+    maxs = {k: dt[k] for k in ("maximum", "maxInclusive", "maxExclusive") if k in dt}
+    if (mins or maxs) and base not in _RANGED_BASES:
+        errors.append(
+            f"{where}: range facets only allowed on numeric/date/duration datatypes")
+    min_inc = dt.get("minInclusive", dt.get("minimum"))
+    max_inc = dt.get("maxInclusive", dt.get("maximum"))
+    min_exc, max_exc = dt.get("minExclusive"), dt.get("maxExclusive")
+    if min_inc is not None and min_exc is not None:
+        errors.append(f"{where}: cannot specify both minInclusive and minExclusive")
+    if max_inc is not None and max_exc is not None:
+        errors.append(f"{where}: cannot specify both maxInclusive and maxExclusive")
+    if min_inc is not None and max_inc is not None \
+            and _cmp_val(max_inc) < _cmp_val(min_inc):
+        errors.append(f"{where}: maxInclusive < minInclusive")
+    if min_inc is not None and max_exc is not None \
+            and _cmp_val(max_exc) <= _cmp_val(min_inc):
+        errors.append(f"{where}: maxExclusive <= minInclusive")
+    if min_exc is not None and max_inc is not None \
+            and _cmp_val(max_inc) <= _cmp_val(min_exc):
+        errors.append(f"{where}: maxInclusive <= minExclusive")
+
+
+def validate_document(doc: dict, base: str | None = None) -> tuple[list[str], list[str]]:
+    """Metadata-document validation, the analog of the reference's
+    ``validate!`` (metadata.rb:611-770 and the Schema/foreignKeys specs):
+    returns (errors, warnings). Errors make the document invalid; warnings
+    keep it valid (non-validating processing continues either way).
+
+    Checks: column-name syntax (warn), duplicate column names (error),
+    virtual-before-non-virtual (error), primaryKey referencing a missing
+    column (warn), foreignKey structure — exactly one of
+    resource/schemaReference, resolvable targets, existing columns on both
+    sides (all errors) — and datatype facet combinations (errors)."""
+    errors: list[str] = []
+    warnings: list[str] = []
+    kind = detect_type(doc)
+    table_docs = doc.get("tables", [doc] if kind == "Table" else [])
+
+    def schema_of(tdoc: dict) -> dict:
+        ts = tdoc.get("tableSchema")
+        if isinstance(ts, str):
+            try:
+                return _load_json_ref(ts)
+            except Exception:
+                return {}
+        return ts or {}
+
+    def colnames(schema: dict, default_lang: str = "und") -> list[str]:
+        out = []
+        for i, c in enumerate(schema.get("columns") or []):
+            name = c.get("name")
+            if not name:
+                titles = _as_title_map(c.get("titles"), default_lang)
+                for lang in (default_lang, "und"):
+                    if titles.get(lang):
+                        name = encode_column_name(titles[lang][0])
+                        break
+            out.append(name or f"_col.{i + 1}")
+        return out
+
+    # table-level checks
+    schemas_by_id: dict[str, dict] = {}
+    tables_by_url: dict[str, dict] = {}
+    for tdoc in table_docs:
+        url = _resolve_url(tdoc.get("url"), base) or tdoc.get("url") or "?"
+        schema = schema_of(tdoc)
+        tables_by_url[url] = schema
+        if isinstance(schema.get("@id"), str):
+            schemas_by_id[_resolve_url(schema["@id"], base)] = schema
+        names = colnames(schema)
+        for c, name in zip(schema.get("columns") or [], names):
+            declared = c.get("name")
+            if declared and not NAME_SYNTAX.match(declared):
+                warnings.append(f"{url}: column name {declared!r} has invalid syntax")
+            _validate_datatype(c.get("datatype"),
+                               f"{url} column {name!r}", errors, warnings)
+        declared_names = [n for n in names if n]
+        if len(set(declared_names)) != len(declared_names):
+            errors.append(f"{url}: column names are not unique")
+        seen_virtual = False
+        for c in schema.get("columns") or []:
+            if c.get("virtual"):
+                seen_virtual = True
+            elif seen_virtual:
+                errors.append(
+                    f"{url}: virtual columns may not appear before non-virtual columns")
+                break
+        pk = schema.get("primaryKey")
+        for key in ([pk] if isinstance(pk, str) else (pk or [])):
+            if key not in names:
+                warnings.append(f"{url}: primaryKey references missing column {key!r}")
+        _validate_datatype(schema.get("datatype"), f"{url} schema", errors, warnings)
+
+    # foreignKey checks need all tables known
+    for url, schema in tables_by_url.items():
+        names = set(colnames(schema))
+        for fk in schema.get("foreignKeys") or []:
+            cref = fk.get("columnReference")
+            cols = [cref] if isinstance(cref, str) else (cref or [])
+            for c in cols:
+                if c not in names:
+                    errors.append(f"{url}: foreignKey references missing column {c!r}")
+            ref = fk.get("reference") or {}
+            has_res = "resource" in ref
+            has_sch = "schemaReference" in ref
+            if has_res == has_sch:
+                errors.append(
+                    f"{url}: foreignKey reference must have exactly one of "
+                    f"resource / schemaReference")
+                continue
+            if has_res:
+                target = _resolve_url(ref["resource"], base)
+                tschema = tables_by_url.get(target) or tables_by_url.get(ref["resource"])
+                if tschema is None:
+                    errors.append(
+                        f"{url}: foreignKey resource {ref['resource']!r} "
+                        f"matches no table")
+                    continue
+            else:
+                target = _resolve_url(ref["schemaReference"], base)
+                tschema = schemas_by_id.get(target) or schemas_by_id.get(
+                    ref["schemaReference"])
+                if tschema is None:
+                    errors.append(
+                        f"{url}: foreignKey schemaReference "
+                        f"{ref['schemaReference']!r} matches no tableSchema @id")
+                    continue
+            rref = ref.get("columnReference")
+            rcols = [rref] if isinstance(rref, str) else (rref or [])
+            tnames = set(colnames(tschema))
+            for c in rcols:
+                if c not in tnames:
+                    errors.append(
+                        f"{url}: foreignKey references missing column {c!r} "
+                        f"in referenced table")
+    return errors, warnings

@@ -291,6 +291,18 @@ def validate(
     out_schema = ("kind string, table string, row long, source_row long, "
                   "column string, detail string")
     parts: list[DataFrame] = []
+
+    # metadata-document validation first (reference validate!, reader.rb:167)
+    if isinstance(metadata, dict):
+        from .csvw.metadata import validate_document
+
+        md_errors, md_warnings = validate_document(metadata, base=base)
+        md_rows = (
+            [("metadata_error", None, None, None, None, e) for e in md_errors]
+            + [("metadata_warning", None, None, None, None, w)
+               for w in md_warnings])
+        if md_rows:
+            parts.append(spark.createDataFrame(md_rows, out_schema))
     cells_by_url: dict[str, DataFrame] = {}
     tables_by_url: dict[str, CompiledTable] = {}
     for table in group.tables:
