@@ -411,3 +411,36 @@ def test_doap_self_description(spark):
         golden = parse_ttl(f.read())
     report = compare_graphs(ours, golden)
     assert report["precision"] >= 0.95 and report["recall"] >= 0.95, report
+
+
+def test_row_titles_standard_mode(spark):
+    """T2 csvw:title from schema rowTitles (reader.rb:296-298): each row's
+    title cell value hangs off the Row node in standard mode."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.operators.cells import build_cells
+    from rdf_tabular_spark.operators.emit import emit_table_triples
+
+    doc = {
+        "@context": "http://www.w3.org/ns/csvw",
+        "url": BASE + "t.csv",
+        "tableSchema": {
+            "rowTitles": "name",
+            "columns": [{"name": "name"}, {"name": "v", "datatype": "integer"}],
+        },
+    }
+    table = parse_metadata(doc, base=BASE + "t.csv").tables[0]
+    staged = spark.createDataFrame(
+        [("alpha", "1", 1, 2), ("beta", "2", 2, 3)],
+        "_c0 string, _c1 string, _row long, _sourceRow long")
+    cells = build_cells(staged, table)
+    triples = emit_table_triples(cells, table, mode="standard").collect()
+    titles = sorted(
+        t["obj"] for t in triples
+        if t["pred"] == "http://www.w3.org/ns/csvw#title")
+    assert titles == ["alpha", "beta"]
+    # the title triples hang off the Row nodes
+    row_nodes = {t["subj"] for t in triples
+                 if t["pred"] == "http://www.w3.org/ns/csvw#title"}
+    rownum_nodes = {t["subj"] for t in triples
+                    if t["pred"] == "http://www.w3.org/ns/csvw#rownum"}
+    assert row_nodes == rownum_nodes
