@@ -63,27 +63,35 @@ def _read_table_multiline(
     skip = d.skipRows
     header_n = d.header_row_count
 
+    custom_sep = (d.lineTerminators
+                  if d.lineTerminators and d.lineTerminators not in ("\n", "\r\n")
+                  else None)
     non_virtual = [c for c in table.columns if not c.virtual]
     if non_virtual:
         n_cols = len(non_virtual) + d.skipColumns
     else:
         import csv as _csv
-        import io as _io
 
         with open(path, encoding=d.encoding or "utf-8", newline="") as f:
-            first = next(_csv.reader(f, delimiter=d.delimiter,
-                                     quotechar=d.quoteChar or '"'), [])
+            if custom_sep:
+                first_rec = f.read().split(custom_sep)[0]
+                first = next(_csv.reader([first_rec], delimiter=d.delimiter,
+                                         quotechar=d.quoteChar or '"'), [])
+            else:
+                first = next(_csv.reader(f, delimiter=d.delimiter,
+                                         quotechar=d.quoteChar or '"'), [])
         n_cols = max(len(first), 1)
 
     schema = StructType([
         StructField(f"_x{i}", StringType()) for i in range(n_cols)])
-    parsed = (
-        spark.read.options(
-            sep=d.delimiter, quote=d.quoteChar or '"',
-            escape=d.escape_char, multiLine=True, mode="PERMISSIVE",
-            encoding=d.encoding or "utf-8")
-        .schema(schema).csv(path)
-    )
+    opts = dict(
+        sep=d.delimiter, quote=d.quoteChar or '"',
+        escape=d.escape_char, multiLine=True, mode="PERMISSIVE",
+        encoding=d.encoding or "utf-8")
+    if d.lineTerminators and d.lineTerminators not in ("\n", "\r\n"):
+        # custom record terminator (S1 `lineTerminators`): JVM lineSep
+        opts["lineSep"] = d.lineTerminators
+    parsed = spark.read.options(**opts).schema(schema).csv(path)
     indexed = parsed.rdd.zipWithIndex().map(
         lambda t: tuple(t[0]) + (t[1] + 1,))
     df = spark.createDataFrame(
@@ -149,9 +157,12 @@ def read_table(
     skip = d.skipRows
     header_n = d.header_row_count
 
-    # non-UTF-8 encodings go through the JVM CSV reader, which honors the
-    # encoding option; spark.read.text is UTF-8-only (S1 dialect `encoding`)
+    # non-UTF-8 encodings and custom line terminators go through the JVM
+    # CSV reader, which honors the encoding/lineSep options;
+    # spark.read.text is UTF-8-only and \n/\r\n-framed (S1 dialect)
     if d.encoding and d.encoding.lower().replace("-", "") not in ("utf8", "ascii"):
+        return _read_table_multiline(spark, table, path)
+    if d.lineTerminators and d.lineTerminators not in ("\n", "\r\n"):
         return _read_table_multiline(spark, table, path)
 
     lines = spark.read.text(path)

@@ -150,3 +150,22 @@ def test_non_utf8_encoding(spark, tmp_path):
     assert scan.header_titles == ["name", "city"]
     rows = sorted((r["_c0"], r["_c1"]) for r in scan.df.collect())
     assert rows == [("José", "Málaga"), ("Zoë", "Zürich")]
+
+
+def test_custom_line_terminator(spark, tmp_path):
+    """S1 dialect `lineTerminators`: a non-standard record separator routes
+    through the JVM reader's lineSep."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    p = tmp_path / "semi.csv"
+    p.write_text("a,b;1,x;2,y;")
+    table = parse_metadata(
+        {"url": "http://example.org/semi.csv",
+         "dialect": {"lineTerminators": ";"}},
+        base="http://example.org/semi.csv").tables[0]
+    scan = read_table(spark, table, str(p))
+    assert scan.header_titles == ["a", "b"]
+    rows = sorted((r["_c0"], r["_c1"]) for r in scan.df.collect()
+                  if r["_c0"] is not None)
+    assert rows == [("1", "x"), ("2", "y")]
