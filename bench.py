@@ -8,10 +8,11 @@ prints ONE JSON line::
      "queries": {...per-query sec...}, "sf": 0.1,
      "kg_triples": N, "kg_triples_per_sec": N}
 
-``--scaling`` mode (run manually, results recorded in BASELINE.md): runs
-the north-rule KG job at two parallelism levels (local[8] vs local[32],
-the sandbox stand-in for N vs 4N executors) in fresh subprocesses and
-prints throughput at both plus efficiency = (T8/T32)/4... see BASELINE.md.
+``--scaling SF [--pair N,M] [--stage extract]`` mode (run manually,
+results recorded in BASELINE.md): runs the north-rule KG job at two
+parallelism levels (default local[2] vs local[8], the physically-backed
+N-vs-4N stand-in) in fresh confined JVMs and prints throughput at both
+plus the scaling efficiency.
 """
 
 from __future__ import annotations
@@ -169,13 +170,14 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def run_scaling(sf: float, pair: tuple[int, int] = (8, 32),
+def run_scaling(sf: float, pair: tuple[int, int] = (2, 8),
                 stage: str = "full") -> dict:
-    """Same KG job, same input, at local[N] and local[4N] in fresh JVMs.
+    """Same KG job, same input, at local[N] and local[4N] in fresh
+    confined JVMs (ActiveProcessorCount + GC threads = N).
 
-    Note: on SMT hosts the 8->32 pair is bounded by hardware (32 threads
-    deliver ~2.7x the arithmetic throughput of 8 on this box); the 2->8
-    pair stays within physically-backed cores. BASELINE.md reports both."""
+    Default pair 2->8: the physically-backed N-vs-4N pair on this host
+    (8->32 exceeds its ~19 effective cores). BASELINE.md documents the
+    methodology and records best-of-N results."""
     out = {}
     n_files = max(1000, int(KG_FILES_PER_SF * sf))
     for cpus in pair:
@@ -209,7 +211,7 @@ def main() -> None:
     if "--scaling" in sys.argv:
         i = sys.argv.index("--scaling")
         sf = float(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 0.1
-        pair = (8, 32)
+        pair = (2, 8)
         if "--pair" in sys.argv:
             j = sys.argv.index("--pair")
             lo, hi = sys.argv[j + 1].split(",")
