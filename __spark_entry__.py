@@ -56,8 +56,11 @@ def _nation_cells(spark: SparkSession, sf_dir: str):
     group = parse_metadata(_NATION_METADATA)
     table = group.tables[0]
     nation = _t(spark, sf_dir, "nation")
-    w = Window.orderBy("n_nationkey")
-    staged = nation.withColumn("_row", F.row_number().over(w)).select(
+    # TPC-H nation keys are dense 0..24 at every SF, so the CSVW row number
+    # is pure arithmetic — no single-partition global WindowExec (the real
+    # scan numbers lines via zipWithIndex, sources/csv_source.py)
+    staged = nation.withColumn(
+        "_row", (F.col("n_nationkey") + F.lit(1)).cast("long")).select(
         F.col("n_nationkey").cast("string").alias("_c0"),
         F.col("n_name").cast("string").alias("_c1"),
         F.col("n_regionkey").cast("string").alias("_c2"),
@@ -287,11 +290,15 @@ def sql_csvw_pk_violations() -> str:
 
 def q_csvw_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: FK integrity as a left-anti equi-join (reader.rb:695-708):
-    events.user_id referencing customer.c_custkey."""
+    events.user_id referencing customer.c_custkey. The referenced side is
+    restricted to even custkeys so violations actually exist at sf0.01 —
+    every user_id resolves against the full customer table and the oracle
+    row would otherwise prove only empty == empty."""
     events = _t(spark, sf_dir, "events")
     customer = _t(spark, sf_dir, "customer")
     lhs = events.select(F.col("user_id").alias("k0"))
-    rhs = customer.select(F.col("c_custkey").alias("k0")).distinct()
+    rhs = customer.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("k0")).distinct()
     return (
         lhs.join(rhs, on="k0", how="left_anti")
         .groupBy("k0").agg(F.count(F.lit(1)).alias("n_rows"))
@@ -302,7 +309,8 @@ def sql_csvw_fk_violations() -> str:
     return """
     SELECT user_id AS k0, COUNT(*) AS n_rows
     FROM events e
-    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = e.user_id AND c.c_custkey % 2 = 0)
     GROUP BY 1
     """
 
@@ -387,16 +395,20 @@ def sql_csvw_json_rows() -> str:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 30-char normalized-prefix fingerprint: sf0.01 has no
+    full-text duplicates, so the full-fingerprint query proved only
+    empty == empty; the prefix variant yields ~23 real dup groups."""
     from rdf_tabular_spark.ops.dedup import exact_duplicates
 
-    return exact_duplicates(_t(spark, sf_dir, "documents"))
+    return exact_duplicates(_t(spark, sf_dir, "documents"), prefix_chars=30)
 
 
 def sql_dedup_exact() -> str:
     return """
     WITH fp AS (
       SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+             md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                        1, 30)) AS fp
       FROM documents)
     SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keep_id
     FROM fp GROUP BY fp HAVING COUNT(*) > 1
@@ -755,8 +767,237 @@ def sql_multimodal_features() -> str:
 
 
 # ---------------------------------------------------------------------------
-# Source-code KG construction (north rule) — synthetic input, rows-only checks
+# Source-code KG construction (north rule) — staged deterministic source,
+# full DuckDB oracle (extraction regexes + linking + assembly replicated)
 # ---------------------------------------------------------------------------
+
+KG_ORACLE_FILES = 300
+
+
+def _kg_oracle_source_path() -> str:
+    """Stage the deterministic synthetic source table (input_hint shape) as
+    ONE parquet file both engines read. ~1 in 5 files get case-variant
+    import spellings (``Requests``/``JSON``/``Numpy``) whose normalized form
+    collides with the lowercase original — the entity-linking stage merges
+    them (kg/link.py normalize_mention), so linking is *observable* in the
+    oracle, and on this vocabulary the linker's output provably equals
+    normalized-equality grouping (verified in tests), which plain SQL can
+    replicate.
+
+    Generation is pure Python (no Spark) so ``oracle_sql()`` can stage too —
+    whichever side the driver calls first creates the file."""
+    import hashlib
+    import os
+    import tempfile
+
+    from rdf_tabular_spark.kg import synth
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"rdf_tabular_spark_kg_oracle_{KG_ORACLE_FILES}.parquet")
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_repos = max(10, KG_ORACLE_FILES // 200)
+    ext_for = {"python": "py", "ruby": "rb", "javascript": "js", "json": "json"}
+    cols: dict[str, list] = {
+        "repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for i in range(KG_ORACLE_FILES):
+        lang = synth.lang_for(i)
+        content = synth.make_content(i, lang)
+        if i % 5 == 0:
+            content = (
+                content.replace("import requests", "import Requests")
+                .replace("require 'json'", "require 'JSON'")
+                .replace("require('numpy')", "require('Numpy')"))
+        cols["repo"].append(synth.repo_for(i, n_repos))
+        cols["path"].append(
+            f"src/{synth._h('d1', i) % 20:02d}/"
+            f"{synth._h('d2', i) % 50:02d}/file_{i}.{ext_for[lang]}")
+        cols["commit"].append(hashlib.sha1(f"commit|{i}".encode()).hexdigest())
+        cols["lang"].append(lang)
+        cols["content"].append(content)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+# (lang, rule order within lang, kind, regex with groups 1=name [2=detail],
+#  group count) — the numbered-group twins of kg/extract.py LANG_RULES; the
+# oracle depends on rule ORDER because per-file row_idx counts structures in
+# (rule, match) order, exactly like the extraction UDF's concat + cumcount.
+_KG_SQL_RULES = [
+    ("python", 0, "import", r"(?m)^import\s+([\w.]+)(?:\s+as\s+(\w+))?", 2),
+    ("python", 1, "import", r"(?m)^from\s+([\w.]+)\s+import\s+([\w*, ]+)", 2),
+    ("python", 2, "def", r"(?m)^\s*def\s+(\w+)\s*\(([^)]*)\)", 2),
+    ("python", 3, "class", r"(?m)^\s*class\s+(\w+)", 1),
+    ("ruby", 0, "import", r"(?m)^require\s+['\"]([\w./-]+)['\"]", 1),
+    ("ruby", 1, "def", r"(?m)^\s*def\s+([\w?!]+)", 1),
+    ("ruby", 2, "class", r"(?m)^\s*class\s+(\w+)", 1),
+    ("javascript", 0, "import", r"require\(['\"]([\w./@-]+)['\"]\)", 1),
+    ("javascript", 1, "import",
+     r"(?m)^import\s+.*?from\s+['\"]([\w./@-]+)['\"]", 1),
+    ("javascript", 2, "def", r"function\s+(\w+)\s*\(", 1),
+    ("javascript", 3, "class", r"class\s+(\w+)", 1),
+    ("json", 0, "dep", r"\"([\w./@-]+)\"\s*:\s*\"([~^]?[\d][\w.+-]*)\"", 2),
+]
+
+_KG = "http://rdf-tabular-spark.dev/kg#"
+_KGI = "http://rdf-tabular-spark.dev/kg/"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _sql_kg_base() -> str:
+    """Shared CTE prelude: staged source scan -> extraction (`ext`) ->
+    linking labels (`labels`, = normalized-equality grouping with canonical
+    = min mention, bit-identical to kg/link.py on this vocabulary)."""
+    src = _kg_oracle_source_path()
+    per_rule = []
+    for j, (lang, rule_no, kind, rx, n_groups) in enumerate(_KG_SQL_RULES):
+        details = (f"regexp_extract_all(content, $${rx}$$, 2)"
+                   if n_groups == 2 else "[]::VARCHAR[]")
+        per_rule.append(f"""
+      SELECT repo, path, '{kind}' AS kind, {rule_no} AS rule_no, ord,
+             names[ord] AS name,
+             CASE WHEN len(details) >= ord
+                  THEN nullif(details[ord], '') END AS detail
+      FROM (
+        SELECT repo, path, names, details,
+               unnest(generate_series(1, len(names))) AS ord
+        FROM (
+          SELECT repo, path,
+                 regexp_extract_all(content, $${rx}$$, 1) AS names,
+                 {details} AS details
+          FROM kgsrc WHERE lang = '{lang}'))""")
+    union = "\n      UNION ALL".join(per_rule)
+    return f"""
+    WITH kgsrc AS (SELECT * FROM read_parquet('{src}')),
+    raw AS ({union}),
+    ext AS (
+      SELECT repo, path, kind, name, detail,
+             CAST(row_number() OVER (PARTITION BY repo, path
+                                     ORDER BY rule_no, ord) - 1 AS INT)
+               AS row_idx
+      FROM raw),
+    mentions AS (
+      SELECT DISTINCT name AS mention FROM ext
+      WHERE kind IN ('import', 'dep')),
+    labels AS (
+      SELECT mention, min(mention) OVER (PARTITION BY norm) AS canonical
+      FROM (SELECT mention,
+                   regexp_replace(regexp_replace(lower(mention), '^\\./', ''),
+                                  '[/._-]+', '.', 'g') AS norm
+            FROM mentions)),
+    canon AS (
+      SELECT e.repo, e.path, e.kind,
+             coalesce(l.canonical, e.name) AS name, e.detail
+      FROM ext e LEFT JOIN labels l ON e.name = l.mention
+      WHERE e.kind IN ('import', 'dep')),
+    defs AS (
+      SELECT repo, path, kind, name, detail, row_idx FROM ext
+      WHERE kind NOT IN ('import', 'dep'))"""
+
+
+def sql_kg_triples() -> str:
+    """DuckDB twin of the full pipeline output (kg/assemble.py build_graph):
+    edge triples from the (repo, path, ekey, name)-deduped stream, module
+    metadata from the label map, symbol metadata from distinct sets, file
+    bundles + repo types straight off the source."""
+    f_iri = "'{0}file/' || repo || '/' || path".format(_KGI)
+    return _sql_kg_base() + f""",
+    edges AS (
+      SELECT DISTINCT repo, path,
+             CASE WHEN kind IN ('def', 'class') THEN 'defsym' ELSE kind END
+               AS ekey,
+             name
+      FROM (SELECT repo, path, kind, name FROM canon
+            UNION ALL SELECT repo, path, kind, name FROM defs))
+    SELECT {f_iri} AS subj,
+           CASE ekey WHEN 'import' THEN '{_KG}imports'
+                     WHEN 'dep' THEN '{_KG}dependsOn'
+                     ELSE '{_KG}defines' END AS pred,
+           CASE WHEN ekey = 'defsym' THEN '{_KGI}sym/' || repo || '/' || name
+                ELSE '{_KGI}mod/' || name END AS obj,
+           TRUE AS obj_is_iri, CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM edges
+    UNION ALL
+    SELECT '{_KGI}mod/' || canonical, '{_RDF_TYPE}', '{_KG}Module',
+           TRUE, NULL, NULL
+    FROM (SELECT DISTINCT canonical FROM labels)
+    UNION ALL
+    SELECT DISTINCT '{_KGI}mod/' || canonical, '{_KG}mention', mention,
+           FALSE, NULL, NULL
+    FROM labels
+    UNION ALL
+    SELECT DISTINCT '{_KGI}mod/' || name, '{_KG}versionSpec', detail,
+           FALSE, NULL, NULL
+    FROM canon WHERE kind = 'dep' AND detail IS NOT NULL
+    UNION ALL
+    SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
+    FROM (
+      SELECT '{_KGI}sym/' || repo || '/' || name AS subj,
+             '{_RDF_TYPE}' AS pred,
+             CASE WHEN kind = 'class' THEN '{_KG}Class'
+                  ELSE '{_KG}Function' END AS obj,
+             TRUE AS obj_is_iri, CAST(NULL AS VARCHAR) AS obj_datatype,
+             CAST(NULL AS VARCHAR) AS obj_lang
+      FROM (SELECT DISTINCT repo, name, kind FROM defs)
+      UNION ALL
+      SELECT '{_KGI}sym/' || repo || '/' || name, '{_KG}name', name,
+             FALSE, NULL, NULL
+      FROM (SELECT DISTINCT repo, name, kind FROM defs))
+    UNION ALL
+    SELECT DISTINCT '{_KGI}sym/' || repo || '/' || name, '{_KG}atIndex',
+           CAST(row_idx AS VARCHAR), FALSE,
+           'http://www.w3.org/2001/XMLSchema#integer', NULL
+    FROM defs
+    UNION ALL
+    SELECT {f_iri}, '{_RDF_TYPE}', '{_KG}File', TRUE, NULL, NULL FROM kgsrc
+    UNION ALL
+    SELECT {f_iri}, '{_KG}inRepo', '{_KGI}repo/' || repo, TRUE, NULL, NULL
+    FROM kgsrc
+    UNION ALL
+    SELECT {f_iri}, '{_KG}path', path, FALSE, NULL, NULL FROM kgsrc
+    UNION ALL
+    SELECT {f_iri}, '{_KG}lang', lang, FALSE, NULL, NULL FROM kgsrc
+    UNION ALL
+    SELECT {f_iri}, '{_KG}commit', commit, FALSE, NULL, NULL FROM kgsrc
+    UNION ALL
+    SELECT {f_iri}, '{_KG}sha256', sha256(content), FALSE,
+           'http://www.w3.org/2001/XMLSchema#hexBinary', NULL
+    FROM kgsrc
+    UNION ALL
+    SELECT '{_KGI}repo/' || repo, '{_RDF_TYPE}', '{_KG}Repository',
+           TRUE, NULL, NULL
+    FROM (SELECT DISTINCT repo FROM kgsrc)
+    """
+
+
+def sql_kg_entities() -> str:
+    return _sql_kg_base() + f"""
+    SELECT '{_KGI}mod/' || canonical AS iri, 'Module' AS kind,
+           canonical AS canonical_key,
+           string_agg(DISTINCT mention, '|' ORDER BY mention) AS aliases
+    FROM labels GROUP BY canonical
+    """
+
+
+def sql_kg_sha_invariant() -> str:
+    """The per-row invariant as a REAL oracle: the Spark side returns the
+    graph's (file, kg:sha256) pairs; the twin recomputes sha256(content)
+    from the source. A hash-exact match IS end-to-end preservation —
+    stronger than the old empty-symmetric-difference check, which compared
+    empty to empty."""
+    src = _kg_oracle_source_path()
+    return f"""
+    SELECT '{_KGI}file/' || repo || '/' || path AS subj,
+           sha256(content) AS sha256
+    FROM read_parquet('{src}')
+    """
 
 
 def _kg_pipeline(src: DataFrame):
@@ -808,30 +1049,38 @@ def _kg_run(spark: SparkSession, n_files: int = 300):
     return _kg_pipeline(src)
 
 
+def _kg_oracle_run(spark: SparkSession):
+    """The full pipeline over the STAGED oracle source (same parquet the
+    DuckDB twin reads)."""
+    src = spark.read.parquet(_kg_oracle_source_path()).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256))
+    return _kg_pipeline(src)
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, _, triples = _kg_run(spark)
+    _, _, triples = _kg_oracle_run(spark)
     return triples
 
 
 def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, entities, _ = _kg_run(spark)
-    return entities
+    """Entity table with the aliases array serialized '|'-joined — the
+    driver's pandas canonicalizer can't sort list cells (round-1 red row)."""
+    _, entities, _ = _kg_oracle_run(spark)
+    return entities.select(
+        "iri", "kind", "canonical_key",
+        F.concat_ws("|", "aliases").alias("aliases"))
 
 
 def q_kg_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row invariant: sha256(content) carried end-to-end. Returns the
-    symmetric difference between source hashes and graph kg:sha256 triples —
-    MUST be empty."""
+    """Per-row invariant, oracle-checked: the graph's (file, kg:sha256)
+    pairs vs sha256(content) recomputed from the source by DuckDB. A
+    hash-exact match proves the invariant end-to-end (the round-1 version
+    returned an empty symmetric difference — vacuously green)."""
     from rdf_tabular_spark.kg import annotate
 
-    src, _, triples = _kg_run(spark)
-    src_pairs = src.select(
-        annotate.file_iri(F.col("repo"), F.col("path")).alias("subj"),
-        F.col("content_sha256").alias("obj"))
-    graph_pairs = triples.filter(
-        F.col("pred") == annotate.KG + "sha256").select("subj", "obj")
-    return src_pairs.exceptAll(graph_pairs).unionAll(
-        graph_pairs.exceptAll(src_pairs))
+    _, _, triples = _kg_oracle_run(spark)
+    return triples.filter(F.col("pred") == annotate.KG + "sha256").select(
+        "subj", F.col("obj").alias("sha256"))
 
 
 # ---------------------------------------------------------------------------
@@ -905,7 +1154,10 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": sql_similarity_lsh(),
         "multimodal_frames": sql_multimodal_frames(),
         "multimodal_features": sql_multimodal_features(),
+        "kg_triples": sql_kg_triples(),
+        "kg_entities": sql_kg_entities(),
+        "kg_sha_invariant": sql_kg_sha_invariant(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions
-        # (murmur3 / xxhash64) have no DuckDB twin -> rows-only check;
-        # kg_*: synthetic non-SQL pipeline -> rows-only check.
+        # (murmur3 / xxhash64) have no DuckDB twin -> rows-only check
+        # (their portable md5 variants below ARE oracle-checked).
     }

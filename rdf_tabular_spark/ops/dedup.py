@@ -57,10 +57,19 @@ def with_shingles(df: DataFrame, text_col: str, k: int,
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     prefix_chars: int | None = None) -> DataFrame:
     """Groups of exact duplicates (by md5 of normalized text) with the
-    elected keeper = min id. Returns (fp, n, keep_id)."""
-    withfp = df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
+    elected keeper = min id. Returns (fp, n, keep_id).
+
+    *prefix_chars* fingerprints only the first N normalized characters —
+    the common production variant that collapses boilerplate-prefixed
+    documents (and the variant the small-SF oracle uses so duplicate
+    groups actually exist in the synthetic corpus)."""
+    norm = normalize_text(F.col(text_col))
+    if prefix_chars is not None:
+        norm = F.substring(norm, 1, prefix_chars)
+    withfp = df.select(F.col(id_col), F.md5(norm).alias("fp"))
     return (
         withfp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))

@@ -141,3 +141,33 @@ def test_per_partition_lineage(spark, results):
         F.sum("rows").alias("total")).collect()}
     got = {d["stage"]: d["rows"] for d in pipe.lineage}
     assert per_stage == got
+
+
+def test_kg_oracle_linker_equals_norm_grouping():
+    """The driver-contract KG oracle (sql_kg_triples/sql_kg_entities)
+    replicates entity linking as normalized-equality grouping with
+    canonical = min(mention). Assert the REAL linker produces exactly that
+    on the staged oracle vocabulary — including at least one non-trivial
+    merge (the case-variant spellings), so linking is observable."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import _kg_oracle_source_path
+    from rdf_tabular_spark.kg.extract import LANG_RULES
+    from rdf_tabular_spark.kg.link import _norm_py, link_mentions_local
+
+    tbl = pq.read_table(_kg_oracle_source_path()).to_pydict()
+    vocab: set[str] = set()
+    for lang, content in zip(tbl["lang"], tbl["content"]):
+        for kind, rx, fl in LANG_RULES[lang]:
+            if kind in ("import", "dep"):
+                for m in re.finditer(rx, content, fl):
+                    vocab.add(m.group("name"))
+    linked = dict(link_mentions_local(sorted(vocab), 0.55))
+    groups: dict[str, list[str]] = {}
+    for m in vocab:
+        groups.setdefault(_norm_py(m), []).append(m)
+    expect = {m: min(g) for g in groups.values() for m in g}
+    assert linked == expect
+    assert any(m != c for m, c in linked.items())
