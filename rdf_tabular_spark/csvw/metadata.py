@@ -60,7 +60,7 @@ class Dialect:
     encoding: str = "utf-8"
     header: bool = True
     headerRowCount: int | None = None
-    lineTerminators: str | None = None
+    lineTerminators: str | list | None = None  # string-or-array property
     quoteChar: str = '"'
     skipBlankRows: bool = False
     skipColumns: int = 0
@@ -88,6 +88,25 @@ class Dialect:
     @property
     def escape_char(self) -> str:
         return '"' if self.doubleQuote else "\\"
+
+    @property
+    def line_terminator_list(self) -> list[str]:
+        """`lineTerminators` normalized to a list (the CSVW property is
+        string-or-array; spec default ["\\r\\n", "\\n"])."""
+        v = self.lineTerminators
+        if v is None:
+            return ["\r\n", "\n"]
+        return [v] if isinstance(v, str) else [str(t) for t in v]
+
+    @property
+    def custom_line_sep(self) -> str | None:
+        """None when the terminators are a subset of the spec defaults —
+        standard line framing (Spark's text/CSV readers already split on
+        \\n and \\r\\n) — else the first non-standard terminator, which
+        routes the scan through the record-separator path."""
+        custom = [t for t in self.line_terminator_list
+                  if t not in ("\n", "\r\n")]
+        return custom[0] if custom else None
 
     @classmethod
     def from_json(cls, obj: dict | None) -> "Dialect":

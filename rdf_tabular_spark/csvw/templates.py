@@ -28,11 +28,22 @@ _UNRESERVED = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._
 _RESERVED = ":/?#[]@!$&'()*+,;="
 
 
+_HEX_DIGITS = set("0123456789abcdefABCDEF")
+
+
 def _pct(s: str, keep_reserved: bool) -> str:
-    safe = _UNRESERVED + (_RESERVED + "%" if keep_reserved else "")
+    s = str(s)
+    safe = _UNRESERVED + (_RESERVED if keep_reserved else "")
     out = []
-    for ch in str(s):
-        if ch in safe:
+    for i, ch in enumerate(s):
+        if ch == "%" and keep_reserved:
+            # RFC 6570 §3.2.3: only a valid pct-triplet passes through in
+            # reserved expansion; a bare '%' must be encoded as %25
+            if s[i + 1 : i + 2] in _HEX_DIGITS and s[i + 2 : i + 3] in _HEX_DIGITS:
+                out.append("%")
+            else:
+                out.append("%25")
+        elif ch in safe:
             out.append(ch)
         else:
             out.append("".join(f"%{b:02X}" for b in ch.encode("utf-8")))
@@ -165,8 +176,10 @@ def pct_encode_col(col: Column, keep_reserved: bool) -> Column:
     if keep_reserved:
         for ch, esc in _RESERVED_ESCAPES:
             enc = F.replace(enc, F.lit(esc), F.lit(ch))
-        # %25 last: a literal '%' (e.g. an existing pct-triplet) passes through
-        enc = F.replace(enc, F.lit("%25"), F.lit("%"))
+        # %25 last, and only when a valid pct-triplet follows: "%41" in the
+        # input passes through as %41, but a bare '%' ("100%") must stay
+        # %25 (RFC 6570 §3.2.3) — byte-parity with _pct above
+        enc = F.regexp_replace(enc, r"%25([0-9A-Fa-f]{2})", r"%$1")
     else:
         enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
     return enc

@@ -23,6 +23,24 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text
 
+#: persisted intermediates of the most recent near-dup invocation. Each new
+#: invocation evicts the previous ones, and :func:`release_caches` frees the
+#: rest — without this, repeated calls in a long-lived session accumulate
+#: cached shingle/signature blocks that compete with executor memory.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    release_caches()
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist intermediates cached by earlier near-dup calls."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     """Distinct word-k-gram shingles from a token-array column.
@@ -93,12 +111,12 @@ def ngram_jaccard_pairs(
     # the string comparison modulo 64-bit collisions).
     # persist: three plan branches (prefix explode, both verify sides) read
     # this — without it each branch re-runs the tokenize+shingle pipeline.
-    hashed = base.select(
+    hashed = _cache(base.select(
         "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"),
     ).withColumn("prefix", F.slice(
         "shh", F.lit(1),
         F.floor(F.size("shh") * F.lit(1.0 - threshold)).cast("int") + F.lit(1))
-    ).persist()
+    ))
     # PPJoin length filter: Jaccard >= t forces t*|b| <= |a| <= |b|/t,
     # pruning candidates before the pair dedup shuffle
     tokens = hashed.select(
@@ -155,11 +173,11 @@ def minhash_lsh_pairs(
     # smaller candidate pair set for exact-Jaccard verification. Staged +
     # persisted for the same lambda-capture / multi-branch reasons as the
     # exact path.
-    hashed = with_shingles(df, text_col, k, id_col).select(
+    hashed = _cache(with_shingles(df, text_col, k, id_col).select(
         "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"),
     ).withColumn(
         "sig", minhash_signature(F.col("shh"), bands * rows_per_band)
-    ).persist()
+    ))
     band_keys = F.array(*[
         F.hash(F.lit(bnd), *[
             F.element_at("sig", bnd * rows_per_band + r + 1)
@@ -226,7 +244,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked on
     16-bit chunks (a pair within distance 3 must share one of 4 chunks)."""
     # both self-join sides read the simhash column — compute it once
-    sh = simhash64(df, id_col, text_col).persist()
+    sh = _cache(simhash64(df, id_col, text_col))
     chunks = F.array(*[
         F.struct(F.lit(i).alias("chunk"),
                  F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"))

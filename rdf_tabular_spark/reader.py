@@ -307,6 +307,11 @@ def validate(
     tables_by_url: dict[str, CompiledTable] = {}
     for table in group.tables:
         scan = _scan_table(spark, table, html_text, url_map, search_dir)
+        # scan-level problems (e.g. ragged rows wider than the declared
+        # schema in the record-framing path) are validation findings too
+        for p in scan.problems:
+            parts.append(spark.createDataFrame(
+                [("scan", table.url, None, None, None, p)], out_schema))
         # schema-vs-embedded-header compatibility (verify_compatible!,
         # metadata.rb:996-1079): in validation mode an incompatibility is a
         # reported problem; the declared schema then proceeds unmerged

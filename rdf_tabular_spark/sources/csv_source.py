@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import csv as pycsv
 import io
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +39,7 @@ class TableScan:
     header_titles: list[str] = field(default_factory=list)
     comments: list[str] = field(default_factory=list)
     n_physical_columns: int = 0
+    problems: list[str] = field(default_factory=list)  # e.g. ragged rows
 
 
 def _parse_csv_line(line: str, dialect: Dialect) -> list[str]:
@@ -63,9 +65,7 @@ def _read_table_multiline(
     skip = d.skipRows
     header_n = d.header_row_count
 
-    custom_sep = (d.lineTerminators
-                  if d.lineTerminators and d.lineTerminators not in ("\n", "\r\n")
-                  else None)
+    custom_sep = d.custom_line_sep
     non_virtual = [c for c in table.columns if not c.virtual]
     if non_virtual:
         n_cols = len(non_virtual) + d.skipColumns
@@ -82,21 +82,65 @@ def _read_table_multiline(
                                          quotechar=d.quoteChar or '"'), [])
         n_cols = max(len(first), 1)
 
+    problems: list[str] = []
     schema = StructType([
         StructField(f"_x{i}", StringType()) for i in range(n_cols)])
-    opts = dict(
-        sep=d.delimiter, quote=d.quoteChar or '"',
-        escape=d.escape_char, multiLine=True, mode="PERMISSIVE",
-        encoding=d.encoding or "utf-8")
-    if d.lineTerminators and d.lineTerminators not in ("\n", "\r\n"):
-        # custom record terminator (S1 `lineTerminators`): JVM lineSep
-        opts["lineSep"] = d.lineTerminators
-    parsed = spark.read.options(**opts).schema(schema).csv(path)
-    indexed = parsed.rdd.zipWithIndex().map(
-        lambda t: tuple(t[0]) + (t[1] + 1,))
-    df = spark.createDataFrame(
-        indexed, StructType(schema.fields + [
-            StructField("_sourceRow", LongType())]))
+    src_field = StructField("_sourceRow", LongType())
+    if custom_sep is not None and len(custom_sep) != 1:
+        # multi-char record terminator: the JVM lineSep option is limited to
+        # one character, so split records on the driver — segments with an
+        # unbalanced quote count are re-joined (a quoted cell may embed the
+        # terminator). Files with exotic terminators are small one-offs; the
+        # distributed paths handle the standard framings.
+        with open(path, encoding=d.encoding or "utf-8", newline="") as f:
+            text = f.read()
+        q = d.quoteChar or '"'
+        recs: list[str] = []
+        buf: str | None = None
+        for seg in text.split(custom_sep):
+            buf = seg if buf is None else buf + custom_sep + seg
+            if buf.count(q) % 2 == 0:
+                recs.append(buf)
+                buf = None
+        if buf is not None:
+            recs.append(buf)
+        if recs and recs[-1] == "":
+            recs.pop()
+        parsed_rows = [_parse_csv_line(r, d) for r in recs]
+        for i, row in enumerate(parsed_rows):
+            if len(row) > n_cols:
+                problems.append(
+                    f"ragged row {i + 1}: {len(row)} cells, expected {n_cols}")
+        data = [
+            tuple((row + [None] * n_cols)[:n_cols]) + (i + 1,)
+            for i, row in enumerate(parsed_rows)
+        ]
+        df = spark.createDataFrame(
+            data, StructType(schema.fields + [src_field]))
+    else:
+        opts = dict(
+            sep=d.delimiter, quote=d.quoteChar or '"',
+            escape=d.escape_char, multiLine=True, mode="PERMISSIVE",
+            encoding=d.encoding or "utf-8")
+        if custom_sep is not None:
+            # single-char custom record terminator (S1): JVM lineSep
+            opts["lineSep"] = custom_sep
+        # one overflow slot so rows wider than the declared schema surface
+        # as scan problems instead of being silently truncated (the
+        # line-based scan sizes columns from the widest observation)
+        probe = StructType(
+            schema.fields + [StructField("_overflow", StringType())])
+        parsed = spark.read.options(**opts).schema(probe).csv(path)
+        indexed = parsed.rdd.zipWithIndex().map(
+            lambda t: tuple(t[0]) + (t[1] + 1,))
+        df = spark.createDataFrame(
+            indexed, StructType(probe.fields + [src_field]))
+        ragged = df.filter(F.col("_overflow").isNotNull()) \
+            .select("_sourceRow").collect()
+        problems.extend(
+            f"ragged row {r['_sourceRow']}: wider than the "
+            f"{n_cols}-column schema" for r in ragged)
+        df = df.drop("_overflow")
 
     comments: list[str] = []
     header_titles: list[str] = []
@@ -147,6 +191,7 @@ def _read_table_multiline(
         header_titles=header_titles,
         comments=comments,
         n_physical_columns=n_cols,
+        problems=problems,
     )
 
 
@@ -162,17 +207,23 @@ def read_table(
     # spark.read.text is UTF-8-only and \n/\r\n-framed (S1 dialect)
     if d.encoding and d.encoding.lower().replace("-", "") not in ("utf8", "ascii"):
         return _read_table_multiline(spark, table, path)
-    if d.lineTerminators and d.lineTerminators not in ("\n", "\r\n"):
+    if d.custom_line_sep is not None:
         return _read_table_multiline(spark, table, path)
 
     lines = spark.read.text(path)
     if d.quoteChar:
-        # embedded line terminators leave a line with an odd quote count;
-        # such files go through the record-framing (multiLine) scan
+        # embedded line terminators leave a line with an odd count of
+        # FIELD-BOUNDARY quotes (quote at line start/end or adjacent to the
+        # delimiter); such files go through the record-framing (multiLine)
+        # scan. Counting only boundary quotes keeps an unquoted mid-field
+        # quoteChar (`5" x 4`) from misrouting the file to the JVM parser,
+        # whose quoting semantics differ for such malformed-quote data.
         q = d.quoteChar
-        n_quotes = F.length(F.col("value")) - F.length(
-            F.replace(F.col("value"), F.lit(q), F.lit("")))
-        if lines.filter(n_quotes % 2 == 1).limit(1).count() > 0:
+        qe, de = re.escape(q), re.escape(d.delimiter)
+        boundary = f"(^|{de}){qe}|{qe}({de}|$)"
+        if lines.filter(
+                F.regexp_count(F.col("value"), F.lit(boundary)) % 2 == 1
+        ).limit(1).count() > 0:
             return _read_table_multiline(spark, table, path)
     indexed = lines.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1] + 1))
     df = spark.createDataFrame(

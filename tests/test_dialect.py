@@ -169,3 +169,75 @@ def test_custom_line_terminator(spark, tmp_path):
     rows = sorted((r["_c0"], r["_c1"]) for r in scan.df.collect()
                   if r["_c0"] is not None)
     assert rows == [("1", "x"), ("2", "y")]
+
+
+def test_line_terminators_array_default_is_standard_path(spark, tmp_path):
+    """`lineTerminators` is string-or-array; an array equal to the spec
+    default must NOT reroute to the record-framing scan (round-1 advice:
+    the scalar assumption crashed on any array value)."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    p = tmp_path / "arr.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    table = parse_metadata(
+        {"url": "http://example.org/arr.csv",
+         "dialect": {"lineTerminators": ["\r\n", "\n"]}},
+        base="http://example.org/arr.csv").tables[0]
+    assert table.dialect.custom_line_sep is None
+    scan = read_table(spark, table, str(p))
+    assert scan.header_titles == ["a", "b"]
+    assert sorted((r["_c0"], r["_c1"]) for r in scan.df.collect()) == [
+        ("1", "x"), ("2", "y")]
+
+
+def test_multichar_line_terminator(spark, tmp_path):
+    """A multi-char custom record separator ('||') exceeds the JVM lineSep
+    1-char limit -> driver-side record split, quoted embedded separators
+    preserved."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    p = tmp_path / "pipe.csv"
+    p.write_text('a,b||1,"x||y"||2,z||')
+    table = parse_metadata(
+        {"url": "http://example.org/pipe.csv",
+         "dialect": {"lineTerminators": "||"}},
+        base="http://example.org/pipe.csv").tables[0]
+    scan = read_table(spark, table, str(p))
+    assert scan.header_titles == ["a", "b"]
+    rows = sorted((r["_c0"], r["_c1"]) for r in scan.df.collect())
+    assert rows == [("1", "x||y"), ("2", "z")]
+
+
+def test_unquoted_midfield_quote_stays_on_line_scan(spark, tmp_path):
+    """An unquoted quoteChar inside a field (`5" x 4`) must not reroute the
+    file to the JVM multiLine parser (round-1 advice: the odd-quote
+    heuristic counted every quote; now only field-boundary quotes count)."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    p = tmp_path / "inch.csv"
+    p.write_text('name,size\nboard,5" x 4\nplank,7\n')
+    table = parse_metadata(
+        {"url": "http://example.org/inch.csv"},
+        base="http://example.org/inch.csv").tables[0]
+    scan = read_table(spark, table, str(p))
+    rows = sorted((r["_c0"], r["_c1"], r["_row"]) for r in scan.df.collect())
+    assert rows == [("board", '5" x 4', 1), ("plank", "7", 2)]
+
+
+def test_ragged_rows_surface_as_scan_problems(spark, tmp_path):
+    """Record-framing scan: a row wider than the declared schema is a scan
+    problem, not a silent truncation."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    p = tmp_path / "ragged.csv"
+    p.write_text('a,b\n1,"x\ny",extra,wider\n2,z\n')
+    table = parse_metadata(
+        {"url": "http://example.org/ragged.csv",
+         "tableSchema": {"columns": [{"name": "a"}, {"name": "b"}]}},
+        base="http://example.org/ragged.csv").tables[0]
+    scan = read_table(spark, table, str(p))
+    assert any("ragged" in pr for pr in scan.problems), scan.problems

@@ -46,6 +46,11 @@ EXPAND_CASES = [
     ("x{missing}y", {}, "xy"),
     # multi-variable expression
     ("{a,b}", {"a": "1", "b": "2"}, "1,2"),
+    # RFC 6570 §3.2.3 reserved expansion: a valid pct-triplet passes
+    # through, a bare '%' must be (re-)encoded as %25
+    ("{+v}", {"v": "%41"}, "%41"),
+    ("{+v}", {"v": "100%"}, "100%25"),
+    ("{+v}", {"v": "a%zz"}, "a%25zz"),
     # exotic operators (pandas-UDF/driver path; examples/niklas.json forms)
     ("{/path*}", {"path": ["a", "b"]}, "/a/b"),
     ("{?q,n}", {"q": "x y", "n": "3"}, "?q=x%20y&n=3"),
