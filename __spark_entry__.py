@@ -460,6 +460,87 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash MinHash-LSH: md5 signatures/band keys, so the LSH path
+    itself is oracle-checked (q_dedup_minhash_lsh keeps the murmur3
+    production default as a rows-only row)."""
+    from rdf_tabular_spark.ops.dedup import minhash_lsh_pairs_md5
+
+    return minhash_lsh_pairs_md5(_t(spark, sf_dir, "documents"),
+                                 threshold=0.5, k=3)
+
+
+def sql_dedup_minhash_md5() -> str:
+    n_bands, rows_per_band = 8, 2
+    sigs = ", ".join(
+        f"list_min(list_transform(s, t -> md5(t || '|{seed}')))"
+        for seed in range(n_bands * rows_per_band))
+    keys = ", ".join(
+        "md5('{b}' || '|' || sig[{i}] || '|' || sig[{j}])".format(
+            b=b, i=b * rows_per_band + 1, j=b * rows_per_band + 2)
+        for b in range(n_bands))
+    return _SHINGLE_SQL.format(km1=2) + f""",
+    sig AS (SELECT doc_id, s, [{sigs}] AS sig FROM sh),
+    keys AS (SELECT doc_id, unnest([{keys}]) AS key FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM keys a JOIN keys b ON a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT p.a, p.b,
+           round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                 / len(list_distinct(x.s || y.s)), 6) AS jaccard
+    FROM pairs p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b
+    WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+          / len(list_distinct(x.s || y.s)) >= 0.5
+    """
+
+
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash SimHash (60-bit, md5-derived token hashes) with 15-bit
+    chunk blocking — the oracle row for the SimHash family."""
+    from rdf_tabular_spark.ops.dedup import simhash_md5_near_pairs
+
+    return simhash_md5_near_pairs(_t(spark, sf_dir, "documents"),
+                                  max_hamming=8)
+
+
+def sql_dedup_simhash_md5() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               t -> t <> '') AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id,
+             list_transform(t, s ->
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS h
+      FROM toks),
+    tk AS (SELECT doc_id, unnest(h) AS v, len(h) AS n FROM th),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN 2 * sum((v >> b) & 1) > max(n)
+                  THEN (1::BIGINT << b) ELSE 0 END AS bitv
+      FROM tk, range(0, 60) r(b)
+      GROUP BY doc_id, b),
+    sim AS (
+      SELECT t.doc_id, coalesce(s.simhash, 0) AS simhash
+      FROM th t LEFT JOIN (
+        SELECT doc_id, CAST(sum(bitv) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id) s USING (doc_id)),
+    ch AS (
+      SELECT doc_id, simhash, i AS chunk, (simhash >> (i * 15)) & 32767 AS v
+      FROM sim, range(0, 4) r(i)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM ch a JOIN ch b
+        ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
+    SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(xor(ha, hb)) <= 8
+    """
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_tabular_spark.ops.dedup import embedding_near_pairs
 
@@ -721,6 +802,114 @@ def sql_similarity_lsh() -> str:
                 * sqrt(list_sum(list_transform({qv}, x -> x * x)))), 6) AS cosine
       FROM cand)
     SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+def q_similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over LEARNED clusters: deterministic Lloyd's k-means (k=8, 2
+    iterations, init = vectors of the 8 smallest ids, centroids rounded to
+    9 dp per round) builds the coarse quantizer; probe the best 2 clusters.
+    Unlike q_similarity_ivf this does not assume a pre-existing label."""
+    from rdf_tabular_spark.ops.similarity import kmeans_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return kmeans_ivf_topk(emb, _query_vec(), k=10, n_clusters=8, iters=2,
+                           n_probe=2)
+
+
+def _sql_kmeans_prelude(dim: int = 64, k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd's in SQL (shared by the kmeans-IVF and kmeans-blocked
+    near-dup oracles): assign_i = argmin squared-L2 (ties to the lowest
+    cluster index), update_i = per-dim avg rounded to 9 dp, empty clusters
+    keep the previous centroid; `afinal` = assignment from final centroids,
+    `c{iters}` = the final centroids."""
+    parts = [f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+             list_transform(v, x -> round(x, 9)) AS c
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"""]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(f""",
+    a{it} AS (
+      SELECT vec_id, v, ci AS cluster FROM (
+        SELECT e.vec_id, e.v, c.ci,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, {dim}),
+                   i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.ci) AS rn
+        FROM e, {prev} c) WHERE rn = 1),
+    c{it}m AS (
+      SELECT cluster AS ci, d, round(avg(v[d]), 9) AS cd
+      FROM a{it}, range(1, {dim + 1}) r(d) GROUP BY cluster, d),
+    c{it} AS (
+      SELECT p.ci, coalesce(u.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT ci, list(cd ORDER BY d) AS c FROM c{it}m GROUP BY ci) u
+      USING (ci))""")
+    last = f"c{iters}"
+    parts.append(f""",
+    afinal AS (
+      SELECT vec_id, v, ci AS cluster FROM (
+        SELECT e.vec_id, e.v, c.ci,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, {dim}),
+                   i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.ci) AS rn
+        FROM e, {last} c) WHERE rn = 1)""")
+    return "".join(parts)
+
+
+def sql_similarity_kmeans_ivf() -> str:
+    qv = "[" + ",".join(repr(v) for v in _query_vec()) + "]"
+    dim, iters, n_probe = 64, 2, 2
+    last = f"c{iters}"
+    return _sql_kmeans_prelude(dim=dim, k=8, iters=iters) + f""",
+    probes AS (
+      SELECT ci FROM (
+        SELECT ci,
+               list_sum(list_transform(generate_series(1, {dim}),
+                 i -> c[i] * ({qv})[i]))
+               / (sqrt(list_sum(list_transform(c, x -> x * x)))
+                  * sqrt(list_sum(list_transform({qv}, x -> x * x)))) AS sim
+        FROM {last})
+      ORDER BY sim DESC, ci LIMIT {n_probe}),
+    scored AS (
+      SELECT vec_id,
+             round(list_sum(list_transform(generate_series(1, {dim}),
+                     i -> v[i] * ({qv})[i]))
+             / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                * sqrt(list_sum(list_transform({qv}, x -> x * x)))), 6)
+               AS cosine
+      FROM afinal WHERE cluster IN (SELECT ci FROM probes))
+    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+def q_dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup blocked on LEARNED k-means clusters instead of a
+    pre-existing label column (the round-1 gap: someone must produce the
+    block column at 100 TB)."""
+    from rdf_tabular_spark.ops.dedup import embedding_near_pairs_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return embedding_near_pairs_kmeans(emb, threshold=0.2, n_clusters=8,
+                                       iters=2)
+
+
+def sql_dedup_embedding_kmeans() -> str:
+    cos = ("list_sum(list_transform(generate_series(1, 64),"
+           " i -> a.v[i] * b.v[i]))"
+           " / (sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+           " * sqrt(list_sum(list_transform(b.v, x -> x * x))))")
+    return _sql_kmeans_prelude(dim=64, k=8, iters=2) + f"""
+    SELECT a.vec_id AS a, b.vec_id AS b, round({cos}, 6) AS cosine
+    FROM afinal a JOIN afinal b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {cos} >= 0.2
     """
 
 
@@ -1113,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_md5": q_dedup_minhash_md5,
+        "dedup_simhash_md5": q_dedup_simhash_md5,
         "dedup_embedding": q_dedup_embedding,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
@@ -1121,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_kmeans_ivf": q_similarity_kmeans_ivf,
+        "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "kg_triples": q_kg_triples,
@@ -1144,6 +1337,8 @@ def oracle_sql() -> dict[str, str]:
         "csvw_json_rows": sql_csvw_json_rows(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
+        "dedup_minhash_md5": sql_dedup_minhash_md5(),
+        "dedup_simhash_md5": sql_dedup_simhash_md5(),
         "dedup_embedding": sql_dedup_embedding(),
         "text_token_counts": sql_text_token_counts(),
         "text_quality": sql_text_quality(),
@@ -1152,6 +1347,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": sql_similarity_topk(),
         "similarity_ivf": sql_similarity_ivf(),
         "similarity_lsh": sql_similarity_lsh(),
+        "similarity_kmeans_ivf": sql_similarity_kmeans_ivf(),
+        "dedup_embedding_kmeans": sql_dedup_embedding_kmeans(),
         "multimodal_frames": sql_multimodal_frames(),
         "multimodal_features": sql_multimodal_features(),
         "kg_triples": sql_kg_triples(),

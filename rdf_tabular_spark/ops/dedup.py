@@ -207,6 +207,120 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_signature_md5(sh: Column, n_hashes: int = 16) -> Column:
+    """Oracle-portable MinHash: per seed, the LEXICOGRAPHIC min of
+    ``md5(shingle || '|' || seed)`` hex strings — every engine with md5 and
+    string min reproduces it bit-for-bit. Production uses
+    :func:`minhash_signature` (murmur3 single-fold, ~an order of magnitude
+    cheaper); this variant exists so the LSH path itself gets a DuckDB
+    oracle row rather than a rows-only check."""
+    return F.array(*[
+        F.array_min(F.transform(
+            sh, lambda s: F.md5(F.concat(s, F.lit(f"|{seed}")))))
+        for seed in range(n_hashes)
+    ])
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame, threshold: float = 0.5, k: int = 3,
+    bands: int = 8, rows_per_band: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` with portable md5 hashing end-to-end:
+    band key = md5(band || row-minhashes), verification = exact Jaccard on
+    the shingle STRING sets. Same candidates-then-verify shape — the band
+    bucket join shuffles only (key, id)."""
+    base = _cache(with_shingles(df, text_col, k, id_col).withColumn(
+        "sig", minhash_signature_md5(F.col("sh"), bands * rows_per_band)))
+    band_keys = F.array(*[
+        F.md5(F.concat_ws("|", F.lit(str(b)), *[
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]))
+        for b in range(bands)
+    ])
+    bucketed = base.select("id", F.explode(band_keys).alias("key"))
+    pairs = (
+        bucketed.select(F.col("key"), F.col("id").alias("a"))
+        .join(bucketed.select(F.col("key"), F.col("id").alias("b")), "key")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    sides = base.select("id", "sh")
+    return (
+        pairs.join(sides.withColumnsRenamed({"id": "a", "sh": "sh_a"}), "a")
+        .join(sides.withColumnsRenamed({"id": "b", "sh": "sh_b"}), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+#: bits used by the portable simhash: 15 hex digits of md5 = 60 bits, the
+#: widest md5 prefix that always fits a signed 64-bit integer
+SIMHASH_MD5_BITS = 60
+
+
+def simhash_md5(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Oracle-portable 60-bit SimHash: per-token hash = integer value of
+    the first 15 md5 hex digits (``conv(substr(md5(t),1,15),16,10)``),
+    bit b of the sketch = majority of token-hash bit b. Same staging
+    discipline as :func:`simhash64` (the production xxhash64 variant)."""
+    staged = df.select(
+        F.col(id_col),
+        F.transform(
+            F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                     lambda t: t != ""),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+            .cast("long")).alias("_th"))
+    th = F.col("_th")
+    n = F.size(th)
+
+    def bit_set(b: int) -> Column:
+        ones = F.size(F.filter(
+            th, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+        return F.when(ones * 2 > n, F.lit(1 << b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+
+    sim = bit_set(0)
+    for b in range(1, SIMHASH_MD5_BITS):
+        sim = sim.bitwiseOR(bit_set(b))
+    return staged.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_md5_near_pairs(df: DataFrame, max_hamming: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Near-dup pairs on the portable simhash, blocked on 15-bit chunks
+    (a pair within Hamming distance 3 must share one of the 4 chunks)."""
+    sh = _cache(simhash_md5(df, id_col, text_col))
+    chunks = F.array(*[
+        F.struct(F.lit(i).alias("chunk"),
+                 F.shiftright("simhash", i * 15)
+                 .bitwiseAND(F.lit(0x7FFF)).alias("v"))
+        for i in range(4)
+    ])
+    e = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", "c.chunk", "c.v")
+    a = e.select(F.col("chunk"), F.col("v"), F.col(id_col).alias("a"),
+                 F.col("simhash").alias("ha"))
+    b = e.select(F.col("chunk"), F.col("v"), F.col(id_col).alias("b"),
+                 F.col("simhash").alias("hb"))
+    return (
+        a.join(b, ["chunk", "v"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash over tokens: per bit, sign of the sum of per-token
@@ -295,3 +409,20 @@ def embedding_near_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def embedding_near_pairs_kmeans(
+    emb: DataFrame, threshold: float = 0.9,
+    n_clusters: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`embedding_near_pairs` with the block column LEARNED by
+    deterministic k-means (ops/similarity.kmeans) — at 100 TB nobody hands
+    you a label column. Like any single-assignment IVF blocking, pairs
+    straddling a cluster boundary are missed; raise n_clusters/iters or
+    fall back to the exact path for recall-critical runs."""
+    from .similarity import kmeans
+
+    assigned, _ = kmeans(emb, n_clusters, iters, id_col, vec_col)
+    return embedding_near_pairs(
+        assigned, threshold, id_col, vec_col, block_col="cluster")

@@ -96,6 +96,84 @@ def lsh_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def kmeans_assign(emb: DataFrame, centroids: list[list[float]],
+                  vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2), ties to the
+    lowest cluster index. Centroids ride into the plan as literal arrays —
+    a narrow map over the scan, no shuffle, no Python."""
+    dists = [
+        F.aggregate(
+            F.zip_with(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]),
+                       lambda a, b: ((a - b) * (a - b)).cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+        for c in centroids
+    ]
+    pick = F.array_min(F.array(*[
+        F.struct(d.alias("d"), F.lit(i).alias("i"))
+        for i, d in enumerate(dists)
+    ]))["i"]
+    return emb.withColumn("cluster", pick)
+
+
+def kmeans(emb: DataFrame, k: int = 8, iters: int = 2,
+           id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic Lloyd's k-means over native expressions — the
+    clustering front-end that PRODUCES the coarse partition column
+    :func:`ivf_topk` / embedding_near_pairs consume (round-1 gap: both
+    assumed a pre-existing label column).
+
+    - init: the vectors of the k smallest ids (deterministic, no RNG);
+    - iterate: assignment = broadcast-literal narrow map; update = one
+      map-side-combined agg of k*dim cells, collected to the driver
+      (k*dim floats — trivially driver-safe at any corpus size);
+    - centroids are rounded to 9 decimals each round so the result is
+      bit-reproducible across engines and partition layouts (partial-agg
+      summation order otherwise leaks into the 16th digit).
+
+    Returns (DataFrame with a `cluster` column assigned from the FINAL
+    centroids, final centroids)."""
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    cents = [[round(float(x), 9) for x in r[vec_col]] for r in rows]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = kmeans_assign(emb, cents, vec_col)
+        agg = assigned.groupBy("cluster").agg(*[
+            F.avg(F.element_at(F.col(vec_col), d + 1)).alias(f"c{d}")
+            for d in range(dim)
+        ]).collect()
+        new = list(cents)  # empty clusters keep their previous centroid
+        for r in agg:
+            new[r["cluster"]] = [round(float(r[f"c{d}"]), 9)
+                                 for d in range(dim)]
+        cents = new
+    return kmeans_assign(emb, cents, vec_col), cents
+
+
+def kmeans_ivf_topk(
+    emb: DataFrame, query: list[float], k: int = 10,
+    n_clusters: int = 8, iters: int = 2, n_probe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over LEARNED k-means clusters: build the coarse quantizer
+    with :func:`kmeans`, rank its centroids against the query on the driver
+    (k tiny), exact-search the best n_probe clusters."""
+    import math
+
+    assigned, cents = kmeans(emb, n_clusters, iters, id_col, vec_col)
+    qn = math.sqrt(sum(x * x for x in query))
+    ranked = sorted(
+        (-(sum(a * b for a, b in zip(c, query))
+           / (math.sqrt(sum(a * a for a in c)) * qn)), i)
+        for i, c in enumerate(cents))
+    probe = [i for _, i in ranked[:n_probe]]
+    cands = assigned.filter(F.col("cluster").isin(probe))
+    scored = cands.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), _query_lit(query)), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
 def ivf_topk(
     emb: DataFrame, query: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",

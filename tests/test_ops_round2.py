@@ -1,0 +1,115 @@
+"""Round-2 operator tests: k-means clustering front-end and the
+oracle-portable (md5) MinHash/SimHash variants."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_kmeans_deterministic_across_partitioning(emb):
+    """Centroid rounding makes the result independent of partition layout
+    (partial-agg summation order must not leak into assignments)."""
+    from rdf_tabular_spark.ops.similarity import kmeans
+
+    a1, c1 = kmeans(emb.repartition(2), k=4, iters=2)
+    a2, c2 = kmeans(emb.repartition(7), k=4, iters=2)
+    assert c1 == c2
+    rows1 = sorted((r["vec_id"], r["cluster"]) for r in a1.collect())
+    rows2 = sorted((r["vec_id"], r["cluster"]) for r in a2.collect())
+    assert rows1 == rows2
+
+
+def test_kmeans_partitions_all_vectors(emb):
+    from rdf_tabular_spark.ops.similarity import kmeans
+
+    assigned, cents = kmeans(emb, k=8, iters=2)
+    assert len(cents) == 8
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.filter(
+        (F.col("cluster") < 0) | (F.col("cluster") >= 8)).count() == 0
+    # Lloyd's on this data should populate more than one cell
+    assert assigned.select("cluster").distinct().count() > 1
+
+
+def test_kmeans_ivf_matches_brute_force_top1(emb):
+    """The probed partitions must contain the global best match here (the
+    quantizer ranks the query's own region first on this corpus)."""
+    from rdf_tabular_spark.ops.similarity import brute_force_topk, kmeans_ivf_topk
+
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    brute = brute_force_topk(emb, q, k=1).collect()[0]
+    approx = kmeans_ivf_topk(emb, q, k=1, n_clusters=8, iters=2).collect()[0]
+    assert approx["vec_id"] == brute["vec_id"]
+    assert approx["cosine"] == brute["cosine"]
+
+
+def test_minhash_md5_pairs_subset_of_exact(docs):
+    """LSH candidates are verified with exact Jaccard, so every returned
+    pair must also be an exact n-gram-Jaccard pair at the same threshold."""
+    from rdf_tabular_spark.ops.dedup import (
+        minhash_lsh_pairs_md5,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {(r["a"], r["b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5, k=3).collect()}
+    approx = {(r["a"], r["b"]): r["jaccard"]
+              for r in minhash_lsh_pairs_md5(docs, threshold=0.5, k=3).collect()}
+    assert approx  # non-vacuous on this corpus
+    assert set(approx) <= set(exact)
+    for pair, j in approx.items():
+        assert exact[pair] == j
+
+
+def test_simhash_md5_deterministic_and_bounded(docs):
+    from rdf_tabular_spark.ops.dedup import simhash_md5_near_pairs
+
+    p1 = sorted(map(tuple, simhash_md5_near_pairs(docs, max_hamming=8)
+                    .collect()))
+    p2 = sorted(map(tuple, simhash_md5_near_pairs(
+        docs.repartition(5), max_hamming=8).collect()))
+    assert p1 == p2
+    assert p1
+    assert all(h <= 8 for _, _, h in p1)
+
+
+def test_simhash_md5_matches_python_reference(spark):
+    """Pin the portable simhash against a pure-Python bit-majority model on
+    a tiny corpus."""
+    import hashlib
+
+    from rdf_tabular_spark.ops.dedup import SIMHASH_MD5_BITS, simhash_md5
+
+    texts = ["the quick brown fox", "the quick brown fox", "lorem ipsum dolor"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash_md5(df).collect()}
+
+    def ref(text: str) -> int:
+        toks = [t for t in " ".join(text.lower().split()).split(" ") if t]
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        out = 0
+        for b in range(SIMHASH_MD5_BITS):
+            ones = sum((h >> b) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                out |= 1 << b
+        return out
+
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
