@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from . import TRIPLE_COLUMNS
 from .csvw.context import expand_iri
+from .csvw.discovery import TABULAR_EXTS
 from .csvw.datatypes import CSVW_NS, RDF_TYPE, XSD
 from .csvw.metadata import (
     CompiledTable,
@@ -89,6 +90,27 @@ def _load_group(metadata: dict | str, base: str | None,
                 metadata_mod._JSON_REF_BASE.append(search_dir)
                 pushed += 1
             group = parse_metadata(doc, base=base)
+        elif isinstance(metadata, str) and metadata.lower().endswith(
+                tuple(TABULAR_EXTS)):
+            # bare tabular input: run the S9 discovery cascade
+            # (metadata.rb:176-245) — sidecar/well-known templates gated by
+            # describes_file?, else the embedded-metadata default group
+            from .csvw.discovery import discover_metadata
+
+            csv_path = metadata
+            if search_dir is None:
+                search_dir = os.path.dirname(os.path.abspath(csv_path))
+                metadata_mod._JSON_REF_BASE.append(search_dir)
+                pushed += 1
+            base_eff = base or "file://" + os.path.abspath(csv_path)
+            found = discover_metadata(csv_path, base)
+            if found is not None:
+                loc, mbase = found
+                group = load_metadata(loc, base=mbase)
+            else:
+                group = parse_metadata(
+                    {"@context": "http://www.w3.org/ns/csvw",
+                     "url": base_eff}, base=base_eff)
         elif isinstance(metadata, str):
             if search_dir is None:
                 search_dir = os.path.dirname(os.path.abspath(metadata))
