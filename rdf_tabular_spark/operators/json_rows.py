@@ -90,11 +90,12 @@ def _group_key(col: CompiledColumn) -> str:
     return col.about_url or ""
 
 
-def build_row_fragments(
+def build_row_objects(
     cells_df: DataFrame, table: CompiledTable,
 ) -> DataFrame:
-    """cells DF -> (_row, _sourceRow, frag) where *frag* is the JSON text of
-    this row's objects, comma-joined (wrap in [] to parse)."""
+    """cells DF -> (_row, _sourceRow, objs array<string>): one JSON text per
+    subject object of the row — the executor-side unit both the in-memory
+    document assembly and the distributed JSONL sink build from."""
     base = table.url
 
     # group columns by aboutUrl template (row subjects)
@@ -159,9 +160,65 @@ def build_row_fragments(
     # are constructed, so construct all structs first
     structs = {k: group_struct(k) for k in group_order}
     top = [F.to_json(structs[k]) for k in group_order if k not in inlined]
-    frag = F.concat_ws(",", F.array_compact(F.array(*top)))
+    objs = F.array_compact(F.array(*top))
     return cells_df.select(
-        F.col("_row"), F.col("_sourceRow"), frag.alias("frag"))
+        F.col("_row"), F.col("_sourceRow"), objs.alias("objs"))
+
+
+def build_row_fragments(
+    cells_df: DataFrame, table: CompiledTable,
+) -> DataFrame:
+    """cells DF -> (_row, _sourceRow, frag) where *frag* is the JSON text of
+    this row's objects, comma-joined (wrap in [] to parse)."""
+    rows = build_row_objects(cells_df, table)
+    return rows.select(
+        "_row", "_sourceRow", F.concat_ws(",", "objs").alias("frag"))
+
+
+def write_json_lines(
+    cells_df: DataFrame, table: CompiledTable, path: str,
+    mode: str = "minimal", order_partitions: int | None = None,
+) -> None:
+    """Distributed JSONL sink (S12 at scale): writes one JSON text per line
+    straight from the executors — no ``collect``, so a lineitem-scale (or
+    10^12-row) table serializes without any driver materialization.
+    ``reader.to_json`` keeps its driver-side assembly ONLY for the
+    in-memory document return value (reference reader.rb:398-624 semantics,
+    page-sized inputs); this sink is the path a pipeline uses.
+
+    - mode="minimal": one subject object per line;
+    - mode="standard": one row envelope per line
+      (``{"url": ..#row=N, "rownum": n, "describes": [...]}``) — the
+      table/group envelope is driver-side metadata, not row data, and is
+      written by the caller if needed.
+
+    Output files are globally row-ordered: rows are range-partitioned and
+    sorted within partitions on (_row) before the write, so concatenating
+    part files in name order reproduces document order."""
+    rows = build_row_objects(cells_df, table)
+    n = order_partitions or cells_df.sparkSession.sparkContext.defaultParallelism
+    if mode == "minimal":
+        lines = (
+            rows.select("_row", F.posexplode("objs").alias("pos", "obj"))
+            .repartitionByRange(n, "_row", "pos")
+            .sortWithinPartitions("_row", "pos")
+            .select("obj")
+        )
+    else:
+        url_prefix = json.dumps(f"{table.url.split('#', 1)[0]}#row=")[:-1]
+        line = F.concat(
+            F.lit('{"url":' + url_prefix),
+            F.col("_sourceRow").cast("string"), F.lit('",'),
+            F.lit('"rownum":'), F.col("_row").cast("string"), F.lit(","),
+            F.lit('"describes":['), F.concat_ws(",", "objs"), F.lit("]}"),
+        )
+        lines = (
+            rows.select("_row", line.alias("obj"))
+            .repartitionByRange(n, "_row")
+            .sortWithinPartitions("_row")
+            .select("obj")
+        )
+    lines.write.mode("overwrite").text(path)
 
 
 def _all_bindings(table: CompiledTable):

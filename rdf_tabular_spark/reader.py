@@ -285,6 +285,40 @@ def to_json(
     return envelope
 
 
+def to_json_lines(
+    spark: SparkSession,
+    metadata: dict | str,
+    out_path: str,
+    *,
+    base: str | None = None,
+    url_map: dict[str, str] | None = None,
+    search_dir: str | None = None,
+    mode: str = "minimal",
+) -> list[str]:
+    """Distributed csv2json sink: serialize every (non-suppressed) table to
+    JSONL under *out_path* with NO driver materialization — the scale path
+    next to :func:`to_json`'s in-memory document. One directory per table
+    (``<out_path>/table_<i>`` for multi-table groups, *out_path* itself for
+    a single table); returns the written directories in table order.
+    Part files concatenate in name order to document row order."""
+    from .operators.json_rows import write_json_lines
+
+    group, html_text, search_dir = _load_group(metadata, base, search_dir)
+    tables = [t for t in group.tables if not t.suppress_output]
+    out_dirs: list[str] = []
+    for i, table in enumerate(tables):
+        scan = _scan_table(spark, table, html_text, url_map, search_dir)
+        table = merge_embedded_titles(
+            table, scan.header_titles) if table.columns else default_table_for(
+            table.url, scan.header_titles)
+        cells = build_cells(scan.df, table)
+        dest = out_path if len(tables) == 1 else os.path.join(
+            out_path, f"table_{i}")
+        write_json_lines(cells, table, dest, mode=mode)
+        out_dirs.append(dest)
+    return out_dirs
+
+
 def validate(
     spark: SparkSession,
     metadata: dict | str,
