@@ -315,6 +315,73 @@ def sql_csvw_fk_violations() -> str:
     """
 
 
+def q_csvw_dialect_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-S5 dialect scan in the driver contract (not just pytest): stage
+    orders as 50 virtual 'files' of raw CSV-ish lines (first line a skipped
+    title, '#' comments, blank rows, a skipColumns column, padded cells for
+    trim), run the DISTRIBUTED many-file dialect filter
+    (sources/csv_source.scan_lines_df) and return per-file renumbered,
+    trimmed, split cells."""
+    from rdf_tabular_spark.csvw.metadata import Dialect
+    from rdf_tabular_spark.sources.csv_source import scan_lines_df
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("file_id").orderBy("o_orderkey")
+    lines = (
+        orders.withColumn("file_id", (F.col("o_orderkey") % 50).cast("long"))
+        .withColumn("line_no", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "text",
+            F.when(F.col("line_no") == 1, F.lit("TITLE ROW (skipped)"))
+            .when(F.col("o_orderkey") % 11 == 0,
+                  F.concat(F.lit("# note "), F.col("o_orderkey")))
+            .when(F.col("o_orderkey") % 13 == 0, F.lit("  "))
+            .otherwise(F.concat(
+                F.col("o_orderkey").cast("string"), F.lit(", "),
+                F.col("o_orderstatus"), F.lit(" ,"),
+                F.col("o_orderpriority"))))
+        .select("file_id", "line_no", "text")
+    )
+    d = Dialect(skipRows=1, header=False, commentPrefix="#",
+                skipBlankRows=True, skipColumns=1)
+    return scan_lines_df(lines, d, n_cols=3).select(
+        "file_id", "_sourceRow", "_row",
+        F.col("_c0").alias("status"), F.col("_c1").alias("priority"))
+
+
+def sql_csvw_dialect_scan() -> str:
+    return """
+    WITH lines AS (
+      SELECT o_orderkey % 50 AS file_id,
+             row_number() OVER (PARTITION BY o_orderkey % 50
+                                ORDER BY o_orderkey) AS line_no,
+             o_orderkey, o_orderstatus, o_orderpriority
+      FROM orders),
+    txt AS (
+      SELECT file_id, line_no,
+             CASE WHEN line_no = 1 THEN 'TITLE ROW (skipped)'
+                  WHEN o_orderkey % 11 = 0 THEN '# note ' || o_orderkey
+                  WHEN o_orderkey % 13 = 0 THEN '  '
+                  ELSE o_orderkey || ', ' || o_orderstatus || ' ,'
+                       || o_orderpriority
+             END AS text
+      FROM lines),
+    data AS (
+      SELECT file_id, line_no, text
+      FROM txt
+      WHERE line_no > 1 AND text NOT LIKE '#%' AND trim(text) <> ''),
+    split AS (
+      SELECT file_id, line_no AS _sourceRow,
+             row_number() OVER (PARTITION BY file_id ORDER BY line_no)
+               AS _row,
+             string_split(text, ',') AS parts
+      FROM data)
+    SELECT file_id, _sourceRow, _row,
+           trim(parts[2]) AS status, trim(parts[3]) AS priority
+    FROM split
+    """
+
+
 def q_csvw_list_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: separator list split + per-item handling → one triple per item
     (metadata.rb:2073-2089 / reader.rb:327-329 multi-value emission)."""
@@ -1295,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csvw_uax35_number": q_csvw_uax35_number,
         "csvw_pk_violations": q_csvw_pk_violations,
         "csvw_fk_violations": q_csvw_fk_violations,
+        "csvw_dialect_scan": q_csvw_dialect_scan,
         "csvw_list_split": q_csvw_list_split,
         "csvw_row_numbers": q_csvw_row_numbers,
         "csvw_json_rows": q_csvw_json_rows,
@@ -1332,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         "csvw_uax35_number": sql_csvw_uax35_number(),
         "csvw_pk_violations": sql_csvw_pk_violations(),
         "csvw_fk_violations": sql_csvw_fk_violations(),
+        "csvw_dialect_scan": sql_csvw_dialect_scan(),
         "csvw_list_split": sql_csvw_list_split(),
         "csvw_row_numbers": sql_csvw_row_numbers(),
         "csvw_json_rows": sql_csvw_json_rows(),

@@ -307,6 +307,58 @@ def read_table(
     )
 
 
+def scan_lines_df(
+    lines: DataFrame, dialect: Dialect, n_cols: int,
+    file_col: str = "file_id", line_col: str = "line_no",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed MANY-file dialect scan: S2-S5 as pure column expressions
+    over a ``(file, line_no, text)`` DataFrame — skipRows + header region,
+    commentPrefix, skipBlankRows, skipColumns, delimiter split, trim, and
+    per-file data-row numbering (C16) via a window PARTITIONED by file
+    (never global).
+
+    This is the 10^12-file shape: when many files share one dialect (the
+    production corpus), the whole corpus scans in a single declarative
+    plan — filters and the split push into one narrow stage, the only
+    shuffle is the per-file numbering window, keyed by file. The
+    single-file path (:func:`read_table`) keeps the richer driver-side
+    semantics (embedded header extraction, comment aggregation,
+    multiLine records).
+
+    Returns (file_col, _sourceRow, _row, _c0.._cN)."""
+    from pyspark.sql.window import Window
+
+    d = dialect
+    df = lines.filter(F.col(line_col) > d.skipRows + d.header_row_count)
+    if d.commentPrefix:
+        df = df.filter(~F.col(text_col).startswith(d.commentPrefix))
+    if d.skipBlankRows:
+        df = df.filter(F.trim(F.col(text_col)) != "")
+    w = Window.partitionBy(file_col).orderBy(line_col)
+    df = df.withColumn("_row", F.row_number().over(w).cast("long"))
+
+    parts = F.split(F.col(text_col), re.escape(d.delimiter))
+    trim = d.effective_trim
+
+    def cell(i: int):
+        c = F.element_at(parts, i + d.skipColumns + 1)
+        if trim == "true":
+            c = F.trim(c)
+        elif trim == "start":
+            c = F.ltrim(c)
+        elif trim == "end":
+            c = F.rtrim(c)
+        return c.alias(f"_c{i}")
+
+    return df.select(
+        F.col(file_col),
+        F.col(line_col).cast("long").alias("_sourceRow"),
+        "_row",
+        *[cell(i) for i in range(n_cols - d.skipColumns)],
+    )
+
+
 def inline_table(spark: SparkSession, rows: list[list[str]],
                  table: CompiledTable, first_number: int | None = None) -> TableScan:
     """In-memory input (S13): list-of-lists, first header_row_count rows are

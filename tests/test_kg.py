@@ -171,3 +171,38 @@ def test_kg_oracle_linker_equals_norm_grouping():
     expect = {m: min(g) for g in groups.values() for m in g}
     assert linked == expect
     assert any(m != c for m, c in linked.items())
+
+
+def test_resume_after_partial_stage_failure(spark, tmp_path):
+    """Kill-and-resume: a crash mid-write leaves a stage directory WITHOUT
+    its _SUCCESS marker. The re-run must redo that stage (and only it —
+    completed stages resume from checkpoint) and produce a byte-identical
+    graph."""
+    import os
+    import shutil
+
+    from rdf_tabular_spark.kg.pipeline import KGConfig, KGPipeline
+
+    cfg = KGConfig(checkpoint_dir=str(tmp_path / "chk"),
+                   n_files=200, n_repos=8, range_partitions=2)
+    clean = KGPipeline(spark, cfg).run()
+    want = sorted(map(tuple, clean["triples"].collect()))
+
+    # simulate the crash: the 'graph' stage died mid-write (partial files,
+    # no _SUCCESS), everything before it completed
+    graph_dir = [
+        os.path.join(cfg.checkpoint_dir, d)
+        for d in os.listdir(cfg.checkpoint_dir) if d.startswith("graph-")
+    ][0]
+    shutil.rmtree(graph_dir)
+    os.makedirs(graph_dir)
+    with open(os.path.join(graph_dir, "part-00000-garbage.parquet"), "w") as f:
+        f.write("truncated mid-write")
+
+    pipe2 = KGPipeline(spark, cfg)
+    res2 = pipe2.run()
+    resumed = {d["stage"]: d["resumed"] for d in pipe2.lineage}
+    assert resumed["source"] and resumed["extract"] and resumed["labels"]
+    assert not resumed["graph"]  # the killed stage re-ran
+    got = sorted(map(tuple, res2["triples"].collect()))
+    assert got == want
