@@ -1256,6 +1256,97 @@ def sql_kg_sha_invariant() -> str:
     """
 
 
+def _kg_stream_source_dir() -> str:
+    """The staged oracle source split into 3 parquet files so the streaming
+    ingest (availableNow, maxFilesPerTrigger=1) delivers 3 micro-batches."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"rdf_tabular_spark_kg_oracle_stream_{KG_ORACLE_FILES}")
+    marker = os.path.join(d, "_STAGED")  # leading _: ignored by Spark listing
+    if os.path.exists(marker):
+        return d
+    tbl = pq.read_table(_kg_oracle_source_path())
+    tmp = f"{d}.{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    n = tbl.num_rows
+    bounds = [0, n // 3, 2 * n // 3, n]
+    for j in range(3):
+        pq.write_table(tbl.slice(bounds[j], bounds[j + 1] - bounds[j]),
+                       os.path.join(tmp, f"part-{j}.parquet"))
+    with open(os.path.join(tmp, "_STAGED"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, d)
+    except OSError:  # concurrent stager won
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def q_kg_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming incremental KG ingest, oracle-checked: the
+    staged source streams in 3 micro-batches (availableNow, one file per
+    trigger) through the idempotent set-semantic sink merge
+    (streaming/incremental.py); the sink must equal the DISTINCT batch
+    file-level + mention-level edge triple set, which the DuckDB twin
+    computes from the same parquet. Entity linking stays a periodic batch
+    job by design (a stream hasn't seen the global mention vocabulary)."""
+    import os
+    import tempfile
+
+    from rdf_tabular_spark.streaming.incremental import run_incremental_ingest
+
+    work = tempfile.mkdtemp(prefix="rdf_tabular_spark_kg_stream_q_")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    q = run_incremental_ingest(
+        spark, _kg_stream_source_dir(), sink, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    return spark.read.parquet(sink)
+
+
+def sql_kg_streaming_triples() -> str:
+    f_iri = "'{0}file/' || repo || '/' || path".format(_KGI)
+    return _sql_kg_base() + f""",
+    sedges AS (
+      SELECT DISTINCT repo, path,
+             CASE WHEN kind IN ('def', 'class') THEN 'defsym' ELSE kind END
+               AS ekey,
+             name
+      FROM ext)
+    SELECT {f_iri} AS subj,
+           CASE ekey WHEN 'import' THEN '{_KG}imports'
+                     WHEN 'dep' THEN '{_KG}dependsOn'
+                     ELSE '{_KG}defines' END AS pred,
+           CASE WHEN ekey = 'defsym' THEN '{_KGI}sym/' || repo || '/' || name
+                ELSE '{_KGI}mod/' || name END AS obj,
+           TRUE AS obj_is_iri, CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM sedges
+    UNION ALL
+    SELECT {f_iri}, '{_RDF_TYPE}', '{_KG}File', TRUE, NULL, NULL FROM kgsrc
+    UNION ALL
+    SELECT {f_iri}, '{_KG}inRepo', '{_KGI}repo/' || repo, TRUE, NULL, NULL
+    FROM kgsrc
+    UNION ALL
+    SELECT {f_iri}, '{_KG}path', path, FALSE, NULL, NULL FROM kgsrc
+    UNION ALL
+    SELECT {f_iri}, '{_KG}lang', lang, FALSE, NULL, NULL FROM kgsrc
+    UNION ALL
+    SELECT {f_iri}, '{_KG}commit', commit, FALSE, NULL, NULL FROM kgsrc
+    UNION ALL
+    SELECT {f_iri}, '{_KG}sha256', sha256(content), FALSE,
+           'http://www.w3.org/2001/XMLSchema#hexBinary', NULL
+    FROM kgsrc
+    """
+
+
 def _kg_pipeline(src: DataFrame):
     """extract -> annotate -> link -> canonical dedup over a source table of
     input_hint shape (repo, path, commit, lang, content [, content_sha256])."""
@@ -1385,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "kg_triples": q_kg_triples,
+        "kg_streaming_triples": q_kg_streaming_triples,
         "kg_entities": q_kg_entities,
         "kg_sha_invariant": q_kg_sha_invariant,
     }
@@ -1421,6 +1513,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": sql_multimodal_frames(),
         "multimodal_features": sql_multimodal_features(),
         "kg_triples": sql_kg_triples(),
+        "kg_streaming_triples": sql_kg_streaming_triples(),
         "kg_entities": sql_kg_entities(),
         "kg_sha_invariant": sql_kg_sha_invariant(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions
