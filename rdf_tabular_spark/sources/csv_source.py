@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import csv as pycsv
 import io
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -40,6 +41,10 @@ class TableScan:
     comments: list[str] = field(default_factory=list)
     n_physical_columns: int = 0
     problems: list[str] = field(default_factory=list)  # e.g. ragged rows
+
+
+#: (path, mtime, quoteChar, delimiter) -> does the file need record framing
+_MULTILINE_PROBE_CACHE: dict[tuple, bool] = {}
 
 
 def _parse_csv_line(line: str, dialect: Dialect) -> list[str]:
@@ -221,9 +226,22 @@ def read_table(
         q = d.quoteChar
         qe, de = re.escape(q), re.escape(d.delimiter)
         boundary = f"(^|{de}){qe}|{qe}({de}|$)"
-        if lines.filter(
+        # cache the probe per (path, mtime, dialect): repeated reads of the
+        # same file (validate + to_triples + to_json in one run) would
+        # otherwise each pay an extra scan of every quoted file
+        try:
+            key = (path, os.path.getmtime(path), q, d.delimiter)
+        except OSError:
+            key = None
+        if key is None or key not in _MULTILINE_PROBE_CACHE:
+            needs = lines.filter(
                 F.regexp_count(F.col("value"), F.lit(boundary)) % 2 == 1
-        ).limit(1).count() > 0:
+            ).limit(1).count() > 0
+            if key is not None:
+                _MULTILINE_PROBE_CACHE[key] = needs
+        else:
+            needs = _MULTILINE_PROBE_CACHE[key]
+        if needs:
             return _read_table_multiline(spark, table, path)
     indexed = lines.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1] + 1))
     df = spark.createDataFrame(

@@ -241,3 +241,32 @@ def test_ragged_rows_surface_as_scan_problems(spark, tmp_path):
         base="http://example.org/ragged.csv").tables[0]
     scan = read_table(spark, table, str(p))
     assert any("ragged" in pr for pr in scan.problems), scan.problems
+
+
+def test_multiline_probe_cached_per_path(spark, tmp_path):
+    """The embedded-terminator probe result is cached per (path, mtime,
+    dialect), so repeated reads of the same quoted file (validate +
+    to_triples + to_json in one run) pay the extra scan once."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources import csv_source
+
+    p = tmp_path / "quoted.csv"
+    p.write_text('a,b\n1,"x y"\n')
+    table = parse_metadata(
+        {"url": "http://example.org/quoted.csv"},
+        base="http://example.org/quoted.csv").tables[0]
+    csv_source._MULTILINE_PROBE_CACHE.clear()
+    first = csv_source.read_table(spark, table, str(p))
+    assert len(csv_source._MULTILINE_PROBE_CACHE) == 1
+    key = next(iter(csv_source._MULTILINE_PROBE_CACHE))
+    assert csv_source._MULTILINE_PROBE_CACHE[key] is False
+    again = csv_source.read_table(spark, table, str(p))
+    assert sorted(map(tuple, again.df.collect())) == \
+        sorted(map(tuple, first.df.collect()))
+    # touching the file invalidates the cache entry (new mtime, new key)
+    import os
+    import time
+
+    os.utime(p, (time.time() + 10, time.time() + 10))
+    csv_source.read_table(spark, table, str(p))
+    assert len(csv_source._MULTILINE_PROBE_CACHE) == 2
