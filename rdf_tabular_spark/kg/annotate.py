@@ -140,20 +140,18 @@ def edge_triples(extracted: DataFrame) -> DataFrame:
     s_iri = symbol_iri(repo, name)
     m_iri = module_iri(name)
 
-    import_arr = F.array(_t(f_iri, KG + "imports", m_iri))
-    dep_arr = F.array(_t(f_iri, KG + "dependsOn", m_iri))
-    def_arr = F.array(_t(f_iri, KG + "defines", s_iri))
-
-    arr = (
-        F.when(F.col("kind") == "import", import_arr)
-        .when(F.col("kind") == "dep", dep_arr)
-        .when(F.col("kind").isin("def", "class"), def_arr)
-        .otherwise(F.array().cast(
-            "array<struct<subj:string,pred:string,obj:string,obj_is_iri:boolean,"
-            "obj_datatype:string,obj_lang:string>>"))
+    # exactly ONE triple per edge row -> build the struct directly with a
+    # CASE instead of exploding a 1-element array: no CreateArray alloc and
+    # no GenerateExec in a stage that sees ~10^10 rows at production scale
+    # (file_level_triples keeps explode — there the fan-out is real, 1->6)
+    t = (
+        F.when(F.col("kind") == "import", _t(f_iri, KG + "imports", m_iri))
+        .when(F.col("kind") == "dep", _t(f_iri, KG + "dependsOn", m_iri))
+        .when(F.col("kind").isin("def", "class"), _t(f_iri, KG + "defines", s_iri))
     )
     return (
-        extracted.select(F.explode(arr).alias("t"))
+        extracted.select(t.alias("t"))
+        .filter(F.col("t").isNotNull())  # safety: unknown kinds emit nothing
         .select(*[F.col(f"t.{c}").alias(c) for c in TRIPLE_COLUMNS])
     )
 
