@@ -1372,10 +1372,18 @@ def _kg_pipeline(src: DataFrame):
     # and the measured whole-job throughput is ~10% higher this way.
     from pyspark import StorageLevel
 
-    extracted = extract.extract_structures(
-        src.drop("content_sha256"), layout="source", carry_sha=False).select(
+    # emit_file_rows: the extraction UDF also emits one per-file row
+    # (kind='file', detail='commit|lang|sha256'), so the per-file triple
+    # bundle derives from the SAME scan — without it the graph stage
+    # re-reads every content byte for sha256 (a second 100 TB scan, the
+    # single largest cost of the production job)
+    extracted_all = extract.extract_structures(
+        src.drop("content_sha256"), layout="source", carry_sha=False,
+        emit_file_rows=True).select(
         "repo", "path", "kind", "name", "detail", "row_idx").persist(
         StorageLevel.DISK_ONLY)
+    file_rows = extracted_all.filter(F.col("kind") == "file")
+    extracted = extracted_all.filter(F.col("kind") != "file")
     mentions = extracted.filter(F.col("kind").isin("import", "dep")).select(
         F.col("name").alias("mention"))
     labels = link.link_mentions(mentions, 0.55)
@@ -1384,7 +1392,7 @@ def _kg_pipeline(src: DataFrame):
     # rdf_tabular_spark/kg/assemble.py
     from rdf_tabular_spark.kg.assemble import build_graph
 
-    triples = build_graph(src, extracted, labels)
+    triples = build_graph(src, extracted, labels, file_rows=file_rows)
     return src, entities, triples
 
 

@@ -85,6 +85,22 @@ def file_level_triples(source_with_sha: DataFrame) -> DataFrame:
     )
 
 
+def file_level_triples_from_rows(file_rows: DataFrame) -> DataFrame:
+    """:func:`file_level_triples` from the extraction UDF's per-file rows
+    (``kind='file'``, ``detail='commit|lang|sha256'`` — extract.py
+    FILE_ROW_KIND packing) instead of the source table. The whole graph
+    then derives from ONE content scan; at 100 TB the avoided second scan
+    is the single largest cost in the job."""
+    parts = F.split(F.col("detail"), r"\|")
+    unpacked = file_rows.select(
+        "repo", "path",
+        parts.getItem(0).alias("commit"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("content_sha256"),
+    )
+    return file_level_triples(unpacked)
+
+
 def repo_triples(source: DataFrame) -> DataFrame:
     """(repo, rdf:type, kg:Repository) from the DISTINCT repo set — a
     map-side-combined distinct over short strings, so repo-level facts

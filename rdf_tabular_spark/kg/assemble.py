@@ -26,10 +26,16 @@ from . import annotate, link
 
 
 def build_graph(src: DataFrame, extracted: DataFrame,
-                labels: DataFrame) -> DataFrame:
-    """(source, extracted structures, mention labels) -> final triple set."""
+                labels: DataFrame,
+                file_rows: DataFrame | None = None) -> DataFrame:
+    """(source, extracted structures, mention labels) -> final triple set.
+
+    With *file_rows* (the extraction UDF's per-file rows,
+    ``extract_structures(emit_file_rows=True)``) the per-file bundle and
+    repo types derive from the extraction output and *src* is never
+    re-scanned — one content scan for the whole job."""
     canon = link.canonicalize_mentions(extracted, labels)
-    defs = extracted.filter(~F.col("kind").isin("import", "dep"))
+    defs = extracted.filter(F.col("kind").isin("def", "class"))
     # one dedup shuffle for all edges, on ONLY the columns edge emission
     # reads — dropDuplicates shuffles whole rows, so projecting first
     # roughly halves the shuffled bytes; def/class collapse to one key
@@ -42,11 +48,17 @@ def build_graph(src: DataFrame, extracted: DataFrame,
         .otherwise(F.col("kind")))
     edges = edge_stream.dropDuplicates(
         ["repo", "path", "_ekey", "name"]).drop("_ekey")
+    if file_rows is not None:
+        file_stream = annotate.file_level_triples_from_rows(file_rows)
+        repo_stream = annotate.repo_triples(file_rows)
+    else:
+        file_stream = annotate.file_level_triples(src)
+        repo_stream = annotate.repo_triples(src)
     return (
         annotate.edge_triples(edges)
         .unionByName(link.module_metadata_from_labels(labels, canon))
         .unionByName(annotate.symbol_metadata_triples(defs))
-        .unionByName(annotate.file_level_triples(src))
-        .unionByName(annotate.repo_triples(src))
+        .unionByName(file_stream)
+        .unionByName(repo_stream)
         .select(*TRIPLE_COLUMNS)
     )

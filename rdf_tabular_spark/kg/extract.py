@@ -57,10 +57,17 @@ LANG_RULES: dict[str, list[tuple[str, str, int]]] = {
 }
 
 
+#: separator-packed payload of the per-file row emitted when
+#: ``emit_file_rows=True``: detail = "commit|lang|sha256". commit is hex,
+#: lang is from a closed set — neither can contain '|'.
+FILE_ROW_KIND = "file"
+
+
 def extract_structures(source: DataFrame, range_partitions: int | None = None,
                        for_streaming: bool = False,
                        layout: str = "range",
-                       carry_sha: bool = True) -> DataFrame:
+                       carry_sha: bool = True,
+                       emit_file_rows: bool = False) -> DataFrame:
     """source(repo,path,commit,lang,content) -> one row per extracted
     structure.
 
@@ -80,7 +87,15 @@ def extract_structures(source: DataFrame, range_partitions: int | None = None,
 
     *for_streaming* forces the source layout (repartitionByRange is
     unsupported on streaming DataFrames; micro-batch file boundaries
-    already colocate a file's rows)."""
+    already colocate a file's rows).
+
+    *emit_file_rows*: additionally emit ONE row per input file with
+    ``kind='file'``, ``row_idx=-1`` and ``detail='commit|lang|sha256'``
+    (:data:`FILE_ROW_KIND` packing). This lets the graph stages emit the
+    per-file triple bundle (type/containment/lang/commit/sha) from the
+    extraction output instead of RE-SCANNING the source — at 100 TB the
+    second content scan would be the single largest cost in the job. The
+    Arrow transfer grows by one narrow row per file, not per structure."""
     import pandas as pd
 
     from ..deploy import ensure_py_files
@@ -106,6 +121,19 @@ def extract_structures(source: DataFrame, range_partitions: int | None = None,
         }
         for pdf in iterator:
             outs = []
+            file_rows = None
+            if emit_file_rows and not pdf.empty:
+                import hashlib
+
+                sha = (pdf["content_sha256"] if carry_sha else pdf["content"].map(
+                    lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest()))
+                file_rows = pd.DataFrame(
+                    {c: pdf[c].values for c in carry} | {
+                        "kind": FILE_ROW_KIND,
+                        "name": None,
+                        "detail": (pdf["commit"] + "|" + pdf["lang"] + "|" + sha).values,
+                        "row_idx": -1,
+                    })[out_cols]
             for lang, rules in compiled.items():
                 sub = pdf[pdf["lang"] == lang]
                 if sub.empty:
@@ -127,11 +155,16 @@ def extract_structures(source: DataFrame, range_partitions: int | None = None,
                         })
                     outs.append(frame)
             if not outs:
-                yield pd.DataFrame({c: [] for c in out_cols})
+                if file_rows is not None:
+                    yield file_rows
+                else:
+                    yield pd.DataFrame({c: [] for c in out_cols})
                 continue
             allf = pd.concat(outs, ignore_index=True)
             # per-file structure numbering — no global window (C16 analog)
             allf["row_idx"] = allf.groupby(["repo", "path"]).cumcount().astype("int32")
+            if file_rows is not None:
+                allf = pd.concat([allf, file_rows], ignore_index=True)
             yield allf
 
     return arranged.mapInPandas(
