@@ -351,16 +351,22 @@ def scan_lines_df(
     df = lines.filter(F.col(line_col) > d.skipRows + d.header_row_count)
     if d.commentPrefix:
         df = df.filter(~F.col(text_col).startswith(d.commentPrefix))
+    parts = F.split(F.col(text_col), re.escape(d.delimiter))
     if d.skipBlankRows:
-        df = df.filter(F.trim(F.col(text_col)) != "")
+        # CSVW blank = every cell empty (",," is blank too), matching the
+        # single-file scan's concat-of-cells test
+        all_cells = F.concat_ws("", F.transform(
+            parts, lambda c: F.coalesce(c, F.lit(""))))
+        df = df.filter(F.trim(F.col(text_col)) != "") \
+            .filter(all_cells != "")
     w = Window.partitionBy(file_col).orderBy(line_col)
     df = df.withColumn("_row", F.row_number().over(w).cast("long"))
-
-    parts = F.split(F.col(text_col), re.escape(d.delimiter))
     trim = d.effective_trim
 
     def cell(i: int):
-        c = F.element_at(parts, i + d.skipColumns + 1)
+        # F.get: 0-based and NULL on out-of-bounds (ragged short rows) —
+        # element_at would throw under ANSI mode
+        c = F.get(parts, i + d.skipColumns)
         if trim == "true":
             c = F.trim(c)
         elif trim == "start":

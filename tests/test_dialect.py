@@ -270,3 +270,72 @@ def test_multiline_probe_cached_per_path(spark, tmp_path):
     os.utime(p, (time.time() + 10, time.time() + 10))
     csv_source.read_table(spark, table, str(p))
     assert len(csv_source._MULTILINE_PROBE_CACHE) == 2
+
+
+def test_scan_lines_df_matches_single_file_scan(spark, tmp_path):
+    """Cross-validation: the distributed MANY-file dialect scan
+    (scan_lines_df) and the single-file scan (read_table) implement the
+    same S2-S5 semantics — same surviving rows, numbering, and semantic
+    cell values — across randomized dialects and quote-free content.
+    Normalization for the compare: read_table emits raw cells (trimming
+    and ''->null happen later in the cell pipeline, operators/cells.py),
+    scan_lines_df applies trim at the scan; both converge to
+    trim(cell) or NULL."""
+    import random
+
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table, scan_lines_df
+
+    def norm(v):
+        if v is None:
+            return None
+        return v.strip() or None
+
+    for seed in range(10):
+        rng = random.Random(seed)
+        delim = rng.choice([",", ";"])
+        skip_rows = rng.randint(0, 2)
+        skip_cols = rng.randint(0, 1)
+        blank = rng.choice([True, False])
+        n_phys = 3 + skip_cols
+
+        def cell(r):
+            return r.choice(["", "x", "ab c", " pad ", "1.5", "zz"])
+
+        lines = [f"junk skipped {i}" for i in range(skip_rows)]
+        lines.append(delim.join(f"h{i}" for i in range(n_phys)))
+        for _ in range(12):
+            kind = rng.random()
+            if kind < 0.15:
+                lines.append("# a comment " + str(rng.randint(0, 9)))
+            elif kind < 0.3:
+                lines.append(rng.choice(["", "   ", delim * (n_phys - 1)]))
+            else:
+                lines.append(delim.join(cell(rng) for _ in range(n_phys)))
+
+        p = tmp_path / f"rand{seed}.csv"
+        p.write_text("\n".join(lines) + "\n")
+        meta = {
+            "url": f"http://example.org/rand{seed}.csv",
+            "dialect": {"delimiter": delim, "skipRows": skip_rows,
+                        "skipColumns": skip_cols, "commentPrefix": "#",
+                        "skipBlankRows": blank},
+            "tableSchema": {"columns": [
+                {"name": f"c{i}"} for i in range(n_phys - skip_cols)]},
+        }
+        table = parse_metadata(meta, base=meta["url"]).tables[0]
+        single = read_table(spark, table, str(p))
+        want = sorted(
+            (r["_row"],) + tuple(norm(r[f"_c{i}"])
+                                 for i in range(n_phys - skip_cols))
+            for r in single.df.collect())
+
+        staged = spark.createDataFrame(
+            [(0, i + 1, ln) for i, ln in enumerate(lines)],
+            "file_id long, line_no long, text string")
+        multi = scan_lines_df(staged, table.dialect, n_phys)
+        got = sorted(
+            (r["_row"],) + tuple(norm(r[f"_c{i}"])
+                                 for i in range(n_phys - skip_cols))
+            for r in multi.collect())
+        assert got == want, (seed, got, want)
