@@ -20,3 +20,15 @@ the Spark DataFrame API:
 __version__ = "0.1.0"
 
 TRIPLE_COLUMNS = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype", "obj_lang"]
+
+_ENTRY_POINTS = ("to_triples", "to_json", "to_json_lines", "validate")
+
+
+def __getattr__(name):
+    """Lazy re-export of the reader entry points (keeps ``import
+    rdf_tabular_spark`` free of a pyspark import until first use)."""
+    if name in _ENTRY_POINTS:
+        from . import reader
+
+        return getattr(reader, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
