@@ -444,3 +444,20 @@ def test_row_titles_standard_mode(spark):
     rownum_nodes = {t["subj"] for t in triples
                     if t["pred"] == "http://www.w3.org/ns/csvw#rownum"}
     assert row_nodes == rownum_nodes
+
+
+def test_tree_ops_html_csvm_block_minimal(spark):
+    """tree-ops.html: S7 HTML input whose application/csvm+json block
+    points at the EXTERNAL tree-ops.csv (unlike countries_embed.html's
+    in-document tables). Minimal mode ignores the block's common
+    properties, so the output equals tree-ops-minimal.ttl."""
+    from rdf_tabular_spark.reader import to_triples
+
+    result = to_triples(
+        spark, os.path.join(FIXTURE_DIR, "tree-ops.html"),
+        base=BASE + "tree-ops.html", mode="minimal")
+    ours = spark_triples(result.triples)
+    with open(os.path.join(FIXTURE_DIR, "tree-ops-minimal.ttl")) as f:
+        golden = parse_ttl(f.read())
+    report = compare_graphs(ours, golden)
+    assert report["precision"] == 1.0 and report["recall"] == 1.0, report
