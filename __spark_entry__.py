@@ -571,7 +571,13 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_dedup_simhash_md5() -> str:
-    return """
+    from rdf_tabular_spark.ops.dedup import SIMHASH_MD5_BITS, simhash_chunks
+
+    chunk_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS chunk, "
+        f"(simhash >> {s}) & {(1 << w) - 1} AS v FROM sim"
+        for i, (s, w) in enumerate(simhash_chunks(SIMHASH_MD5_BITS, 8)))
+    return f"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split(
@@ -596,8 +602,7 @@ def sql_dedup_simhash_md5() -> str:
         SELECT doc_id, CAST(sum(bitv) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id) s USING (doc_id)),
     ch AS (
-      SELECT doc_id, simhash, i AS chunk, (simhash >> (i * 15)) & 32767 AS v
-      FROM sim, range(0, 4) r(i)),
+      {chunk_rows}),
     pairs AS (
       SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
              a.simhash AS ha, b.simhash AS hb
@@ -1307,7 +1312,11 @@ def q_kg_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(work, "ckpt")
     q = run_incremental_ingest(
         spark, _kg_stream_source_dir(), sink, ckpt, max_files_per_trigger=1)
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "incremental KG ingest did not drain within 600s — the sink "
+            "would be partial; failing instead of comparing garbage")
     return spark.read.parquet(sink)
 
 

@@ -79,9 +79,11 @@ def describes_file(group, csv_path: str, base: str | None) -> bool:
 
 def discover_metadata(
     csv_path: str, base: str | None = None
-) -> tuple[str, str | None] | None:
+):
     """Run cascade step 3 for *csv_path*. Returns (metadata_path,
-    metadata_base) for the winning location, or None (-> step 4).
+    metadata_base, compiled_group) for the winning location — the group is
+    the one already loaded for the describes_file check, so the caller
+    does not parse the document twice — or None (-> step 4).
 
     *base* is the tabular file's URL; the winning metadata document's base
     is the same template applied to that URL (so relative table urls inside
@@ -115,7 +117,7 @@ def discover_metadata(
                         "ignoring", loc_path, exc)
             continue
         if describes_file(group, csv_abs, base):
-            return loc_path, mbase
+            return loc_path, mbase, group
         log.warning("found metadata at %s, which does not describe %s, "
                     "ignoring", loc_path, csv_path)
     return None

@@ -23,15 +23,19 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text
 
-#: persisted intermediates of the most recent near-dup invocation. Each new
-#: invocation evicts the previous ones, and :func:`release_caches` frees the
-#: rest — without this, repeated calls in a long-lived session accumulate
-#: cached shingle/signature blocks that compete with executor memory.
+#: persisted intermediates of recent near-dup invocations, oldest first.
+#: Bounded: a few live slots let a caller interleave results of several ops
+#: (each op persists one frame) without the oldest being evicted before its
+#: result is materialized, while repeated calls in a long-lived session
+#: still cannot accumulate unbounded shingle/signature cache blocks.
+#: :func:`release_caches` frees everything eagerly.
 _LIVE_CACHES: list[DataFrame] = []
+_MAX_LIVE_CACHES = 4
 
 
 def _cache(df: DataFrame) -> DataFrame:
-    release_caches()
+    while len(_LIVE_CACHES) >= _MAX_LIVE_CACHES:
+        _LIVE_CACHES.pop(0).unpersist()
     _LIVE_CACHES.append(df.persist())
     return df
 
@@ -296,14 +300,16 @@ def simhash_md5(df: DataFrame, id_col: str = "doc_id",
 def simhash_md5_near_pairs(df: DataFrame, max_hamming: int = 8,
                            id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
-    """Near-dup pairs on the portable simhash, blocked on 15-bit chunks
-    (a pair within Hamming distance 3 must share one of the 4 chunks)."""
+    """Near-dup pairs on the portable simhash, blocked on max_hamming+1
+    disjoint chunks of the 60 bits (pigeonhole: full recall at the
+    requested distance)."""
     sh = _cache(simhash_md5(df, id_col, text_col))
     chunks = F.array(*[
         F.struct(F.lit(i).alias("chunk"),
-                 F.shiftright("simhash", i * 15)
-                 .bitwiseAND(F.lit(0x7FFF)).alias("v"))
-        for i in range(4)
+                 F.shiftright("simhash", s)
+                 .bitwiseAND(F.lit((1 << w) - 1)).alias("v"))
+        for i, (s, w) in enumerate(
+            simhash_chunks(SIMHASH_MD5_BITS, max_hamming))
     ])
     e = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", "c.chunk", "c.v")
@@ -353,16 +359,35 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     return staged.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_chunks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """Pigeonhole blocking layout: a pair within Hamming distance h must
+    agree on at least one of h+1 disjoint chunks. Returns
+    [(shift, width), ...] covering *bits*, widths as even as possible.
+    More chunks = coarser buckets = more candidates — the recall guarantee
+    scales with the REQUESTED distance instead of silently capping at 3
+    (the old fixed 4-chunk layout missed distance-4..8 pairs)."""
+    n = max_hamming + 1
+    base, rem = divmod(bits, n)
+    out, shift = [], 0
+    for i in range(n):
+        w = base + (1 if i < rem else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked on
-    16-bit chunks (a pair within distance 3 must share one of 4 chunks)."""
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked
+    on max_hamming+1 disjoint bit chunks (pigeonhole: recall = 1.0 at the
+    requested distance)."""
     # both self-join sides read the simhash column — compute it once
     sh = _cache(simhash64(df, id_col, text_col))
     chunks = F.array(*[
         F.struct(F.lit(i).alias("chunk"),
-                 F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"))
-        for i in range(4)
+                 F.shiftright("simhash", s)
+                 .bitwiseAND(F.lit((1 << w) - 1)).alias("v"))
+        for i, (s, w) in enumerate(simhash_chunks(64, max_hamming))
     ])
     e = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", "c.chunk", "c.v")

@@ -105,8 +105,7 @@ def _load_group(metadata: dict | str, base: str | None,
             base_eff = base or "file://" + os.path.abspath(csv_path)
             found = discover_metadata(csv_path, base)
             if found is not None:
-                loc, mbase = found
-                group = load_metadata(loc, base=mbase)
+                _loc, _mbase, group = found  # group already loaded+gated
             else:
                 group = parse_metadata(
                     {"@context": "http://www.w3.org/ns/csvw",
@@ -365,9 +364,10 @@ def validate(
         scan = _scan_table(spark, table, html_text, url_map, search_dir)
         # scan-level problems (e.g. ragged rows wider than the declared
         # schema in the record-framing path) are validation findings too
-        for p in scan.problems:
+        if scan.problems:
             parts.append(spark.createDataFrame(
-                [("scan", table.url, None, None, None, p)], out_schema))
+                [("scan", table.url, None, None, None, p)
+                 for p in scan.problems], out_schema))
         # schema-vs-embedded-header compatibility (verify_compatible!,
         # metadata.rb:996-1079): in validation mode an incompatibility is a
         # reported problem; the declared schema then proceeds unmerged

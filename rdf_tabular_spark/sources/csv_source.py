@@ -71,6 +71,9 @@ def _read_table_multiline(
     header_n = d.header_row_count
 
     custom_sep = d.custom_line_sep
+    term_alt = "|".join(
+        re.escape(t) for t in sorted(d.line_terminator_list,
+                                     key=len, reverse=True))
     non_virtual = [c for c in table.columns if not c.virtual]
     if non_virtual:
         n_cols = len(non_virtual) + d.skipColumns
@@ -79,7 +82,9 @@ def _read_table_multiline(
 
         with open(path, encoding=d.encoding or "utf-8", newline="") as f:
             if custom_sep:
-                first_rec = f.read().split(custom_sep)[0]
+                # width probe: the first record ends at ANY declared
+                # terminator (a ';'-terminated dialect may still list '\n')
+                first_rec = re.split(term_alt, f.read())[0]
                 first = next(_csv.reader([first_rec], delimiter=d.delimiter,
                                          quotechar=d.quoteChar or '"'), [])
             else:
@@ -91,28 +96,43 @@ def _read_table_multiline(
     schema = StructType([
         StructField(f"_x{i}", StringType()) for i in range(n_cols)])
     src_field = StructField("_sourceRow", LongType())
-    if custom_sep is not None and len(custom_sep) != 1:
-        # multi-char record terminator: the JVM lineSep option is limited to
-        # one character, so split records on the driver — segments with an
-        # unbalanced quote count are re-joined (a quoted cell may embed the
-        # terminator). Files with exotic terminators are small one-offs; the
-        # distributed paths handle the standard framings.
+    terms = d.line_terminator_list
+    customs = [t for t in terms if t not in ("\n", "\r\n")]
+    # the JVM lineSep option handles exactly ONE 1-char terminator and
+    # replaces the default framing entirely — it only applies when that is
+    # precisely what the dialect declares
+    jvm_line_sep = (len(customs) == 1 and len(customs[0]) == 1
+                    and set(terms) == {customs[0]})
+    if customs and not jvm_line_sep:
+        # multi-char terminator, or several terminators (CSVW: ANY listed
+        # terminator ends a row): split records on the driver — segments
+        # with an unbalanced quote count are re-joined (a quoted cell may
+        # embed a terminator). Files with exotic terminators are small
+        # one-offs; the distributed paths handle the standard framings.
         with open(path, encoding=d.encoding or "utf-8", newline="") as f:
             text = f.read()
         q = d.quoteChar or '"'
+        pieces = re.split(f"({term_alt})", text)
         recs: list[str] = []
-        buf: str | None = None
-        for seg in text.split(custom_sep):
-            buf = seg if buf is None else buf + custom_sep + seg
-            if buf.count(q) % 2 == 0:
+        buf = ""
+        for j, piece in enumerate(pieces):
+            if j % 2 == 0:
+                buf += piece
+            elif buf.count(q) % 2 == 0:
                 recs.append(buf)
-                buf = None
-        if buf is not None:
+                buf = ""
+            else:
+                buf += piece  # quoted embedded terminator stays literal
+        if buf:
             recs.append(buf)
-        if recs and recs[-1] == "":
-            recs.pop()
         parsed_rows = [_parse_csv_line(r, d) for r in recs]
         for i, row in enumerate(parsed_rows):
+            # raggedness is a DATA-row problem: skipped/header/comment
+            # records are excluded (the reference only validates data rows)
+            if i < skip + header_n:
+                continue
+            if d.commentPrefix and recs[i].startswith(d.commentPrefix):
+                continue
             if len(row) > n_cols:
                 problems.append(
                     f"ragged row {i + 1}: {len(row)} cells, expected {n_cols}")
@@ -127,9 +147,9 @@ def _read_table_multiline(
             sep=d.delimiter, quote=d.quoteChar or '"',
             escape=d.escape_char, multiLine=True, mode="PERMISSIVE",
             encoding=d.encoding or "utf-8")
-        if custom_sep is not None:
-            # single-char custom record terminator (S1): JVM lineSep
-            opts["lineSep"] = custom_sep
+        if jvm_line_sep:
+            # the sole declared terminator, single char (S1): JVM lineSep
+            opts["lineSep"] = customs[0]
         # one overflow slot so rows wider than the declared schema surface
         # as scan problems instead of being silently truncated (the
         # line-based scan sizes columns from the widest observation)
@@ -140,8 +160,17 @@ def _read_table_multiline(
             lambda t: tuple(t[0]) + (t[1] + 1,))
         df = spark.createDataFrame(
             indexed, StructType(probe.fields + [src_field]))
-        ragged = df.filter(F.col("_overflow").isNotNull()) \
-            .select("_sourceRow").collect()
+        # raggedness is a DATA-row problem: exclude the skipped/header
+        # region and comment records (the reference only validates data
+        # rows). The probe is one extra scan of the (rare, small) files
+        # that take this fallback; the collect returns only ragged rows.
+        ragged_probe = df.filter(F.col("_overflow").isNotNull()).filter(
+            F.col("_sourceRow") > skip + header_n)
+        if d.commentPrefix:
+            ragged_probe = ragged_probe.filter(
+                ~F.coalesce(F.col("_x0"), F.lit(""))
+                .startswith(d.commentPrefix))
+        ragged = ragged_probe.select("_sourceRow").collect()
         problems.extend(
             f"ragged row {r['_sourceRow']}: wider than the "
             f"{n_cols}-column schema" for r in ragged)
@@ -226,6 +255,18 @@ def read_table(
         q = d.quoteChar
         qe, de = re.escape(q), re.escape(d.delimiter)
         boundary = f"(^|{de}){qe}|{qe}({de}|$)"
+        # a line is suspicious when its TOTAL quote count is odd (a quoted
+        # cell embedding a line terminator leaves an unbalanced quote) AND
+        # at least one quote sits at a field boundary (so an unquoted
+        # mid-field quoteChar like `5" x 4` — odd count, no boundary quote
+        # — stays on the line scan). Parity alone misrouted mid-field
+        # quotes; boundary count alone both missed `"a","b<NL>c","d"`
+        # (non-overlapping matches consume the shared comma, even count)
+        # and misrouted every fully-quoted file (3 matches per line).
+        n_quotes = F.length(F.col("value")) - F.length(
+            F.replace(F.col("value"), F.lit(q), F.lit("")))
+        suspicious = (n_quotes % 2 == 1) & (
+            F.regexp_count(F.col("value"), F.lit(boundary)) > 0)
         # cache the probe per (path, mtime, dialect): repeated reads of the
         # same file (validate + to_triples + to_json in one run) would
         # otherwise each pay an extra scan of every quoted file
@@ -234,9 +275,7 @@ def read_table(
         except OSError:
             key = None
         if key is None or key not in _MULTILINE_PROBE_CACHE:
-            needs = lines.filter(
-                F.regexp_count(F.col("value"), F.lit(boundary)) % 2 == 1
-            ).limit(1).count() > 0
+            needs = lines.filter(suspicious).limit(1).count() > 0
             if key is not None:
                 _MULTILINE_PROBE_CACHE[key] = needs
         else:

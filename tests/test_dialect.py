@@ -339,3 +339,78 @@ def test_scan_lines_df_matches_single_file_scan(spark, tmp_path):
                                  for i in range(n_phys - skip_cols))
             for r in multi.collect())
         assert got == want, (seed, got, want)
+
+
+def test_fully_quoted_adjacent_fields_route_to_multiline(spark, tmp_path):
+    """'"a","b<NL>c","d"' — non-overlapping boundary matches consume the
+    shared comma and count even, which misrouted this file to the line
+    scan (round-2 review finding); the combined parity+boundary probe
+    routes it to record framing and parses the embedded newline."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    p = tmp_path / "adj.csv"
+    p.write_text('"h1","h2","h3"\n"a","b\nc","d"\n"e","f","g"\n')
+    table = parse_metadata(
+        {"url": "http://example.org/adj.csv"},
+        base="http://example.org/adj.csv").tables[0]
+    scan = read_table(spark, table, str(p))
+    rows = sorted((r["_c0"], r["_c1"], r["_c2"]) for r in scan.df.collect())
+    assert rows == [("a", "b\nc", "d"), ("e", "f", "g")]
+
+
+def test_fully_quoted_simple_file_stays_on_line_scan(spark, tmp_path):
+    """A fully-quoted file WITHOUT embedded newlines has even per-line
+    quote counts and must stay on the distributed line scan (the
+    boundary-only probe misrouted every such file through the
+    driver-heavy multiline path)."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources import csv_source
+
+    p = tmp_path / "fq.csv"
+    p.write_text('"h1","h2"\n"x","y"\n"z","w"\n')
+    table = parse_metadata(
+        {"url": "http://example.org/fq.csv"},
+        base="http://example.org/fq.csv").tables[0]
+    csv_source._MULTILINE_PROBE_CACHE.clear()
+    scan = csv_source.read_table(spark, table, str(p))
+    assert list(csv_source._MULTILINE_PROBE_CACHE.values()) == [False]
+    rows = sorted((r["_c0"], r["_c1"]) for r in scan.df.collect())
+    assert rows == [("x", "y"), ("z", "w")]
+
+
+def test_multiple_line_terminators_all_split(spark, tmp_path):
+    """CSVW lineTerminators is a LIST: every listed terminator ends a row.
+    ['\\n', ';'] must split on both (the first-custom-only handling
+    merged newline-terminated records)."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    p = tmp_path / "mix.csv"
+    p.write_text("a,b\n1,x;2,y\n3,z;")
+    table = parse_metadata(
+        {"url": "http://example.org/mix.csv",
+         "dialect": {"lineTerminators": ["\n", ";"]}},
+        base="http://example.org/mix.csv").tables[0]
+    scan = read_table(spark, table, str(p))
+    assert scan.header_titles == ["a", "b"]
+    rows = sorted((r["_c0"], r["_c1"]) for r in scan.df.collect()
+                  if r["_c0"] is not None)
+    assert rows == [("1", "x"), ("2", "y"), ("3", "z")]
+
+
+def test_ragged_detection_ignores_comment_and_header_rows(spark, tmp_path):
+    """Raggedness is a data-row problem: a wide comment line or skipped
+    title row must not be reported (round-2 review finding)."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    p = tmp_path / "cw.csv"
+    p.write_text('# note, with, many, commas, here\na,b\n1,"x\ny"\n2,z\n')
+    table = parse_metadata(
+        {"url": "http://example.org/cw.csv",
+         "dialect": {"skipRows": 1, "commentPrefix": "#"},
+         "tableSchema": {"columns": [{"name": "a"}, {"name": "b"}]}},
+        base="http://example.org/cw.csv").tables[0]
+    scan = read_table(spark, table, str(p))
+    assert scan.problems == [], scan.problems
