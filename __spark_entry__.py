@@ -521,10 +521,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup via 16-bit chunk blocking (xxhash64 → rows-only)."""
+    """SimHash near-dup, Hamming radius 3 — the standard near-dup radius
+    for 64-bit fingerprints (Manku/Jain/Das Sarma, WWW'07) and complete at
+    that radius with 4-chunk pigeonhole blocking (xxhash64 → rows-only)."""
     from rdf_tabular_spark.ops.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,12 +564,13 @@ def sql_dedup_minhash_md5() -> str:
 
 
 def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable-hash SimHash (60-bit, md5-derived token hashes) with 15-bit
-    chunk blocking — the oracle row for the SimHash family."""
+    """Portable-hash SimHash (60-bit, md5-derived token hashes) at the
+    standard Hamming radius 3, pigeonhole-complete — the oracle row for
+    the SimHash family."""
     from rdf_tabular_spark.ops.dedup import simhash_md5_near_pairs
 
     return simhash_md5_near_pairs(_t(spark, sf_dir, "documents"),
-                                  max_hamming=8)
+                                  max_hamming=3)
 
 
 def sql_dedup_simhash_md5() -> str:
@@ -576,7 +579,7 @@ def sql_dedup_simhash_md5() -> str:
     chunk_rows = "\n      UNION ALL ".join(
         f"SELECT doc_id, simhash, {i} AS chunk, "
         f"(simhash >> {s}) & {(1 << w) - 1} AS v FROM sim"
-        for i, (s, w) in enumerate(simhash_chunks(SIMHASH_MD5_BITS, 8)))
+        for i, (s, w) in enumerate(simhash_chunks(SIMHASH_MD5_BITS, 3)))
     return f"""
     WITH toks AS (
       SELECT doc_id,
@@ -609,7 +612,7 @@ def sql_dedup_simhash_md5() -> str:
       FROM ch a JOIN ch b
         ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
     SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
-    FROM pairs WHERE bit_count(xor(ha, hb)) <= 8
+    FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
     """
 
 
