@@ -414,3 +414,18 @@ def test_ragged_detection_ignores_comment_and_header_rows(spark, tmp_path):
         base="http://example.org/cw.csv").tables[0]
     scan = read_table(spark, table, str(p))
     assert scan.problems == [], scan.problems
+
+
+def test_utf8_bom_stripped_from_header(spark, tmp_path):
+    """A UTF-8 BOM before the header must not leak into the first column
+    title (Ruby's CSV reads bom|utf-8; our text scan strips it too)."""
+    p = tmp_path / "bom.csv"
+    p.write_bytes(b"\xef\xbb\xbfname,age\nann,3\n")
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.sources.csv_source import read_table
+
+    table = parse_metadata({"url": "http://example.org/bom.csv"},
+                           base="http://example.org/bom.csv").tables[0]
+    scan = read_table(spark, table, str(p))
+    assert scan.header_titles == ["name", "age"]
+    assert [(r["_c0"], r["_c1"]) for r in scan.df.collect()] == [("ann", "3")]
