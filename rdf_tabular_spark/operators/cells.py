@@ -402,7 +402,9 @@ def cell_expr(raw: Column, col: CompiledColumn, table: CompiledTable) -> Column:
 # discipline: a 10-column table must not serialize a 10^6-node plan).
 
 def cell_values(name: str) -> Column:
-    return F.col(f"cell_{name}")
+    # backtick-quoted: defaulted names like `_col.1` contain a dot, which a
+    # bare F.col would parse as a struct-field access
+    return F.col("`cell_" + name.replace("`", "``") + "`")
 
 
 def cell_errors_expr(col: CompiledColumn) -> Column:

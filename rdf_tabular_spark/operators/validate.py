@@ -19,7 +19,9 @@ from ..csvw.metadata import CompiledTable, ForeignKey
 
 
 def _cell_first_value(name: str):
-    return F.try_element_at(F.col(f"cell_{name}"), F.lit(1))["lex"]
+    from .cells import cell_values
+
+    return F.try_element_at(cell_values(name), F.lit(1))["lex"]
 
 
 def pk_violations(cells_df: DataFrame, table: CompiledTable) -> DataFrame:

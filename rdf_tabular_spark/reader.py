@@ -61,9 +61,14 @@ def _url_to_path(url: str, url_map: dict[str, str] | None, search_dir: str | Non
 
 
 def _load_group(metadata: dict | str, base: str | None,
-                search_dir: str | None):
+                search_dir: str | None,
+                headers: dict | None = None):
     """Shared metadata-loading preamble of the three entry points ->
     (CompiledTableGroup, html_text | None, effective search_dir).
+
+    *headers* are caller-supplied HTTP response headers for the tabular
+    input; the reference's Content-Type dialect overrides apply to every
+    table's dialect before scanning (reader.rb:113-116).
 
     A path ending in .html takes the S7 branch: the document's
     ``application/csvm+json`` script block is the metadata (reader.rb:94-107)
@@ -121,7 +126,26 @@ def _load_group(metadata: dict | str, base: str | None,
     finally:
         for _ in range(pushed):
             metadata_mod._JSON_REF_BASE.pop()
+    if headers:
+        from .csvw.http_headers import apply_headers_to_group
+
+        group = apply_headers_to_group(group, headers)
     return group, html_text, search_dir
+
+
+def _effective_table(table: CompiledTable, scan: TableScan) -> CompiledTable:
+    """Declared schema merged with embedded header titles; without a
+    declared schema the header row becomes the columns — and a *headerless*
+    file with no schema gets ``_col.N`` columns from the data width, the
+    reference's create-column-on-demand per-row behavior
+    (metadata.rb:2060-2062)."""
+    if table.columns:
+        return merge_embedded_titles(table, scan.header_titles)
+    titles = scan.header_titles
+    if not titles:
+        width = max(scan.n_physical_columns - table.dialect.skipColumns, 0)
+        titles = [""] * width
+    return default_table_for(table.url, titles)
 
 
 def _scan_table(spark: SparkSession, table: CompiledTable,
@@ -150,6 +174,7 @@ def to_triples(
     mode: str = "minimal",
     dedupe: bool = True,
     prov: dict | None = None,
+    headers: dict | None = None,
 ) -> ReadResult:
     """Run the csv2rdf pipeline.
 
@@ -160,10 +185,15 @@ def to_triples(
     - *prov*: None (noProv) or {'started_at', 'ended_at'[, 'metadata_urls']}
       xsd:dateTime lexicals for the T5 provenance activity (standard mode;
       timestamps are injected so runs stay deterministic, reader.rb:221-248).
+    - *headers*: HTTP response headers of the tabular input, if the caller
+      fetched it out-of-band — applies the reference's Content-Type dialect
+      overrides and Content-Language lang default (reader.rb:113-132).
     """
     from .csvw import metadata as metadata_mod
+    from .csvw.http_headers import apply_headers_to_table
 
-    group, html_text, search_dir = _load_group(metadata, base, search_dir)
+    group, html_text, search_dir = _load_group(
+        metadata, base, search_dir, headers)
 
     parts: list[DataFrame] = []
     scans: dict[str, TableScan] = {}
@@ -175,9 +205,11 @@ def to_triples(
             pass
         scan = _scan_table(spark, table, html_text, url_map, search_dir)
         scans[table.url] = scan
-        table = merge_embedded_titles(
-            table, scan.header_titles) if table.columns else default_table_for(
-            table.url, scan.header_titles)
+        table = _effective_table(table, scan)
+        if headers:
+            # re-apply after title-merge: columns derived from the header
+            # row must also pick up the Content-Language default
+            table = apply_headers_to_table(table, headers)
         if table.suppress_output:
             continue
 
@@ -239,6 +271,7 @@ def to_json(
     url_map: dict[str, str] | None = None,
     search_dir: str | None = None,
     mode: str = "minimal",
+    headers: dict | None = None,
 ):
     """EP3/S12: csv2json serialization (reader.rb:398-624).
 
@@ -254,7 +287,8 @@ def to_json(
         simplify_common_value,
     )
 
-    group, html_text, search_dir = _load_group(metadata, base, search_dir)
+    group, html_text, search_dir = _load_group(
+        metadata, base, search_dir, headers)
 
     tables_out = []
     minimal_objs: list = []
@@ -262,9 +296,7 @@ def to_json(
         if table.suppress_output:
             continue
         scan = _scan_table(spark, table, html_text, url_map, search_dir)
-        table = merge_embedded_titles(
-            table, scan.header_titles) if table.columns else default_table_for(
-            table.url, scan.header_titles)
+        table = _effective_table(table, scan)
         cells = build_cells(scan.df, table)
         frags = build_row_fragments(cells, table).collect()
         if mode == "minimal":
@@ -293,6 +325,7 @@ def to_json_lines(
     url_map: dict[str, str] | None = None,
     search_dir: str | None = None,
     mode: str = "minimal",
+    headers: dict | None = None,
 ) -> list[str]:
     """Distributed csv2json sink: serialize every (non-suppressed) table to
     JSONL under *out_path* with NO driver materialization — the scale path
@@ -302,14 +335,13 @@ def to_json_lines(
     Part files concatenate in name order to document row order."""
     from .operators.json_rows import write_json_lines
 
-    group, html_text, search_dir = _load_group(metadata, base, search_dir)
+    group, html_text, search_dir = _load_group(
+        metadata, base, search_dir, headers)
     tables = [t for t in group.tables if not t.suppress_output]
     out_dirs: list[str] = []
     for i, table in enumerate(tables):
         scan = _scan_table(spark, table, html_text, url_map, search_dir)
-        table = merge_embedded_titles(
-            table, scan.header_titles) if table.columns else default_table_for(
-            table.url, scan.header_titles)
+        table = _effective_table(table, scan)
         cells = build_cells(scan.df, table)
         dest = out_path if len(tables) == 1 else os.path.join(
             out_path, f"table_{i}")
@@ -325,6 +357,7 @@ def validate(
     base: str | None = None,
     url_map: dict[str, str] | None = None,
     search_dir: str | None = None,
+    headers: dict | None = None,
 ) -> DataFrame:
     """Validation mode (reference ``validate: true``): run the cell
     pipeline for every table (including suppressOutput tables) and return
@@ -341,7 +374,8 @@ def validate(
         pk_violations,
     )
 
-    group, html_text, search_dir = _load_group(metadata, base, search_dir)
+    group, html_text, search_dir = _load_group(
+        metadata, base, search_dir, headers)
 
     out_schema = ("kind string, table string, row long, source_row long, "
                   "column string, detail string")
@@ -382,7 +416,7 @@ def validate(
                     [("schema_incompatible", table.url, None, None, None,
                       compat_err)], out_schema))
         if not table.columns:
-            table = default_table_for(table.url, scan.header_titles)
+            table = _effective_table(table, scan)
         elif compat_err is None:
             table = merge_embedded_titles(table, scan.header_titles)
         cells = build_cells(scan.df, table)

@@ -319,10 +319,19 @@ def read_table(
             r.value[len(d.commentPrefix):] for r in comment_rows.collect())
         df = df.filter(~F.col("value").startswith(d.commentPrefix))
 
-    # determine physical width: declared schema, else the header row
+    # determine physical width: declared schema, else the header row, else
+    # (headerless file with no schema) the first data row — the reference
+    # creates `_col.N` columns on demand per row (metadata.rb:2060-2062);
+    # the fixed-schema scan sizes them once from the first row
     non_virtual = [c for c in table.columns if not c.virtual]
-    n_cols = (len(non_virtual) + d.skipColumns) if non_virtual else max(
-        len(header_titles) + d.skipColumns, 1)
+    if non_virtual:
+        n_cols = len(non_virtual) + d.skipColumns
+    elif header_titles:
+        n_cols = len(header_titles) + d.skipColumns
+    else:
+        first = df.orderBy("_sourceRow").select("value").limit(1).collect()
+        width = len(_parse_csv_line(first[0].value, d)) if first else 0
+        n_cols = max(width, 1)
 
     schema_ddl = ", ".join(f"`_x{i}` string" for i in range(n_cols))
     opts = {
