@@ -750,6 +750,124 @@ def sql_text_fingerprint() -> str:
     """
 
 
+def _pii_enriched(doc_id, text):
+    """Deterministic PII injection into doc_id % 7 == 0 docs — the synthetic
+    documents contain no PII-shaped tokens, so without this the query would
+    prove only empty == empty (the round-1 vacuous-oracle lesson)."""
+    return F.when(
+        doc_id % 7 == 0,
+        F.concat(
+            text, F.lit(" contact user"), doc_id.cast("string"),
+            F.lit("@example.com at 10.0."),
+            (doc_id % 256).cast("string"),
+            F.lit(".7 or +1-555-0147")),
+    ).otherwise(text)
+
+
+_PII_ENRICH_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com at 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 or +1-555-0147' ELSE text END")
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/IPv4/phones counted + redacted) over documents
+    with deterministic PII injected into a subset in both engines."""
+    from rdf_tabular_spark.ops.pii import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _pii_enriched(F.col("doc_id"), F.col("text")).alias("text"))
+    return pii_scrub(docs).select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones",
+        F.md5("redacted").alias("redacted_fp"))
+
+
+def sql_text_pii() -> str:
+    from rdf_tabular_spark.ops.pii import PII_RULES
+
+    stages, prev = [], "e"
+    carried = []
+    for i, (kind, pattern, placeholder) in enumerate(PII_RULES):
+        pat = pattern.replace("'", "''")
+        cols = ", ".join(carried)
+        cols = cols + ", " if cols else ""
+        stages.append(
+            f"s{i} AS (SELECT doc_id, {cols}"
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind}, "
+            f"regexp_replace(t, '{pat}', '{placeholder}', 'g') AS t "
+            f"FROM {prev})")
+        carried.append(f"n_{kind}")
+        prev = f"s{i}"
+    stage_sql = ",\n    ".join(stages)
+    return f"""
+    WITH e AS (SELECT doc_id, {_PII_ENRICH_SQL} AS t FROM documents),
+    {stage_sql}
+    SELECT doc_id, {', '.join(carried)}, md5(t) AS redacted_fp FROM {prev}
+    """
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test n-gram decontamination: the eval set is the deterministic
+    doc_id % 37 == 0 slice of the corpus, so flagged docs are the eval docs
+    themselves plus any near-copies sharing an 8-gram."""
+    from rdf_tabular_spark.ops.decon import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 37 == 0)
+    return contaminated_docs(docs, test, n=8)
+
+
+def sql_decontaminate() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest([md5(array_to_string(t[i:i+7], ' '))
+                     for i in generate_series(1, len(t) - 7)]) AS gram
+      FROM toks),
+    testg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0)
+    SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_test_ngrams
+    FROM grams g JOIN testg USING (gram)
+    GROUP BY g.doc_id
+    """
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per-doc (shard, bin, offset) layout at a 256-token
+    budget over 8 md5 shards."""
+    from rdf_tabular_spark.ops.pack import pack_offsets
+
+    return pack_offsets(_t(spark, sf_dir, "documents"),
+                        max_tokens=256, n_shards=8)
+
+
+def sql_pack_sequences() -> str:
+    return """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 8 AS INT) AS shard,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS start
+      FROM s)
+    SELECT doc_id, shard, n_tokens,
+           CAST(start // 256 AS BIGINT) AS bin_id,
+           CAST(start % 256 AS BIGINT) AS bin_offset
+    FROM c
+    """
+
+
 def _query_vec(dim: int = 64) -> list[float]:
     return [((i * 37) % 19 - 9) / 10.0 for i in range(dim)]
 
@@ -1488,6 +1606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_pii": q_text_pii,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
         "similarity_lsh": q_similarity_lsh,
@@ -1525,6 +1646,9 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": sql_text_quality(),
         "text_langid": sql_text_langid(),
         "text_fingerprint": sql_text_fingerprint(),
+        "text_pii": sql_text_pii(),
+        "decontaminate": sql_decontaminate(),
+        "pack_sequences": sql_pack_sequences(),
         "similarity_topk": sql_similarity_topk(),
         "similarity_ivf": sql_similarity_ivf(),
         "similarity_lsh": sql_similarity_lsh(),

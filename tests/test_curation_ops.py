@@ -1,0 +1,139 @@
+"""Curation-pass operators: PII scrub, train/test decontamination,
+sequence packing.  These model the standard pre-training hygiene passes
+(none exist in the reference — they're the LLM-pipeline extension
+surface; see SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# ---------------------------------------------------------------- PII
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from rdf_tabular_spark.ops.pii import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com and c.d@e.org, ip 10.0.0.1, tel +1-555-0100"),
+         (2, "clean text with no personal data at all"),
+         (3, "+44-1234-5678-999 twice +1-555-0147")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_ipv4"], rows[1]["n_phones"]) \
+        == (2, 1, 1)
+    assert "<EMAIL>" in rows[1]["redacted"]
+    assert "<IP>" in rows[1]["redacted"]
+    assert "<PHONE>" in rows[1]["redacted"]
+    assert "a@b.com" not in rows[1]["redacted"]
+    assert rows[2]["redacted"] == rows[2]["text"]
+    assert rows[2]["n_emails"] == rows[2]["n_ipv4"] == rows[2]["n_phones"] == 0
+    assert rows[3]["n_phones"] == 2
+
+
+def test_pii_staging_no_double_count(spark):
+    """An IP-shaped digit run inside an email's domain must not count as an
+    IP once the email is masked."""
+    from rdf_tabular_spark.ops.pii import pii_scrub
+
+    df = spark.createDataFrame([(1, "u@10.0.0.1.example.com only")],
+                               "doc_id int, text string")
+    r = pii_scrub(df).collect()[0]
+    assert r["n_emails"] == 1
+    assert r["n_ipv4"] == 0
+
+
+def test_pii_flag_matches_scrub(docs):
+    from rdf_tabular_spark.ops.pii import pii_flag, pii_scrub
+
+    enriched = docs.limit(200).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat("text", F.lit(" x@y.io"))).otherwise(F.col("text"))
+        .alias("text"))
+    flagged = {r["doc_id"] for r in pii_flag(enriched)
+               .filter("has_pii").collect()}
+    scrubbed = {r["doc_id"] for r in pii_scrub(enriched)
+                .filter("n_emails + n_ipv4 + n_phones > 0").collect()}
+    assert flagged == scrubbed
+    assert flagged  # non-vacuous
+
+
+# ------------------------------------------------------- decontamination
+
+
+def test_decon_flags_eval_docs_and_copies(spark):
+    from rdf_tabular_spark.ops.decon import contaminated_docs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [(1, base + " extra tail words here"),   # contains eval 8-grams
+         (2, "totally different content with nothing shared at all ok"),
+         (10, base)],                            # the eval doc itself
+        "doc_id int, text string")
+    test = train.filter("doc_id = 10")
+    out = {r["doc_id"]: r["n_test_ngrams"]
+           for r in contaminated_docs(train, test, n=8).collect()}
+    assert 10 in out and 1 in out and 2 not in out
+    # base has 10 tokens -> 3 distinct 8-grams, all present in doc 1
+    assert out[10] == 3 and out[1] == 3
+
+
+def test_decon_short_docs_yield_no_grams(spark):
+    from rdf_tabular_spark.ops.decon import ngram_hash_set
+
+    df = spark.createDataFrame([(1, "one two three")], "doc_id int, text string")
+    assert ngram_hash_set(df, 8).count() == 0
+
+
+def test_decon_normalization_insensitive(spark):
+    """Case/whitespace differences must not defeat the overlap check."""
+    from rdf_tabular_spark.ops.decon import contaminated_docs
+
+    test = spark.createDataFrame(
+        [(10, "The Quick Brown Fox Jumps Over The Lazy Dog")],
+        "doc_id int, text string")
+    train = spark.createDataFrame(
+        [(1, "the  quick   brown fox jumps over the lazy dog indeed")],
+        "doc_id int, text string")
+    assert contaminated_docs(train, test, n=8).count() == 1
+
+
+# ----------------------------------------------------------- packing
+
+
+def test_pack_offsets_contiguous_within_shard(docs):
+    from rdf_tabular_spark.ops.pack import pack_offsets
+
+    out = pack_offsets(docs, max_tokens=256, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4)) and len(by_shard) > 1
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rows:
+            assert r["bin_id"] == off // 256
+            assert r["bin_offset"] == off % 256
+            off += r["n_tokens"]
+
+
+def test_pack_deterministic_across_partitioning(docs):
+    from rdf_tabular_spark.ops.pack import pack_offsets
+
+    a = sorted(map(tuple, pack_offsets(docs.repartition(3),
+                                       max_tokens=128).collect()))
+    b = sorted(map(tuple, pack_offsets(docs.repartition(11),
+                                       max_tokens=128).collect()))
+    assert a == b
