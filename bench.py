@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "text_pii",
+    "decontaminate",
+    "pack_sequences",
     "similarity_topk",
 ]
 
