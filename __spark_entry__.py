@@ -868,6 +868,100 @@ def sql_pack_sequences() -> str:
     """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (top-word multiplicity fraction,
+    duplicate-2-gram fraction) — map-only array folds, no explode."""
+    from rdf_tabular_spark.ops.text import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "top_word_frac", "dup_2gram_frac")
+
+
+def sql_text_repetition() -> str:
+    return r"""
+    WITH t AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
+    u AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+    cnt AS (SELECT doc_id, max(c) AS mx FROM (
+              SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2)
+            GROUP BY 1),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 2
+                      THEN [toks[i] || ' ' || toks[i+1]
+                            for i in generate_series(1, len(toks) - 1)]
+                      ELSE [] END AS grams,
+                 CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS n_tokens
+          FROM tok)
+    SELECT g.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CASE WHEN n_tokens > 0
+                      THEN mx / CAST(n_tokens AS DOUBLE) ELSE 0 END,
+                 6) AS top_word_frac,
+           round(CASE WHEN len(grams) > 0
+                      THEN 1 - len(list_distinct(grams)) /
+                               CAST(len(grams) AS DOUBLE)
+                      ELSE 0 END, 6) AS dup_2gram_frac
+    FROM g JOIN cnt ON g.doc_id = cnt.doc_id
+    """
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) of the events stream,
+    rolled up per session."""
+    from rdf_tabular_spark.ops.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_s=1800)
+
+
+def sql_events_sessionize() -> str:
+    return """
+    WITH o AS (
+      SELECT user_id, event_type, value, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id, event_type, value, ts,
+             CAST(sum(CASE WHEN prev IS NULL
+                           OR CAST(floor(epoch(ts)) AS BIGINT) -
+                              CAST(floor(epoch(prev)) AS BIGINT) > 1800
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - 1 AS BIGINT) AS session_id
+      FROM o)
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) -
+                min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS span_s,
+           round(sum(value), 6) AS value_sum,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM s GROUP BY 1, 2
+    """
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour per-type event counts — the batch twin of the
+    Structured Streaming windowed aggregate (same function, a streaming
+    DataFrame adds the watermark)."""
+    from rdf_tabular_spark.streaming import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"),
+                                 window="1 hour")
+
+
+def sql_events_windowed() -> str:
+    return """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS value_sum
+    FROM events GROUP BY 1, 2, 3
+    """
+
+
 def _query_vec(dim: int = 64) -> list[float]:
     return [((i * 37) % 19 - 9) / 10.0 for i in range(dim)]
 
@@ -1607,8 +1701,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_pii": q_text_pii,
+        "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "events_sessionize": q_events_sessionize,
+        "events_windowed": q_events_windowed,
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
         "similarity_lsh": q_similarity_lsh,
@@ -1647,8 +1744,11 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": sql_text_langid(),
         "text_fingerprint": sql_text_fingerprint(),
         "text_pii": sql_text_pii(),
+        "text_repetition": sql_text_repetition(),
         "decontaminate": sql_decontaminate(),
         "pack_sequences": sql_pack_sequences(),
+        "events_sessionize": sql_events_sessionize(),
+        "events_windowed": sql_events_windowed(),
         "similarity_topk": sql_similarity_topk(),
         "similarity_ivf": sql_similarity_ivf(),
         "similarity_lsh": sql_similarity_lsh(),

@@ -1,0 +1,62 @@
+"""Event sessionization: split each user's event stream into sessions at
+inactivity gaps, then aggregate per session.
+
+The reference is a batch tabular→RDF mapper with no temporal operators
+(SURVEY.md §2.8); this is part of the engine's large-scale analytics
+extension alongside the streaming window aggregates.
+
+Scale shape: everything is windowed ``partitionBy(user_id)`` — one hash
+shuffle of (user, ts, type, value) and a per-user local sort; there is no
+global ordering and no self-join.  Skewed power users are bounded by the
+events a single user can physically produce (a per-key local sort over at
+most millions of rows spills, not OOMs); for adversarial key skew route
+through ``salted_agg_count``-style pre-splitting instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, gap_s: int = 1800,
+               user_col: str = "user_id",
+               ts_col: str = "ts") -> DataFrame:
+    """Adds ``session_id`` (0-based per user, in time order) to each event.
+
+    A new session starts when the gap to the previous event of the same
+    user exceeds ``gap_s`` seconds (classic lag → boundary-flag → running
+    sum; the Structured Streaming twin of this semantics is
+    ``F.session_window(ts, gap)``).  Gap comparison is on whole epoch
+    seconds (timestamp→long truncates), pinning sub-second ties to one
+    portable answer."""
+    # NTZ timestamps can't cast straight to long; route through TIMESTAMP
+    # (session tz is pinned UTC everywhere in this engine)
+    staged = events.withColumn(
+        "_es", F.col(ts_col).cast("timestamp").cast("long"))
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag("_es").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("_es") - prev > gap_s), 1).otherwise(0)
+    return staged.withColumn(
+        "session_id",
+        (F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1
+         ).cast("long"))
+
+
+def session_stats(events: DataFrame, gap_s: int = 1800,
+                  user_col: str = "user_id",
+                  ts_col: str = "ts") -> DataFrame:
+    """Per-session rollup: event count, span seconds, value sum, distinct
+    event types.  One extra hash aggregation on (user, session) — already
+    co-partitioned with the sessionize shuffle, so AQE coalesces it into
+    a local agg in practice."""
+    s = sessionize(events, gap_s, user_col, ts_col)
+    return (
+        s.groupBy(user_col, "session_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             (F.max("_es") - F.min("_es")).cast("long").alias("span_s"),
+             F.round(F.sum("value"), 6).alias("value_sum"),
+             F.count_distinct("event_type").cast("long").alias("n_types"))
+    )

@@ -111,3 +111,56 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
         "fp_exact": F.md5(F.col("_norm")),
         "fp_min_shingle": F.array_min(shingle_hashes),
     }).drop("_norm", "_toks")
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    - ``top_word_frac``: multiplicity of the most frequent (normalized)
+      token / token count;
+    - ``dup_2gram_frac``: 1 - distinct word 2-grams / total 2-grams.
+
+    Both are pure per-row array expressions (no explode, no shuffle): the
+    token histogram's max is a single fold over the SORTED token array —
+    equal tokens are adjacent after ``array_sort``, so the longest run IS
+    the top multiplicity.  At 100 TB this stays a map-only pass inside
+    whole-stage codegen, where the textbook explode → groupBy(doc, token)
+    formulation would shuffle the tokenized corpus (≈2-3× the corpus
+    bytes)."""
+    staged = df.withColumns({
+        "_norm": normalize_text(F.col(text_col)),
+    }).withColumns({"_toks": F.split(F.col("_norm"), " ")})
+    toks = F.col("_toks")
+    n_tok = F.when(F.col("_norm") == "", F.lit(0)).otherwise(F.size(toks))
+
+    zero = F.lit(0).cast("long")
+    run_state = F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                 zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .cast("long").alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                .cast("long")).alias("best")),
+    )["best"]
+
+    idx2 = F.when(F.size(toks) >= 2,
+                  F.sequence(F.lit(1), F.size(toks) - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams2 = F.transform(
+        idx2, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    n_2g = F.size(grams2)
+
+    return staged.withColumns({
+        "n_tokens": n_tok.cast("long"),
+        "top_word_frac": F.round(
+            F.when(n_tok > 0, run_state / n_tok).otherwise(F.lit(0.0)), 6),
+        "dup_2gram_frac": F.round(
+            F.when(n_2g > 0,
+                   1.0 - F.size(F.array_distinct(grams2)) / n_2g)
+            .otherwise(F.lit(0.0)), 6),
+    }).drop("_norm", "_toks")
