@@ -1650,6 +1650,105 @@ def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "aliases").alias("aliases"))
 
 
+KG_POLY_FILES = 240
+
+
+def _kg_polyglot_source_path() -> str:
+    """Staged source table for the polyglot extraction oracle: go / rust /
+    java / toml files (synth.POLY_LANGS — deliberately NOT in the default
+    synth mix so bench/scaling inputs stay round-comparable). Pure-Python
+    staging, same idempotent rename dance as the kg oracle source."""
+    import hashlib
+    import os
+    import tempfile
+
+    from rdf_tabular_spark.kg import synth
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"rdf_tabular_spark_kg_polyglot_{KG_POLY_FILES}.parquet")
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ext_for = {"go": "go", "rust": "rs", "java": "java", "toml": "toml"}
+    cols: dict[str, list] = {
+        "repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for i in range(KG_POLY_FILES):
+        lang = synth.POLY_LANGS[i % len(synth.POLY_LANGS)]
+        cols["repo"].append(synth.repo_for(i, 10))
+        cols["path"].append(f"src/{i % 16:02d}/file_{i}.{ext_for[lang]}")
+        cols["commit"].append(hashlib.sha1(f"pcommit|{i}".encode()).hexdigest())
+        cols["lang"].append(lang)
+        cols["content"].append(synth.make_content(i, lang))
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+# (lang, rule_no, kind, RE2/Python-common regex, name group #, detail
+# group # or None) — numbered-group twins of extract.py LANG_RULES for the
+# polyglot languages; rule ORDER pins row_idx exactly as in _KG_SQL_RULES.
+_KG_POLY_SQL_RULES = [
+    ("go", 0, "import", r'(?m)^import\s+(?:(\w+)\s+)?"([\w./-]+)"', 2, 1),
+    ("go", 1, "def", r"(?m)^func\s+(?:\([^)]*\)\s+)?(\w+)\s*\(", 1, None),
+    ("go", 2, "class", r"(?m)^type\s+(\w+)\s+(struct|interface)", 1, 2),
+    ("rust", 0, "import", r"(?m)^use\s+([\w:]+)", 1, None),
+    ("rust", 1, "def", r"(?m)^\s*(?:pub\s+)?fn\s+(\w+)", 1, None),
+    ("rust", 2, "class", r"(?m)^(?:pub\s+)?(struct|enum)\s+(\w+)", 2, 1),
+    ("java", 0, "import", r"(?m)^import\s+(?:static\s+)?([\w.]+);", 1, None),
+    ("java", 1, "class", r"(?m)(class|interface)\s+(\w+)", 2, 1),
+    ("java", 2, "def",
+     r"(?m)(?:public|private|protected)\s+(?:static\s+)?[\w<>\[\]]+\s+(\w+)\s*\(",
+     1, None),
+    ("toml", 0, "dep", r'(?m)^([\w-]+)\s*=\s*"([^"]+)"', 1, 2),
+]
+
+
+def q_kg_polyglot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over the go/rust/java/toml staged source — the polyglot
+    surface of the per-file tabular-structure extractor."""
+    from rdf_tabular_spark.kg import extract
+
+    src = spark.read.parquet(_kg_polyglot_source_path())
+    return extract.extract_structures(
+        src, layout="source", carry_sha=False).select(
+        "repo", "path", "kind", "name", "detail",
+        F.col("row_idx").cast("int").alias("row_idx"))
+
+
+def sql_kg_polyglot() -> str:
+    src = _kg_polyglot_source_path()
+    per_rule = []
+    for lang, rule_no, kind, rx, name_g, detail_g in _KG_POLY_SQL_RULES:
+        details = (f"regexp_extract_all(content, $${rx}$$, {detail_g})"
+                   if detail_g else "[]::VARCHAR[]")
+        per_rule.append(f"""
+      SELECT repo, path, '{kind}' AS kind, {rule_no} AS rule_no, ord,
+             names[ord] AS name,
+             CASE WHEN len(details) >= ord
+                  THEN nullif(details[ord], '') END AS detail
+      FROM (
+        SELECT repo, path, names, details,
+               unnest(generate_series(1, len(names))) AS ord
+        FROM (
+          SELECT repo, path,
+                 regexp_extract_all(content, $${rx}$$, {name_g}) AS names,
+                 {details} AS details
+          FROM read_parquet('{src}') WHERE lang = '{lang}'))""")
+    union = "\n      UNION ALL".join(per_rule)
+    return f"""
+    WITH raw AS ({union})
+    SELECT repo, path, kind, name, detail,
+           CAST(row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY rule_no, ord) - 1 AS INT)
+             AS row_idx
+    FROM raw
+    """
+
+
 def q_kg_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row invariant, oracle-checked: the graph's (file, kg:sha256)
     pairs vs sha256(content) recomputed from the source by DuckDB. A
@@ -1716,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
         "kg_entities": q_kg_entities,
+        "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
     }
 
@@ -1759,6 +1859,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": sql_kg_triples(),
         "kg_streaming_triples": sql_kg_streaming_triples(),
         "kg_entities": sql_kg_entities(),
+        "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions
         # (murmur3 / xxhash64) have no DuckDB twin -> rows-only check

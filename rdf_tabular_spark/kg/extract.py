@@ -54,6 +54,30 @@ LANG_RULES: dict[str, list[tuple[str, str, int]]] = {
     "json": [
         ("dep", r"\"(?P<name>[\w./@-]+)\"\s*:\s*\"(?P<detail>[~^]?[\d][\w.+-]*)\"", 0),
     ],
+    # polyglot extension (r2): same kind vocabulary (import/def/class/dep)
+    # so annotation, linking and graph assembly work unchanged. Regexes stay
+    # inside the Python-re ∩ RE2 common dialect (no lookaround, no
+    # backrefs) so the DuckDB oracle twin matches byte-for-byte.
+    "go": [
+        ("import", r"^import\s+(?:(?P<detail>\w+)\s+)?\"(?P<name>[\w./-]+)\"", re.M),
+        ("def", r"^func\s+(?:\([^)]*\)\s+)?(?P<name>\w+)\s*\(", re.M),
+        ("class", r"^type\s+(?P<name>\w+)\s+(?P<detail>struct|interface)", re.M),
+    ],
+    "rust": [
+        ("import", r"^use\s+(?P<name>[\w:]+)", re.M),
+        ("def", r"^\s*(?:pub\s+)?fn\s+(?P<name>\w+)", re.M),
+        ("class", r"^(?:pub\s+)?(?P<detail>struct|enum)\s+(?P<name>\w+)", re.M),
+    ],
+    "java": [
+        ("import", r"^import\s+(?:static\s+)?(?P<name>[\w.]+);", re.M),
+        ("class", r"(?P<detail>class|interface)\s+(?P<name>\w+)", re.M),
+        ("def",
+         r"(?:public|private|protected)\s+(?:static\s+)?[\w<>\[\]]+\s+(?P<name>\w+)\s*\(",
+         re.M),
+    ],
+    "toml": [
+        ("dep", r"^(?P<name>[\w-]+)\s*=\s*\"(?P<detail>[^\"]+)\"", re.M),
+    ],
 }
 
 

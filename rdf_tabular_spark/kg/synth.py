@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LANGS = ["python", "ruby", "javascript", "json"]
+#: extraction supports these too (r2); kept OUT of the default synth mix so
+#: benchmark/scaling inputs stay byte-identical round over round — the
+#: polyglot oracle/table stages its own source with these
+POLY_LANGS = ["go", "rust", "java", "toml"]
 
 _MODULES = [
     "os", "sys", "json", "requests", "numpy", "pandas", "flask", "django",
@@ -74,6 +78,60 @@ def make_content(i: int, lang: str) -> str:
         for k in range(n_defs):
             s = _SYMBOLS[_h("def", i, k) % len(_SYMBOLS)]
             lines.append(f"function {s}_{k}(x) {{ return x; }}")
+    elif lang == "go":
+        lines.append("package main")
+        lines.append("")
+        for k in range(n_imports):
+            m = _MODULES[_h("im", i, k) % len(_MODULES)]
+            if _h("alias", i, k) % 3 == 0:
+                lines.append(f'import {m[:2]}{k} "github.com/org/{m}"')
+            else:
+                lines.append(f'import "github.com/org/{m}"')
+        lines.append("")
+        for k in range(n_defs):
+            s = _SYMBOLS[_h("def", i, k) % len(_SYMBOLS)]
+            if _h("kind", i, k) % 4 == 0:
+                lines.append(f"type {s.title()}Handler struct {{")
+                lines.append("}")
+            else:
+                lines.append(f"func {s}_{k}(x int) int {{")
+                lines.append("\treturn x")
+                lines.append("}")
+    elif lang == "rust":
+        for k in range(n_imports):
+            m = _MODULES[_h("im", i, k) % len(_MODULES)]
+            lines.append(f"use {m}::prelude;")
+        lines.append("")
+        for k in range(n_defs):
+            s = _SYMBOLS[_h("def", i, k) % len(_SYMBOLS)]
+            if _h("kind", i, k) % 4 == 0:
+                word = "struct" if _h("se", i, k) % 2 == 0 else "enum"
+                lines.append(f"pub {word} {s.title()}Handler {{")
+                lines.append("}")
+            else:
+                pub = "pub " if _h("pub", i, k) % 2 == 0 else ""
+                lines.append(f"{pub}fn {s}_{k}(x: i32) -> i32 {{")
+                lines.append("    x")
+                lines.append("}")
+    elif lang == "java":
+        for k in range(n_imports):
+            m = _MODULES[_h("im", i, k) % len(_MODULES)]
+            if _h("static", i, k) % 4 == 0:
+                lines.append(f"import static org.example.{m}.Util;")
+            else:
+                lines.append(f"import org.example.{m};")
+        lines.append("")
+        lines.append(f"public class File{i}Handler {{")
+        for k in range(n_defs):
+            s = _SYMBOLS[_h("def", i, k) % len(_SYMBOLS)]
+            lines.append(f"    public static int {s}_{k}(int x) {{ return x; }}")
+        lines.append("}")
+    elif lang == "toml":
+        lines.append("[dependencies]")
+        for k in range(n_imports):
+            m = _MODULES[_h("im", i, k) % len(_MODULES)]
+            lines.append(
+                f'{m} = "^{_h("v", i, k) % 9}.{_h("v2", i, k) % 20}.0"')
     else:  # json manifest
         deps = []
         for k in range(n_imports):
