@@ -1650,6 +1650,89 @@ def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "aliases").alias("aliases"))
 
 
+def q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out degree over the assembled dependency graph
+    (kg/graph.py degrees — two hash aggs + one full-outer merge)."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.degrees(triples)
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the dependency graph (kg/graph.py).
+    Ranks rounded to 6 decimals so float summation order (parallel Spark
+    sum vs sequential DuckDB sum) canonicalizes away."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.pagerank(triples).select(
+        "node", F.round("rank", 6).alias("rank"))
+
+
+def _sql_kg_edges() -> str:
+    """Shared CTE text: the dependency edge list + node set over the
+    kg_triples twin (wrapped as a derived table; DuckDB allows a nested
+    WITH inside a FROM subquery)."""
+    return f"""
+    kgq AS ({sql_kg_triples()}),
+    gedges AS (
+      SELECT subj AS src, obj AS dst FROM kgq
+      WHERE obj_is_iri
+        AND pred IN ('{_KG}imports', '{_KG}dependsOn', '{_KG}defines')),
+    gnodes AS (
+      SELECT src AS node FROM gedges UNION SELECT dst FROM gedges)
+    """
+
+
+def sql_kg_degrees() -> str:
+    return f"""
+    WITH {_sql_kg_edges()},
+    outd AS (SELECT src AS node, COUNT(*) AS out_degree
+             FROM gedges GROUP BY src),
+    ind AS (SELECT dst AS node, COUNT(*) AS in_degree
+            FROM gedges GROUP BY dst)
+    SELECT n.node,
+           COALESCE(outd.out_degree, 0) AS out_degree,
+           COALESCE(ind.in_degree, 0) AS in_degree
+    FROM gnodes n
+    LEFT JOIN outd ON n.node = outd.node
+    LEFT JOIN ind ON n.node = ind.node
+    """
+
+
+def sql_kg_pagerank(damping: float = 0.85, iterations: int = 8) -> str:
+    """Unrolled power iteration (one CTE per step) — exactly the
+    kg/graph.py formulation: dangling mass dropped, fixed step count.
+    Recursive CTEs with aggregation in the recursive term are non-standard
+    SQL, so the loop is generated here instead."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT n.node,
+             (1 - {damping}) / (SELECT n FROM nn) + COALESCE(c.contrib, 0)
+               AS rank
+      FROM gnodes n
+      LEFT JOIN (
+        SELECT w.dst, SUM({prev}.rank * w.w) AS contrib
+        FROM w JOIN {prev} ON w.src = {prev}.node
+        GROUP BY w.dst) c
+      ON n.node = c.dst)""")
+        prev = f"r{i}"
+    return f"""
+    WITH {_sql_kg_edges()},
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM gnodes),
+    outd AS (SELECT src, COUNT(*) AS od FROM gedges GROUP BY src),
+    w AS (SELECT e.src, e.dst, {damping} / outd.od AS w
+          FROM gedges e JOIN outd ON e.src = outd.src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM gnodes),
+    {",".join(steps)}
+    SELECT node, round(rank, 6) AS rank FROM {prev}
+    """
+
+
 KG_POLY_FILES = 240
 
 
@@ -1815,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
         "kg_entities": q_kg_entities,
+        "kg_degrees": q_kg_degrees,
+        "kg_pagerank": q_kg_pagerank,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
     }
@@ -1859,6 +1944,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": sql_kg_triples(),
         "kg_streaming_triples": sql_kg_streaming_triples(),
         "kg_entities": sql_kg_entities(),
+        "kg_degrees": sql_kg_degrees(),
+        "kg_pagerank": sql_kg_pagerank(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions

@@ -1,0 +1,138 @@
+"""Graph analytics over the assembled triple table: degrees + PageRank.
+
+The reference's product is a static triple set; these rollups answer the
+questions a KG consumer asks next ("which modules is everything pulling
+in?", "which files are hubs?") without leaving the DataFrame layer.
+
+Scale design (10^12-file graph):
+
+- ``edge_list`` projects the triple table down to two string columns
+  before anything shuffles; the filter on ``pred`` is a pushable
+  IsIn over a low-cardinality column.
+- ``degrees`` is two partial+final hash aggregations and one
+  shuffle-on-node full-outer merge — no windows, no sorts.
+- ``pagerank`` keeps the edge list partitioned on ``src`` once
+  (``repartition(src)`` + persist) so every iteration's
+  contributions join reuses the same layout; per-iteration state is the
+  narrow (node, rank) table. Lineage is truncated by persisting each
+  iteration's ranks and unpersisting the previous one (same pattern as
+  link.connected_components — localCheckpoint would defeat AQE
+  coalescing on small inputs). Dangling mass is dropped, matching the
+  classic formulation rank = (1-d)/N + d * sum(in_contrib); that keeps
+  each iteration a single agg + left join, with no global re-sum of
+  dangling nodes (at 10^12 nodes an extra global scalar per iteration
+  is a driver barrier we don't need for link-analysis ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .annotate import KG
+
+#: predicates that constitute the dependency graph's edges
+EDGE_PREDICATES = (KG + "imports", KG + "dependsOn", KG + "defines")
+
+
+def edge_list(triples: DataFrame,
+              predicates: tuple[str, ...] = EDGE_PREDICATES) -> DataFrame:
+    """Triple table -> (src, dst) edge list over the dependency predicates.
+
+    Object-position IRIs only (``obj_is_iri``), so literal facts
+    (kg:path, kg:sha256, ...) never enter the graph.
+    """
+    return (
+        triples
+        .filter(F.col("pred").isin(*predicates) & F.col("obj_is_iri"))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+
+
+def degrees(triples: DataFrame,
+            predicates: tuple[str, ...] = EDGE_PREDICATES) -> DataFrame:
+    """Per-node out/in degree over the dependency edges.
+
+    Two hash aggs (map-side partial combine is free from Catalyst) and a
+    full-outer merge on the node id. Distinct-edge semantics are
+    inherited from the triple table (a graph is a set — SURVEY §2.5 A3),
+    so no extra dedup pass is needed here.
+    """
+    edges = edge_list(triples, predicates)
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_degree"))
+    in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_degree"))
+    return (
+        out_deg.join(in_deg, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank(triples: DataFrame, damping: float = 0.85,
+             iterations: int = 8,
+             predicates: tuple[str, ...] = EDGE_PREDICATES) -> DataFrame:
+    """Fixed-iteration PageRank over the dependency edge list.
+
+    rank_{t+1}(n) = (1-d)/N + d * sum_{m -> n} rank_t(m) / out_deg(m)
+
+    Deterministic given the input (modulo float summation order, which
+    callers canonicalize away by rounding — see the contract query).
+    Fixed ``iterations`` rather than convergence-tested so the job has a
+    statically known number of stages (resume/lineage friendly) and so a
+    plain unrolled-SQL twin can replicate it exactly.
+    """
+    edges = edge_list(triples, predicates)
+    # localCheckpoint (eager), NOT persist: the iteration loop re-references
+    # these bases 8+ times, and a persisted DataFrame still carries its full
+    # logical plan — over an upstream as deep as the KG pipeline the
+    # combined plan TEXT grows multiplicatively per iteration and OOMs the
+    # driver while Spark renders the explain string. Checkpointing flattens
+    # them to a LogicalRDD so every iteration's plan is constant-size.
+    # (On a real cluster prefer reliable .checkpoint() to a checkpoint dir —
+    # localCheckpoint blocks die with their executor.)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return triples.sparkSession.createDataFrame(
+            [], "node string, rank double")
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+    # weight each edge once, up front: contribution factor = d / out_deg(src).
+    # partitioned on src so every iteration's ranks join lands on the same
+    # layout; checkpointed once, reused `iterations` times.
+    weighted = (
+        edges.join(out_deg, "src")
+        .select("src", "dst",
+                (F.lit(damping) / F.col("out_degree")).alias("w"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).persist()
+    for _ in range(iterations):
+        contribs = (
+            weighted.join(ranks, weighted.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize before dropping the parent cache
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks

@@ -1,0 +1,93 @@
+"""Graph analytics (kg/graph.py): degrees + fixed-iteration PageRank.
+
+PageRank is pinned against a NumPy power-iteration twin on a hand graph
+(exact same formulation: dangling mass dropped, fixed iterations), and
+checked for partition-layout invariance — the distributed result must not
+depend on how the edges happen to be split.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_tabular_spark.kg import graph
+from rdf_tabular_spark.kg.annotate import KG
+
+
+def _triples(spark, edges, extra=()):
+    rows = [
+        (s, KG + p, o, True, None, None) for s, p, o in edges
+    ] + list(extra)
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string",
+    )
+
+
+EDGES = [
+    ("f:a", "imports", "m:x"),
+    ("f:a", "imports", "m:y"),
+    ("f:b", "dependsOn", "m:x"),
+    ("f:c", "defines", "s:c1"),
+    ("s:c1", "imports", "m:y"),  # chain: symbol node with in+out edges
+]
+
+
+def test_degrees(spark):
+    t = _triples(
+        spark, EDGES,
+        extra=[("f:a", KG + "path", "a.py", False, None, None),
+               ("f:a", KG + "related", "m:z", True, None, None)],
+    )
+    got = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in graph.degrees(t).collect()}
+    # literal facts and non-dependency predicates contribute nothing:
+    # m:z never appears
+    assert got == {
+        "f:a": (2, 0), "f:b": (1, 0), "f:c": (1, 0),
+        "m:x": (0, 2), "m:y": (0, 2), "s:c1": (1, 1),
+    }
+
+
+def _numpy_pagerank(edges, damping, iterations):
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = {}
+    for s, d in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {m: 1.0 / n for m in nodes}
+    for _ in range(iterations):
+        contrib = {m: 0.0 for m in nodes}
+        for s, d in edges:
+            contrib[d] += damping * rank[s] / out_deg[s]
+        rank = {m: (1.0 - damping) / n + contrib[m] for m in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("iterations", [1, 8])
+def test_pagerank_matches_power_iteration(spark, iterations):
+    t = _triples(spark, EDGES)
+    got = {r["node"]: r["rank"]
+           for r in graph.pagerank(t, iterations=iterations).collect()}
+    want = _numpy_pagerank(
+        [(s, o) for s, _, o in EDGES], 0.85, iterations)
+    assert set(got) == set(want)
+    for node, rk in want.items():
+        assert got[node] == pytest.approx(rk, abs=1e-12), node
+
+
+def test_pagerank_partition_invariance(spark):
+    t1 = _triples(spark, EDGES).repartition(1)
+    t7 = _triples(spark, EDGES).repartition(7)
+    r1 = {r["node"]: round(r["rank"], 9)
+          for r in graph.pagerank(t1).collect()}
+    r7 = {r["node"]: round(r["rank"], 9)
+          for r in graph.pagerank(t7).collect()}
+    assert r1 == r7
+
+
+def test_pagerank_empty_graph(spark):
+    t = _triples(spark, [])
+    assert graph.pagerank(t).count() == 0
