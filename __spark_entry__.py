@@ -1675,12 +1675,12 @@ def _sql_kg_edges() -> str:
     kg_triples twin (wrapped as a derived table; DuckDB allows a nested
     WITH inside a FROM subquery)."""
     return f"""
-    kgq AS ({sql_kg_triples()}),
-    gedges AS (
+    kgq AS MATERIALIZED ({sql_kg_triples()}),
+    gedges AS MATERIALIZED (
       SELECT subj AS src, obj AS dst FROM kgq
       WHERE obj_is_iri
         AND pred IN ('{_KG}imports', '{_KG}dependsOn', '{_KG}defines')),
-    gnodes AS (
+    gnodes AS MATERIALIZED (
       SELECT src AS node FROM gedges UNION SELECT dst FROM gedges)
     """
 
@@ -1710,7 +1710,7 @@ def sql_kg_pagerank(damping: float = 0.85, iterations: int = 8) -> str:
     prev = "r0"
     for i in range(1, iterations + 1):
         steps.append(f"""
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT n.node,
              (1 - {damping}) / (SELECT n FROM nn) + COALESCE(c.contrib, 0)
                AS rank
@@ -1725,11 +1725,79 @@ def sql_kg_pagerank(damping: float = 0.85, iterations: int = 8) -> str:
     WITH {_sql_kg_edges()},
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM gnodes),
     outd AS (SELECT src, COUNT(*) AS od FROM gedges GROUP BY src),
-    w AS (SELECT e.src, e.dst, {damping} / outd.od AS w
+    w AS MATERIALIZED (SELECT e.src, e.dst, {damping} / outd.od AS w
           FROM gedges e JOIN outd ON e.src = outd.src),
-    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM gnodes),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM gnodes),
     {",".join(steps)}
     SELECT node, round(rank, 6) AS rank FROM {prev}
+    """
+
+
+def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the dependency graph (kg/graph.py
+    components — min-label propagation, component id = min node IRI)."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.components(triples)
+
+
+def q_kg_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module co-import affinity (kg/graph.py module_affinity): pairs of
+    modules pulled in by >= 2 common files, with Jaccard affinity."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.module_affinity(triples, min_files=2)
+
+
+def sql_kg_components(iterations: int = 10) -> str:
+    """Unrolled min-label propagation, same formulation as
+    link.connected_components (neighbor-min LEAST'd with own label).
+    Early convergence on the Spark side is safe: converged steps are
+    identity, so running all ``iterations`` steps here lands on the same
+    labels."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    l{i} AS MATERIALIZED (
+      SELECT l.node, LEAST(l.label, COALESCE(m.nl, l.label)) AS label
+      FROM {prev} l
+      LEFT JOIN (
+        SELECT u.x, MIN({prev}.label) AS nl
+        FROM und u JOIN {prev} ON u.y = {prev}.node
+        GROUP BY u.x) m
+      ON l.node = m.x)""")
+        prev = f"l{i}"
+    return f"""
+    WITH {_sql_kg_edges()},
+    und AS MATERIALIZED (SELECT src AS x, dst AS y FROM gedges
+            UNION ALL SELECT dst, src FROM gedges),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM gnodes),
+    {",".join(steps)}
+    SELECT node, label AS component FROM {prev}
+    """
+
+
+def sql_kg_affinity() -> str:
+    return f"""
+    WITH kgq AS ({sql_kg_triples()}),
+    mods AS (
+      SELECT DISTINCT subj AS src, obj AS dst FROM kgq
+      WHERE obj_is_iri AND pred IN ('{_KG}imports', '{_KG}dependsOn')),
+    pairs AS (
+      SELECT a.dst AS mod_a, b.dst AS mod_b, COUNT(*) AS co_files
+      FROM mods a JOIN mods b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY a.dst, b.dst
+      HAVING COUNT(*) >= 2),
+    deg AS (SELECT dst AS m, COUNT(*) AS files FROM mods GROUP BY dst)
+    SELECT mod_a, mod_b, co_files,
+           round(CAST(co_files AS DOUBLE)
+                 / (da.files + db.files - co_files), 6) AS jaccard
+    FROM pairs
+    JOIN deg da ON mod_a = da.m
+    JOIN deg db ON mod_b = db.m
     """
 
 
@@ -1900,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": q_kg_entities,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "kg_components": q_kg_components,
+        "kg_affinity": q_kg_affinity,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
     }
@@ -1946,6 +2016,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": sql_kg_entities(),
         "kg_degrees": sql_kg_degrees(),
         "kg_pagerank": sql_kg_pagerank(),
+        "kg_components": sql_kg_components(),
+        "kg_affinity": sql_kg_affinity(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions

@@ -33,6 +33,8 @@ from .annotate import KG
 
 #: predicates that constitute the dependency graph's edges
 EDGE_PREDICATES = (KG + "imports", KG + "dependsOn", KG + "defines")
+#: file -> module edges only (no symbol definitions)
+MODULE_PREDICATES = (KG + "imports", KG + "dependsOn")
 
 
 def edge_list(triples: DataFrame,
@@ -69,6 +71,72 @@ def degrees(triples: DataFrame,
             "node",
             F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def components(triples: DataFrame, max_iter: int = 10,
+               predicates: tuple[str, ...] = EDGE_PREDICATES) -> DataFrame:
+    """Weakly-connected components: (node, component) with the component
+    id = the lexicographic-min node IRI in it.
+
+    Reuses link.connected_components' min-label propagation (the entity
+    linker's clustering core) over the undirected dependency edge list.
+    Early convergence exit is safe for oracle comparison: once converged,
+    further steps are identity, so a fixed-step SQL twin that runs all
+    ``max_iter`` steps lands on the same labels. Bases are
+    localCheckpoint-ed first — same driver-side plan-text blowup as
+    pagerank otherwise (each propagation step re-references them).
+    """
+    from .link import connected_components
+
+    edges = edge_list(triples, predicates).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("mention"))
+        .union(edges.select(F.col("dst").alias("mention")))
+        .distinct()
+        .localCheckpoint()
+    )
+    pairs = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    labels = connected_components(nodes, pairs, max_iter=max_iter)
+    return labels.select(F.col("mention").alias("node"),
+                         F.col("canonical").alias("component"))
+
+
+def module_affinity(triples: DataFrame, min_files: int = 2,
+                    predicates: tuple[str, ...] = MODULE_PREDICATES) -> DataFrame:
+    """Module co-occurrence: pairs of modules imported by the same file,
+    with the co-file count and Jaccard affinity co / (d1 + d2 - co).
+
+    The self-join is keyed on the FILE, so hot modules don't blow up the
+    join — per-file fan-out is bounded by imports-per-file squared (tens,
+    not millions), and a monster generated file can be capped upstream by
+    filtering on per-file edge count. The affinity join against the two
+    degree sides broadcasts naturally (distinct modules << edges).
+    """
+    mods = edge_list(triples, predicates).distinct()
+    a, b = mods.alias("a"), mods.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.src") == F.col("b.src"))
+               & (F.col("a.dst") < F.col("b.dst")))
+        .groupBy(F.col("a.dst").alias("mod_a"), F.col("b.dst").alias("mod_b"))
+        .agg(F.count("*").alias("co_files"))
+        .filter(F.col("co_files") >= min_files)
+    )
+    deg = mods.groupBy(F.col("dst").alias("m")).agg(
+        F.count("*").alias("files"))
+    da, db = deg.alias("da"), deg.alias("db")
+    return (
+        pairs
+        .join(da, F.col("mod_a") == F.col("da.m"))
+        .join(db, F.col("mod_b") == F.col("db.m"))
+        .select(
+            "mod_a", "mod_b", "co_files",
+            F.round(
+                F.col("co_files")
+                / (F.col("da.files") + F.col("db.files") - F.col("co_files")),
+                6,
+            ).alias("jaccard"),
         )
     )
 

@@ -91,3 +91,32 @@ def test_pagerank_partition_invariance(spark):
 def test_pagerank_empty_graph(spark):
     t = _triples(spark, [])
     assert graph.pagerank(t).count() == 0
+
+
+def test_components(spark):
+    # two weak components: {f:a, f:b, m:x, m:y, f:c, s:c1} is ONE because
+    # s:c1 imports m:y bridges the defines subgraph — so drop that edge
+    edges = [e for e in EDGES if e[0] != "s:c1"]
+    t = _triples(spark, edges)
+    got = {r["node"]: r["component"]
+           for r in graph.components(t).collect()}
+    assert got == {
+        "f:a": "f:a", "f:b": "f:a", "m:x": "f:a", "m:y": "f:a",
+        "f:c": "f:c", "s:c1": "f:c",
+    }
+
+
+def test_module_affinity(spark):
+    edges = [
+        ("f:a", "imports", "m:x"),
+        ("f:a", "imports", "m:y"),
+        ("f:b", "imports", "m:x"),
+        ("f:b", "imports", "m:y"),
+        ("f:c", "dependsOn", "m:x"),
+        ("f:c", "defines", "s:c1"),  # defines never contributes
+    ]
+    t = _triples(spark, edges)
+    rows = {(r["mod_a"], r["mod_b"]): (r["co_files"], r["jaccard"])
+            for r in graph.module_affinity(t, min_files=2).collect()}
+    # m:x in 3 files, m:y in 2, together in 2 -> jaccard 2/(3+2-2)
+    assert rows == {("m:x", "m:y"): (2, round(2 / 3, 6))}
