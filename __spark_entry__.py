@@ -750,6 +750,74 @@ def sql_text_fingerprint() -> str:
     """
 
 
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table (ops/vocab.py): token -> term/doc frequency,
+    min_count=2 so the long unique tail stays out of the compared set."""
+    from rdf_tabular_spark.ops.vocab import vocab_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_counts(docs, min_count=2)
+
+
+def sql_text_vocab() -> str:
+    return """
+    WITH dt AS (
+      SELECT doc_id, t.token
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 ' ')) AS token
+        FROM documents) t
+      WHERE t.token <> ''),
+    tf AS (SELECT token, COUNT(*) AS term_freq FROM dt GROUP BY token),
+    df AS (SELECT token, COUNT(*) AS doc_freq
+           FROM (SELECT DISTINCT doc_id, token FROM dt) GROUP BY token)
+    SELECT tf.token, term_freq, doc_freq
+    FROM tf JOIN df ON tf.token = df.token
+    WHERE term_freq >= 2
+    """
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tokens per document by smoothed TF-IDF, ranked on the
+    engine-portable integer key (ops/vocab.py tfidf_topk)."""
+    from rdf_tabular_spark.ops.vocab import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=3)
+
+
+def sql_text_tfidf() -> str:
+    return """
+    WITH dt AS (
+      SELECT doc_id, t.token
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 ' ')) AS token
+        FROM documents) t
+      WHERE t.token <> ''),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
+           FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM dt GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(*) AS df
+           FROM (SELECT DISTINCT doc_id, token FROM dt) GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             round(tf.tf * (ln(((SELECT n FROM nn) + 1) / (df.df + 1)) + 1),
+                   6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
+      FROM tf JOIN df ON tf.token = df.token)
+    SELECT doc_id, rank, token, tf, df, tfidf
+    FROM scored WHERE rank <= 3
+    """
+
+
 def _pii_enriched(doc_id, text):
     """Deterministic PII injection into doc_id % 7 == 0 docs — the synthetic
     documents contain no PII-shaped tokens, so without this the query would
@@ -1950,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_vocab": q_text_vocab,
+        "text_tfidf": q_text_tfidf,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
@@ -1998,6 +2068,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": sql_text_quality(),
         "text_langid": sql_text_langid(),
         "text_fingerprint": sql_text_fingerprint(),
+        "text_vocab": sql_text_vocab(),
+        "text_tfidf": sql_text_tfidf(),
         "text_pii": sql_text_pii(),
         "text_repetition": sql_text_repetition(),
         "decontaminate": sql_decontaminate(),

@@ -1,0 +1,89 @@
+"""Corpus vocabulary statistics + per-document TF-IDF.
+
+The vocab table (token -> corpus frequency, document frequency) is the
+front-end of tokenizer training and frequency-based filtering; TF-IDF
+top-k per document is the classic cheap relevance signal.
+
+Scale design:
+
+- ``vocab_counts`` is explode -> hash agg. No explicit salting: COUNT
+  aggregation gets map-side partial combine from Catalyst, so a hot token
+  ("the") arrives at the final reducer as at most one partial row per
+  upstream partition — skew is bounded by the partition count, not the
+  token count. (Contrast A3-style set-dedup, where salting IS needed —
+  see agg_salted_counts.)
+- ``doc_freq`` dedups (doc, token) BEFORE the per-token count, so the
+  reducer again sees pre-combined partials, never one row per occurrence.
+- ``tfidf_topk`` deliberately defines its ranking on the INTEGER key
+  (tf DESC, df ASC, token ASC) rather than the float score — rarity only
+  breaks term-frequency ties. That choice makes row selection immune to
+  last-ulp ln() differences between engines (a float-ranked top-k can
+  pick different rows at the rank-k boundary), so the oracle twin selects
+  identical rows; the smoothed TF-IDF score is still reported as a
+  column. The per-doc window partitions on doc_id — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import normalize_text, tokens
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def vocab_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_count: int = 1) -> DataFrame:
+    """(token, term_freq, doc_freq) over the normalized corpus."""
+    dt = _doc_tokens(docs, text_col, id_col)
+    tf = dt.groupBy("token").agg(F.count("*").alias("term_freq"))
+    df_ = (
+        dt.select("doc_id", "token").distinct()
+        .groupBy("token").agg(F.count("*").alias("doc_freq"))
+    )
+    out = tf.join(df_, "token")
+    if min_count > 1:
+        out = out.filter(F.col("term_freq") >= min_count)
+    return out
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Top-k tokens per document by smoothed TF-IDF.
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1), reported rounded to 6dp;
+    ranking uses the engine-portable integer key (see module docstring).
+    """
+    dt = _doc_tokens(docs, text_col, id_col)
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    tf = dt.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = (
+        dt.select("doc_id", "token").distinct()
+        .groupBy("token").agg(F.count("*").alias("df"))
+    )
+    # vocab side is |distinct tokens| — broadcast when small; at corpus
+    # scale Catalyst/AQE picks the shuffle join, which is keyed on token
+    # and pre-combined, so it stays balanced
+    scored = tf.join(df_, "token").select(
+        "doc_id", "token", "tf", "df",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+    )

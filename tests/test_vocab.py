@@ -1,0 +1,52 @@
+"""Vocabulary stats + TF-IDF (ops/vocab.py), pinned by hand computation."""
+
+from __future__ import annotations
+
+import math
+
+from rdf_tabular_spark.ops import vocab
+
+DOCS = [
+    ("d1", "the cat sat on the mat"),
+    ("d2", "The   cat  ate"),
+    ("d3", "dogs bark"),
+    ("d4", ""),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_vocab_counts(spark):
+    got = {r["token"]: (r["term_freq"], r["doc_freq"])
+           for r in vocab.vocab_counts(_docs(spark)).collect()}
+    # normalization lowercases + collapses runs; the empty doc vanishes
+    assert got == {
+        "the": (3, 2), "cat": (2, 2), "sat": (1, 1), "on": (1, 1),
+        "mat": (1, 1), "ate": (1, 1), "dogs": (1, 1), "bark": (1, 1),
+    }
+    filtered = {r["token"] for r in
+                vocab.vocab_counts(_docs(spark), min_count=2).collect()}
+    assert filtered == {"the", "cat"}
+
+
+def test_tfidf_topk(spark):
+    rows = vocab.tfidf_topk(_docs(spark), k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r["rank"])
+    # d1: "the" tf=2 ranks first; cat/mat/on/sat tie at tf=1 -> df ASC
+    # puts the doc-unique ones ahead of "cat" (df=2), token ASC -> "mat"
+    assert [r["token"] for r in by_doc["d1"]] == ["the", "mat"]
+    # d2: all tf=1 -> df ASC puts "ate" (df=1) first, then cat (df=2)
+    assert [r["token"] for r in by_doc["d2"]] == ["ate", "cat"]
+    assert [r["token"] for r in by_doc["d3"]] == ["bark", "dogs"]
+    assert "d4" not in by_doc
+    # score spot-check: N=4 distinct docs; d1 "the": tf=2, df=2
+    want = round(2 * (math.log(5 / 3) + 1), 6)
+    the_row = by_doc["d1"][0]
+    assert the_row["tf"] == 2 and the_row["df"] == 2
+    assert the_row["tfidf"] == want
