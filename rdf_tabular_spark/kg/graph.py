@@ -114,7 +114,12 @@ def module_affinity(triples: DataFrame, min_files: int = 2,
     filtering on per-file edge count. The affinity join against the two
     degree sides broadcasts naturally (distinct modules << edges).
     """
-    mods = edge_list(triples, predicates).distinct()
+    from ..ops.dedup import _cache
+
+    # referenced four times (both self-join sides + both degree lookups):
+    # persist once through the bounded cache registry or the triple table
+    # is scanned and re-deduped four times (.explain confirmed)
+    mods = _cache(edge_list(triples, predicates).distinct())
     a, b = mods.alias("a"), mods.alias("b")
     pairs = (
         a.join(b, (F.col("a.src") == F.col("b.src"))

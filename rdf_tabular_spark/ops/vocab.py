@@ -42,14 +42,21 @@ def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def vocab_counts(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", min_count: int = 1) -> DataFrame:
-    """(token, term_freq, doc_freq) over the normalized corpus."""
-    dt = _doc_tokens(docs, text_col, id_col)
-    tf = dt.groupBy("token").agg(F.count("*").alias("term_freq"))
-    df_ = (
-        dt.select("doc_id", "token").distinct()
-        .groupBy("token").agg(F.count("*").alias("doc_freq"))
+    """(token, term_freq, doc_freq) over the normalized corpus.
+
+    Single pass: one (doc, token) pre-aggregation, then term_freq =
+    SUM(tf) and doc_freq = COUNT(*) over it — the distinct-(doc, token)
+    set IS the key set of the first agg, so no second corpus scan and no
+    join (the first cut of this op scanned the corpus twice and joined;
+    .explain showed both scans).
+    """
+    per_doc = (
+        _doc_tokens(docs, text_col, id_col)
+        .groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     )
-    out = tf.join(df_, "token")
+    out = per_doc.groupBy("token").agg(
+        F.sum("tf").alias("term_freq"),
+        F.count("*").alias("doc_freq"))
     if min_count > 1:
         out = out.filter(F.col("term_freq") >= min_count)
     return out
@@ -62,13 +69,16 @@ def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text",
     score = tf * (ln((N + 1) / (df + 1)) + 1), reported rounded to 6dp;
     ranking uses the engine-portable integer key (see module docstring).
     """
+    from .dedup import _cache
+
     dt = _doc_tokens(docs, text_col, id_col)
     n_docs = docs.select(F.col(id_col)).distinct().count()
-    tf = dt.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = (
-        dt.select("doc_id", "token").distinct()
-        .groupBy("token").agg(F.count("*").alias("df"))
-    )
+    # tf is referenced twice (per-doc rows + the df rollup), so persist it
+    # through the bounded near-dup cache registry rather than re-exploding
+    # the corpus; df then derives from tf (its keys ARE the distinct
+    # (doc, token) set) — one corpus scan total.
+    tf = _cache(dt.groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     # vocab side is |distinct tokens| — broadcast when small; at corpus
     # scale Catalyst/AQE picks the shuffle join, which is keyed on token
     # and pre-combined, so it stays balanced
