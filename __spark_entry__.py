@@ -818,6 +818,53 @@ def sql_text_tfidf() -> str:
     """
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (ops/split.py hash_split):
+    md5-bucket of the row key — map-only, partition-layout-invariant."""
+    from rdf_tabular_spark.ops.split import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs).select("doc_id", "split")
+
+
+def sql_split_assign() -> str:
+    return """
+    SELECT doc_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'),
+                                  1, 8)) AS BIGINT) % 10000 AS b
+      FROM documents)
+    """
+
+
+def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsample (ops/split.py
+    stratified_sample): keep 30 % of 'en', 10 % of everything else;
+    nested by construction (raising a fraction only adds rows)."""
+    from rdf_tabular_spark.ops.split import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, {"en": 0.30}, "lang", default_fraction=0.10
+    ).select("doc_id", "lang")
+
+
+def sql_split_stratified() -> str:
+    return """
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|sample'),
+                                  1, 8)) AS BIGINT) % 10000 AS b
+      FROM documents)
+    WHERE b < CASE WHEN lang = 'en' THEN 3000 ELSE 1000 END
+    """
+
+
 def _pii_enriched(doc_id, text):
     """Deterministic PII injection into doc_id % 7 == 0 docs — the synthetic
     documents contain no PII-shaped tokens, so without this the query would
@@ -2018,6 +2065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "split_assign": q_split_assign,
+        "split_stratified": q_split_stratified,
         "text_vocab": q_text_vocab,
         "text_tfidf": q_text_tfidf,
         "text_pii": q_text_pii,
@@ -2068,6 +2117,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": sql_text_quality(),
         "text_langid": sql_text_langid(),
         "text_fingerprint": sql_text_fingerprint(),
+        "split_assign": sql_split_assign(),
+        "split_stratified": sql_split_stratified(),
         "text_vocab": sql_text_vocab(),
         "text_tfidf": sql_text_tfidf(),
         "text_pii": sql_text_pii(),

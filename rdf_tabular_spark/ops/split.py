@@ -1,0 +1,80 @@
+"""Deterministic dataset splitting and sampling.
+
+Train/val/test assignment and per-stratum downsampling for a training
+corpus must be (a) reproducible run-to-run and cluster-size-invariant,
+(b) stable under re-partitioning and resume, and (c) map-only — a
+100 TB corpus cannot afford a shuffle just to get split labels. All ops
+here hash the row KEY (never the partition or row position — Spark's
+``randomSplit``/``sample`` are seed-stable only for a fixed partition
+layout) into an integer bucket, so assignment is a pure per-row
+expression: no shuffle, no state, and adding files to the corpus never
+reassigns existing rows.
+
+The bucket is the first 8 hex chars of md5(key|salt) — the same
+engine-portable convention as ops/pack.py sharding — taken mod 10_000,
+giving 0.01 % assignment granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str) -> Column:
+    """Engine-portable uniform bucket in [0, BUCKETS)."""
+    return F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit("|" + salt))), 1, 8),
+            16, 10).cast("long"),
+        F.lit(BUCKETS))
+
+
+def hash_split(df: DataFrame, weights: list[tuple[str, float]] | None = None,
+               key_col: str = "doc_id", salt: str = "split",
+               out_col: str = "split") -> DataFrame:
+    """Assign each row to a named split with the given weights.
+
+    *weights* is an ordered list of (name, weight); weights are
+    normalized. Cut points are integer bucket thresholds, so the split is
+    exact to 1/BUCKETS and every engine computing the same md5 agrees.
+    """
+    if weights is None:
+        weights = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    total = sum(w for _, w in weights)
+    bucket = hash_bucket(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w / total
+        cut = int(round(acc * BUCKETS))
+        cond = bucket < cut
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = weights[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str, key_col: str = "doc_id",
+                      salt: str = "sample",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    *fractions* maps stratum value -> keep fraction; strata not listed
+    keep *default_fraction*. Pure filter — map-only, no shuffle, and the
+    kept set for a stratum is a SUBSET of the kept set for any higher
+    fraction (nested samples: raising 5 % to 10 % only adds rows), which
+    is what reproducible ablations want.
+    """
+    bucket = hash_bucket(F.col(key_col), salt)
+    cut = None
+    for value, frac in fractions.items():
+        thr = int(round(frac * BUCKETS))
+        cond = F.col(strata_col) == value
+        cut = F.when(cond, thr) if cut is None else cut.when(cond, thr)
+    cut = (F.lit(int(round(default_fraction * BUCKETS)))
+           if cut is None else cut.otherwise(int(round(default_fraction * BUCKETS))))
+    return df.filter(bucket < cut)

@@ -1,0 +1,63 @@
+"""Deterministic splits/sampling (ops/split.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from rdf_tabular_spark.ops import split
+
+
+def _bucket_py(key: str, salt: str) -> int:
+    return int(hashlib.md5(f"{key}|{salt}".encode()).hexdigest()[:8], 16) % split.BUCKETS
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(n)],
+        "doc_id long, lang string")
+
+
+def test_hash_split_matches_python_md5(spark):
+    rows = split.hash_split(_docs(spark)).collect()
+    for r in rows:
+        b = _bucket_py(str(r["doc_id"]), "split")
+        want = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        assert r["split"] == want, (r, b)
+
+
+def test_hash_split_partition_invariant(spark):
+    d = _docs(spark)
+    a = {r["doc_id"]: r["split"]
+         for r in split.hash_split(d.repartition(1)).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split.hash_split(d.repartition(13)).collect()}
+    assert a == b
+
+
+def test_hash_split_weights_normalized(spark):
+    rows = split.hash_split(
+        _docs(spark, 2000), weights=[("a", 1), ("b", 1)]).collect()
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    # md5 is uniform; 2000 rows at 50/50 stays well within ±10%
+    assert abs(counts["a"] - counts["b"]) < 200
+
+
+def test_stratified_sample_nested_and_exact(spark):
+    d = _docs(spark, 1000)
+    small = {r["doc_id"] for r in split.stratified_sample(
+        d, {"en": 0.10, "fr": 0.50}, "lang").collect()}
+    large = {r["doc_id"] for r in split.stratified_sample(
+        d, {"en": 0.20, "fr": 0.50}, "lang").collect()}
+    assert small <= large  # nested samples
+    for i in small:
+        b = _bucket_py(str(i), "sample")
+        frac = 1000 if i % 3 else 5000
+        assert b < frac
+    # default_fraction=0 drops unlisted strata
+    only_fr = split.stratified_sample(d, {"fr": 1.0}, "lang").collect()
+    assert all(r["lang"] == "fr" for r in only_fr)
+    assert len(only_fr) == sum(1 for i in range(1000) if i % 3 == 0)
