@@ -1416,6 +1416,60 @@ def _kg_oracle_source_path() -> str:
     return path
 
 
+def _kg_oracle_v2_path() -> str:
+    """Snapshot v2 of the staged oracle source, derived deterministically
+    from v1: files i%29==0 removed, i%13==0 changed (a lang-appropriate
+    extra import appended; json files get a whitespace-only change — a
+    sha change with no structural effect, which the delta path must still
+    re-extract), plus 8 added python files in a new repo. Pure Python so
+    ``oracle_sql()`` can stage it too."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"rdf_tabular_spark_kg_oracle_v2b_{KG_ORACLE_FILES}.parquet")
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    v1 = pq.read_table(_kg_oracle_source_path()).to_pydict()
+    # names must be mutually shingle-distant AND distant from the v1
+    # vocabulary: the LSH linker merges near-identical names (deltamod_0 /
+    # deltamod_1 share 8/10 3-shingles -> one cluster) while the SQL twin
+    # groups by exact normalized equality — the staged vocabulary must keep
+    # the two equal (the round-1 oracle design invariant)
+    mods = ["alphadelta", "betagamma", "omegazone"]
+    extra_for = {
+        "python": "\nimport {m}\n",
+        "ruby": "\nrequire '{m}'\n",
+        "javascript": "\nconst extra = require('{m}');\n",
+        "json": "\n",
+    }
+    cols: dict[str, list] = {k: [] for k in v1}
+    for i in range(len(v1["path"])):
+        if i % 29 == 0:
+            continue
+        row = {k: v1[k][i] for k in v1}
+        if i % 13 == 0:
+            row["content"] = row["content"] + extra_for[row["lang"]].format(
+                m=mods[i % 3])
+        for k, v in row.items():
+            cols[k].append(v)
+    for j in range(8):
+        cols["repo"].append("repo-delta")
+        cols["path"].append(f"src/delta/new_{j}.py")
+        cols["commit"].append(f"deltacommit{j:02d}")
+        cols["lang"].append("python")
+        cols["content"].append(
+            f"import {mods[j % 2]}\n\ndef delta_fn_{j}(x):\n    return x\n")
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    return path
+
+
 # (lang, rule order within lang, kind, regex with groups 1=name [2=detail],
 #  group count) — the numbered-group twins of kg/extract.py LANG_RULES; the
 # oracle depends on rule ORDER because per-file row_idx counts structures in
@@ -1441,11 +1495,12 @@ _KGI = "http://rdf-tabular-spark.dev/kg/"
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
-def _sql_kg_base() -> str:
+def _sql_kg_base(src: str | None = None) -> str:
     """Shared CTE prelude: staged source scan -> extraction (`ext`) ->
     linking labels (`labels`, = normalized-equality grouping with canonical
-    = min mention, bit-identical to kg/link.py on this vocabulary)."""
-    src = _kg_oracle_source_path()
+    = min mention, bit-identical to kg/link.py on this vocabulary).
+    *src* overrides the staged parquet path (incremental oracle reads v2)."""
+    src = src or _kg_oracle_source_path()
     per_rule = []
     for j, (lang, rule_no, kind, rx, n_groups) in enumerate(_KG_SQL_RULES):
         details = (f"regexp_extract_all(content, $${rx}$$, 2)"
@@ -1492,13 +1547,13 @@ def _sql_kg_base() -> str:
       WHERE kind NOT IN ('import', 'dep'))"""
 
 
-def sql_kg_triples() -> str:
+def sql_kg_triples(src: str | None = None) -> str:
     """DuckDB twin of the full pipeline output (kg/assemble.py build_graph):
     edge triples from the (repo, path, ekey, name)-deduped stream, module
     metadata from the label map, symbol metadata from distinct sets, file
     bundles + repo types straight off the source."""
     f_iri = "'{0}file/' || repo || '/' || path".format(_KGI)
-    return _sql_kg_base() + f""",
+    return _sql_kg_base(src) + f""",
     edges AS (
       SELECT DISTINCT repo, path,
              CASE WHEN kind IN ('def', 'class') THEN 'defsym' ELSE kind END
@@ -1848,6 +1903,25 @@ def sql_kg_pagerank(damping: float = 0.85, iterations: int = 8) -> str:
     """
 
 
+def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental path (kg/delta.py): extraction of snapshot v1 + delta
+    re-extraction of only the added/changed v2 files -> full v2 graph.
+    The oracle recomputes v2 from scratch, so a green row IS the
+    incremental == full-recompute invariant, cross-engine."""
+    from rdf_tabular_spark.kg import delta, extract
+
+    v1 = spark.read.parquet(_kg_oracle_source_path())
+    v2 = spark.read.parquet(_kg_oracle_v2_path())
+    prev = extract.extract_structures(
+        v1, layout="source", carry_sha=False, emit_file_rows=True)
+    _, _, triples = delta.incremental_graph(prev, v2)
+    return triples
+
+
+def sql_kg_incremental() -> str:
+    return sql_kg_triples(src=_kg_oracle_v2_path())
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components of the dependency graph (kg/graph.py
     components — min-label propagation, component id = min node IRI)."""
@@ -2089,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_components": q_kg_components,
         "kg_affinity": q_kg_affinity,
+        "kg_incremental": q_kg_incremental,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
     }
@@ -2141,6 +2216,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": sql_kg_pagerank(),
         "kg_components": sql_kg_components(),
         "kg_affinity": sql_kg_affinity(),
+        "kg_incremental": sql_kg_incremental(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions
