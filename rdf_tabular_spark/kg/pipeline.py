@@ -119,7 +119,45 @@ class KGPipeline:
             "extract",
             lambda: extract.extract_structures(
                 src.drop("content_sha256"), self.config.range_partitions))
+        return self._finish(src, extracted)
 
+    def run_incremental(self, prev: "KGPipeline") -> dict[str, DataFrame]:
+        """Same outputs as :meth:`run`, but extraction touches content only
+        for files that differ from *prev*'s completed run (kg/delta.py
+        shapes): the snapshot diff compares (repo, path, content_sha256) —
+        prev's source checkpoint already stores the sha, so the OLD
+        content is never re-read — and the new source joins the
+        (broadcast) delta key set before the extraction UDF. The merged
+        extraction lands in THIS run's ``extract`` checkpoint, so later
+        resumes (full or incremental) skip it identically; relinking and
+        assembly always run globally over the narrow rows (a new alias
+        can re-canonicalize an old mention)."""
+        from . import delta as delta_mod
+
+        src = self._run_stage("source", self.source)
+
+        def build_extract() -> DataFrame:
+            prev_src = self.spark.read.parquet(
+                prev._stage_path("source")).select(
+                "repo", "path", "content_sha256")
+            prev_ext = self.spark.read.parquet(prev._stage_path("extract"))
+            diff = delta_mod.source_diff(prev_src, src)
+            stale = diff.select("repo", "path")
+            fresh_keys = diff.filter(
+                F.col("status").isin("added", "changed")).select("repo", "path")
+            kept = prev_ext.join(
+                F.broadcast(stale), ["repo", "path"], "left_anti")
+            fresh_src = src.drop("content_sha256").join(
+                F.broadcast(fresh_keys), ["repo", "path"], "left_semi")
+            fresh = extract.extract_structures(
+                fresh_src, self.config.range_partitions)
+            return kept.unionByName(fresh)
+
+        extracted = self._run_stage("extract", build_extract)
+        return self._finish(src, extracted)
+
+    def _finish(self, src: DataFrame,
+                extracted: DataFrame) -> dict[str, DataFrame]:
         mentions = extracted.filter(
             F.col("kind").isin("import", "dep")).select(
             F.col("name").alias("mention"))

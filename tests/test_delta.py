@@ -73,6 +73,43 @@ def test_incremental_equals_full_recompute(spark):
     assert full_triples.exceptAll(inc_triples).isEmpty()
 
 
+def test_pipeline_run_incremental(spark, tmp_path):
+    """Checkpointed incremental run == checkpointed full run on v2, and
+    the incremental extract checkpoint resumes like any other stage."""
+    from rdf_tabular_spark.kg.pipeline import KGConfig, KGPipeline
+
+    v1_path, v2_path = str(tmp_path / "v1"), str(tmp_path / "v2")
+    _v1(spark).write.parquet(v1_path)
+    _v2(spark).write.parquet(v2_path)
+
+    prev = KGPipeline(spark, KGConfig(
+        checkpoint_dir=str(tmp_path / "ck_v1"), source_path=v1_path))
+    prev.run()
+
+    inc = KGPipeline(spark, KGConfig(
+        checkpoint_dir=str(tmp_path / "ck_v2i"), source_path=v2_path))
+    inc_triples = inc.run_incremental(prev)["triples"]
+
+    full = KGPipeline(spark, KGConfig(
+        checkpoint_dir=str(tmp_path / "ck_v2f"), source_path=v2_path))
+    full_triples = full.run()["triples"]
+
+    assert inc_triples.exceptAll(full_triples).isEmpty()
+    assert full_triples.exceptAll(inc_triples).isEmpty()
+
+    # the sha invariant holds through the incremental path too
+    assert inc.verify_invariant(
+        {"source": spark.read.parquet(v2_path).withColumn(
+            "content_sha256", F.sha2(F.col("content"), 256)),
+         "triples": inc_triples})
+
+    # resume: a second incremental run reuses every checkpoint
+    inc2 = KGPipeline(spark, KGConfig(
+        checkpoint_dir=str(tmp_path / "ck_v2i"), source_path=v2_path))
+    inc2.run_incremental(prev)
+    assert all(d["resumed"] for d in inc2.lineage)
+
+
 def test_noop_delta_is_empty_and_stable(spark):
     v1 = _v1(spark)
     assert delta.source_diff(v1, _v1(spark)).isEmpty()
