@@ -1922,6 +1922,32 @@ def sql_kg_incremental() -> str:
     return sql_kg_triples(src=_kg_oracle_v2_path())
 
 
+def q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive triple-pattern (BGP) query over the assembled graph
+    (kg/query.py): files importing a typed Module, with their repo —
+    three patterns joined on shared variables, SELECT DISTINCT."""
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    return match_bgp(triples, [
+        ("?f", _KG + "imports", "?m"),
+        ("?m", _RDF_TYPE, _KG + "Module"),
+        ("?f", _KG + "inRepo", "?r"),
+    ], project=["f", "m", "r"])
+
+
+def sql_kg_bgp() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT DISTINCT i.subj AS f, i.obj AS m, r.obj AS r
+    FROM kgq i
+    JOIN kgq t ON t.subj = i.obj
+              AND t.pred = '{_RDF_TYPE}' AND t.obj = '{_KG}Module'
+    JOIN kgq r ON r.subj = i.subj AND r.pred = '{_KG}inRepo'
+    WHERE i.pred = '{_KG}imports'
+    """
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components of the dependency graph (kg/graph.py
     components — min-label propagation, component id = min node IRI)."""
@@ -2164,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": q_kg_components,
         "kg_affinity": q_kg_affinity,
         "kg_incremental": q_kg_incremental,
+        "kg_bgp": q_kg_bgp,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
     }
@@ -2217,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": sql_kg_components(),
         "kg_affinity": sql_kg_affinity(),
         "kg_incremental": sql_kg_incremental(),
+        "kg_bgp": sql_kg_bgp(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions

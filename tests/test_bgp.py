@@ -1,0 +1,73 @@
+"""BGP matching (kg/query.py) over a hand triple set."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_tabular_spark.kg.query import match_bgp
+
+T = [
+    ("f:a", "imports", "m:x"),
+    ("f:a", "inRepo", "r:1"),
+    ("f:b", "imports", "m:x"),
+    ("f:b", "inRepo", "r:2"),
+    ("f:c", "imports", "m:y"),
+    ("f:c", "inRepo", "r:1"),
+    ("m:x", "type", "Module"),
+    ("m:y", "type", "Module"),
+    ("f:loop", "imports", "f:loop"),
+]
+
+
+def _triples(spark):
+    return spark.createDataFrame(
+        [(s, p, o, True, None, None) for s, p, o in T],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+
+
+def test_single_pattern(spark):
+    got = {(r["f"], r["m"]) for r in match_bgp(
+        _triples(spark), [("?f", "imports", "?m")]).collect()}
+    assert got == {("f:a", "m:x"), ("f:b", "m:x"), ("f:c", "m:y"),
+                   ("f:loop", "f:loop")}
+
+
+def test_conjunction_joins_on_shared_vars(spark):
+    rows = match_bgp(_triples(spark), [
+        ("?f", "imports", "?m"),
+        ("?m", "type", "Module"),
+        ("?f", "inRepo", "r:1"),
+    ], project=["f", "m"]).collect()
+    assert {(r["f"], r["m"]) for r in rows} == {
+        ("f:a", "m:x"), ("f:c", "m:y")}
+
+
+def test_repeated_var_within_pattern(spark):
+    rows = match_bgp(_triples(spark), [("?x", "imports", "?x")]).collect()
+    assert [r["x"] for r in rows] == ["f:loop"]
+
+
+def test_projection_distinct(spark):
+    # repos with at least one importing file: f:a and f:c both in r:1
+    rows = match_bgp(_triples(spark), [
+        ("?f", "imports", "?m"),
+        ("?f", "inRepo", "?r"),
+    ], project=["r"]).collect()
+    assert sorted(r["r"] for r in rows) == ["r:1", "r:2"]
+
+
+def test_cartesian_rejected(spark):
+    with pytest.raises(ValueError, match="cartesian"):
+        match_bgp(_triples(spark), [
+            ("?f", "imports", "?m"), ("?g", "type", "Module")])
+    n = match_bgp(_triples(spark), [
+        ("?f", "inRepo", "r:2"), ("?g", "type", "Module")],
+        allow_cartesian=True).count()
+    assert n == 2  # 1 file x 2 modules
+
+
+def test_unbound_projection_rejected(spark):
+    with pytest.raises(ValueError, match="not bound"):
+        match_bgp(_triples(spark), [("?f", "imports", "?m")],
+                  project=["nope"])
