@@ -1948,6 +1948,28 @@ def sql_kg_bgp() -> str:
     """
 
 
+def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with OPTIONAL (kg/query.py): dependency edges with the
+    module's version spec left-joined — modules without one keep NULL."""
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    return match_bgp(triples, [
+        ("?f", _KG + "dependsOn", "?m"),
+    ], optional=[("?m", _KG + "versionSpec", "?v")],
+        project=["f", "m", "v"])
+
+
+def sql_kg_bgp_optional() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT DISTINCT d.subj AS f, d.obj AS m, v.obj AS v
+    FROM kgq d
+    LEFT JOIN kgq v ON v.subj = d.obj AND v.pred = '{_KG}versionSpec'
+    WHERE d.pred = '{_KG}dependsOn'
+    """
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components of the dependency graph (kg/graph.py
     components — min-label propagation, component id = min node IRI)."""
@@ -2191,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_affinity": q_kg_affinity,
         "kg_incremental": q_kg_incremental,
         "kg_bgp": q_kg_bgp,
+        "kg_bgp_optional": q_kg_bgp_optional,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
     }
@@ -2245,6 +2268,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_affinity": sql_kg_affinity(),
         "kg_incremental": sql_kg_incremental(),
         "kg_bgp": sql_kg_bgp(),
+        "kg_bgp_optional": sql_kg_bgp_optional(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions

@@ -62,13 +62,23 @@ def _compile_pattern(triples: DataFrame, pattern: tuple) -> DataFrame:
 
 def match_bgp(triples: DataFrame, patterns: list[tuple],
               project: list[str] | None = None,
+              optional: list[tuple] | None = None,
+              filters: list[str] | None = None,
               distinct: bool = True,
               allow_cartesian: bool = False) -> DataFrame:
     """Match a conjunction of triple patterns; columns = variable names.
 
-    *distinct* applies set semantics to the projected result (SPARQL
-    SELECT DISTINCT) — with ``project`` narrowing columns, duplicates are
-    the norm, and the dedup runs on the narrow projection.
+    - *optional*: patterns LEFT-joined after the required conjunction
+      (SPARQL OPTIONAL) — unmatched rows keep NULL for the pattern's new
+      variables. Each must share at least one variable with the required
+      part.
+    - *filters*: SQL boolean expressions over the variable columns
+      (SPARQL FILTER), e.g. ``"r LIKE '%monorepo%'"``. Applied before
+      projection; Catalyst pushes them as far down the join tree as
+      their column references allow.
+    - *distinct* applies set semantics to the projected result (SPARQL
+      SELECT DISTINCT) — with ``project`` narrowing columns, duplicates
+      are the norm, and the dedup runs on the narrow projection.
     """
     if not patterns:
         raise ValueError("empty pattern list")
@@ -84,6 +94,16 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
             raise ValueError(
                 f"pattern {pattern!r} shares no variable with the "
                 "preceding patterns (pass allow_cartesian=True to force)")
+    for pattern in optional or []:
+        nxt = _compile_pattern(triples, pattern)
+        shared = [c for c in nxt.columns if c in acc.columns]
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pattern!r} shares no variable with "
+                "the required patterns")
+        acc = acc.join(nxt, shared, "left")
+    for expr in filters or []:
+        acc = acc.filter(F.expr(expr))
     if project is not None:
         missing = [v for v in project if v not in acc.columns]
         if missing:

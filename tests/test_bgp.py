@@ -67,6 +67,28 @@ def test_cartesian_rejected(spark):
     assert n == 2  # 1 file x 2 modules
 
 
+def test_optional_left_join(spark):
+    extra = _triples(spark).union(spark.createDataFrame(
+        [("m:x", "version", ">=1.0", False, None, None)],
+        _triples(spark).schema))
+    rows = match_bgp(extra, [("?f", "imports", "?m")],
+                     optional=[("?m", "version", "?v")],
+                     project=["f", "m", "v"]).collect()
+    by_m = {(r["f"], r["m"]): r["v"] for r in rows}
+    assert by_m[("f:a", "m:x")] == ">=1.0"
+    assert by_m[("f:c", "m:y")] is None  # OPTIONAL keeps unmatched rows
+    with pytest.raises(ValueError, match="optional"):
+        match_bgp(extra, [("?f", "imports", "?m")],
+                  optional=[("?z", "version", "?v")])
+
+
+def test_filter_expression(spark):
+    rows = match_bgp(_triples(spark), [
+        ("?f", "imports", "?m"), ("?f", "inRepo", "?r")],
+        filters=["r = 'r:1'"], project=["f"]).collect()
+    assert sorted(r["f"] for r in rows) == ["f:a", "f:c"]
+
+
 def test_unbound_projection_rejected(spark):
     with pytest.raises(ValueError, match="not bound"):
         match_bgp(_triples(spark), [("?f", "imports", "?m")],
