@@ -208,4 +208,9 @@ def pagerank(triples: DataFrame, damping: float = 0.85,
         new_ranks.count()  # materialize before dropping the parent cache
         ranks.unpersist()
         ranks = new_ranks
-    return ranks
+    # the final iteration's ranks stay persisted for the caller; register
+    # them with the bounded cache registry so repeated invocations in a
+    # long-lived session can't accumulate cached blocks (ADVICE r1)
+    from ..ops.dedup import _cache
+
+    return _cache(ranks)
