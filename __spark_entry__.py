@@ -835,7 +835,8 @@ def sql_split_assign() -> str:
                 ELSE 'test' END AS split
     FROM (
       SELECT doc_id,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'),
+             CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                                              '__null__') || '|split'),
                                   1, 8)) AS BIGINT) % 10000 AS b
       FROM documents)
     """
@@ -858,7 +859,8 @@ def sql_split_stratified() -> str:
     SELECT doc_id, lang
     FROM (
       SELECT doc_id, lang,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|sample'),
+             CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                                               '__null__') || '|sample'),
                                   1, 8)) AS BIGINT) % 10000 AS b
       FROM documents)
     WHERE b < CASE WHEN lang = 'en' THEN 3000 ELSE 1000 END

@@ -65,12 +65,18 @@ def source_diff(old_src: DataFrame, new_src: DataFrame) -> DataFrame:
 
 
 def incremental_structures(prev_structs: DataFrame, new_src: DataFrame,
-                           diff: DataFrame) -> DataFrame:
-    """Extraction output (incl. per-file rows, extract.FILE_ROW_KIND) for
-    the NEW snapshot, touching content only for added/changed files.
+                           diff: DataFrame, **extract_kwargs) -> DataFrame:
+    """Extraction output for the NEW snapshot, touching content only for
+    added/changed files. This is the single home of the delta-merge
+    invariant (every diff status invalidates; only added/changed
+    re-extract) — pipeline.run_incremental calls it too.
 
-    *prev_structs* must be ``extract_structures(..., carry_sha=False,
-    emit_file_rows=True)`` output of the old snapshot."""
+    *extract_kwargs* must reproduce the flags *prev_structs* was built
+    with (defaults = the kg/delta.py flavor: source layout, no sha
+    column, per-file rows emitted)."""
+    extract_kwargs.setdefault("layout", "source")
+    extract_kwargs.setdefault("carry_sha", False)
+    extract_kwargs.setdefault("emit_file_rows", True)
     stale_keys = diff.select(*FILE_KEY)  # every diff status invalidates
     fresh_keys = diff.filter(
         F.col("status").isin("added", "changed")).select(*FILE_KEY)
@@ -78,8 +84,7 @@ def incremental_structures(prev_structs: DataFrame, new_src: DataFrame,
         F.broadcast(stale_keys), FILE_KEY, "left_anti")
     # broadcast the delta keys: the semi-join must not shuffle `content`
     fresh_src = new_src.join(F.broadcast(fresh_keys), FILE_KEY, "left_semi")
-    fresh = extract.extract_structures(
-        fresh_src, layout="source", carry_sha=False, emit_file_rows=True)
+    fresh = extract.extract_structures(fresh_src, **extract_kwargs)
     return kept.unionByName(fresh)
 
 

@@ -142,16 +142,12 @@ class KGPipeline:
                 "repo", "path", "content_sha256")
             prev_ext = self.spark.read.parquet(prev._stage_path("extract"))
             diff = delta_mod.source_diff(prev_src, src)
-            stale = diff.select("repo", "path")
-            fresh_keys = diff.filter(
-                F.col("status").isin("added", "changed")).select("repo", "path")
-            kept = prev_ext.join(
-                F.broadcast(stale), ["repo", "path"], "left_anti")
-            fresh_src = src.drop("content_sha256").join(
-                F.broadcast(fresh_keys), ["repo", "path"], "left_semi")
-            fresh = extract.extract_structures(
-                fresh_src, self.config.range_partitions)
-            return kept.unionByName(fresh)
+            # extract flags must match what run() built prev's checkpoint
+            # with: range layout, sha carried, no file rows
+            return delta_mod.incremental_structures(
+                prev_ext, src.drop("content_sha256"), diff,
+                range_partitions=self.config.range_partitions,
+                layout="range", carry_sha=True, emit_file_rows=False)
 
         extracted = self._run_stage("extract", build_extract)
         return self._finish(src, extracted)

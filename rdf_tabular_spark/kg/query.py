@@ -82,9 +82,27 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
     """
     if not patterns:
         raise ValueError("empty pattern list")
-    acc = _compile_pattern(triples, patterns[0])
-    for pattern in patterns[1:]:
+    acc = None
+    for pattern in patterns:
         nxt = _compile_pattern(triples, pattern)
+        if not nxt.columns:
+            # fully-constant pattern = SPARQL existence constraint: keep
+            # the accumulated rows iff at least one triple matches. limit(1)
+            # makes the probe an early-exit scan and the cross join a
+            # 1-or-0-row multiplier — never a row-duplicating product.
+            nxt = nxt.select(F.lit(1).alias("__exists__")).limit(1) \
+                .select(F.lit(True).alias("__exists__"))
+            acc = nxt if acc is None else acc.crossJoin(nxt)
+            acc = acc.drop("__exists__")
+            continue
+        if acc is None:
+            acc = nxt
+            continue
+        if not acc.columns:
+            # accumulated state is a pure existence guard (0 or 1 rows,
+            # no columns): multiply it in, never a duplicating product
+            acc = acc.crossJoin(nxt)
+            continue
         shared = [c for c in nxt.columns if c in acc.columns]
         if shared:
             acc = acc.join(nxt, shared, "inner")

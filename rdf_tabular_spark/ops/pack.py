@@ -35,10 +35,9 @@ def pack_offsets(df: DataFrame, max_tokens: int = 512, n_shards: int = 8,
     ``k*max_tokens <= off < (k+1)*max_tokens`` belongs to bin ``k`` —
     long documents spill over their bin boundary and the loader truncates
     or wraps, exactly as in the streaming chunker this models."""
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-               16, 10).cast("long"),
-        F.lit(n_shards)).cast("int")
+    from .split import hash_bucket
+
+    shard = hash_bucket(F.col(id_col), salt=None, buckets=n_shards).cast("int")
     staged = df.select(
         F.col(id_col),
         shard.alias("shard"),

@@ -23,13 +23,23 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000
 
 
-def hash_bucket(key: Column, salt: str) -> Column:
-    """Engine-portable uniform bucket in [0, BUCKETS)."""
+def hash_bucket(key: Column, salt: str | None,
+                buckets: int = BUCKETS) -> Column:
+    """Engine-portable uniform bucket in [0, buckets): first 8 hex chars
+    of md5(key[|salt]) as an integer, mod buckets. The single home of the
+    cross-engine hashing convention — ops/pack.py sharding uses it too.
+
+    NULL keys hash as the sentinel ``'__null__'`` rather than propagating
+    NULL: without this, every NULL-keyed row would silently fall into a
+    split's ``otherwise`` branch (or vanish from a sampled stratum) — the
+    assignment must stay total and deterministic for malformed rows too.
+    """
+    keyed = F.coalesce(key.cast("string"), F.lit("__null__"))
+    if salt is not None:
+        keyed = F.concat(keyed, F.lit("|" + salt))
     return F.pmod(
-        F.conv(F.substring(
-            F.md5(F.concat(key.cast("string"), F.lit("|" + salt))), 1, 8),
-            16, 10).cast("long"),
-        F.lit(BUCKETS))
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets))
 
 
 def hash_split(df: DataFrame, weights: list[tuple[str, float]] | None = None,

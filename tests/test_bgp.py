@@ -89,6 +89,21 @@ def test_filter_expression(spark):
     assert sorted(r["f"] for r in rows) == ["f:a", "f:c"]
 
 
+def test_constant_pattern_is_existence_guard(spark):
+    t = _triples(spark)
+    # constraint holds -> rows pass through un-multiplied (even though
+    # TWO type triples exist, the guard is 1-or-0 rows, never a product)
+    rows = match_bgp(t, [("?f", "imports", "?m"),
+                         ("m:x", "type", "Module")]).collect()
+    assert len(rows) == 4
+    # constraint fails -> empty result
+    assert match_bgp(t, [("?f", "imports", "?m"),
+                         ("m:zzz", "type", "Module")]).count() == 0
+    # constant pattern FIRST also works
+    assert match_bgp(t, [("m:x", "type", "Module"),
+                         ("?f", "imports", "?m")]).count() == 4
+
+
 def test_unbound_projection_rejected(spark):
     with pytest.raises(ValueError, match="not bound"):
         match_bgp(_triples(spark), [("?f", "imports", "?m")],

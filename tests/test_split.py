@@ -46,6 +46,19 @@ def test_hash_split_weights_normalized(spark):
     assert abs(counts["a"] - counts["b"]) < 200
 
 
+def test_null_keys_hash_not_default(spark):
+    """NULL keys must get a real bucket (sentinel hash), not fall through
+    to the last split / vanish from samples."""
+    d = spark.createDataFrame([(None, "en"), (1, "en")],
+                              "doc_id long, lang string")
+    rows = {r["doc_id"]: r["split"] for r in split.hash_split(d).collect()}
+    b = _bucket_py("__null__", "split")
+    want = "train" if b < 9000 else ("val" if b < 9500 else "test")
+    assert rows[None] == want
+    kept = split.stratified_sample(d, {"en": 1.0}, "lang").count()
+    assert kept == 2  # full fraction keeps NULL-keyed rows too
+
+
 def test_stratified_sample_nested_and_exact(spark):
     d = _docs(spark, 1000)
     small = {r["doc_id"] for r in split.stratified_sample(
