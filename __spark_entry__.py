@@ -1972,6 +1972,51 @@ def sql_kg_bgp_optional() -> str:
     """
 
 
+def q_kg_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo rollup straight off the triple table — the everyday
+    consumer query (files, languages, distinct imported modules per
+    repo), expressed as one grouped aggregation over pivoted predicates."""
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    files = match_bgp(triples, [("?f", _KG + "inRepo", "?r")])
+    langs = match_bgp(triples, [("?f", _KG + "lang", "?l"),
+                                ("?f", _KG + "inRepo", "?r")])
+    mods = match_bgp(triples, [("?f", _KG + "imports", "?m"),
+                               ("?f", _KG + "inRepo", "?r")])
+    return (
+        files.groupBy("r").agg(F.count("*").alias("n_files"))
+        .join(langs.groupBy("r").agg(
+            F.countDistinct("l").alias("n_langs")), "r")
+        .join(mods.groupBy("r").agg(
+            F.countDistinct("m").alias("n_modules")), "r", "left")
+        .select("r", "n_files", "n_langs",
+                F.coalesce("n_modules", F.lit(0)).alias("n_modules"))
+    )
+
+
+def sql_kg_repo_stats() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    files AS (SELECT DISTINCT subj AS f, obj AS r FROM kgq
+              WHERE pred = '{_KG}inRepo'),
+    langs AS (SELECT DISTINCT k.subj AS f, k.obj AS l, fi.r
+              FROM kgq k JOIN files fi ON k.subj = fi.f
+              WHERE k.pred = '{_KG}lang'),
+    mods AS (SELECT DISTINCT k.subj AS f, k.obj AS m, fi.r
+             FROM kgq k JOIN files fi ON k.subj = fi.f
+             WHERE k.pred = '{_KG}imports')
+    SELECT fi.r, COUNT(*) AS n_files, lc.n_langs,
+           COALESCE(mc.n_modules, 0) AS n_modules
+    FROM files fi
+    JOIN (SELECT r, COUNT(DISTINCT l) AS n_langs FROM langs GROUP BY r) lc
+      ON fi.r = lc.r
+    LEFT JOIN (SELECT r, COUNT(DISTINCT m) AS n_modules
+               FROM mods GROUP BY r) mc ON fi.r = mc.r
+    GROUP BY fi.r, lc.n_langs, mc.n_modules
+    """
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components of the dependency graph (kg/graph.py
     components — min-label propagation, component id = min node IRI)."""
@@ -2216,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": q_kg_incremental,
         "kg_bgp": q_kg_bgp,
         "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_repo_stats": q_kg_repo_stats,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
     }
@@ -2271,6 +2317,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental": sql_kg_incremental(),
         "kg_bgp": sql_kg_bgp(),
         "kg_bgp_optional": sql_kg_bgp_optional(),
+        "kg_repo_stats": sql_kg_repo_stats(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions
