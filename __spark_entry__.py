@@ -2017,6 +2017,98 @@ def sql_kg_repo_stats() -> str:
     """
 
 
+def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure (kg/graph.py reachability — semi-naive
+    BFS, the SPARQL property-path ``pred{1,n}`` primitive the BGP layer
+    composes with) over a deterministic deep graph derived from customer:
+    n -> floor(n/2) (binary-tree parent, ~10 levels at sf0.01) plus
+    n -> n-1 for n <= 60 (adds diamonds so the min-hops anti-join path is
+    exercised, not just tree paths)."""
+    from rdf_tabular_spark.kg.graph import reachability
+
+    n = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("n"))
+    tree = n.filter(F.col("n") >= 2).select(
+        F.col("n").alias("src"),
+        F.floor(F.col("n") / 2).cast("long").alias("dst"))
+    chain = n.filter((F.col("n") >= 2) & (F.col("n") <= 60)).select(
+        F.col("n").alias("src"), (F.col("n") - 1).alias("dst"))
+    return reachability(tree.unionByName(chain), max_hops=4)
+
+
+def sql_graph_reachability(max_hops: int = 4) -> str:
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS src, CAST(floor(c_custkey / 2) AS BIGINT) AS dst
+      FROM customer WHERE c_custkey >= 2
+      UNION
+      SELECT c_custkey, c_custkey - 1
+      FROM customer WHERE c_custkey BETWEEN 2 AND 60),
+    r(src, dst, hops) AS (
+      SELECT src, dst, 1 FROM e
+      UNION
+      SELECT r.src, e.dst, r.hops + 1
+      FROM r JOIN e ON r.dst = e.src WHERE r.hops < {max_hops})
+    SELECT src, dst, MIN(hops) AS hops FROM r GROUP BY src, dst
+    """
+
+
+def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair list -> dedup clusters -> canonical election
+    (ops/dedup.dedup_clusters over the embedding-cosine pairs): one row
+    per vector with (cluster_id, keep); filter(keep) is the deduped corpus."""
+    from rdf_tabular_spark.ops.dedup import dedup_clusters, embedding_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    pairs = embedding_near_pairs(emb, threshold=0.2, block_col="label")
+    return dedup_clusters(emb, pairs, id_col="vec_id")
+
+
+def sql_dedup_cluster_assign(iterations: int = 10) -> str:
+    """Same unrolled min-label propagation as sql_kg_components, seeded
+    from the embedding-cosine pair graph; ids compared as strings on both
+    sides (dedup_clusters casts to string for type-agnostic min)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    l{i} AS MATERIALIZED (
+      SELECT l.node, LEAST(l.label, COALESCE(m.nl, l.label)) AS label
+      FROM {prev} l
+      LEFT JOIN (
+        SELECT u.x, MIN({prev}.label) AS nl
+        FROM und u JOIN {prev} ON u.y = {prev}.node
+        GROUP BY u.x) m
+      ON l.node = m.x)""")
+        prev = f"l{i}"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label AS blk,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    p AS MATERIALIZED (
+      SELECT CAST(a.vec_id AS VARCHAR) AS a, CAST(b.vec_id AS VARCHAR) AS b
+      FROM emb a JOIN emb b ON a.blk = b.blk AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+                                    i -> a.v[i] * b.v[i]))
+            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.2),
+    und AS MATERIALIZED (SELECT a AS x, b AS y FROM p
+            UNION ALL SELECT b, a FROM p),
+    l0 AS MATERIALIZED (
+      SELECT node, node AS label
+      FROM (SELECT a AS node FROM p UNION SELECT b FROM p)),
+    {",".join(steps)}
+    SELECT CAST(d.vec_id AS VARCHAR) AS vec_id,
+           COALESCE(lf.label, CAST(d.vec_id AS VARCHAR)) AS cluster_id,
+           CAST(d.vec_id AS VARCHAR)
+             = COALESCE(lf.label, CAST(d.vec_id AS VARCHAR)) AS keep
+    FROM embeddings d
+    LEFT JOIN {prev} lf ON CAST(d.vec_id AS VARCHAR) = lf.node
+    """
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components of the dependency graph (kg/graph.py
     components — min-label propagation, component id = min node IRI)."""
@@ -2262,6 +2354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp": q_kg_bgp,
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_repo_stats": q_kg_repo_stats,
+        "graph_reachability": q_graph_reachability,
+        "dedup_cluster_assign": q_dedup_cluster_assign,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
     }
@@ -2318,6 +2412,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp": sql_kg_bgp(),
         "kg_bgp_optional": sql_kg_bgp_optional(),
         "kg_repo_stats": sql_kg_repo_stats(),
+        "graph_reachability": sql_graph_reachability(),
+        "dedup_cluster_assign": sql_dedup_cluster_assign(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions

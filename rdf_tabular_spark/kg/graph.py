@@ -214,3 +214,61 @@ def pagerank(triples: DataFrame, damping: float = 0.85,
     from ..ops.dedup import _cache
 
     return _cache(ranks)
+
+
+def reachability(edges: DataFrame, max_hops: int = 6) -> DataFrame:
+    """Bounded transitive closure: (src, dst, hops) with ``hops`` = the
+    MINIMUM number of edges from src to dst, for every pair reachable in
+    at most *max_hops* steps. The property-path primitive the BGP layer
+    (kg/query.py) lacks — SPARQL's ``pred+`` / ``pred{1,n}`` shapes.
+
+    Semi-naive BFS: each round extends only the FRONTIER (pairs first
+    discovered last round), and an anti-join against the accumulated
+    result drops re-discoveries, so a pair is expanded exactly once no
+    matter how many paths reach it — the work per round is proportional
+    to NEW pairs, not all pairs (classic semi-naive datalog evaluation;
+    a naive closure re-joins the whole result every round and re-derives
+    every short path at every longer length). Cycles terminate for free:
+    a revisited node produces only already-seen pairs, which the
+    anti-join removes, emptying the frontier.
+
+    Scale shape: state is two narrow (src, dst[, hops]) tables; each
+    round is one shuffle join on ``dst``/``src`` plus one anti-join on
+    the pair key. No windows, no global sorts, lineage truncated per
+    round via persist + early-exit when the frontier drains. At 10^12
+    edges the closure itself can be large — callers bound it with
+    *max_hops* (and should pre-filter ``edges`` to the predicate of
+    interest; see edge_list).
+    """
+    from ..ops.dedup import _cache
+
+    base = edges.select("src", "dst").distinct().persist()
+    result = base.withColumn("hops", F.lit(1)).persist()
+    frontier = result
+    for h in range(2, max_hops + 1):
+        grown = (
+            frontier.alias("f")
+            .join(base.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+            .join(result.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("hops", F.lit(h))
+            .persist()
+        )
+        if grown.isEmpty():
+            grown.unpersist()
+            if frontier is not result:
+                frontier.unpersist()
+            break
+        new_result = result.union(grown).persist()
+        new_result.count()  # materialize before dropping parents
+        result.unpersist()
+        if frontier is not result:
+            frontier.unpersist()
+        result, frontier = new_result, grown
+    else:
+        # natural exit at max_hops: the last frontier is a separate cache
+        if frontier is not result:
+            frontier.unpersist()
+    base.unpersist()
+    return _cache(result)

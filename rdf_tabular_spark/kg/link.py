@@ -217,8 +217,13 @@ def connected_components(
     # forces eager materialization at the full shuffle-partition count and
     # defeats AQE partition coalescing — on a high-core session that made
     # each tiny iteration pay hundreds of empty tasks. Lineage depth is
-    # bounded by max_iter, so persist is enough.
-    for _ in range(max_iter):
+    # bounded by max_iter, BUT the plan TREE is not: each step references
+    # labels twice (own label + neighbor-min), so the logical tree doubles
+    # per iteration, and the plan-description string Spark renders for the
+    # SQL listener grows 2^k — on a long-diameter graph that OOMs the
+    # driver before any data moves. Cut the tree with a localCheckpoint
+    # every few iterations: 8x growth between cuts, both costs bounded.
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.y == labels.mention)
             .groupBy("x")
@@ -231,7 +236,11 @@ def connected_components(
                 F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
             )
-        ).persist()
+        )
+        if (it + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.filter(F.col("label") != F.col("old_label"))
             .limit(1).count()

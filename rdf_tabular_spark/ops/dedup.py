@@ -451,3 +451,57 @@ def embedding_near_pairs_kmeans(
     assigned, _ = kmeans(emb, n_clusters, iters, id_col, vec_col)
     return embedding_near_pairs(
         assigned, threshold, id_col, vec_col, block_col="cluster")
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Near-dup pairs -> clusters -> canonical election: the step every
+    dedup pipeline runs AFTER a pair finder (exact/ngram/MinHash/SimHash/
+    embedding all emit (a, b) pairs; reference analog: the PK/FK passes
+    reduce to per-key groups, reader.rb:652-660 — near-dup groups need the
+    transitive closure instead).
+
+    Returns one row per document in *docs*: (id_col, cluster_id, keep)
+    where cluster_id is the MIN member id of the doc's connected
+    component in the pair graph (deterministic, layout-invariant) and
+    keep marks exactly that canonical member — `filter(keep)` is the
+    deduplicated corpus, singletons keep themselves.
+
+    Scale shape: min-label propagation over the PAIR graph only
+    (kg/link.connected_components — per-iteration hash agg + left join on
+    narrow (id, label) rows, lineage truncated per round); docs touched
+    once by the final left join. Pair graphs are tiny relative to the
+    corpus (near-dup rate << 1), so the iteration cost is bounded by the
+    duplicate population, not the corpus.
+    """
+    from ..kg.link import connected_components
+
+    ids = docs.select(F.col(id_col).cast("string").alias("mention"))
+    # localCheckpoint the pair graph before iterating: the pair finder's
+    # plan (e.g. the cosine self-join's per-element lambda trees) would
+    # otherwise be re-embedded in every propagation step's plan and blow
+    # up driver heap — same base-truncation as kg/graph.components
+    pg = pairs.select(
+        F.col("a").cast("string"), F.col("b").cast("string")
+    ).localCheckpoint()
+    members = (
+        pg.select(F.col("a").alias("mention"))
+        .union(pg.select(F.col("b").alias("mention")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = connected_components(members, pg, max_iter=max_iter)
+    out = (
+        ids.join(labels, "mention", "left")
+        .select(
+            F.col("mention"),
+            F.coalesce("canonical", F.col("mention")).alias("cluster_id"),
+        )
+    )
+    return out.select(
+        F.col("mention").alias(id_col),
+        "cluster_id",
+        (F.col("mention") == F.col("cluster_id")).alias("keep"),
+    )

@@ -120,3 +120,68 @@ def test_module_affinity(spark):
             for r in graph.module_affinity(t, min_files=2).collect()}
     # m:x in 3 files, m:y in 2, together in 2 -> jaccard 2/(3+2-2)
     assert rows == {("m:x", "m:y"): (2, round(2 / 3, 6))}
+
+
+# ---------------------------------------------------------------- reachability
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_reachability_chain_min_hops(spark):
+    from rdf_tabular_spark.kg.graph import reachability
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {(r.src, r.dst): r.hops for r in reachability(e, max_hops=6).collect()}
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1,
+        ("a", "c"): 2, ("b", "d"): 2, ("a", "d"): 3,
+    }
+
+
+def test_reachability_max_hops_bound(spark):
+    from rdf_tabular_spark.kg.graph import reachability
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {(r.src, r.dst): r.hops for r in reachability(e, max_hops=2).collect()}
+    assert ("a", "d") not in got and got[("a", "c")] == 2
+
+
+def test_reachability_diamond_keeps_shortest(spark):
+    from rdf_tabular_spark.kg.graph import reachability
+
+    # a->d both directly and through b->c: hops must be the min (1)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")])
+    got = {(r.src, r.dst): r.hops for r in reachability(e, max_hops=6).collect()}
+    assert got[("a", "d")] == 1 and got[("a", "c")] == 2
+
+
+def test_reachability_cycle_terminates(spark):
+    from rdf_tabular_spark.kg.graph import reachability
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    rows = reachability(e, max_hops=10).collect()
+    got = {(r.src, r.dst): r.hops for r in rows}
+    # every ordered pair (incl. self via the cycle) exactly once
+    assert len(rows) == 9
+    assert got[("a", "a")] == 3 and got[("a", "c")] == 2
+
+
+# ------------------------------------------------------------- dedup clusters
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    from rdf_tabular_spark.ops.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [("d1",), ("d2",), ("d3",), ("d4",), ("d5",)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [("d2", "d3"), ("d3", "d4")], "a string, b string")
+    rows = {r.doc_id: (r.cluster_id, r.keep)
+            for r in dedup_clusters(docs, pairs).collect()}
+    # d2-d3-d4 collapse transitively onto the min id d2
+    assert rows["d2"] == ("d2", True)
+    assert rows["d3"] == ("d2", False)
+    assert rows["d4"] == ("d2", False)
+    # untouched docs are their own canonical
+    assert rows["d1"] == ("d1", True) and rows["d5"] == ("d5", True)
+    assert sum(1 for c, k in rows.values() if k) == 3
