@@ -2109,6 +2109,104 @@ def sql_dedup_cluster_assign(iterations: int = 10) -> str:
     """
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting (ops/split.leakage_safe_split): dup clusters
+    from the embedding pair graph, then the md5 split keyed on the CLUSTER
+    id — near-duplicates can never straddle train/test."""
+    from rdf_tabular_spark.ops.dedup import dedup_clusters, embedding_near_pairs
+    from rdf_tabular_spark.ops.split import leakage_safe_split
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    pairs = embedding_near_pairs(emb, threshold=0.2, block_col="label")
+    clustered = dedup_clusters(emb, pairs, id_col="vec_id")
+    return leakage_safe_split(clustered).select("vec_id", "cluster_id", "split")
+
+
+def sql_split_leakage_safe() -> str:
+    return f"""
+    WITH cl AS MATERIALIZED ({sql_dedup_cluster_assign()})
+    SELECT vec_id, cluster_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT vec_id, cluster_id,
+             CAST(('0x' || substr(md5(COALESCE(cluster_id, '__null__')
+                                      || '|split'), 1, 8)) AS BIGINT)
+               % 10000 AS b
+      FROM cl)
+    """
+
+
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/Gopher-style keep/drop decision with auditable per-rule
+    reasons (ops/text.quality_filter) — the reasons array serialized for
+    the driver canon (arrays are unhashable in its pandas sort)."""
+    from rdf_tabular_spark.ops.text import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_filter(docs, min_stopword_ratio=0.05,
+                         max_top_word_frac=0.12, max_dup_2gram_frac=0.2)
+    return out.select(
+        "doc_id", "keep",
+        F.concat_ws("|", "drop_reasons").alias("reasons"))
+
+
+def sql_text_quality_filter() -> str:
+    """Composes the two PROVEN hash-exact feature twins (sql_text_quality,
+    sql_text_repetition) and applies the same thresholds on the same 6-dp
+    rounded ratios as ops/text.quality_filter."""
+    return f"""
+    WITH q AS MATERIALIZED ({sql_text_quality()}),
+    rep AS MATERIALIZED ({sql_text_repetition()}),
+    r AS (
+      SELECT q.doc_id,
+             concat_ws('|',
+               CASE WHEN q.n_tokens NOT BETWEEN 10 AND 100000 THEN 'length' END,
+               CASE WHEN q.punct_ratio > 0.2 THEN 'punct' END,
+               CASE WHEN q.stopword_ratio < 0.05 THEN 'stopwords' END,
+               CASE WHEN rep.top_word_frac > 0.12 THEN 'top_word' END,
+               CASE WHEN rep.dup_2gram_frac > 0.2 THEN 'dup_2gram' END) AS reasons
+      FROM q JOIN rep ON q.doc_id = rep.doc_id)
+    SELECT doc_id, reasons = '' AS keep, reasons FROM r
+    """
+
+
+def q_similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN self-join (ops/similarity.knn_join): top-3 cosine
+    neighbors for EVERY vector, blocked on the label column; per-query
+    rank window partitioned by the query id (no global sort)."""
+    from rdf_tabular_spark.ops.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return knn_join(emb, k=3, block_col="label")
+
+
+def sql_similarity_knn_join(k: int = 3) -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                           i -> a.v[i] * b.v[i]))
+                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+                   6) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+    SELECT a, b, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT a, b, cosine,
+             row_number() OVER (PARTITION BY a
+                                ORDER BY cosine DESC, b) AS rank
+      FROM p)
+    WHERE rank <= {k}
+    """
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components of the dependency graph (kg/graph.py
     components — min-label propagation, component id = min node IRI)."""
@@ -2356,6 +2454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_repo_stats": q_kg_repo_stats,
         "graph_reachability": q_graph_reachability,
         "dedup_cluster_assign": q_dedup_cluster_assign,
+        "split_leakage_safe": q_split_leakage_safe,
+        "text_quality_filter": q_text_quality_filter,
+        "similarity_knn_join": q_similarity_knn_join,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
     }
@@ -2414,6 +2515,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_repo_stats": sql_kg_repo_stats(),
         "graph_reachability": sql_graph_reachability(),
         "dedup_cluster_assign": sql_dedup_cluster_assign(),
+        "split_leakage_safe": sql_split_leakage_safe(),
+        "text_quality_filter": sql_text_quality_filter(),
+        "similarity_knn_join": sql_similarity_knn_join(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions

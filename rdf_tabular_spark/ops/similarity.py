@@ -201,3 +201,43 @@ def ivf_topk(
         F.round(cosine_sim(F.col(vec_col), _query_lit(query)), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    emb: DataFrame, k: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Batch k-nearest-neighbors self-join: for EVERY vector, its top-k
+    cosine neighbors (the all-queries-at-once shape a training pipeline
+    needs — hard-negative mining, dedup candidates, retrieval eval —
+    where :func:`brute_force_topk` answers one query).
+
+    Blocked on *block_col* (a label or k-means cluster id — see
+    :func:`kmeans`) so candidates are per-block, not all-pairs; pass
+    ``block_col=None`` only as the small-n exact baseline. Per-query
+    top-k is a rank window PARTITIONED BY the query id — that key is the
+    corpus itself, so parallelism scales with the data and no global
+    sort exists anywhere. Ties broken on the neighbor id for
+    determinism. At 10^9+ vectors swap the block join for the IVF
+    n_probe>1 variant (ivf_topk) to recover cross-boundary recall.
+    """
+    from pyspark.sql import Window
+
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                   *([F.col(block_col).alias("blk")] if block_col else []))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                   *([F.col(block_col).alias("blk")] if block_col else []))
+    joined = a.join(b, on="blk", how="inner") if block_col else a.crossJoin(b)
+    scored = (
+        joined.filter(F.col("a") != F.col("b"))
+        .select("a", "b",
+                F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+                .alias("cosine"))
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cosine"), F.col("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("a", "b", "cosine", "rank")
+    )

@@ -88,3 +88,19 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     cut = (F.lit(int(round(default_fraction * BUCKETS)))
            if cut is None else cut.otherwise(int(round(default_fraction * BUCKETS))))
     return df.filter(bucket < cut)
+
+
+def leakage_safe_split(df: DataFrame,
+                       weights: list[tuple[str, float]] | None = None,
+                       cluster_col: str = "cluster_id", salt: str = "split",
+                       out_col: str = "split") -> DataFrame:
+    """:func:`hash_split` keyed on the near-dup CLUSTER id instead of the
+    document id: every member of a duplicate cluster lands in the SAME
+    split, so a near-copy of a test document can never leak into train
+    (the classic eval-contamination path that per-doc splitting leaves
+    open). Composition point for ops/dedup.dedup_clusters output — run
+    the pair finder, elect clusters, then split on the cluster key.
+    Still map-only over the clustered corpus: the md5 bucket is a pure
+    per-row expression on *cluster_col*."""
+    return hash_split(df, weights, key_col=cluster_col, salt=salt,
+                      out_col=out_col)

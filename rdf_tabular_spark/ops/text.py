@@ -164,3 +164,40 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
                    1.0 - F.size(F.array_distinct(grams2)) / n_2g)
             .otherwise(F.lit(0.0)), 6),
     }).drop("_norm", "_toks")
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_tokens: int = 10, max_tokens: int = 100_000,
+                   max_punct_ratio: float = 0.2,
+                   min_stopword_ratio: float = 0.0,
+                   max_top_word_frac: float = 0.3,
+                   max_dup_2gram_frac: float = 0.3) -> DataFrame:
+    """Composed C4/Gopher-style document filter: one keep/drop decision
+    with per-rule reasons, built from :func:`quality_features` +
+    :func:`repetition_metrics` (length band, punctuation ratio, stopword
+    floor, top-word and duplicate-2-gram repetition caps).
+
+    Adds ``drop_reasons array<string>`` (empty = keep) and ``keep``.
+    ``filter(keep)`` is the cleaned corpus; the reasons channel feeds the
+    same rejected-rows accounting as the CSVW error channel (C11) —
+    curation decisions must be auditable, not silent. Everything is
+    per-row column expressions over one pass: map-only, no shuffle,
+    whole-stage codegen end-to-end — at 100 TB this runs at scan speed.
+    Thresholds compare the 6-dp ROUNDED ratios the feature ops emit, so
+    any engine reproducing those features reproduces the decision."""
+    feats = repetition_metrics(quality_features(df, text_col), text_col)
+    reasons = F.array_compact(F.array(
+        F.when(~F.col("n_tokens").between(min_tokens, max_tokens),
+               F.lit("length")),
+        F.when(F.col("punct_ratio") > max_punct_ratio, F.lit("punct")),
+        F.when(F.col("stopword_ratio") < min_stopword_ratio,
+               F.lit("stopwords")),
+        F.when(F.col("top_word_frac") > max_top_word_frac,
+               F.lit("top_word")),
+        F.when(F.col("dup_2gram_frac") > max_dup_2gram_frac,
+               F.lit("dup_2gram")),
+    ))
+    return feats.withColumns({
+        "drop_reasons": reasons,
+        "keep": F.size(reasons) == 0,
+    })

@@ -137,3 +137,21 @@ def test_pack_deterministic_across_partitioning(docs):
     b = sorted(map(tuple, pack_offsets(docs.repartition(11),
                                        max_tokens=128).collect()))
     assert a == b
+
+
+def test_quality_filter_reasons(spark):
+    from rdf_tabular_spark.ops.text import quality_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home to rest for a while with friends")
+    short = "too short"
+    spam = " ".join(["buy"] * 50)
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, spam)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in quality_filter(
+        docs, min_stopword_ratio=0.05).collect()}
+    assert rows[1].keep and rows[1].drop_reasons == []
+    assert not rows[2].keep and "length" in rows[2].drop_reasons
+    assert not rows[3].keep and "top_word" in rows[3].drop_reasons
+    # repeated single word also trips the dup-2gram cap
+    assert "dup_2gram" in rows[3].drop_reasons

@@ -113,3 +113,21 @@ def test_simhash_md5_matches_python_reference(spark):
         return out
 
     assert got == {i: ref(t) for i, t in enumerate(texts)}
+
+
+def test_knn_join_exact_neighbors(spark):
+    from rdf_tabular_spark.ops.similarity import knn_join
+
+    vecs = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 0),
+        (4, [1.0, 1.0], 1), (5, [1.0, 0.9], 1),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int")
+    out = {(r.a, r.rank): r.b for r in knn_join(emb, k=2).collect()}
+    # within block 0: 1's nearest is 2, then 3
+    assert out[(1, 1)] == 2 and out[(1, 2)] == 3
+    # block 1 has only one candidate each
+    assert out[(4, 1)] == 5 and (4, 2) not in out
+    # blocking respected: 4 never matches block-0 vectors
+    assert all(b in (4, 5) for (a, _), b in out.items() if a in (4, 5))

@@ -74,3 +74,23 @@ def test_stratified_sample_nested_and_exact(spark):
     only_fr = split.stratified_sample(d, {"fr": 1.0}, "lang").collect()
     assert all(r["lang"] == "fr" for r in only_fr)
     assert len(only_fr) == sum(1 for i in range(1000) if i % 3 == 0)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from rdf_tabular_spark.ops.dedup import dedup_clusters
+    from rdf_tabular_spark.ops.split import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(40)], "doc_id string")
+    # chain pairs: clusters {d0..d3}, {d10,d11}, rest singletons
+    pairs = spark.createDataFrame(
+        [("d0", "d1"), ("d1", "d2"), ("d2", "d3"), ("d10", "d11")],
+        "a string, b string")
+    out = leakage_safe_split(dedup_clusters(docs, pairs)).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # every cluster maps to exactly one split — no near-dup leakage
+    assert all(len(s) == 1 for s in by_cluster.values())
+    big = {r.split for r in out if r.cluster_id == "d0"}
+    assert len(big) == 1 and len([r for r in out if r.cluster_id == "d0"]) == 4
