@@ -2173,6 +2173,75 @@ def sql_text_quality_filter() -> str:
     """
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (ops/text.ngram_lm_score): LM trained on
+    the deterministic train split, every document scored under stupid
+    backoff; per-term integer micro-nat quantization makes the per-doc
+    aggregate partition-order-independent (double sums are not)."""
+    from rdf_tabular_spark.ops.split import hash_split
+    from rdf_tabular_spark.ops.text import ngram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    train = hash_split(docs).filter(F.col("split") == "train")
+    return ngram_lm_score(docs, lm_docs=train)
+
+
+def sql_text_lm_score() -> str:
+    # 0.4*0.4 must be DOUBLE math (DuckDB would fold decimal literals
+    # exactly to 0.16; Python/Spark doubles give 0.16000000000000003)
+    return r"""
+    WITH train AS (
+      SELECT doc_id, text FROM documents
+      WHERE CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                                               '__null__') || '|split'),
+                                 1, 8)) AS BIGINT) % 10000 < 9000),
+    tok_lm AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM train WHERE trim(text) <> ''),
+    uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(toks) AS w FROM tok_lm) GROUP BY w),
+    big AS (
+      SELECT w1, w2, count(*) AS c2 FROM (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM tok_lm, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        WHERE len(toks) >= 2)
+      GROUP BY w1, w2),
+    n AS (SELECT sum(c1) AS n_total FROM uni),
+    tok_all AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents WHERE trim(text) <> ''),
+    dbg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tok_all, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2),
+    terms AS (
+      SELECT dbg.doc_id,
+             CAST(round(ln(
+               CASE WHEN big.c2 IS NOT NULL THEN big.c2 / u1.c1
+                    WHEN u2.c1 IS NOT NULL
+                      THEN CAST(0.4 AS DOUBLE) * u2.c1 / n.n_total
+                    ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) / n.n_total
+               END) * 1e6) AS BIGINT) AS q
+      FROM dbg
+      LEFT JOIN big ON dbg.w1 = big.w1 AND dbg.w2 = big.w2
+      LEFT JOIN uni u1 ON dbg.w1 = u1.w
+      LEFT JOIN uni u2 ON dbg.w2 = u2.w
+      CROSS JOIN n),
+    per AS (
+      SELECT doc_id, count(*) AS nb, sum(q) AS qs FROM terms GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(per.nb, 0) AS n_bigrams,
+           round(per.qs / per.nb / 1e6, 6) AS lm_score
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
 def q_similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN self-join (ops/similarity.knn_join): top-3 cosine
     neighbors for EVERY vector, blocked on the label column; per-query
@@ -2456,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_assign": q_dedup_cluster_assign,
         "split_leakage_safe": q_split_leakage_safe,
         "text_quality_filter": q_text_quality_filter,
+        "text_lm_score": q_text_lm_score,
         "similarity_knn_join": q_similarity_knn_join,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
@@ -2517,6 +2587,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_assign": sql_dedup_cluster_assign(),
         "split_leakage_safe": sql_split_leakage_safe(),
         "text_quality_filter": sql_text_quality_filter(),
+        "text_lm_score": sql_text_lm_score(),
         "similarity_knn_join": sql_similarity_knn_join(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),

@@ -201,3 +201,83 @@ def quality_filter(df: DataFrame, text_col: str = "text",
         "drop_reasons": reasons,
         "keep": F.size(reasons) == 0,
     })
+
+
+def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   alpha: float = 0.4) -> DataFrame:
+    """Corpus-trained bigram LM scoring (perplexity-proxy quality signal):
+    train unigram/bigram counts on *lm_docs* (default: the docs
+    themselves; in a real pipeline, the TRAIN split), then score every
+    document's mean bigram log-probability under stupid backoff:
+
+        P(w2|w1) = C(w1 w2)/C(w1)            if the bigram was seen
+                 = alpha * C(w2)/N           else if w2 was seen
+                 = alpha^2 / N               else (unseen word)
+
+    Returns (id_col, n_bigrams, lm_score) with lm_score = mean ln P,
+    NULL for docs with no bigrams. Low scores flag gibberish/boilerplate
+    the length/ratio heuristics miss — the modern curation signal next
+    to :func:`quality_filter`.
+
+    Determinism at scale: a per-doc SUM of doubles is partition-order
+    dependent (double addition is not associative), so each term is
+    quantized to integer micro-nats (round(ln p * 1e6) as BIGINT) BEFORE
+    the aggregate — integer sums are associative, so the score is
+    bit-identical under any partitioning and any engine agreeing on ln.
+    Shape: two map-side-combined hash aggs train the LM; scoring is one
+    explode + two key joins (bigram, unigram — broadcast when the vocab
+    is small, AQE-skew-split when a hot bigram isn't) + an integer sum.
+    """
+    lm = lm_docs if lm_docs is not None else docs
+    norm = normalize_text(F.col(text_col))
+
+    def doc_bigrams(df: DataFrame) -> DataFrame:
+        staged = df.withColumn("_toks", F.split(norm, " ")).filter(
+            (F.trim(F.col(text_col)) != "") & (F.size("_toks") >= 2))
+        zipped = F.arrays_zip(
+            F.slice("_toks", 1, F.size("_toks") - 1).alias("w1"),
+            F.expr("slice(_toks, 2, size(_toks) - 1)").alias("w2"))
+        return staged.select(F.col(id_col), F.explode(zipped).alias("bg")) \
+            .select(id_col, F.col("bg.w1").alias("w1"),
+                    F.col("bg.w2").alias("w2"))
+
+    def unigrams(df: DataFrame) -> DataFrame:
+        staged = df.withColumn("_toks", F.split(norm, " ")).filter(
+            F.trim(F.col(text_col)) != "")
+        return staged.select(F.explode("_toks").alias("w")) \
+            .groupBy("w").agg(F.count("*").alias("c1"))
+
+    uni = unigrams(lm)
+    big = doc_bigrams(lm).groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    total = uni.agg(F.sum("c1").alias("n_total"))  # 1 row, broadcast join
+
+    scored = (
+        doc_bigrams(docs)
+        .join(big, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1w1")),
+              "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2")),
+              "w2", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    p = (
+        F.when(F.col("c2").isNotNull(), F.col("c2") / F.col("c1w1"))
+        .when(F.col("c1w2").isNotNull(),
+              F.lit(alpha) * F.col("c1w2") / F.col("n_total"))
+        .otherwise(F.lit(alpha * alpha) / F.col("n_total"))
+    )
+    qln = F.round(F.log(p) * 1e6).cast("long")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(qln).alias("_qsum"))
+    ids = docs.select(id_col).distinct()
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(F.col("_qsum") / F.col("n_bigrams") / 1e6, 6)
+            .alias("lm_score"),
+        )
+    )

@@ -155,3 +155,29 @@ def test_quality_filter_reasons(spark):
     assert not rows[3].keep and "top_word" in rows[3].drop_reasons
     # repeated single word also trips the dup-2gram cap
     assert "dup_2gram" in rows[3].drop_reasons
+
+
+def test_ngram_lm_score_stupid_backoff(spark):
+    import math
+
+    from rdf_tabular_spark.ops.text import ngram_lm_score
+
+    docs = spark.createDataFrame([
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "zzz qqq"),       # zzz unseen by the LM -> unseen-word floor
+        (4, "single"),        # no bigrams -> NULL score
+    ], "doc_id long, text string")
+    lm = docs.filter("doc_id <= 2")
+    rows = {r.doc_id: r for r in ngram_lm_score(docs, lm_docs=lm).collect()}
+
+    # LM corpus: 9 tokens. doc 2 bigrams: (the,cat) p=2/3, (cat,sat) p=1
+    def qln(p):
+        return round(math.log(p) * 1e6)
+
+    expect2 = round((qln(2 / 3) + qln(1.0)) / 2 / 1e6, 6)
+    assert rows[2].n_bigrams == 2 and abs(rows[2].lm_score - expect2) < 1e-9
+    # doc 3: (zzz,qqq) -> alpha^2 / N = 0.4*0.4/9
+    expect3 = round(qln(0.4 * 0.4 / 9) / 1 / 1e6, 6)
+    assert rows[3].n_bigrams == 1 and abs(rows[3].lm_score - expect3) < 1e-9
+    assert rows[4].n_bigrams == 0 and rows[4].lm_score is None
