@@ -2173,6 +2173,76 @@ def sql_text_quality_filter() -> str:
     """
 
 
+def _doc_stream_dir(sf_dir: str) -> str:
+    """The sf documents table staged as 3 parquet files so the streaming
+    dedup (availableNow, maxFilesPerTrigger=1) delivers 3 micro-batches.
+    Same idempotent rename dance as _kg_stream_source_dir."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"rdf_tabular_spark_docs_stream_{tbl.num_rows}")
+    marker = os.path.join(d, "_STAGED")
+    if os.path.exists(marker):
+        return d
+    tmp = f"{d}.{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    n = tbl.num_rows
+    bounds = [0, n // 3, 2 * n // 3, n]
+    for j in range(3):
+        pq.write_table(tbl.slice(bounds[j], bounds[j + 1] - bounds[j]),
+                       os.path.join(tmp, f"part-{j}.parquet"))
+    with open(os.path.join(tmp, "_STAGED"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, d)
+    except OSError:  # concurrent stager won
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming exact dedup, oracle-checked: documents arrive
+    in 3 micro-batches; each batch min-merges (fingerprint -> min doc_id)
+    into the sink (streaming/incremental.run_streaming_dedup). The merge
+    is a commutative idempotent min-register, so the drained sink equals
+    the batch GROUP BY — which is exactly what the DuckDB twin computes.
+    Same 30-char prefix fingerprint as dedup_exact (real dup groups)."""
+    import os
+    import tempfile
+
+    from rdf_tabular_spark.streaming.incremental import run_streaming_dedup
+
+    src = _doc_stream_dir(sf_dir)
+    schema = spark.read.parquet(src).schema
+    work = tempfile.mkdtemp(prefix="rdf_tabular_spark_dedup_stream_q_")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    q = run_streaming_dedup(spark, src, sink, ckpt, schema,
+                            prefix_chars=30, max_files_per_trigger=1)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming dedup did not drain within 600s — the sink would "
+            "be partial; failing instead of comparing garbage")
+    return spark.read.parquet(sink)
+
+
+def sql_streaming_dedup() -> str:
+    return r"""
+    SELECT md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      1, 30)) AS fp,
+           min(doc_id) AS doc_id
+    FROM documents GROUP BY fp
+    """
+
+
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality scoring (ops/text.ngram_lm_score): LM trained on
     the deterministic train split, every document scored under stupid
@@ -2526,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": q_split_leakage_safe,
         "text_quality_filter": q_text_quality_filter,
         "text_lm_score": q_text_lm_score,
+        "streaming_dedup": q_streaming_dedup,
         "similarity_knn_join": q_similarity_knn_join,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
@@ -2588,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_safe": sql_split_leakage_safe(),
         "text_quality_filter": sql_text_quality_filter(),
         "text_lm_score": sql_text_lm_score(),
+        "streaming_dedup": sql_streaming_dedup(),
         "similarity_knn_join": sql_similarity_knn_join(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),

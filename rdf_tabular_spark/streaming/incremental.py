@@ -104,3 +104,60 @@ def windowed_event_counts(
                 "event_type", "n",
                 F.round("value_sum", 6).alias("value_sum"))
     )
+
+
+def dedup_merge_batch(batch_df: DataFrame, sink_path: str,
+                      id_col: str = "doc_id") -> None:
+    """Exact-dedup upsert for one micro-batch: union the sink with the
+    batch's per-fingerprint min ids and re-elect the min per fingerprint,
+    then overwrite. The merge is commutative and idempotent (a CRDT
+    min-register per fingerprint), so the final sink is the GLOBAL min id
+    per fingerprint regardless of micro-batch order, replay, or restarts
+    — which is what makes the streamed result comparable to a batch
+    groupBy at all. The overwrite is localCheckpoint-ed first (reading
+    and overwriting the same path in one plan is the classic
+    self-overwrite trap); in production this step is an Iceberg
+    MERGE INTO keyed on the fingerprint, not a full rewrite."""
+    spark = batch_df.sparkSession
+    merged = batch_df.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    if os.path.isdir(sink_path) and any(
+            f.endswith(".parquet") for f in os.listdir(sink_path)):
+        existing = spark.read.parquet(sink_path)
+        merged = (
+            existing.unionByName(merged)
+            .groupBy("fp").agg(F.min(id_col).alias(id_col))
+        )
+    out = merged.localCheckpoint()
+    out.write.mode("overwrite").parquet(sink_path)
+
+
+def run_streaming_dedup(
+    spark: SparkSession, source_dir: str, sink_path: str,
+    checkpoint_dir: str, schema, id_col: str = "doc_id",
+    text_col: str = "text", prefix_chars: int | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming exact dedup over a document directory: fingerprint each
+    arriving document (md5 of the normalized text, optionally a prefix),
+    maintain (fingerprint -> min id) in the sink via
+    :func:`dedup_merge_batch`. Returns the StreamingQuery; resume =
+    restart with the same checkpoint_dir."""
+    from ..ops.text import normalize_text
+
+    norm = normalize_text(F.col(text_col))
+    if prefix_chars is not None:
+        norm = F.substring(norm, 1, prefix_chars)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .select(F.col(id_col), F.md5(norm).alias("fp"))
+    )
+    return (
+        stream.writeStream
+        .foreachBatch(
+            lambda df, _epoch: dedup_merge_batch(df, sink_path, id_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

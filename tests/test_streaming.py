@@ -131,3 +131,46 @@ def test_stateful_entity_registry(spark, tmp_path):
     assert ("lo.dash", "lo-dash") not in second
     assert ("lo.dash", "lo.dash") in second
     assert ("requests", "requests") in second
+
+
+def test_streaming_dedup_order_independent_and_replayable(spark, tmp_path):
+    import pandas as pd
+
+    from rdf_tabular_spark.streaming.incremental import (
+        dedup_merge_batch, run_streaming_dedup)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # two files; the min-id winner of fp("same text") lives in file b
+    pd.DataFrame({"doc_id": [10, 11], "text": ["same text", "other"]}
+                 ).to_parquet(src / "a.parquet")
+    pd.DataFrame({"doc_id": [2, 30], "text": ["same  text", "third"]}
+                 ).to_parquet(src / "b.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    def drain(tag):
+        sink = str(tmp_path / f"sink_{tag}")
+        q = run_streaming_dedup(
+            spark, str(src), sink, str(tmp_path / f"ckpt_{tag}"), schema,
+            max_files_per_trigger=1)
+        assert q.awaitTermination(300)
+        return {(r.fp, r.doc_id) for r in spark.read.parquet(sink).collect()}
+
+    got = drain("one")
+    # normalization collapses the double space: 10 and 2 collide, min wins
+    assert len(got) == 3 and any(d == 2 for _, d in got)
+    assert all(d != 10 for _, d in got)
+    # a second run from a fresh checkpoint lands on the identical sink
+    assert drain("two") == got
+
+    # merge commutativity: replaying a batch into the drained sink is a
+    # no-op (idempotent min-register)
+    sink = str(tmp_path / "sink_one")
+    before = got
+    dedup_merge_batch(
+        spark.read.parquet(str(src)).selectExpr(
+            "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) AS fp",
+            "doc_id"),
+        sink)
+    assert {(r.fp, r.doc_id)
+            for r in spark.read.parquet(sink).collect()} == before
