@@ -653,11 +653,13 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_text_token_counts() -> str:
+    # COALESCE(text, ''): NULL text = empty document, the convention the
+    # Spark text ops pin (review r2)
     return """
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
+           CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-           len(regexp_extract_all(lower(text), '([a-z]{1,6}|\\d{1,3}|[^a-z\\d\\s])', 1)) AS n_bpe_ish
+           len(regexp_extract_all(lower(COALESCE(text, '')), '([a-z]{1,6}|\\d{1,3}|[^a-z\\d\\s])', 1)) AS n_bpe_ish
     FROM documents
     """
 
@@ -672,8 +674,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_text_quality() -> str:
+    # d0: NULL text = empty document (same convention as the Spark ops)
     return f"""
-    WITH f AS (
+    WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    f AS (
       SELECT doc_id, length(text) AS n_chars_m,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
@@ -682,7 +686,7 @@ def sql_text_quality() -> str:
              len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                              t -> lower(t) IN {STOPLIST_SQL})) AS stop_hits,
              length(regexp_replace(text, '\\s+', '', 'g')) AS n_nospace
-      FROM documents),
+      FROM d0),
     q AS (
       SELECT doc_id, n_chars_m, n_tokens,
              punct_ratio,
@@ -966,9 +970,10 @@ def sql_pack_sequences() -> str:
     return """
     WITH s AS (
       SELECT doc_id,
-             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             CAST(CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                                                    '__null__')), 1, 8))
                        AS BIGINT) % 8 AS INT) AS shard,
-             CAST(CASE WHEN trim(text) = '' THEN 0
+             CAST(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                   END AS BIGINT) AS n_tokens
       FROM documents),
@@ -995,9 +1000,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_text_repetition() -> str:
+    # COALESCE(text, ''): NULL text = empty document (review r2)
     return r"""
     WITH t AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      SELECT doc_id,
+             regexp_replace(lower(trim(COALESCE(text, ''))), '\s+', ' ', 'g') AS norm
       FROM documents),
     tok AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
     u AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
@@ -2182,10 +2189,19 @@ def _doc_stream_dir(sf_dir: str) -> str:
 
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    import hashlib
+
+    src_file = f"{sf_dir}/documents.parquet"
+    tbl = pq.read_table(src_file)
+    # key on the source identity, not just the row count: two datasets of
+    # equal size must not share a staging dir (review r2)
+    st = os.stat(src_file)
+    key = hashlib.md5(
+        f"{os.path.abspath(src_file)}|{st.st_size}|{st.st_mtime_ns}"
+        .encode()).hexdigest()[:12]
     d = os.path.join(
         tempfile.gettempdir(),
-        f"rdf_tabular_spark_docs_stream_{tbl.num_rows}")
+        f"rdf_tabular_spark_docs_stream_{tbl.num_rows}_{key}")
     marker = os.path.join(d, "_STAGED")
     if os.path.exists(marker):
         return d

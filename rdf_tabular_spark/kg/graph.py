@@ -114,7 +114,7 @@ def module_affinity(triples: DataFrame, min_files: int = 2,
     filtering on per-file edge count. The affinity join against the two
     degree sides broadcasts naturally (distinct modules << edges).
     """
-    from ..ops.dedup import _cache
+    from ..caching import cache_bounded as _cache
 
     # referenced four times (both self-join sides + both degree lookups):
     # persist once through the bounded cache registry or the triple table
@@ -211,7 +211,7 @@ def pagerank(triples: DataFrame, damping: float = 0.85,
     # the final iteration's ranks stay persisted for the caller; register
     # them with the bounded cache registry so repeated invocations in a
     # long-lived session can't accumulate cached blocks (ADVICE r1)
-    from ..ops.dedup import _cache
+    from ..caching import cache_bounded as _cache
 
     return _cache(ranks)
 
@@ -240,7 +240,7 @@ def reachability(edges: DataFrame, max_hops: int = 6) -> DataFrame:
     *max_hops* (and should pre-filter ``edges`` to the predicate of
     interest; see edge_list).
     """
-    from ..ops.dedup import _cache
+    from ..caching import cache_bounded as _cache
 
     base = edges.select("src", "dst").distinct().persist()
     result = base.withColumn("hops", F.lit(1)).persist()

@@ -204,14 +204,19 @@ def connected_components(
     mentions: DataFrame, pairs: DataFrame, max_iter: int = 10
 ) -> DataFrame:
     """(mention, canonical) via iterative min-label propagation."""
+    from ..caching import cache_bounded
+
     labels = mentions.select("mention").distinct().withColumn(
         "label", F.col("mention")).persist()
+    cached = labels  # the currently-persisted handle (see unpersist below)
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
     ).persist()
     if edges.isEmpty():  # nothing to merge: every mention is its own entity
         out = labels.select("mention", F.col("label").alias("canonical"))
+        edges.unpersist()
+        cache_bounded(labels)
         return out
     # persist (not localCheckpoint) per iteration: checkpointing each loop
     # forces eager materialization at the full shuffle-partition count and
@@ -245,10 +250,20 @@ def connected_components(
             new_labels.filter(F.col("label") != F.col("old_label"))
             .limit(1).count()
         )
-        labels.unpersist()
+        # unpersist the actual persisted HANDLE: labels is a select()
+        # projection from iteration 2 on, whose plan never matches the
+        # cache entry, so unpersisting the projection silently leaked
+        # every iteration's cache (review r2)
+        cached.unpersist()
+        cached = new_labels
         labels = new_labels.select("mention", "label")
         if changed == 0:
             break
+    edges.unpersist()
+    # the final iteration's frame stays persisted for the caller to
+    # materialize from; register it with the bounded session registry so
+    # repeated CC calls in a long-lived session cannot accumulate caches
+    cache_bounded(cached)
     return labels.select("mention", F.col("label").alias("canonical"))
 
 

@@ -23,27 +23,10 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text
 
-#: persisted intermediates of recent near-dup invocations, oldest first.
-#: Bounded: a few live slots let a caller interleave results of several ops
-#: (each op persists one frame) without the oldest being evicted before its
-#: result is materialized, while repeated calls in a long-lived session
-#: still cannot accumulate unbounded shingle/signature cache blocks.
-#: :func:`release_caches` frees everything eagerly.
-_LIVE_CACHES: list[DataFrame] = []
-_MAX_LIVE_CACHES = 4
-
-
-def _cache(df: DataFrame) -> DataFrame:
-    while len(_LIVE_CACHES) >= _MAX_LIVE_CACHES:
-        _LIVE_CACHES.pop(0).unpersist()
-    _LIVE_CACHES.append(df.persist())
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist intermediates cached by earlier near-dup calls."""
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
+# the bounded cache registry moved to rdf_tabular_spark.caching (it is
+# shared by kg/graph and ops/vocab too); re-exported here for back-compat
+from ..caching import cache_bounded as _cache  # noqa: F401
+from ..caching import release_caches  # noqa: F401
 
 
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
@@ -414,6 +397,19 @@ def cosine_sim(va: Column, vb: Column) -> Column:
     return dot / (norm(va) * norm(vb))
 
 
+def blocked_self_join(emb: DataFrame, id_col: str, vec_col: str,
+                      block_col: str | None) -> DataFrame:
+    """Candidate frame (a, va[, blk]) × (b, vb[, blk]) for a vector
+    self-join: block-equi join when *block_col* is given (IVF-style), else
+    a full cross join (small-n exact baseline only). Single home for the
+    scaffolding :func:`embedding_near_pairs` and similarity.knn_join share."""
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                   *([F.col(block_col).alias("blk")] if block_col else []))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                   *([F.col(block_col).alias("blk")] if block_col else []))
+    return a.join(b, on="blk", how="inner") if block_col else a.crossJoin(b)
+
+
 def embedding_near_pairs(
     emb: DataFrame, threshold: float = 0.9,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -422,12 +418,7 @@ def embedding_near_pairs(
     """Embedding-cosine near-dup pairs. Blocked on *block_col* when given
     (e.g. a cluster/label id — IVF-style), else full cross self-join (only
     for small n / as the verification baseline)."""
-    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
-                   *([F.col(block_col).alias("blk")] if block_col else []))
-    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
-                   *([F.col(block_col).alias("blk")] if block_col else []))
-    joined = a.join(b, on="blk" if block_col else None, how="inner") \
-        if block_col else a.crossJoin(b)
+    joined = blocked_self_join(emb, id_col, vec_col, block_col)
     return (
         joined.filter(F.col("a") < F.col("b"))
         .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))

@@ -224,11 +224,9 @@ def knn_join(
     """
     from pyspark.sql import Window
 
-    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
-                   *([F.col(block_col).alias("blk")] if block_col else []))
-    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
-                   *([F.col(block_col).alias("blk")] if block_col else []))
-    joined = a.join(b, on="blk", how="inner") if block_col else a.crossJoin(b)
+    from .dedup import blocked_self_join
+
+    joined = blocked_self_join(emb, id_col, vec_col, block_col)
     scored = (
         joined.filter(F.col("a") != F.col("b"))
         .select("a", "b",

@@ -28,6 +28,10 @@ def tokens(c: Column) -> Column:
 
 
 def token_count(c: Column) -> Column:
+    # NULL text counts as an empty document (0 tokens), matching the SQL
+    # twins -- without the coalesce, size(split(NULL)) is -1 under
+    # spark.sql.legacy.sizeOfNull and NULL rows silently trip filters
+    c = F.coalesce(c, F.lit(""))
     return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
 
 
@@ -35,12 +39,13 @@ def bpe_ish_token_count(c: Column) -> Column:
     """Sub-word-ish token count: words + digits + punctuation runs, the
     standard BPE-approximating regex."""
     arr = F.regexp_extract_all(
-        F.lower(c), F.lit(r"([a-z]{1,6}|\d{1,3}|[^a-z\d\s])"), 1)
+        F.lower(F.coalesce(c, F.lit(""))),
+        F.lit(r"([a-z]{1,6}|\d{1,3}|[^a-z\d\s])"), 1)
     return F.size(arr)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty doc
     toks = tokens(c)
     n_tok = token_count(c)
     n_char = F.length(c)
@@ -120,7 +125,8 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
       token / token count;
     - ``dup_2gram_frac``: 1 - distinct word 2-grams / total 2-grams.
 
-    Both are pure per-row array expressions (no explode, no shuffle): the
+    NULL text counts as an empty document. Both are pure per-row array
+    expressions (no explode, no shuffle): the
     token histogram's max is a single fold over the SORTED token array —
     equal tokens are adjacent after ``array_sort``, so the longest run IS
     the top multiplicity.  At 100 TB this stays a map-only pass inside
@@ -128,7 +134,7 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     formulation would shuffle the tokenized corpus (≈2-3× the corpus
     bytes)."""
     staged = df.withColumns({
-        "_norm": normalize_text(F.col(text_col)),
+        "_norm": normalize_text(F.coalesce(F.col(text_col), F.lit(""))),
     }).withColumns({"_toks": F.split(F.col("_norm"), " ")})
     toks = F.col("_toks")
     n_tok = F.when(F.col("_norm") == "", F.lit(0)).otherwise(F.size(toks))

@@ -69,7 +69,7 @@ def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text",
     score = tf * (ln((N + 1) / (df + 1)) + 1), reported rounded to 6dp;
     ranking uses the engine-portable integer key (see module docstring).
     """
-    from .dedup import _cache
+    from ..caching import cache_bounded as _cache
 
     dt = _doc_tokens(docs, text_col, id_col)
     n_docs = docs.select(F.col(id_col)).distinct().count()

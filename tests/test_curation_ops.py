@@ -181,3 +181,22 @@ def test_ngram_lm_score_stupid_backoff(spark):
     expect3 = round(qln(0.4 * 0.4 / 9) / 1 / 1e6, 6)
     assert rows[3].n_bigrams == 1 and abs(rows[3].lm_score - expect3) < 1e-9
     assert rows[4].n_bigrams == 0 and rows[4].lm_score is None
+
+
+def test_null_text_is_empty_document(spark):
+    from rdf_tabular_spark.ops.text import (
+        bpe_ish_token_count, quality_filter, token_count)
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "hello world")], "doc_id long, text string")
+    counted = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        bpe_ish_token_count(F.col("text")).alias("nb")).collect()
+    got = {r.doc_id: (r.n, r.nb) for r in counted}
+    # NULL text == empty document, never -1 (legacy size(NULL)) or NULL
+    assert got[1] == (0, 0) and got[2] == (0, 0) and got[3][0] == 2
+
+    qf = {r.doc_id: r for r in quality_filter(docs).collect()}
+    assert qf[1].keep == qf[2].keep  # NULL and '' get identical decisions
+    assert "length" in qf[1].drop_reasons
