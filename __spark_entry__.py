@@ -2328,6 +2328,42 @@ def sql_text_lm_score() -> str:
     """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup (ops/text.corpus_stats): per-language doc and
+    token totals + quality_filter keep rate. All aggregates are integer
+    sums; ratios derived after the agg — no order-dependent double sum."""
+    from rdf_tabular_spark.ops.text import corpus_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_stats(docs, min_stopword_ratio=0.05,
+                        max_top_word_frac=0.12, max_dup_2gram_frac=0.2)
+
+
+def sql_corpus_stats() -> str:
+    return f"""
+    WITH q AS MATERIALIZED ({sql_text_quality()}),
+    rep AS MATERIALIZED ({sql_text_repetition()}),
+    dec AS (
+      SELECT q.doc_id, rep.n_tokens,
+             concat_ws('|',
+               CASE WHEN q.n_tokens NOT BETWEEN 10 AND 100000 THEN 'length' END,
+               CASE WHEN q.punct_ratio > 0.2 THEN 'punct' END,
+               CASE WHEN q.stopword_ratio < 0.05 THEN 'stopwords' END,
+               CASE WHEN rep.top_word_frac > 0.12 THEN 'top_word' END,
+               CASE WHEN rep.dup_2gram_frac > 0.2 THEN 'dup_2gram' END)
+               = '' AS keep
+      FROM q JOIN rep ON q.doc_id = rep.doc_id)
+    SELECT d.lang, COUNT(*) AS n_docs,
+           SUM(dec.n_tokens) AS total_tokens,
+           SUM(CASE WHEN dec.keep THEN 1 ELSE 0 END) AS n_kept,
+           round(SUM(CASE WHEN dec.keep THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS keep_rate,
+           round(SUM(dec.n_tokens) / COUNT(*), 6) AS mean_tokens
+    FROM documents d JOIN dec ON d.doc_id = dec.doc_id
+    GROUP BY d.lang
+    """
+
+
 def q_similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN self-join (ops/similarity.knn_join): top-3 cosine
     neighbors for EVERY vector, blocked on the label column; per-query
@@ -2613,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": q_text_quality_filter,
         "text_lm_score": q_text_lm_score,
         "streaming_dedup": q_streaming_dedup,
+        "corpus_stats": q_corpus_stats,
         "similarity_knn_join": q_similarity_knn_join,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
@@ -2676,6 +2713,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_filter": sql_text_quality_filter(),
         "text_lm_score": sql_text_lm_score(),
         "streaming_dedup": sql_streaming_dedup(),
+        "corpus_stats": sql_corpus_stats(),
         "similarity_knn_join": sql_similarity_knn_join(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),

@@ -39,10 +39,60 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
-def _compile_pattern(triples: DataFrame, pattern: tuple) -> DataFrame:
+#: bound on ``pred+`` property-path expansion (SPARQL has no bound; a
+#: distributed engine needs one — callers override per call via
+#: match_bgp(path_max_hops=...))
+DEFAULT_PATH_MAX_HOPS = 10
+
+
+def _compile_path_pattern(triples: DataFrame, pattern: tuple,
+                          max_hops: int) -> DataFrame:
+    """A pattern whose predicate ends in ``+`` (SPARQL one-or-more
+    property path): replace the triple scan with the bounded transitive
+    closure of that predicate's edge list (graph.reachability — semi-
+    naive BFS), then bind s/o exactly like a plain pattern. Constants
+    filter the CLOSED pair set, so ``(<file>, "kg:dep+", ?m)`` is
+    everything reachable from one node."""
+    from .graph import reachability
+
+    s, p, o = pattern
+    base = p[:-1]
+    edges = (
+        triples.filter((F.col("pred") == base) & F.col("obj_is_iri"))
+        .select(F.col("subj").alias("subj"), F.col("obj").alias("obj"))
+    )
+    closed = (
+        reachability(
+            edges.select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")),
+            max_hops=max_hops)
+        .select(F.col("src").alias("subj"), F.col("dst").alias("obj"))
+    )
+    df = closed
+    var_cols: dict[str, str] = {}
+    for pos, term in zip(("subj", "obj"), (s, o)):
+        if _is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"empty variable name in {pattern!r}")
+            if name in var_cols:
+                df = df.filter(F.col(var_cols[name]) == F.col(pos))
+            else:
+                var_cols[name] = pos
+        else:
+            df = df.filter(F.col(pos) == term)
+    return df.select(
+        *[F.col(pos).alias(name) for name, pos in var_cols.items()])
+
+
+def _compile_pattern(triples: DataFrame, pattern: tuple,
+                     path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
     """One triple pattern -> filtered projection with variable columns."""
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o): {pattern!r}")
+    pred = pattern[1]
+    if isinstance(pred, str) and not _is_var(pred) and pred.endswith("+"):
+        return _compile_path_pattern(triples, pattern, path_max_hops)
     df = triples
     var_cols: dict[str, str] = {}  # var name -> first position holding it
     for pos, term in zip(_POSITIONS, pattern):
@@ -65,7 +115,8 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
               optional: list[tuple] | None = None,
               filters: list[str] | None = None,
               distinct: bool = True,
-              allow_cartesian: bool = False) -> DataFrame:
+              allow_cartesian: bool = False,
+              path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
     """Match a conjunction of triple patterns; columns = variable names.
 
     - *optional*: patterns LEFT-joined after the required conjunction
@@ -76,6 +127,10 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
       (SPARQL FILTER), e.g. ``"r LIKE '%monorepo%'"``. Applied before
       projection; Catalyst pushes them as far down the join tree as
       their column references allow.
+    - A predicate string ending in ``+`` is a one-or-more property
+      path (SPARQL ``pred+``) bounded at *path_max_hops*: the pattern
+      matches the bounded transitive closure of that predicate
+      (graph.reachability) instead of a single triple scan.
     - *distinct* applies set semantics to the projected result (SPARQL
       SELECT DISTINCT) — with ``project`` narrowing columns, duplicates
       are the norm, and the dedup runs on the narrow projection.
@@ -84,7 +139,7 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
         raise ValueError("empty pattern list")
     acc = None
     for pattern in patterns:
-        nxt = _compile_pattern(triples, pattern)
+        nxt = _compile_pattern(triples, pattern, path_max_hops)
         if not nxt.columns:
             # fully-constant pattern = SPARQL existence constraint: keep
             # the accumulated rows iff at least one triple matches. limit(1)
@@ -113,7 +168,7 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
                 f"pattern {pattern!r} shares no variable with the "
                 "preceding patterns (pass allow_cartesian=True to force)")
     for pattern in optional or []:
-        nxt = _compile_pattern(triples, pattern)
+        nxt = _compile_pattern(triples, pattern, path_max_hops)
         shared = [c for c in nxt.columns if c in acc.columns]
         if not shared:
             raise ValueError(

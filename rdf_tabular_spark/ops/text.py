@@ -287,3 +287,29 @@ def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,
             .alias("lm_score"),
         )
     )
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text",
+                 group_col: str = "lang", **filter_kwargs) -> DataFrame:
+    """Dataset-card rollup: per *group_col* (language, source, split...),
+    document/token totals and the :func:`quality_filter` keep rate — the
+    table every dataset release note starts with.
+
+    One grouped aggregation over the map-only feature pass (partial+final
+    hash agg, no extra shuffle beyond the group key). Every aggregate is
+    integer-based (counts, token sums) with ratios derived AFTER the agg,
+    so the result is bit-identical under any partitioning — no
+    order-dependent double summation anywhere.
+    """
+    feats = quality_filter(df, text_col, **filter_kwargs)
+    agg = feats.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+    return agg.select(
+        group_col, "n_docs", "total_tokens", "n_kept",
+        F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("keep_rate"),
+        F.round(F.col("total_tokens") / F.col("n_docs"), 6)
+        .alias("mean_tokens"),
+    )

@@ -108,3 +108,30 @@ def test_unbound_projection_rejected(spark):
     with pytest.raises(ValueError, match="not bound"):
         match_bgp(_triples(spark), [("?f", "imports", "?m")],
                   project=["nope"])
+
+
+def test_property_path_one_or_more(spark):
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    rows = [
+        ("a", "dep", "b", True), ("b", "dep", "c", True),
+        ("c", "dep", "d", True), ("x", "other", "y", True),
+        ("a", "lang", "py", False),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean")
+    got = {(r.x, r.y) for r in match_bgp(t, [("?x", "dep+", "?y")]).collect()}
+    assert got == {("a", "b"), ("b", "c"), ("c", "d"),
+                   ("a", "c"), ("b", "d"), ("a", "d")}
+    # bounded: 1 hop only
+    got1 = {(r.x, r.y)
+            for r in match_bgp(t, [("?x", "dep+", "?y")],
+                               path_max_hops=1).collect()}
+    assert got1 == {("a", "b"), ("b", "c"), ("c", "d")}
+    # constant subject: everything reachable from a
+    from_a = {r.y for r in match_bgp(t, [("a", "dep+", "?y")]).collect()}
+    assert from_a == {"b", "c", "d"}
+    # composes with a plain pattern on a shared variable
+    joined = match_bgp(
+        t, [("?x", "dep+", "d"), ("?x", "lang", "?l")]).collect()
+    assert [(r.x, r.l) for r in joined] == [("a", "py")]

@@ -200,3 +200,19 @@ def test_null_text_is_empty_document(spark):
     qf = {r.doc_id: r for r in quality_filter(docs).collect()}
     assert qf[1].keep == qf[2].keep  # NULL and '' get identical decisions
     assert "length" in qf[1].drop_reasons
+
+
+def test_corpus_stats_rollup(spark):
+    from rdf_tabular_spark.ops.text import corpus_stats
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home to rest for a while with friends")
+    docs = spark.createDataFrame(
+        [(1, good, "en"), (2, "too short", "en"), (3, good, "fr")],
+        "doc_id long, text string, lang string")
+    got = {r.lang: r for r in corpus_stats(
+        docs, min_stopword_ratio=0.05).collect()}
+    assert got["en"].n_docs == 2 and got["en"].n_kept == 1
+    assert got["en"].keep_rate == 0.5
+    assert got["fr"].n_docs == 1 and got["fr"].keep_rate == 1.0
+    assert got["en"].total_tokens == 21 + 2
