@@ -2328,6 +2328,22 @@ def sql_text_lm_score() -> str:
     """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (ops/bpe.bpe_train): 8 merges learned from
+    the documents corpus; merges iterate over the word-frequency table
+    (one corpus-scale agg total), each iteration = one vocab shuffle + a
+    1-row collect. rows-only check: each step re-segments every word, an
+    iterative fixpoint ANSI SQL can't express — correctness is pinned by
+    the pure-Python reference parity tests (tests/test_bpe.py)."""
+    from rdf_tabular_spark.ops.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card rollup (ops/text.corpus_stats): per-language doc and
     token totals + quality_filter keep rate. All aggregates are integer
@@ -2650,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "streaming_dedup": q_streaming_dedup,
         "corpus_stats": q_corpus_stats,
+        "bpe_merges": q_bpe_merges,
         "similarity_knn_join": q_similarity_knn_join,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
@@ -2720,4 +2737,6 @@ def oracle_sql() -> dict[str, str]:
         # dedup_minhash_lsh / dedup_simhash: Spark-internal hash functions
         # (murmur3 / xxhash64) have no DuckDB twin -> rows-only check
         # (their portable md5 variants below ARE oracle-checked).
+        # bpe_merges: iterative re-segmentation has no ANSI-SQL twin ->
+        # rows-only; pinned by Python-reference parity in tests/test_bpe.py.
     }

@@ -1,0 +1,141 @@
+"""Distributed BPE tokenizer training and encoding.
+
+The classic byte-pair-encoding trainer (Sennrich et al., public
+algorithm) iterates: count adjacent symbol pairs, merge the most
+frequent pair everywhere, repeat. The scale-critical observation is that
+training operates on the WORD-FREQUENCY TABLE, not the corpus: one
+corpus-scale aggregation builds (word, count) — at 100 TB the distinct
+vocabulary is ~10^7-10^8 narrow rows, orders of magnitude smaller than
+the corpus — and every merge iteration then touches only that table:
+
+    explode adjacent symbol pairs weighted by word count
+      -> partial+final hash agg -> global top-1 (a 1-row collect)
+      -> map-only fold applying the merge to each word's symbol array
+
+Per iteration: one shuffle over the vocab + one driver row. The corpus
+itself is read exactly once. Encoding is map-only: the learned merge
+list is a driver-side constant folded into chained array expressions
+(native, whole-stage codegen) — no Python in either hot path.
+
+Determinism: ties in pair frequency break on (pair_count DESC, left,
+right), so the learned merge table is unique for a given corpus.
+No DuckDB oracle twin — each merge step re-segments every word, an
+iterative fixpoint ANSI SQL can't express; correctness is pinned by
+parity with a pure-Python reference implementation in tests/test_bpe.py
+(same evidence class as the reference's golden fixtures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker (kept multi-char so it cannot collide with a char)
+EOW = "</w>"
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (word, count) — the ONE corpus-scale pass of training."""
+    from .text import normalize_text
+
+    words = docs.select(
+        F.explode(
+            F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))),
+                    " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count("*").alias("count"))
+
+
+def _initial_symbols(word: Column) -> Column:
+    """word -> its character symbols plus the end-of-word marker."""
+    chars = F.split(word, "")
+    # Spark's split('') leaves no trailing empty element; append EOW
+    return F.concat(chars, F.array(F.lit(EOW)))
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right replacement of adjacent (left, right) with the
+    concatenated symbol — a single fold, map-only."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left) & (x == right),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 10,
+              text_col: str = "text",
+              min_pair_count: int = 2) -> list[tuple[str, str, int]]:
+    """Learn *n_merges* BPE merges; returns [(left, right, pair_count)]
+    in merge order. Stops early when no pair reaches *min_pair_count*.
+
+    The vocab is localCheckpoint-ed each iteration: the merge fold is a
+    large expression, and chaining k of them nests the plan k deep —
+    checkpointing keeps every iteration's plan constant-size (same
+    plan-growth discipline as PageRank / connected_components)."""
+    vocab = (
+        word_vocab(docs, text_col)
+        .select("count", _initial_symbols(F.col("word")).alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.filter(F.size("syms") > 1)
+            .select(
+                "count",
+                F.explode(F.arrays_zip(
+                    F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+                    F.expr("slice(syms, 2, size(syms) - 1)").alias("r"),
+                )).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("count").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pair_count"), "l", "r").limit(1).collect()
+        )
+        if not top or top[0]["pair_count"] < min_pair_count:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
+        merges.append((left, right, cnt))
+        vocab = vocab.select(
+            "count", _apply_merge(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]],
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge list to every document: (id_col, n_bpe_tokens,
+    tokens array for inspection). Map-only — the merges are driver-side
+    constants folded into chained native array expressions, one fold per
+    merge, inside whole-stage codegen (bound the merge list at a few
+    hundred; beyond that, switch to a broadcast merge-rank map in an
+    Arrow-batched pandas UDF)."""
+    from .text import normalize_text
+
+    words = F.split(
+        normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    seg = F.transform(words, lambda w: _initial_symbols(w))
+
+    # NB: the transform lambda must take EXACTLY one parameter — Spark
+    # binds a second parameter to the element index, so default-arg
+    # capture (lambda s, _l=l: ...) silently passes indices as symbols
+    def _merge_fn(left: str, right: str):
+        return lambda s: _apply_merge(s, left, right)
+
+    for left, right, _ in merges:
+        seg = F.transform(seg, _merge_fn(left, right))
+    toks = F.flatten(seg)
+    return docs.select(
+        F.col(id_col),
+        F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "",
+               F.lit(0)).otherwise(F.size(toks)).alias("n_bpe_tokens"),
+        toks.alias("bpe_tokens"),
+    )
