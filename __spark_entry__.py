@@ -2328,6 +2328,41 @@ def sql_text_lm_score() -> str:
     """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunker (ops/pack.chunk_documents): 32-token windows,
+    8-token overlap (small enough that sf docs genuinely split — the
+    128/32 default produced one chunk per doc, proving nothing about the
+    overlap math) — map-only explode, no shuffle anywhere."""
+    from rdf_tabular_spark.ops.pack import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+def sql_chunk_documents(chunk: int = 32, overlap: int = 8) -> str:
+    stride = chunk - overlap
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(COALESCE(text, ''))),
+                                         '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, toks, len(toks) AS n
+      FROM t WHERE len(toks) > 0 AND toks[1] <> ''),
+    c AS (
+      SELECT doc_id, toks, n,
+             CAST(ceil(greatest(n - {overlap}, 1) / {stride}.0) AS INT)
+               AS n_chunks
+      FROM f)
+    SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+           CAST(least({chunk}, n - k * {stride}) AS INT) AS n_tokens,
+           array_to_string(toks[k * {stride} + 1 : k * {stride} + {chunk}],
+                           ' ') AS chunk_text
+    FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(k)
+    """
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (ops/bpe.bpe_train): 8 merges learned from
     the documents corpus; merges iterate over the word-frequency table
@@ -2667,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "corpus_stats": q_corpus_stats,
         "bpe_merges": q_bpe_merges,
+        "chunk_documents": q_chunk_documents,
         "similarity_knn_join": q_similarity_knn_join,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
@@ -2731,6 +2767,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_score": sql_text_lm_score(),
         "streaming_dedup": sql_streaming_dedup(),
         "corpus_stats": sql_corpus_stats(),
+        "chunk_documents": sql_chunk_documents(),
         "similarity_knn_join": sql_similarity_knn_join(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),

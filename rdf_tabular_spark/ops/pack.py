@@ -51,3 +51,45 @@ def pack_offsets(df: DataFrame, max_tokens: int = 512, n_shards: int = 8,
         (F.col("_start") / max_tokens).cast("long").alias("bin_id"),
         F.pmod(F.col("_start"), F.lit(max_tokens)).cast("long")
         .alias("bin_offset"))
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 32, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split every document into fixed-token windows with overlap — the
+    retrieval/embedding chunker (RAG indexing, long-doc embedding):
+    chunk k covers tokens [k*stride, k*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last window is the remainder
+    (never empty, never duplicated).
+
+    Map-only: tokenize once per row, explode a generated chunk-start
+    sequence, slice the token array per chunk. No shuffle — at 100 TB
+    this runs at scan speed and multiplies rows by ~n_tokens/stride.
+    Empty/NULL docs produce no chunks.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    from .text import normalize_text
+
+    staged = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))),
+                " ").alias("_toks"),
+    ).filter((F.size("_toks") > 0) & (F.element_at("_toks", 1) != ""))
+    n = F.size("_toks")
+    # number of chunks = ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)) / stride).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    exploded = staged.select(
+        id_col, "_toks", n.alias("_n"),
+        F.posexplode(starts).alias("chunk_idx", "_k"))
+    chunk = F.slice(F.col("_toks"), F.col("_k") * stride + 1,
+                    F.lit(chunk_tokens))
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.least(F.lit(chunk_tokens),
+                F.col("_n") - F.col("_k") * stride).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -216,3 +216,28 @@ def test_corpus_stats_rollup(spark):
     assert got["en"].keep_rate == 0.5
     assert got["fr"].n_docs == 1 and got["fr"].keep_rate == 1.0
     assert got["en"].total_tokens == 21 + 2
+
+
+def test_chunk_documents_windows(spark):
+    from rdf_tabular_spark.ops.pack import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, None), (4, "")],
+        "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text) for r in rows}
+    # stride 3: chunks at 0,3,6 cover [0,4),[3,7),[6,10) -> ceil(9/3)=3
+    assert got[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert got[(1, 1)] == (4, "w3 w4 w5 w6")
+    assert got[(1, 2)] == (4, "w6 w7 w8 w9")
+    assert (1, 3) not in got
+    # short doc: single remainder chunk
+    assert got[(2, 0)] == (2, "a b")
+    # NULL / empty docs emit nothing
+    assert all(d not in (3, 4) for d, _ in got)
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert got[(1, 0)][1].split()[-1:] == got[(1, 1)][1].split()[:1]
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
