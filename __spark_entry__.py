@@ -2328,6 +2328,47 @@ def sql_text_lm_score() -> str:
     """
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL document source (the interchange format LLM corpora ship
+    in): the documents table staged as JSON Lines, read back with
+    spark.read.json under an explicit schema (schema-on-read; never
+    inference over 100 TB), compared hash-exact against the parquet
+    ground truth the DuckDB twin reads — a cross-engine proof that the
+    JSONL path preserves every value (escaping, unicode, NULLs)."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src_file = f"{sf_dir}/documents.parquet"
+    st = os.stat(src_file)
+    import hashlib
+
+    key = hashlib.md5(
+        f"{os.path.abspath(src_file)}|{st.st_size}|{st.st_mtime_ns}"
+        .encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rdf_tabular_spark_docs_{key}.jsonl")
+    if not os.path.exists(path):
+        tbl = pq.read_table(src_file).to_pylist()
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in tbl:
+                f.write(json.dumps(row, ensure_ascii=False,
+                                   sort_keys=True) + "\n")
+        os.replace(tmp, path)
+    return spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def sql_jsonl_roundtrip() -> str:
+    return """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style chunker (ops/pack.chunk_documents): 32-token windows,
     8-token overlap (small enough that sf docs genuinely split — the
@@ -2703,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "bpe_merges": q_bpe_merges,
         "chunk_documents": q_chunk_documents,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "similarity_knn_join": q_similarity_knn_join,
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
@@ -2768,6 +2810,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": sql_streaming_dedup(),
         "corpus_stats": sql_corpus_stats(),
         "chunk_documents": sql_chunk_documents(),
+        "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "similarity_knn_join": sql_similarity_knn_join(),
         "kg_polyglot": sql_kg_polyglot(),
         "kg_sha_invariant": sql_kg_sha_invariant(),
