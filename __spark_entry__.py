@@ -474,7 +474,7 @@ def sql_dedup_exact() -> str:
     return """
     WITH fp AS (
       SELECT doc_id,
-             md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+             md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                         1, 30)) AS fp
       FROM documents)
     SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keep_id
@@ -485,7 +485,7 @@ def sql_dedup_exact() -> str:
 _SHINGLE_SQL = """
     WITH toks AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
       FROM documents),
     sh AS (
       SELECT doc_id,
@@ -584,7 +584,7 @@ def sql_dedup_simhash_md5() -> str:
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split(
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
                t -> t <> '') AS t
       FROM documents),
     th AS (
@@ -657,8 +657,8 @@ def sql_text_token_counts() -> str:
     # Spark text ops pin (review r2)
     return """
     SELECT doc_id,
-           CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           len(list_filter(regexp_split_to_array(trim(COALESCE(text, '')),
+                                '\\s+'), t -> t <> '')) AS n_tokens,
            len(regexp_extract_all(lower(COALESCE(text, '')), '([a-z]{1,6}|\\d{1,3}|[^a-z\\d\\s])', 1)) AS n_bpe_ish
     FROM documents
     """
@@ -679,8 +679,8 @@ def sql_text_quality() -> str:
     WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
     f AS (
       SELECT doc_id, length(text) AS n_chars_m,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> t <> '')) AS n_tokens,
              round(CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE)
                    / greatest(length(text), 1), 6) AS punct_ratio,
              len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -744,7 +744,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_text_fingerprint() -> str:
     return """
     WITH norm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
       FROM documents),
     toks AS (SELECT doc_id, n, string_split(n, ' ') AS t FROM norm)
     SELECT doc_id, md5(n) AS fp_exact,
@@ -770,7 +770,7 @@ def sql_text_vocab() -> str:
       FROM (
         SELECT doc_id,
                unnest(string_split(
-                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                  ' ')) AS token
         FROM documents) t
       WHERE t.token <> ''),
@@ -799,7 +799,7 @@ def sql_text_tfidf() -> str:
       FROM (
         SELECT doc_id,
                unnest(string_split(
-                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                  ' ')) AS token
         FROM documents) t
       WHERE t.token <> ''),
@@ -942,7 +942,7 @@ def sql_decontaminate() -> str:
     return """
     WITH toks AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                           ' ') AS t
       FROM documents),
     grams AS (
@@ -973,9 +973,9 @@ def sql_pack_sequences() -> str:
              CAST(CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
                                                     '__null__')), 1, 8))
                        AS BIGINT) % 8 AS INT) AS shard,
-             CAST(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
-                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                  END AS BIGINT) AS n_tokens
+             CAST(len(list_filter(
+                    regexp_split_to_array(trim(COALESCE(text, '')), '\\s+'),
+                    t -> t <> '')) AS BIGINT) AS n_tokens
       FROM documents),
     c AS (
       SELECT doc_id, shard, n_tokens,
@@ -1004,7 +1004,7 @@ def sql_text_repetition() -> str:
     return r"""
     WITH t AS (
       SELECT doc_id,
-             regexp_replace(lower(trim(COALESCE(text, ''))), '\s+', ' ', 'g') AS norm
+             trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')) AS norm
       FROM documents),
     tok AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
     u AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
@@ -2180,6 +2180,19 @@ def sql_text_quality_filter() -> str:
     """
 
 
+def _staging_key(src_file: str) -> str:
+    """Source-identity fingerprint for /tmp staging dirs: path + size +
+    mtime, so two datasets of equal row count can never share a stage
+    (single home — review r2 found the derivation duplicated)."""
+    import hashlib
+    import os
+
+    st = os.stat(src_file)
+    return hashlib.md5(
+        f"{os.path.abspath(src_file)}|{st.st_size}|{st.st_mtime_ns}"
+        .encode()).hexdigest()[:12]
+
+
 def _doc_stream_dir(sf_dir: str) -> str:
     """The sf documents table staged as 3 parquet files so the streaming
     dedup (availableNow, maxFilesPerTrigger=1) delivers 3 micro-batches.
@@ -2189,16 +2202,9 @@ def _doc_stream_dir(sf_dir: str) -> str:
 
     import pyarrow.parquet as pq
 
-    import hashlib
-
     src_file = f"{sf_dir}/documents.parquet"
     tbl = pq.read_table(src_file)
-    # key on the source identity, not just the row count: two datasets of
-    # equal size must not share a staging dir (review r2)
-    st = os.stat(src_file)
-    key = hashlib.md5(
-        f"{os.path.abspath(src_file)}|{st.st_size}|{st.st_mtime_ns}"
-        .encode()).hexdigest()[:12]
+    key = _staging_key(src_file)
     d = os.path.join(
         tempfile.gettempdir(),
         f"rdf_tabular_spark_docs_stream_{tbl.num_rows}_{key}")
@@ -2252,7 +2258,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_streaming_dedup() -> str:
     return r"""
-    SELECT md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+    SELECT md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
                       1, 30)) AS fp,
            min(doc_id) AS doc_id
     FROM documents GROUP BY fp
@@ -2283,7 +2289,7 @@ def sql_text_lm_score() -> str:
                                  1, 8)) AS BIGINT) % 10000 < 9000),
     tok_lm AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
                           ' ') AS toks
       FROM train WHERE trim(text) <> ''),
     uni AS (
@@ -2298,7 +2304,7 @@ def sql_text_lm_score() -> str:
     n AS (SELECT sum(c1) AS n_total FROM uni),
     tok_all AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
                           ' ') AS toks
       FROM documents WHERE trim(text) <> ''),
     dbg AS (
@@ -2342,12 +2348,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     src_file = f"{sf_dir}/documents.parquet"
-    st = os.stat(src_file)
-    import hashlib
-
-    key = hashlib.md5(
-        f"{os.path.abspath(src_file)}|{st.st_size}|{st.st_mtime_ns}"
-        .encode()).hexdigest()[:12]
+    key = _staging_key(src_file)
     path = os.path.join(tempfile.gettempdir(),
                         f"rdf_tabular_spark_docs_{key}.jsonl")
     if not os.path.exists(path):
@@ -2385,8 +2386,8 @@ def sql_chunk_documents(chunk: int = 32, overlap: int = 8) -> str:
     return rf"""
     WITH t AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(COALESCE(text, ''))),
-                                         '\s+', ' ', 'g'), ' ') AS toks
+             string_split(trim(regexp_replace(lower(COALESCE(text, '')),
+                                              '\s+', ' ', 'g')), ' ') AS toks
       FROM documents),
     f AS (
       SELECT doc_id, toks, len(toks) AS n
@@ -2574,13 +2575,17 @@ def _kg_polyglot_source_path() -> str:
 
     path = os.path.join(
         tempfile.gettempdir(),
-        f"rdf_tabular_spark_kg_polyglot_{KG_POLY_FILES}.parquet")
+        # key includes the language-mix size so extending POLY_LANGS
+        # regenerates the stage instead of silently reusing the old one
+        f"rdf_tabular_spark_kg_polyglot_{KG_POLY_FILES}"
+        f"_{len(synth.POLY_LANGS)}.parquet")
     if os.path.exists(path):
         return path
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    ext_for = {"go": "go", "rust": "rs", "java": "java", "toml": "toml"}
+    ext_for = {"go": "go", "rust": "rs", "java": "java", "toml": "toml",
+               "c": "c"}
     cols: dict[str, list] = {
         "repo": [], "path": [], "commit": [], "lang": [], "content": []}
     for i in range(KG_POLY_FILES):
@@ -2612,6 +2617,10 @@ _KG_POLY_SQL_RULES = [
      r"(?m)(?:public|private|protected)\s+(?:static\s+)?[\w<>\[\]]+\s+(\w+)\s*\(",
      1, None),
     ("toml", 0, "dep", r'(?m)^([\w-]+)\s*=\s*"([^"]+)"', 1, 2),
+    ("c", 0, "import", r'(?m)^\s*#\s*include\s*[<"]([\w./]+)[>"]', 1, None),
+    ("c", 1, "def",
+     r"(?m)^(?:static\s+)?(?:\w+\s+)+(\w+)\s*\([^;\n]*\)\s*\{", 1, None),
+    ("c", 2, "class", r"(?m)^(?:typedef\s+)?(struct|union|enum)\s+(\w+)", 2, 1),
 ]
 
 

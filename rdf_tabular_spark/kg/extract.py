@@ -78,6 +78,12 @@ LANG_RULES: dict[str, list[tuple[str, str, int]]] = {
     "toml": [
         ("dep", r"^(?P<name>[\w-]+)\s*=\s*\"(?P<detail>[^\"]+)\"", re.M),
     ],
+    "c": [
+        ("import", r"^\s*#\s*include\s*[<\"](?P<name>[\w./]+)[>\"]", re.M),
+        ("def",
+         r"^(?:static\s+)?(?:\w+\s+)+(?P<name>\w+)\s*\([^;\n]*\)\s*\{", re.M),
+        ("class", r"^(?:typedef\s+)?(?P<detail>struct|union|enum)\s+(?P<name>\w+)", re.M),
+    ],
 }
 
 

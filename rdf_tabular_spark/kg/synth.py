@@ -21,7 +21,7 @@ LANGS = ["python", "ruby", "javascript", "json"]
 #: extraction supports these too (r2); kept OUT of the default synth mix so
 #: benchmark/scaling inputs stay byte-identical round over round — the
 #: polyglot oracle/table stages its own source with these
-POLY_LANGS = ["go", "rust", "java", "toml"]
+POLY_LANGS = ["go", "rust", "java", "toml", "c"]
 
 _MODULES = [
     "os", "sys", "json", "requests", "numpy", "pandas", "flask", "django",
@@ -126,6 +126,26 @@ def make_content(i: int, lang: str) -> str:
             s = _SYMBOLS[_h("def", i, k) % len(_SYMBOLS)]
             lines.append(f"    public static int {s}_{k}(int x) {{ return x; }}")
         lines.append("}")
+    elif lang == "c":
+        for k in range(n_imports):
+            m = _MODULES[_h("im", i, k) % len(_MODULES)]
+            if _h("sys", i, k) % 2 == 0:
+                lines.append(f"#include <{m}.h>")
+            else:
+                lines.append(f'#include "{m}.h"')
+        lines.append("")
+        for k in range(n_defs):
+            s = _SYMBOLS[_h("def", i, k) % len(_SYMBOLS)]
+            if _h("kind", i, k) % 4 == 0:
+                word = "struct" if _h("su", i, k) % 2 == 0 else "enum"
+                lines.append(f"{word} {s}_ctx {{")
+                lines.append("    int x;")
+                lines.append("};")
+            else:
+                static = "static " if _h("st", i, k) % 2 == 0 else ""
+                lines.append(f"{static}int {s}_{k}(int x) {{")
+                lines.append("    return x;")
+                lines.append("}")
     elif lang == "toml":
         lines.append("[dependencies]")
         for k in range(n_imports):

@@ -36,13 +36,10 @@ EOW = "</w>"
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus -> (word, count) — the ONE corpus-scale pass of training."""
-    from .text import normalize_text
+    from .text import nonempty_tokens
 
     words = docs.select(
-        F.explode(
-            F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))),
-                    " ")).alias("word")
-    ).filter(F.col("word") != "")
+        F.explode(nonempty_tokens(F.col(text_col))).alias("word"))
     return words.groupBy("word").agg(F.count("*").alias("count"))
 
 
@@ -118,10 +115,13 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]],
     merge, inside whole-stage codegen (bound the merge list at a few
     hundred; beyond that, switch to a broadcast merge-rank map in an
     Arrow-batched pandas UDF)."""
-    from .text import normalize_text
+    from .text import nonempty_tokens
 
-    words = F.split(
-        normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    # empty tokens are filtered exactly as in word_vocab: without the
+    # filter, a NULL/empty doc (or, pre-normalize-fix, edge whitespace)
+    # segmented to phantom ['', '</w>'] tokens the trained vocabulary
+    # says don't exist (review r2)
+    words = nonempty_tokens(F.col(text_col))
     seg = F.transform(words, lambda w: _initial_symbols(w))
 
     # NB: the transform lambda must take EXACTLY one parameter — Spark
@@ -135,7 +135,6 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]],
     toks = F.flatten(seg)
     return docs.select(
         F.col(id_col),
-        F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "",
-               F.lit(0)).otherwise(F.size(toks)).alias("n_bpe_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
         toks.alias("bpe_tokens"),
     )

@@ -80,16 +80,15 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
     n = F.size("_toks")
     # number of chunks = ceil(max(n - overlap, 1) / stride)
     n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)) / stride).cast("int")
-    starts = F.sequence(F.lit(0), n_chunks - 1)
     exploded = staged.select(
         id_col, "_toks", n.alias("_n"),
-        F.posexplode(starts).alias("chunk_idx", "_k"))
-    chunk = F.slice(F.col("_toks"), F.col("_k") * stride + 1,
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1,
                     F.lit(chunk_tokens))
     return exploded.select(
         id_col,
         "chunk_idx",
         F.least(F.lit(chunk_tokens),
-                F.col("_n") - F.col("_k") * stride).alias("n_tokens"),
+                F.col("_n") - F.col("chunk_idx") * stride).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )

@@ -20,19 +20,35 @@ STOPWORDS = ["the", "a", "an", "of", "to", "in", "is", "and", "or", "for"]
 
 
 def normalize_text(c: Column) -> Column:
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    """Lowercase + collapse ALL whitespace runs to single spaces + trim.
+    Collapse happens BEFORE the trim: ``trim`` strips only spaces (0x20),
+    so trimming first leaves a leading/trailing "\n"/"\t" behind as a
+    phantom empty token after the split (review r2 — silently dropped
+    chunker docs and inflated token counts)."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def tokens(c: Column) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def nonempty_tokens(c: Column) -> Column:
+    """Whitespace-robust token array: normalize, split, and drop empty
+    tokens (an empty/NULL document yields [] — never ['']). The single
+    home for token extraction in ops that must not see phantom tokens
+    (review r2: three call sites each re-derived this and two got it
+    wrong)."""
+    return F.filter(
+        F.split(normalize_text(F.coalesce(c, F.lit(""))), " "),
+        lambda t: t != "")
+
+
 def token_count(c: Column) -> Column:
-    # NULL text counts as an empty document (0 tokens), matching the SQL
-    # twins -- without the coalesce, size(split(NULL)) is -1 under
-    # spark.sql.legacy.sizeOfNull and NULL rows silently trip filters
+    # NULL text counts as an empty document (0 tokens) and phantom empty
+    # tokens from edge whitespace are excluded: trim() strips only 0x20,
+    # so '\nhello' would otherwise split to ['', 'hello'] and count 2
     c = F.coalesce(c, F.lit(""))
-    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+    return F.size(F.filter(tokens(c), lambda t: t != ""))
 
 
 def bpe_ish_token_count(c: Column) -> Column:

@@ -241,3 +241,39 @@ def test_chunk_documents_windows(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_edge_whitespace_documents(spark):
+    """Leading/trailing non-space whitespace must not create phantom
+    tokens: trim() strips only 0x20, so normalize must collapse BEFORE
+    trimming (review r2 — chunker dropped '\\n'-prefixed docs entirely)."""
+    from rdf_tabular_spark.ops.bpe import bpe_encode
+    from rdf_tabular_spark.ops.pack import chunk_documents
+    from rdf_tabular_spark.ops.text import nonempty_tokens, token_count
+
+    docs = spark.createDataFrame(
+        [(1, "\nhello world"), (2, "hello world\n"), (3, "\t hi \t")],
+        "doc_id long, text string")
+    toks = {r.doc_id: r.t for r in docs.select(
+        "doc_id", nonempty_tokens(F.col("text")).alias("t")).collect()}
+    assert toks[1] == ["hello", "world"]
+    assert toks[2] == ["hello", "world"]
+    assert toks[3] == ["hi"]
+
+    chunks = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc chunks; no phantom token inflates n_tokens
+    assert {d for d in by_doc} == {1, 2, 3}
+    assert by_doc[1][0].n_tokens == 2 and by_doc[1][0].chunk_text == "hello world"
+    assert by_doc[2][0].n_tokens == 2
+
+    enc = {r.doc_id: r for r in bpe_encode(docs, []).collect()}
+    # 'hello world\n' = h,e,l,l,o,</w>,w,o,r,l,d,</w> -> 12, never 14
+    assert enc[2].n_bpe_tokens == 12
+    assert "" not in enc[2].bpe_tokens
+    # token_count agrees across the edge cases
+    cnt = {r.doc_id: r.n for r in docs.select(
+        "doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert cnt == {1: 2, 2: 2, 3: 1}

@@ -85,6 +85,31 @@ def test_toml_rules(spark):
     ]
 
 
+def test_c_rules(spark):
+    got = _extract(spark, [{
+        "path": "a.c", "lang": "c", "content": (
+            '#include <stdio.h>\n'
+            '#include "util/local.h"\n'
+            '  # include <spaced.h>\n\n'
+            'typedef struct ctx_s ctx_t;\n'
+            'struct parse_ctx {\n    int x;\n};\n'
+            'enum mode { A, B };\n'
+            'static int push_1(int x) {\n    return x;\n}\n'
+            'unsigned long count_items(const char *s) {\n    return 0;\n}\n'
+            'int proto_only(int x);\n')}])
+    by_name = {(k, n): (d, i) for k, n, d, i in got}
+    assert ("import", "stdio.h") in by_name
+    assert ("import", "util/local.h") in by_name
+    assert ("import", "spaced.h") in by_name
+    assert by_name[("class", "ctx_s")][0] == "struct"
+    assert by_name[("class", "parse_ctx")][0] == "struct"
+    assert by_name[("class", "mode")][0] == "enum"
+    assert ("def", "push_1") in by_name
+    assert ("def", "count_items") in by_name
+    # prototypes (no body) are not definitions
+    assert ("def", "proto_only") not in by_name
+
+
 def test_polyglot_row_idx_rule_then_match_order(spark):
     """row_idx counts (rule order, match order) within a file — imports
     (rule 0) number before defs even when a def precedes them in the
@@ -108,7 +133,7 @@ def test_polyglot_through_full_pipeline(spark):
 
     rows = []
     for i in range(8):
-        lang = synth.POLY_LANGS[i % 4]
+        lang = synth.POLY_LANGS[i % len(synth.POLY_LANGS)]
         rows.append({"repo": f"r{i % 2}", "path": f"f{i}.{lang}",
                      "lang": lang, "content": synth.make_content(i, lang)})
     src = _src(spark, rows).withColumn(

@@ -169,7 +169,7 @@ def test_streaming_dedup_order_independent_and_replayable(spark, tmp_path):
     before = got
     dedup_merge_batch(
         spark.read.parquet(str(src)).selectExpr(
-            "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) AS fp",
+            "md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))) AS fp",
             "doc_id"),
         sink)
     assert {(r.fp, r.doc_id)
