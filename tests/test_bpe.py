@@ -9,10 +9,6 @@ from __future__ import annotations
 import re
 from collections import Counter
 
-import pytest
-
-from tests.conftest import *  # noqa: F401,F403  (spark fixture)
-
 EOW = "</w>"
 
 
