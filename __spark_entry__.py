@@ -2457,6 +2457,27 @@ def sql_corpus_stats() -> str:
     """
 
 
+def q_corpus_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental == full invariant for dataset-card stats: the corpus
+    arrives as 3 disjoint batches, each aggregated independently
+    (corpus_stats_partial), the partials merged (integer sums — the
+    algebraic property that makes the stats maintainable without ever
+    re-scanning the corpus) and finalized. The oracle twin computes the
+    stats over the WHOLE corpus in one pass — a green row IS the
+    incremental-maintenance invariant, cross-engine."""
+    from rdf_tabular_spark.ops.text import (
+        corpus_stats_finalize, corpus_stats_merge, corpus_stats_partial)
+
+    docs = _t(spark, sf_dir, "documents")
+    kw = dict(min_stopword_ratio=0.05, max_top_word_frac=0.12,
+              max_dup_2gram_frac=0.2)
+    parts = [
+        corpus_stats_partial(docs.filter(F.col("doc_id") % 3 == i), **kw)
+        for i in range(3)
+    ]
+    return corpus_stats_finalize(corpus_stats_merge(*parts))
+
+
 def q_similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN self-join (ops/similarity.knn_join): top-3 cosine
     neighbors for EVERY vector, blocked on the label column; per-query
@@ -2751,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "streaming_dedup": q_streaming_dedup,
         "corpus_stats": q_corpus_stats,
+        "corpus_stats_incremental": q_corpus_stats_incremental,
         "bpe_merges": q_bpe_merges,
         "chunk_documents": q_chunk_documents,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -2818,6 +2840,8 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_score": sql_text_lm_score(),
         "streaming_dedup": sql_streaming_dedup(),
         "corpus_stats": sql_corpus_stats(),
+        # incremental path must land on the SAME full-corpus answer
+        "corpus_stats_incremental": sql_corpus_stats(),
         "chunk_documents": sql_chunk_documents(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "similarity_knn_join": sql_similarity_knn_join(),

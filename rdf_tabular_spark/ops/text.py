@@ -317,13 +317,46 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     so the result is bit-identical under any partitioning — no
     order-dependent double summation anywhere.
     """
+    return corpus_stats_finalize(
+        corpus_stats_partial(df, text_col, group_col, **filter_kwargs))
+
+
+def corpus_stats_partial(df: DataFrame, text_col: str = "text",
+                         group_col: str = "lang",
+                         **filter_kwargs) -> DataFrame:
+    """Mergeable intermediate of :func:`corpus_stats`: per-group integer
+    sums only (n_docs, total_tokens, n_kept). Because every aggregate is
+    a sum/count, partials from disjoint batches MERGE EXACTLY — the
+    algebraic property that makes dataset-card stats maintainable
+    incrementally (new crawl arrives -> aggregate the batch, merge, done;
+    never re-scan the corpus)."""
     feats = quality_filter(df, text_col, **filter_kwargs)
-    agg = feats.groupBy(group_col).agg(
+    return feats.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
     )
-    return agg.select(
+
+
+def corpus_stats_merge(*partials: DataFrame) -> DataFrame:
+    """Merge partial stats (from corpus_stats_partial, possibly read back
+    from a stats sink) into one partial — a grouped integer sum."""
+    acc = partials[0]
+    for p in partials[1:]:
+        acc = acc.unionByName(p)
+    group_col = acc.columns[0]
+    return acc.groupBy(group_col).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("n_kept").alias("n_kept"),
+    )
+
+
+def corpus_stats_finalize(partial: DataFrame) -> DataFrame:
+    """Partial -> the presentation columns of :func:`corpus_stats`
+    (ratios derived from the integer sums)."""
+    group_col = partial.columns[0]
+    return partial.select(
         group_col, "n_docs", "total_tokens", "n_kept",
         F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("keep_rate"),
         F.round(F.col("total_tokens") / F.col("n_docs"), 6)

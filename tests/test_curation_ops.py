@@ -277,3 +277,25 @@ def test_edge_whitespace_documents(spark):
     cnt = {r.doc_id: r.n for r in docs.select(
         "doc_id", token_count(F.col("text")).alias("n")).collect()}
     assert cnt == {1: 2, 2: 2, 3: 1}
+
+
+def test_corpus_stats_merge_is_exact(spark):
+    """Partials from disjoint batches merge to EXACTLY the single-pass
+    stats (integer sums are associative -- the incremental-maintenance
+    invariant)."""
+    from rdf_tabular_spark.ops.text import (
+        corpus_stats, corpus_stats_finalize, corpus_stats_merge,
+        corpus_stats_partial)
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home to rest for a while with friends")
+    docs = spark.createDataFrame(
+        [(i, good if i % 3 else "short text", ["en", "fr"][i % 2])
+         for i in range(12)],
+        "doc_id long, text string, lang string")
+    full = {tuple(r) for r in corpus_stats(docs).collect()}
+    parts = [corpus_stats_partial(docs.filter(F.col("doc_id") % 4 == i))
+             for i in range(4)]
+    merged = {tuple(r) for r in corpus_stats_finalize(
+        corpus_stats_merge(*parts)).collect()}
+    assert merged == full
