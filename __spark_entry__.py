@@ -2478,6 +2478,59 @@ def q_corpus_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats_finalize(corpus_stats_merge(*parts))
 
 
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length quantiles (ops/text
+    corpus_length_quantiles): exact percentile here so DuckDB's
+    quantile_cont (same linear interpolation, verified bit-equal) can
+    check it; approx_percentile is the documented 100 TB path."""
+    from rdf_tabular_spark.ops.text import corpus_length_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_length_quantiles(docs)
+
+
+def sql_corpus_quantiles() -> str:
+    return r"""
+    WITH c AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(trim(COALESCE(text, '')),
+                                                   '\s+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents)
+    SELECT lang,
+           round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+           round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+    FROM c GROUP BY lang
+    """
+
+
+def q_select_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group best-k selection (ops/text.top_k_per_group): the 3
+    highest-quality docs per language, ties broken on doc_id — the SFT
+    data-selection shape. Rank window partitioned by the group; no
+    global sort."""
+    from rdf_tabular_spark.ops.text import quality_score, top_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("lang", "doc_id", "quality")
+    return top_k_per_group(scored, k=3, group_col="lang",
+                           order_col="quality", tiebreak_col="doc_id")
+
+
+def sql_select_top_quality(k: int = 3) -> str:
+    return f"""
+    WITH q AS MATERIALIZED ({sql_text_quality()}),
+    r AS (
+      SELECT d.lang, q.doc_id, q.quality,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY q.quality DESC, q.doc_id) AS rank
+      FROM q JOIN documents d ON q.doc_id = d.doc_id)
+    SELECT lang, doc_id, quality, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {k}
+    """
+
+
 def q_similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN self-join (ops/similarity.knn_join): top-3 cosine
     neighbors for EVERY vector, blocked on the label column; per-query
@@ -2773,6 +2826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "corpus_stats": q_corpus_stats,
         "corpus_stats_incremental": q_corpus_stats_incremental,
+        "corpus_quantiles": q_corpus_quantiles,
+        "select_top_quality": q_select_top_quality,
         "bpe_merges": q_bpe_merges,
         "chunk_documents": q_chunk_documents,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -2842,6 +2897,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": sql_corpus_stats(),
         # incremental path must land on the SAME full-corpus answer
         "corpus_stats_incremental": sql_corpus_stats(),
+        "corpus_quantiles": sql_corpus_quantiles(),
+        "select_top_quality": sql_select_top_quality(),
         "chunk_documents": sql_chunk_documents(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "similarity_knn_join": sql_similarity_knn_join(),

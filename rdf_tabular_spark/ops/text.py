@@ -362,3 +362,41 @@ def corpus_stats_finalize(partial: DataFrame) -> DataFrame:
         F.round(F.col("total_tokens") / F.col("n_docs"), 6)
         .alias("mean_tokens"),
     )
+
+
+def corpus_length_quantiles(df: DataFrame, text_col: str = "text",
+                            group_col: str = "lang",
+                            qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+                            ) -> DataFrame:
+    """Per-group token-length quantiles (dataset-card distribution row).
+
+    Uses the EXACT percentile aggregate so the DuckDB twin
+    (quantile_cont — same linear interpolation, verified bit-equal) can
+    check it; at 100 TB switch to ``approx_percentile`` (t-digest,
+    bounded memory) — exact percentile buffers each group's values."""
+    counted = df.select(
+        F.col(group_col), token_count(F.col(text_col)).alias("n_tokens"))
+    aggs = [
+        F.round(F.expr(f"percentile(n_tokens, {q})"), 6)
+        .alias(f"p{int(q * 100)}_tokens")
+        for q in qs
+    ]
+    return counted.groupBy(group_col).agg(*aggs)
+
+
+def top_k_per_group(df: DataFrame, k: int, group_col: str,
+                    order_col: str, tiebreak_col: str,
+                    descending: bool = True) -> DataFrame:
+    """Deterministic per-group top-k (SFT selection: 'best k docs per
+    language/source by quality score'). A rank window PARTITIONED BY the
+    group — parallelism scales with group cardinality, no global sort;
+    ties broken on *tiebreak_col* so the result is unique."""
+    from pyspark.sql import Window
+
+    order = [F.desc(order_col) if descending else F.asc(order_col),
+             F.asc(tiebreak_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -299,3 +299,25 @@ def test_corpus_stats_merge_is_exact(spark):
     merged = {tuple(r) for r in corpus_stats_finalize(
         corpus_stats_merge(*parts)).collect()}
     assert merged == full
+
+
+def test_top_k_per_group_deterministic(spark):
+    from rdf_tabular_spark.ops.text import top_k_per_group
+
+    df = spark.createDataFrame(
+        [(1, "en", 0.9), (2, "en", 0.9), (3, "en", 0.5), (4, "fr", 0.7)],
+        "doc_id long, lang string, quality double")
+    got = {(r.lang, r.rank): r.doc_id for r in top_k_per_group(
+        df, 2, "lang", "quality", "doc_id").collect()}
+    # tie on quality broken by the smaller doc_id
+    assert got == {("en", 1): 1, ("en", 2): 2, ("fr", 1): 4}
+
+
+def test_corpus_length_quantiles(spark):
+    from rdf_tabular_spark.ops.text import corpus_length_quantiles
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), "en") for i, n in enumerate([1, 2, 3, 4])],
+        "doc_id long, text string, lang string")
+    r = corpus_length_quantiles(docs, qs=(0.5,)).collect()[0]
+    assert r.p50_tokens == 2.5  # linear interpolation between 2 and 3
