@@ -1957,6 +1957,58 @@ def sql_kg_bgp() -> str:
     """
 
 
+def q_kg_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION (kg/query.union_bgp): every file->module relationship
+    regardless of edge kind (imports UNION dependsOn), set semantics."""
+    from rdf_tabular_spark.kg.query import union_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    return union_bgp(triples, [
+        [("?f", _KG + "imports", "?m")],
+        [("?f", _KG + "dependsOn", "?m")],
+    ], project=["f", "m"])
+
+
+def sql_kg_bgp_union() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT DISTINCT subj AS f, obj AS m FROM kgq
+    WHERE pred IN ('{_KG}imports', '{_KG}dependsOn')
+    """
+
+
+def q_kg_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS (kg/query.minus_bgp): importing files that define NO
+    class — compiles to a left-anti join on the shared variable, the
+    same shuffle shape as the FK-integrity check (J1)."""
+    from rdf_tabular_spark.kg.query import minus_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    return minus_bgp(
+        triples,
+        [("?f", _KG + "imports", "?m"), ("?f", _KG + "inRepo", "?r")],
+        minus=[("?f", _KG + "defines", "?s"),
+               ("?s", _RDF_TYPE, _KG + "Class")],
+    )
+
+
+def sql_kg_bgp_minus() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    req AS (
+      SELECT DISTINCT i.subj AS f, i.obj AS m, r.obj AS r
+      FROM kgq i JOIN kgq r ON r.subj = i.subj AND r.pred = '{_KG}inRepo'
+      WHERE i.pred = '{_KG}imports'),
+    cls AS (
+      SELECT DISTINCT d.subj AS f
+      FROM kgq d JOIN kgq t ON t.subj = d.obj
+                AND t.pred = '{_RDF_TYPE}' AND t.obj = '{_KG}Class'
+      WHERE d.pred = '{_KG}defines')
+    SELECT req.f, req.m, req.r FROM req
+    LEFT JOIN cls ON req.f = cls.f WHERE cls.f IS NULL
+    """
+
+
 def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with OPTIONAL (kg/query.py): dependency edges with the
     module's version spec left-joined — modules without one keep NULL."""
@@ -2817,6 +2869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": q_kg_incremental,
         "kg_bgp": q_kg_bgp,
         "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_bgp_union": q_kg_bgp_union,
+        "kg_bgp_minus": q_kg_bgp_minus,
         "kg_repo_stats": q_kg_repo_stats,
         "graph_reachability": q_graph_reachability,
         "dedup_cluster_assign": q_dedup_cluster_assign,
@@ -2887,6 +2941,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental": sql_kg_incremental(),
         "kg_bgp": sql_kg_bgp(),
         "kg_bgp_optional": sql_kg_bgp_optional(),
+        "kg_bgp_union": sql_kg_bgp_union(),
+        "kg_bgp_minus": sql_kg_bgp_minus(),
         "kg_repo_stats": sql_kg_repo_stats(),
         "graph_reachability": sql_graph_reachability(),
         "dedup_cluster_assign": sql_dedup_cluster_assign(),

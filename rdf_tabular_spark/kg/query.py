@@ -183,3 +183,41 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
             raise ValueError(f"projected variables not bound: {missing}")
         acc = acc.select(*project)
     return acc.distinct() if distinct else acc
+
+
+def union_bgp(triples: DataFrame, groups: list[list[tuple]],
+              project: list[str], **kwargs) -> DataFrame:
+    """SPARQL UNION: match each pattern group independently and take the
+    set union of their *project* projections. Projection is mandatory —
+    UNION branches bind different variable sets, and SPARQL aligns them
+    by NAME; requiring an explicit projection keeps that alignment
+    visible instead of silently NULL-padding."""
+    if not groups:
+        raise ValueError("empty group list")
+    parts = [
+        match_bgp(triples, g, project=project, distinct=False, **kwargs)
+        for g in groups
+    ]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    return acc.distinct()
+
+
+def minus_bgp(triples: DataFrame, patterns: list[tuple],
+              minus: list[tuple], **kwargs) -> DataFrame:
+    """SPARQL MINUS: solutions of *patterns* with no compatible solution
+    in *minus* (compatibility = agreement on the shared variables).
+    Compiles to a LEFT ANTI join on the shared variable columns — the
+    same shuffle shape as the FK-integrity check (J1), so AQE broadcast/
+    skew handling applies unchanged. The minus group must share at least
+    one variable, otherwise (per SPARQL semantics on disjoint domains)
+    nothing would ever be removed — rejected loudly instead."""
+    left = match_bgp(triples, patterns, **kwargs)
+    right = match_bgp(triples, minus, **kwargs)
+    shared = [c for c in right.columns if c in left.columns]
+    if not shared:
+        raise ValueError(
+            "MINUS group shares no variable with the required patterns — "
+            "it would remove nothing (SPARQL disjoint-domain semantics)")
+    return left.join(right.select(*shared).distinct(), shared, "left_anti")

@@ -135,3 +135,38 @@ def test_property_path_one_or_more(spark):
     joined = match_bgp(
         t, [("?x", "dep+", "d"), ("?x", "lang", "?l")]).collect()
     assert [(r.x, r.l) for r in joined] == [("a", "py")]
+
+
+def test_union_bgp(spark):
+    from rdf_tabular_spark.kg.query import union_bgp
+
+    t = spark.createDataFrame(
+        [("a", "imports", "m1", True), ("b", "dep", "m2", True),
+         ("a", "dep", "m1", True)],
+        "subj string, pred string, obj string, obj_is_iri boolean")
+    got = {(r.f, r.m) for r in union_bgp(
+        t, [[("?f", "imports", "?m")], [("?f", "dep", "?m")]],
+        project=["f", "m"]).collect()}
+    # set semantics: (a, m1) appears once despite two edge kinds
+    assert got == {("a", "m1"), ("b", "m2")}
+
+    with pytest.raises(ValueError):
+        union_bgp(t, [], project=["f"])
+
+
+def test_minus_bgp(spark):
+    from rdf_tabular_spark.kg.query import minus_bgp
+
+    t = spark.createDataFrame(
+        [("a", "imports", "m1", True), ("b", "imports", "m2", True),
+         ("a", "defines", "s1", True)],
+        "subj string, pred string, obj string, obj_is_iri boolean")
+    got = {r.f for r in minus_bgp(
+        t, [("?f", "imports", "?m")],
+        minus=[("?f", "defines", "?s")]).collect()}
+    assert got == {"b"}  # a is removed: it defines something
+
+    with pytest.raises(ValueError):
+        # disjoint MINUS group would remove nothing — rejected loudly
+        minus_bgp(t, [("?f", "imports", "?m")],
+                  minus=[("?x", "defines", "?s")])
