@@ -186,38 +186,61 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
 
 
 def union_bgp(triples: DataFrame, groups: list[list[tuple]],
-              project: list[str], **kwargs) -> DataFrame:
-    """SPARQL UNION: match each pattern group independently and take the
-    set union of their *project* projections. Projection is mandatory —
-    UNION branches bind different variable sets, and SPARQL aligns them
-    by NAME; requiring an explicit projection keeps that alignment
-    visible instead of silently NULL-padding."""
+              project: list[str], distinct: bool = True,
+              path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
+    """SPARQL UNION: match each pattern group independently and union
+    their *project* projections (set semantics by default;
+    ``distinct=False`` keeps SPARQL's bag semantics). Projection is
+    mandatory — UNION branches bind different variable sets, and SPARQL
+    aligns them by NAME; requiring an explicit projection keeps that
+    alignment visible instead of silently NULL-padding."""
     if not groups:
         raise ValueError("empty group list")
     parts = [
-        match_bgp(triples, g, project=project, distinct=False, **kwargs)
+        match_bgp(triples, g, project=project, distinct=False,
+                  path_max_hops=path_max_hops)
         for g in groups
     ]
     acc = parts[0]
     for p in parts[1:]:
         acc = acc.unionByName(p)
-    return acc.distinct()
+    return acc.distinct() if distinct else acc
 
 
 def minus_bgp(triples: DataFrame, patterns: list[tuple],
-              minus: list[tuple], **kwargs) -> DataFrame:
+              minus: list[tuple], project: list[str] | None = None,
+              filters: list[str] | None = None, distinct: bool = True,
+              path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
     """SPARQL MINUS: solutions of *patterns* with no compatible solution
-    in *minus* (compatibility = agreement on the shared variables).
+    in *minus* (compatibility = agreement on the variables SHARED BY THE
+    FULL BINDINGS — the anti-join runs before any projection or filter,
+    so ``project=['f']`` cannot silently shrink the shared-variable set
+    and change what gets removed; review r2). *filters* and *project*
+    then apply to the surviving solutions, matching
+    ``SELECT ... WHERE { patterns MINUS {...} FILTER ... }``.
+
     Compiles to a LEFT ANTI join on the shared variable columns — the
     same shuffle shape as the FK-integrity check (J1), so AQE broadcast/
     skew handling applies unchanged. The minus group must share at least
     one variable, otherwise (per SPARQL semantics on disjoint domains)
     nothing would ever be removed — rejected loudly instead."""
-    left = match_bgp(triples, patterns, **kwargs)
-    right = match_bgp(triples, minus, **kwargs)
+    left = match_bgp(triples, patterns, distinct=False,
+                     path_max_hops=path_max_hops)
+    right = match_bgp(triples, minus, distinct=False,
+                      path_max_hops=path_max_hops)
     shared = [c for c in right.columns if c in left.columns]
     if not shared:
         raise ValueError(
             "MINUS group shares no variable with the required patterns — "
             "it would remove nothing (SPARQL disjoint-domain semantics)")
-    return left.join(right.select(*shared).distinct(), shared, "left_anti")
+    # one narrow distinct on the join key only (the wide-row distinct a
+    # default match_bgp would add is pure waste before an anti-join)
+    acc = left.join(right.select(*shared).distinct(), shared, "left_anti")
+    for expr in filters or []:
+        acc = acc.filter(F.expr(expr))
+    if project is not None:
+        missing = [v for v in project if v not in acc.columns]
+        if missing:
+            raise ValueError(f"projected variables not bound: {missing}")
+        acc = acc.select(*project)
+    return acc.distinct() if distinct else acc

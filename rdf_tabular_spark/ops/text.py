@@ -318,7 +318,8 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     order-dependent double summation anywhere.
     """
     return corpus_stats_finalize(
-        corpus_stats_partial(df, text_col, group_col, **filter_kwargs))
+        corpus_stats_partial(df, text_col, group_col, **filter_kwargs),
+        group_col=group_col)
 
 
 def corpus_stats_partial(df: DataFrame, text_col: str = "text",
@@ -338,13 +339,15 @@ def corpus_stats_partial(df: DataFrame, text_col: str = "text",
     )
 
 
-def corpus_stats_merge(*partials: DataFrame) -> DataFrame:
+def corpus_stats_merge(*partials: DataFrame,
+                       group_col: str = "lang") -> DataFrame:
     """Merge partial stats (from corpus_stats_partial, possibly read back
-    from a stats sink) into one partial — a grouped integer sum."""
+    from a stats sink) into one partial — a grouped integer sum.
+    *group_col* is explicit: inferring it positionally would silently
+    group by the wrong column if a sink reordered columns (review r2)."""
     acc = partials[0]
     for p in partials[1:]:
         acc = acc.unionByName(p)
-    group_col = acc.columns[0]
     return acc.groupBy(group_col).agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_tokens").alias("total_tokens"),
@@ -352,10 +355,11 @@ def corpus_stats_merge(*partials: DataFrame) -> DataFrame:
     )
 
 
-def corpus_stats_finalize(partial: DataFrame) -> DataFrame:
+def corpus_stats_finalize(partial: DataFrame,
+                          group_col: str = "lang") -> DataFrame:
     """Partial -> the presentation columns of :func:`corpus_stats`
-    (ratios derived from the integer sums)."""
-    group_col = partial.columns[0]
+    (ratios derived from the integer sums). *group_col* explicit — see
+    corpus_stats_merge."""
     return partial.select(
         group_col, "n_docs", "total_tokens", "n_kept",
         F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("keep_rate"),

@@ -170,3 +170,30 @@ def test_minus_bgp(spark):
         # disjoint MINUS group would remove nothing — rejected loudly
         minus_bgp(t, [("?f", "imports", "?m")],
                   minus=[("?x", "defines", "?s")])
+
+
+def test_minus_bgp_projection_does_not_shrink_shared_vars(spark):
+    """MINUS compatibility is decided on the FULL bindings; projecting to
+    ?f must not change which solutions are removed."""
+    from rdf_tabular_spark.kg.query import minus_bgp
+
+    t = spark.createDataFrame(
+        [("a", "imports", "m1", True), ("a", "imports", "m2", True),
+         ("a", "defines", "m1", True)],
+        "subj string, pred string, obj string, obj_is_iri boolean")
+    got = {r.f for r in minus_bgp(
+        t, [("?f", "imports", "?m")],
+        minus=[("?f", "defines", "?m")], project=["f"]).collect()}
+    # (a, m2) survives the MINUS (shared vars f AND m), so a stays
+    assert got == {"a"}
+
+
+def test_union_bgp_bag_semantics(spark):
+    from rdf_tabular_spark.kg.query import union_bgp
+
+    t = spark.createDataFrame(
+        [("a", "imports", "m1", True), ("a", "dep", "m1", True)],
+        "subj string, pred string, obj string, obj_is_iri boolean")
+    bag = union_bgp(t, [[("?f", "imports", "?m")], [("?f", "dep", "?m")]],
+                    project=["f", "m"], distinct=False).collect()
+    assert len(bag) == 2  # bag semantics keeps both branch solutions
