@@ -1031,6 +1031,47 @@ def sql_text_repetition() -> str:
     """
 
 
+def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (ops/asof.asof_join_backward — union + window,
+    one shuffle, no range-join row blowup): every event gets the user's
+    latest order at or before the event time. The oracle twin is
+    DuckDB's NATIVE ASOF LEFT JOIN — two independent as-of
+    implementations agreeing hash-exactly."""
+    from pyspark.sql import Window
+
+    from rdf_tabular_spark.ops.asof import asof_join_backward
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate", "o_orderkey", "o_totalprice")
+    # as-of needs one right row per (key, time): keep the max orderkey
+    w = Window.partitionBy("user_id", "o_orderdate").orderBy(
+        F.desc("o_orderkey"))
+    dedup = (orders.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1).drop("rn"))
+    return asof_join_backward(
+        events, dedup, on="user_id", left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"])
+
+
+def sql_events_asof_orders() -> str:
+    return """
+    WITH r AS (
+      SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders),
+    rd AS (SELECT user_id, o_orderdate, o_orderkey, o_totalprice
+           FROM r WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.ts,
+           rd.o_orderkey, rd.o_totalprice, rd.o_orderdate AS asof_time
+    FROM events e ASOF LEFT JOIN rd
+      ON e.user_id = rd.user_id AND e.ts >= rd.o_orderdate
+    """
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) of the events stream,
     rolled up per session."""
@@ -2851,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "events_sessionize": q_events_sessionize,
+        "events_asof_orders": q_events_asof_orders,
         "events_windowed": q_events_windowed,
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
@@ -2923,6 +2965,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": sql_decontaminate(),
         "pack_sequences": sql_pack_sequences(),
         "events_sessionize": sql_events_sessionize(),
+        "events_asof_orders": sql_events_asof_orders(),
         "events_windowed": sql_events_windowed(),
         "similarity_topk": sql_similarity_topk(),
         "similarity_ivf": sql_similarity_ivf(),
