@@ -2658,6 +2658,26 @@ def sql_similarity_knn_join(k: int = 3) -> str:
     """
 
 
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module co-import triangles (kg/graph.coimport_triangles): ordered
+    pair list joined with itself twice; a<b<c counts each once."""
+    from rdf_tabular_spark.kg.graph import coimport_triangles
+
+    _, _, triples = _kg_oracle_run(spark)
+    return coimport_triangles(triples, min_files=2)
+
+
+def sql_kg_triangles() -> str:
+    return f"""
+    WITH aff AS MATERIALIZED ({sql_kg_affinity()}),
+    p AS (SELECT mod_a AS a, mod_b AS b FROM aff)
+    SELECT p1.a, p1.b, p2.b AS c
+    FROM p p1
+    JOIN p p2 ON p1.b = p2.a
+    JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b
+    """
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components of the dependency graph (kg/graph.py
     components — min-label propagation, component id = min node IRI)."""
@@ -2908,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_components": q_kg_components,
         "kg_affinity": q_kg_affinity,
+        "kg_triangles": q_kg_triangles,
         "kg_incremental": q_kg_incremental,
         "kg_bgp": q_kg_bgp,
         "kg_bgp_optional": q_kg_bgp_optional,
@@ -2981,6 +3002,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": sql_kg_pagerank(),
         "kg_components": sql_kg_components(),
         "kg_affinity": sql_kg_affinity(),
+        "kg_triangles": sql_kg_triangles(),
         "kg_incremental": sql_kg_incremental(),
         "kg_bgp": sql_kg_bgp(),
         "kg_bgp_optional": sql_kg_bgp_optional(),

@@ -272,3 +272,32 @@ def reachability(edges: DataFrame, max_hops: int = 6) -> DataFrame:
             frontier.unpersist()
     base.unpersist()
     return _cache(result)
+
+
+def coimport_triangles(triples: DataFrame, min_files: int = 2,
+                       predicates: tuple[str, ...] = MODULE_PREDICATES
+                       ) -> DataFrame:
+    """Triangles in the module co-import graph: module triples that
+    pairwise co-occur (each pair in >= *min_files* common files) — the
+    densest-community signal on top of module_affinity's pair list.
+
+    Enumeration joins the ordered pair list with itself twice
+    ((a,b) x (b,c) -> probe (a,c)); the a<b<c ordering counts each
+    triangle exactly once and halves every join input. At web scale the
+    standard refinement is degree orientation (point edges low->high
+    degree) which bounds per-vertex fan-out by sqrt(|E|); the co-import
+    graph is vocabulary-sized (modules, not files), so the plain ordered
+    join is the right default here.
+    """
+    pairs = (
+        module_affinity(triples, min_files=min_files, predicates=predicates)
+        .select("mod_a", "mod_b")
+    )
+    p1 = pairs.select(F.col("mod_a").alias("a"), F.col("mod_b").alias("b"))
+    p2 = pairs.select(F.col("mod_a").alias("b"), F.col("mod_b").alias("c"))
+    p3 = pairs.select(F.col("mod_a").alias("a"), F.col("mod_b").alias("c"))
+    return (
+        p1.join(p2, "b")
+        .join(p3, ["a", "c"])
+        .select("a", "b", "c")
+    )

@@ -185,3 +185,21 @@ def test_dedup_clusters_transitive_and_singletons(spark):
     # untouched docs are their own canonical
     assert rows["d1"] == ("d1", True) and rows["d5"] == ("d5", True)
     assert sum(1 for c, k in rows.values() if k) == 3
+
+
+def test_coimport_triangles(spark):
+    from rdf_tabular_spark.kg.annotate import KG
+    from rdf_tabular_spark.kg.graph import coimport_triangles
+
+    # files f1..f3 all import {a, b, c} -> one triangle (each pair in 3
+    # files); f4 imports {a, d} only -> (a, d) pair never reaches
+    # min_files=2, no second triangle
+    rows = []
+    for f, mods in [("f1", "abc"), ("f2", "abc"), ("f3", "abc"),
+                    ("f4", "ad")]:
+        for m in mods:
+            rows.append((f, KG + "imports", f"mod:{m}", True))
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean")
+    got = [(r.a, r.b, r.c) for r in coimport_triangles(t).collect()]
+    assert got == [("mod:a", "mod:b", "mod:c")]
