@@ -754,6 +754,32 @@ def sql_text_fingerprint() -> str:
     """
 
 
+def q_split_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional sampling (ops/split.weighted_sample): keep
+    probability = 0.8 x the composite quality score, md5-deterministic
+    per doc — the data-mixing primitive (high-quality at ~full rate,
+    low-quality downweighted), monotone in scale."""
+    from rdf_tabular_spark.ops.split import weighted_sample
+    from rdf_tabular_spark.ops.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "lang", "quality")
+    return weighted_sample(scored, "quality", scale=0.8)
+
+
+def sql_split_weighted_sample() -> str:
+    return f"""
+    WITH q AS MATERIALIZED ({sql_text_quality()})
+    SELECT doc_id, lang, quality FROM (
+      SELECT q.doc_id, d.lang, q.quality,
+             CAST(('0x' || substr(md5(COALESCE(CAST(q.doc_id AS VARCHAR),
+                                               '__null__') || '|wsample'),
+                                  1, 8)) AS BIGINT) % 10000 AS b
+      FROM q JOIN documents d ON q.doc_id = d.doc_id)
+    WHERE b < least(round(quality * 0.8 * 10000), 10000)
+    """
+
+
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary table (ops/vocab.py): token -> term/doc frequency,
     min_count=2 so the long unique tail stays out of the compared set."""
@@ -2905,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "split_assign": q_split_assign,
         "split_stratified": q_split_stratified,
+        "split_weighted_sample": q_split_weighted_sample,
         "text_vocab": q_text_vocab,
         "text_tfidf": q_text_tfidf,
         "text_pii": q_text_pii,
@@ -2979,6 +3006,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": sql_text_fingerprint(),
         "split_assign": sql_split_assign(),
         "split_stratified": sql_split_stratified(),
+        "split_weighted_sample": sql_split_weighted_sample(),
         "text_vocab": sql_text_vocab(),
         "text_tfidf": sql_text_tfidf(),
         "text_pii": sql_text_pii(),

@@ -104,3 +104,21 @@ def leakage_safe_split(df: DataFrame,
     per-row expression on *cluster_col*."""
     return hash_split(df, weights, key_col=cluster_col, salt=salt,
                       out_col=out_col)
+
+
+def weighted_sample(df: DataFrame, weight_col: str,
+                    key_col: str = "doc_id", salt: str = "wsample",
+                    scale: float = 1.0) -> DataFrame:
+    """Keep each row with probability ``min(1, weight * scale)``,
+    deterministically: row KEY hashed to a bucket, kept iff
+    bucket < weight*scale*BUCKETS. The quality-proportional mixing
+    primitive (sample high-quality docs at full rate, low-quality at
+    their score) — map-only, partition/cluster-size invariant, and
+    monotone in *scale* (raising it only ADDS rows, so up-weighted
+    reruns are supersets — the property ablation studies need).
+    Weights are expected in [0, 1] after scaling; values above 1 keep
+    the row always (no replication — use explode for over-sampling)."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    cut = F.least(F.round(F.col(weight_col) * scale * BUCKETS),
+                  F.lit(float(BUCKETS)))
+    return df.filter(bucket < cut)

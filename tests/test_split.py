@@ -94,3 +94,21 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert all(len(s) == 1 for s in by_cluster.values())
     big = {r.split for r in out if r.cluster_id == "d0"}
     assert len(big) == 1 and len([r for r in out if r.cluster_id == "d0"]) == 4
+
+
+def test_weighted_sample_monotone_and_deterministic(spark):
+    from rdf_tabular_spark.ops.split import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 0.1 + 0.8 * (i % 10) / 10) for i in range(200)],
+        "doc_id long, w double")
+    lo = {r.doc_id for r in weighted_sample(df, "w", scale=0.5).collect()}
+    hi = {r.doc_id for r in weighted_sample(df, "w", scale=1.0).collect()}
+    assert lo <= hi and len(lo) < len(hi)  # monotone: scale only adds rows
+    again = {r.doc_id for r in weighted_sample(
+        df.repartition(7), "w", scale=0.5).collect()}
+    assert again == lo  # layout-invariant
+    # weight >= 1 keeps everything
+    allkept = weighted_sample(
+        df.withColumn("w", F.lit(1.5)), "w").count()
+    assert allkept == 200
