@@ -780,6 +780,81 @@ def sql_split_weighted_sample() -> str:
     """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation: quality filter -> exact near-dup election
+    (prefix fingerprint, min-id canonical) -> leakage-safe split keyed on
+    the dup cluster -> sequence packing of the surviving train docs.
+    Every stage is one of the contract's individually-verified ops; this
+    row proves they COMPOSE — the twin replicates the whole pipeline in
+    SQL and must stay hash-exact end-to-end."""
+    from pyspark.sql import Window
+
+    from rdf_tabular_spark.ops.pack import pack_offsets
+    from rdf_tabular_spark.ops.split import hash_split
+    from rdf_tabular_spark.ops.text import normalize_text, quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = quality_filter(docs, min_stopword_ratio=0.05,
+                          max_top_word_frac=0.12, max_dup_2gram_frac=0.2) \
+        .filter("keep").select("doc_id", "text")
+    fp = kept.withColumn(
+        "fp", F.md5(F.substring(normalize_text(F.col("text")), 1, 30)))
+    clustered = fp.withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy("fp")))
+    surv = clustered.filter(F.col("doc_id") == F.col("cluster_id"))
+    train = hash_split(surv, key_col="cluster_id").filter(
+        F.col("split") == "train")
+    return pack_offsets(train.select("doc_id", "text"),
+                        max_tokens=256, n_shards=8)
+
+
+def sql_curation_pipeline() -> str:
+    return rf"""
+    WITH tqf AS MATERIALIZED ({sql_text_quality_filter()}),
+    kept AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN tqf ON d.doc_id = tqf.doc_id WHERE tqf.keep),
+    fp AS (
+      SELECT doc_id, text,
+             md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        1, 30)) AS fp
+      FROM kept),
+    cl AS (
+      SELECT doc_id, text,
+             min(doc_id) OVER (PARTITION BY fp) AS cluster_id
+      FROM fp),
+    surv AS (SELECT doc_id, text, cluster_id FROM cl
+             WHERE doc_id = cluster_id),
+    train AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               CAST(('0x' || substr(md5(COALESCE(CAST(cluster_id AS VARCHAR),
+                                                 '__null__') || '|split'),
+                                    1, 8)) AS BIGINT) % 10000 AS b
+        FROM surv)
+      WHERE b < 9000),
+    s AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                                                    '__null__')), 1, 8))
+                       AS BIGINT) % 8 AS INT) AS shard,
+             CAST(len(list_filter(
+                    regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+                    t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM train),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS start
+      FROM s)
+    SELECT doc_id, shard, n_tokens,
+           CAST(start // 256 AS BIGINT) AS bin_id,
+           CAST(start % 256 AS BIGINT) AS bin_offset
+    FROM c
+    """
+
+
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary table (ops/vocab.py): token -> term/doc frequency,
     min_count=2 so the long unique tail stays out of the compared set."""
@@ -2938,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "curation_pipeline": q_curation_pipeline,
         "events_sessionize": q_events_sessionize,
         "events_asof_orders": q_events_asof_orders,
         "events_windowed": q_events_windowed,
@@ -3013,6 +3089,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": sql_text_repetition(),
         "decontaminate": sql_decontaminate(),
         "pack_sequences": sql_pack_sequences(),
+        "curation_pipeline": sql_curation_pipeline(),
         "events_sessionize": sql_events_sessionize(),
         "events_asof_orders": sql_events_asof_orders(),
         "events_windowed": sql_events_windowed(),
