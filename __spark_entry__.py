@@ -992,6 +992,43 @@ _PII_ENRICH_SQL = (
     "CAST(doc_id % 256 AS VARCHAR) || '.7 or +1-555-0147' ELSE text END")
 
 
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate vs the corpus top-10 vocabulary (ops/vocab
+    oov_rate): tokenizer-coverage planning. k=10 of the ~31 distinct
+    sf tokens so real OOV mass exists (k=100 would cover everything and
+    prove only zeros). Top-K boundary deterministic on
+    (term_freq DESC, token); TakeOrderedAndProject, broadcast join."""
+    from rdf_tabular_spark.ops.vocab import oov_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_k=10)
+
+
+def sql_text_oov_rate(k: int = 10) -> str:
+    return r"""
+    WITH dt AS (
+      SELECT doc_id, t.token
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                 ' ')) AS token
+        FROM documents) t
+      WHERE t.token <> ''),
+    tf AS (SELECT token, COUNT(*) AS term_freq FROM dt GROUP BY token),
+    topk AS (
+      SELECT token FROM tf ORDER BY term_freq DESC, token LIMIT <<K>>),
+    j AS (
+      SELECT dt.doc_id,
+             CASE WHEN topk.token IS NULL THEN 1 ELSE 0 END AS oov
+      FROM dt LEFT JOIN topk ON dt.token = topk.token)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           round(SUM(oov) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM j GROUP BY doc_id
+    """.replace("<<K>>", str(k))
+
+
 def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (emails/IPv4/phones counted + redacted) over documents
     with deterministic PII injected into a subset in both engines."""
@@ -3009,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_weighted_sample": q_split_weighted_sample,
         "text_vocab": q_text_vocab,
         "text_tfidf": q_text_tfidf,
+        "text_oov_rate": q_text_oov_rate,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
@@ -3085,6 +3123,7 @@ def oracle_sql() -> dict[str, str]:
         "split_weighted_sample": sql_split_weighted_sample(),
         "text_vocab": sql_text_vocab(),
         "text_tfidf": sql_text_tfidf(),
+        "text_oov_rate": sql_text_oov_rate(),
         "text_pii": sql_text_pii(),
         "text_repetition": sql_text_repetition(),
         "decontaminate": sql_decontaminate(),

@@ -97,3 +97,31 @@ def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text",
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "token", "tf", "df", "tfidf")
     )
+
+
+def oov_rate(docs: DataFrame, vocab_k: int = 1000, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-K
+    vocabulary (tokenizer/coverage planning: how much of each doc falls
+    outside the K most frequent tokens).
+
+    Top-K selection orders on (term_freq DESC, token) — deterministic
+    boundary — via orderBy + limit, which compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge of K rows;
+    never a global sort or a no-partition window). The doc side explodes
+    once and left-joins the broadcast vocabulary, then one per-doc hash
+    agg. Counts are integers; the rate divides after the agg.
+    """
+    counts = vocab_counts(docs, text_col, id_col).select(
+        "token", "term_freq")
+    topk = (counts.orderBy(F.desc("term_freq"), "token").limit(vocab_k)
+            .select("token", F.lit(True).alias("in_vocab")))
+    dt = _doc_tokens(docs, text_col, id_col)
+    joined = dt.join(F.broadcast(topk), "token", "left")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .alias("n_oov"))
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_oov",
+        F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"))

@@ -50,3 +50,17 @@ def test_tfidf_topk(spark):
     the_row = by_doc["d1"][0]
     assert the_row["tf"] == 2 and the_row["df"] == 2
     assert the_row["tfidf"] == want
+
+
+def test_oov_rate(spark):
+    from rdf_tabular_spark.ops.vocab import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b rare1"), (2, "b b a"), (3, "rare2 rare3")],
+        "doc_id long, text string")
+    # top-2 vocab by freq then token: a(5), b(4) -> {a, b}
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+           for r in oov_rate(docs, vocab_k=2).collect()}
+    assert got[1] == (5, 1, 0.2)
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (2, 2, 1.0)
