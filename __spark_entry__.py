@@ -1029,6 +1029,35 @@ def sql_text_oov_rate(k: int = 10) -> str:
     """.replace("<<K>>", str(k))
 
 
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character entropy (ops/text.char_entropy): map-only
+    sorted-run fold with integer micro-nat accumulation — the twin
+    recomputes it via explode+group (the formulation the op avoids
+    shuffling at scale) and must land on the same 6-dp values."""
+    from rdf_tabular_spark.ops.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs).select("doc_id", "n_chars_e", "char_entropy")
+
+
+def sql_text_char_entropy() -> str:
+    return """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents WHERE length(COALESCE(text, '')) > 0),
+    cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+    agg AS (
+      SELECT doc_id,
+             sum(k * CAST(round(ln(k) * 1e6) AS BIGINT)) AS qsum,
+             sum(k) AS n
+      FROM cnt GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_chars_e,
+           round(ln(a.n) - a.qsum / a.n / 1e6, 6) AS char_entropy
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
 def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (emails/IPv4/phones counted + redacted) over documents
     with deterministic PII injected into a subset in both engines."""
@@ -3047,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_tfidf": q_text_tfidf,
         "text_oov_rate": q_text_oov_rate,
+        "text_char_entropy": q_text_char_entropy,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
@@ -3124,6 +3154,7 @@ def oracle_sql() -> dict[str, str]:
         "text_vocab": sql_text_vocab(),
         "text_tfidf": sql_text_tfidf(),
         "text_oov_rate": sql_text_oov_rate(),
+        "text_char_entropy": sql_text_char_entropy(),
         "text_pii": sql_text_pii(),
         "text_repetition": sql_text_repetition(),
         "decontaminate": sql_decontaminate(),

@@ -404,3 +404,48 @@ def top_k_per_group(df: DataFrame, k: int, group_col: str,
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (nats)
+    — the gibberish/boilerplate signal the token-level heuristics miss
+    (base64 blobs read as high entropy, repeated boilerplate as low).
+
+    Map-only like repetition_metrics: one fold over the SORTED character
+    array accumulates run lengths (equal chars are adjacent), so no
+    explode → groupBy(doc, char) shuffle of the corpus. Each completed
+    run contributes ``run * round(ln(run)*1e6)`` INTEGER micro-nats, so
+    the per-doc accumulation is exact and engine-portable;
+    H = ln(n) - Σ cᵢ·ln(cᵢ) / n is finalized from the integer sum.
+    Adds ``n_chars_e`` and ``char_entropy`` (NULL for empty/NULL text).
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    chars = F.split(c, "")
+    n = F.when(F.length(c) > 0, F.size(chars)).otherwise(F.lit(0))
+
+    def qln(r):
+        return F.round(F.log(r.cast("double")) * 1e6).cast("long")
+
+    zero = F.lit(0).cast("long")
+    state = F.aggregate(
+        F.array_sort(chars),
+        F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                 zero.alias("qsum")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .cast("long").alias("run"),
+            (acc["qsum"]
+             + F.when((x != acc["prev"]) & (acc["run"] > 0),
+                      acc["run"] * qln(acc["run"])).otherwise(zero))
+            .alias("qsum")),
+        lambda acc: acc["qsum"] + F.when(
+            acc["run"] > 0, acc["run"] * qln(acc["run"])).otherwise(zero),
+    )
+    return df.withColumns({
+        "n_chars_e": n.cast("long"),
+        "char_entropy": F.when(
+            n > 0,
+            F.round(F.log(n.cast("double"))
+                    - state / n / 1e6, 6)),
+    })

@@ -321,3 +321,19 @@ def test_corpus_length_quantiles(spark):
         "doc_id long, text string, lang string")
     r = corpus_length_quantiles(docs, qs=(0.5,)).collect()[0]
     assert r.p50_tokens == 2.5  # linear interpolation between 2 and 3
+
+
+def test_char_entropy(spark):
+    import math
+
+    from rdf_tabular_spark.ops.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_chars_e, r.char_entropy)
+           for r in char_entropy(docs).collect()}
+    assert got[1] == (4, 0.0)                        # single symbol
+    assert got[2] == (4, round(math.log(2), 6))      # two equal symbols
+    assert got[3] == (4, round(math.log(4), 6))      # uniform = ln(n)
+    assert got[4] == (0, None) and got[5] == (0, None)
