@@ -1532,6 +1532,36 @@ def sql_dedup_embedding_kmeans() -> str:
     """
 
 
+def q_similarity_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (ops/similarity.negative_samples):
+    4 md5-derived pseudo-random negatives per anchor over the dense id
+    space — contrastive-training prep with no RNG, so replayable and
+    layout-invariant; twin recomputes the same md5 arithmetic."""
+    from rdf_tabular_spark.ops.similarity import negative_samples
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return negative_samples(emb, k=4)
+
+
+def sql_similarity_negatives(k: int = 4) -> str:
+    return f"""
+    WITH n AS (SELECT count(*) AS n FROM embeddings),
+    cand AS (
+      SELECT e.vec_id AS anchor, r.rank,
+             CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || '|'
+                                      || CAST(r.rank AS VARCHAR)
+                                      || '|negs'), 1, 8)) AS BIGINT)
+               % n.n AS neg_id
+      FROM embeddings e
+      CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(1, {k})) AS rank) r)
+    SELECT c.anchor, CAST(c.rank AS INT) AS rank, c.neg_id,
+           t.label AS neg_label
+    FROM cand c JOIN embeddings t ON c.neg_id = t.vec_id
+    WHERE c.neg_id <> c.anchor
+    """
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: video frame-sampling as a sequence/explode
     expansion over the media metadata (no decode)."""
@@ -3090,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_kmeans_ivf": q_similarity_kmeans_ivf,
         "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
+        "similarity_negatives": q_similarity_negatives,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "kg_triples": q_kg_triples,
@@ -3168,6 +3199,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": sql_similarity_lsh(),
         "similarity_kmeans_ivf": sql_similarity_kmeans_ivf(),
         "dedup_embedding_kmeans": sql_dedup_embedding_kmeans(),
+        "similarity_negatives": sql_similarity_negatives(),
         "multimodal_frames": sql_multimodal_frames(),
         "multimodal_features": sql_multimodal_features(),
         "kg_triples": sql_kg_triples(),

@@ -239,3 +239,37 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("a", "b", "cosine", "rank")
     )
+
+
+def negative_samples(emb: DataFrame, k: int = 4,
+                     id_col: str = "vec_id",
+                     salt: str = "negs") -> DataFrame:
+    """k deterministic pseudo-random negatives per anchor — contrastive
+    training prep without RNG: candidate = md5(anchor|rank|salt) bucket
+    mod N over DENSE ids [0, N) (zipWithIndex-style ids, the standard
+    post-ingestion shape). Self-hits are filtered, so an anchor keeps
+    k-1 negatives with probability ~k/N. No randomness means the sample
+    is resumable, replayable, layout-invariant, and reproducible by any
+    engine computing the same md5 (the oracle twin does).
+
+    Shape: a k-way explode of the narrow anchor ids + ONE join on the
+    dense id to attach the negative's payload. N is a driver scalar
+    (one count) — at 10^12 rows prefer reading it from table metadata.
+    """
+    from .dedup import _cache
+    from ..ops.split import hash_bucket
+
+    n = emb.count()
+    anchors = emb.select(F.col(id_col).alias("anchor"))
+    exploded = anchors.select(
+        "anchor",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("rank"))
+    key = F.concat_ws(
+        "|", F.col("anchor").cast("string"), F.col("rank").cast("string"))
+    cand = exploded.withColumn(
+        "neg_id", hash_bucket(key, salt, buckets=n))
+    cand = cand.filter(F.col("neg_id") != F.col("anchor"))
+    right = _cache(emb.select(F.col(id_col).alias("neg_id"),
+                              F.col("label").alias("neg_label")))
+    return cand.join(right, "neg_id").select(
+        "anchor", "rank", "neg_id", "neg_label")

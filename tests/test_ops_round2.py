@@ -131,3 +131,22 @@ def test_knn_join_exact_neighbors(spark):
     assert out[(4, 1)] == 5 and (4, 2) not in out
     # blocking respected: 4 never matches block-0 vectors
     assert all(b in (4, 5) for (a, _), b in out.items() if a in (4, 5))
+
+
+def test_negative_samples_deterministic(spark):
+    from rdf_tabular_spark.ops.similarity import negative_samples
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)], i % 3) for i in range(20)],
+        "vec_id long, embedding array<double>, label int")
+    a = sorted(map(tuple, negative_samples(emb, k=3).collect()))
+    b = sorted(map(tuple, negative_samples(
+        emb.repartition(7), k=3).collect()))
+    assert a == b  # layout-invariant, no RNG
+    # negatives are in range, never the anchor, label attached
+    for anchor, rank, neg, lab in a:
+        assert 0 <= neg < 20 and neg != anchor and lab == neg % 3
+    # each anchor yields k or k-1 rows (self-hits dropped, not re-drawn)
+    from collections import Counter
+    per = Counter(anchor for anchor, *_ in a)
+    assert set(per.values()) <= {2, 3}
