@@ -789,16 +789,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL and must stay hash-exact end-to-end."""
     from pyspark.sql import Window
 
+    from rdf_tabular_spark.ops.dedup import prefix_fingerprint
     from rdf_tabular_spark.ops.pack import pack_offsets
     from rdf_tabular_spark.ops.split import hash_split
-    from rdf_tabular_spark.ops.text import normalize_text, quality_filter
+    from rdf_tabular_spark.ops.text import quality_filter
 
     docs = _t(spark, sf_dir, "documents")
     kept = quality_filter(docs, min_stopword_ratio=0.05,
                           max_top_word_frac=0.12, max_dup_2gram_frac=0.2) \
         .filter("keep").select("doc_id", "text")
     fp = kept.withColumn(
-        "fp", F.md5(F.substring(normalize_text(F.col("text")), 1, 30)))
+        "fp", prefix_fingerprint(F.col("text"), 30))
     clustered = fp.withColumn(
         "cluster_id", F.min("doc_id").over(Window.partitionBy("fp")))
     surv = clustered.filter(F.col("doc_id") == F.col("cluster_id"))
@@ -1021,11 +1022,19 @@ def sql_text_oov_rate(k: int = 10) -> str:
     j AS (
       SELECT dt.doc_id,
              CASE WHEN topk.token IS NULL THEN 1 ELSE 0 END AS oov
-      FROM dt LEFT JOIN topk ON dt.token = topk.token)
-    SELECT doc_id, COUNT(*) AS n_tokens,
-           CAST(SUM(oov) AS BIGINT) AS n_oov,
-           round(SUM(oov) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
-    FROM j GROUP BY doc_id
+      FROM dt LEFT JOIN topk ON dt.token = topk.token),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(oov) AS BIGINT) AS n_oov
+      FROM j GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(per.n_tokens, 0) AS n_tokens,
+           COALESCE(per.n_oov, 0) AS n_oov,
+           CASE WHEN per.n_tokens > 0
+                THEN round(per.n_oov / CAST(per.n_tokens AS DOUBLE), 6)
+           END AS oov_rate
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per ON d.doc_id = per.doc_id
     """.replace("<<K>>", str(k))
 
 
@@ -2866,8 +2875,15 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_kg_triangles() -> str:
     return f"""
-    WITH aff AS MATERIALIZED ({sql_kg_affinity()}),
-    p AS (SELECT mod_a AS a, mod_b AS b FROM aff)
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    mods AS (
+      SELECT DISTINCT subj AS src, obj AS dst FROM kgq
+      WHERE obj_is_iri AND pred IN ('{_KG}imports', '{_KG}dependsOn')),
+    p AS (
+      SELECT x.dst AS a, y.dst AS b
+      FROM mods x JOIN mods y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY x.dst, y.dst
+      HAVING COUNT(*) >= 2)
     SELECT p1.a, p1.b, p2.b AS c
     FROM p p1
     JOIN p p2 ON p1.b = p2.a

@@ -103,6 +103,29 @@ def components(triples: DataFrame, max_iter: int = 10,
                          F.col("canonical").alias("component"))
 
 
+def coimport_pairs(triples: DataFrame, min_files: int = 2,
+                   predicates: tuple[str, ...] = MODULE_PREDICATES):
+    """(cached distinct edge list, co-import pair counts): the shared
+    front half of module_affinity and coimport_triangles — triangles
+    don't need the degree joins or Jaccard, so they shouldn't pay for
+    them (review r2)."""
+    from ..caching import cache_bounded as _cache
+
+    # referenced multiple times (both self-join sides + degree lookups):
+    # persist once through the bounded cache registry or the triple table
+    # is scanned and re-deduped per branch (.explain confirmed)
+    mods = _cache(edge_list(triples, predicates).distinct())
+    a, b = mods.alias("a"), mods.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.src") == F.col("b.src"))
+               & (F.col("a.dst") < F.col("b.dst")))
+        .groupBy(F.col("a.dst").alias("mod_a"), F.col("b.dst").alias("mod_b"))
+        .agg(F.count("*").alias("co_files"))
+        .filter(F.col("co_files") >= min_files)
+    )
+    return mods, pairs
+
+
 def module_affinity(triples: DataFrame, min_files: int = 2,
                     predicates: tuple[str, ...] = MODULE_PREDICATES) -> DataFrame:
     """Module co-occurrence: pairs of modules imported by the same file,
@@ -114,20 +137,7 @@ def module_affinity(triples: DataFrame, min_files: int = 2,
     filtering on per-file edge count. The affinity join against the two
     degree sides broadcasts naturally (distinct modules << edges).
     """
-    from ..caching import cache_bounded as _cache
-
-    # referenced four times (both self-join sides + both degree lookups):
-    # persist once through the bounded cache registry or the triple table
-    # is scanned and re-deduped four times (.explain confirmed)
-    mods = _cache(edge_list(triples, predicates).distinct())
-    a, b = mods.alias("a"), mods.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.src") == F.col("b.src"))
-               & (F.col("a.dst") < F.col("b.dst")))
-        .groupBy(F.col("a.dst").alias("mod_a"), F.col("b.dst").alias("mod_b"))
-        .agg(F.count("*").alias("co_files"))
-        .filter(F.col("co_files") >= min_files)
-    )
+    mods, pairs = coimport_pairs(triples, min_files, predicates)
     deg = mods.groupBy(F.col("dst").alias("m")).agg(
         F.count("*").alias("files"))
     da, db = deg.alias("da"), deg.alias("db")
@@ -289,10 +299,8 @@ def coimport_triangles(triples: DataFrame, min_files: int = 2,
     graph is vocabulary-sized (modules, not files), so the plain ordered
     join is the right default here.
     """
-    pairs = (
-        module_affinity(triples, min_files=min_files, predicates=predicates)
-        .select("mod_a", "mod_b")
-    )
+    _, pairs = coimport_pairs(triples, min_files, predicates)
+    pairs = pairs.select("mod_a", "mod_b")
     p1 = pairs.select(F.col("mod_a").alias("a"), F.col("mod_b").alias("b"))
     p2 = pairs.select(F.col("mod_a").alias("b"), F.col("mod_b").alias("c"))
     p3 = pairs.select(F.col("mod_a").alias("a"), F.col("mod_b").alias("c"))

@@ -47,6 +47,10 @@ def asof_join_backward(
     semantics). *tolerance_seconds* bounds the lookback: matches older
     than the tolerance are dropped (their values go back to NULL)."""
     keys = [on] if isinstance(on, str) else list(on)
+    # a NULL right time would sort NULLS FIRST and be carried as a
+    # phantom "prior" match (DuckDB's native ASOF matches nothing for
+    # NULL times — review r2); such rows can never satisfy t >= rt
+    right = right.filter(F.col(right_time).isNotNull())
     payload = F.struct(
         F.col(right_time).alias("_rt"),
         *[F.col(c) for c in right_values])

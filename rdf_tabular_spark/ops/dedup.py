@@ -61,6 +61,16 @@ def with_shingles(df: DataFrame, text_col: str, k: int,
         "id", F.sort_array(shingles_from_tokens(F.col("_toks"), k)).alias(out))
 
 
+def prefix_fingerprint(c: Column, prefix_chars: int | None = None) -> Column:
+    """md5 of the (optionally prefix-truncated) normalized text — the
+    single home of the exact-dedup fingerprint (exact_duplicates, the
+    streaming dedup, the composed curation pipeline row)."""
+    norm = normalize_text(c)
+    if prefix_chars is not None:
+        norm = F.substring(norm, 1, prefix_chars)
+    return F.md5(norm)
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      prefix_chars: int | None = None) -> DataFrame:
@@ -71,10 +81,9 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
     the common production variant that collapses boilerplate-prefixed
     documents (and the variant the small-SF oracle uses so duplicate
     groups actually exist in the synthetic corpus)."""
-    norm = normalize_text(F.col(text_col))
-    if prefix_chars is not None:
-        norm = F.substring(norm, 1, prefix_chars)
-    withfp = df.select(F.col(id_col), F.md5(norm).alias("fp"))
+    withfp = df.select(
+        F.col(id_col),
+        prefix_fingerprint(F.col(text_col), prefix_chars).alias("fp"))
     return (
         withfp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))

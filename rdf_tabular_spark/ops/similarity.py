@@ -243,6 +243,7 @@ def knn_join(
 
 def negative_samples(emb: DataFrame, k: int = 4,
                      id_col: str = "vec_id",
+                     payload_cols: list[str] = ("label",),
                      salt: str = "negs") -> DataFrame:
     """k deterministic pseudo-random negatives per anchor — contrastive
     training prep without RNG: candidate = md5(anchor|rank|salt) bucket
@@ -269,7 +270,11 @@ def negative_samples(emb: DataFrame, k: int = 4,
     cand = exploded.withColumn(
         "neg_id", hash_bucket(key, salt, buckets=n))
     cand = cand.filter(F.col("neg_id") != F.col("anchor"))
-    right = _cache(emb.select(F.col(id_col).alias("neg_id"),
-                              F.col("label").alias("neg_label")))
+    # payload_cols parametrized: a hardcoded 'label' crashed on any
+    # embeddings frame without one (review r2)
+    right = _cache(emb.select(
+        F.col(id_col).alias("neg_id"),
+        *[F.col(c).alias(f"neg_{c}") for c in payload_cols]))
     return cand.join(right, "neg_id").select(
-        "anchor", "rank", "neg_id", "neg_label")
+        "anchor", "rank", "neg_id",
+        *[f"neg_{c}" for c in payload_cols])

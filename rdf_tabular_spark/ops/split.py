@@ -119,6 +119,9 @@ def weighted_sample(df: DataFrame, weight_col: str,
     Weights are expected in [0, 1] after scaling; values above 1 keep
     the row always (no replication — use explode for over-sampling)."""
     bucket = hash_bucket(F.col(key_col), salt)
-    cut = F.least(F.round(F.col(weight_col) * scale * BUCKETS),
-                  F.lit(float(BUCKETS)))
+    # NULL weight -> 0 (dropped): F.least skips NULLs, so an unguarded
+    # NULL would collapse the cut to BUCKETS and keep the row at 100% --
+    # the opposite of a conservative default for malformed rows
+    w = F.coalesce(F.col(weight_col), F.lit(0.0))
+    cut = F.least(F.round(w * scale * BUCKETS), F.lit(float(BUCKETS)))
     return df.filter(bucket < cut)

@@ -122,6 +122,13 @@ def oov_rate(docs: DataFrame, vocab_k: int = 1000, text_col: str = "text",
         F.count("*").alias("n_tokens"),
         F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
         .alias("n_oov"))
-    return per_doc.select(
-        "doc_id", "n_tokens", "n_oov",
-        F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"))
+    # start from the document set: an empty/NULL doc has no tokens and
+    # would silently vanish from a "per-document" metric otherwise
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("n_oov") / F.col("n_tokens"), 6))
+        .alias("oov_rate"))

@@ -142,16 +142,15 @@ def run_streaming_dedup(
     maintain (fingerprint -> min id) in the sink via
     :func:`dedup_merge_batch`. Returns the StreamingQuery; resume =
     restart with the same checkpoint_dir."""
-    from ..ops.text import normalize_text
+    from ..ops.dedup import prefix_fingerprint
 
-    norm = normalize_text(F.col(text_col))
-    if prefix_chars is not None:
-        norm = F.substring(norm, 1, prefix_chars)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
-        .select(F.col(id_col), F.md5(norm).alias("fp"))
+        .select(F.col(id_col),
+                prefix_fingerprint(F.col(text_col), prefix_chars)
+                .alias("fp"))
     )
     return (
         stream.writeStream

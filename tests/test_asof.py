@@ -58,3 +58,17 @@ def test_asof_left_columns_preserved(spark):
         on="k", left_time="t", right_time="rt", right_values=["v"])
     assert out.columns == ["k", "t", "ev", "v", "asof_time"]
     assert out.count() == left.count()
+
+
+def test_asof_null_right_time_never_matches(spark):
+    """A NULL right timestamp must not become a phantom 'prior' match
+    (DuckDB's native ASOF matches nothing for NULL times)."""
+    from rdf_tabular_spark.ops.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 5.0, "e")], "k long, t double, ev string")
+    right = spark.createDataFrame(
+        [(1, None, "phantom")], "k long, rt double, v string")
+    out = asof_join_backward(
+        left, right, on="k", left_time="t", right_time="rt",
+        right_values=["v"]).collect()[0]
+    assert out.v is None and out.asof_time is None

@@ -112,3 +112,12 @@ def test_weighted_sample_monotone_and_deterministic(spark):
     allkept = weighted_sample(
         df.withColumn("w", F.lit(1.5)), "w").count()
     assert allkept == 200
+
+
+def test_weighted_sample_null_weight_dropped(spark):
+    from rdf_tabular_spark.ops.split import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 1.0)], "doc_id long, w double")
+    kept = {r.doc_id for r in weighted_sample(df, "w").collect()}
+    assert kept == {2}  # NULL weight = conservative drop, never 100% keep

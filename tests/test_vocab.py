@@ -64,3 +64,15 @@ def test_oov_rate(spark):
     assert got[1] == (5, 1, 0.2)
     assert got[2] == (3, 0, 0.0)
     assert got[3] == (2, 2, 1.0)
+
+
+def test_oov_rate_keeps_empty_documents(spark):
+    from rdf_tabular_spark.ops.vocab import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, None)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+           for r in oov_rate(docs, vocab_k=1).collect()}
+    assert set(got) == {1, 2, 3}  # per-document means EVERY document
+    assert got[2] == (0, 0, None) and got[3] == (0, 0, None)
+    assert got[1] == (3, 1, round(1 / 3, 6))
