@@ -886,8 +886,9 @@ def sql_text_vocab() -> str:
 
 
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 tokens per document by smoothed TF-IDF, ranked on the
-    engine-portable integer key (ops/vocab.py tfidf_topk)."""
+    """Top-3 tokens per document by smoothed TF-IDF, ranked on the 6-dp
+    rounded score with an engine-portable integer tiebreak
+    (ops/vocab.py tfidf_topk)."""
     from rdf_tabular_spark.ops.vocab import tfidf_topk
 
     docs = _t(spark, sf_dir, "documents")
@@ -917,7 +918,9 @@ def sql_text_tfidf() -> str:
                    6) AS tfidf,
              row_number() OVER (
                PARTITION BY tf.doc_id
-               ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
+               ORDER BY round(tf.tf * (ln(((SELECT n FROM nn) + 1)
+                                          / (df.df + 1)) + 1), 6) DESC,
+                        tf.tf DESC, df.df ASC, tf.token ASC) AS rank
       FROM tf JOIN df ON tf.token = df.token)
     SELECT doc_id, rank, token, tf, df, tfidf
     FROM scored WHERE rank <= 3
@@ -1621,6 +1624,20 @@ def sql_multimodal_features() -> str:
 KG_ORACLE_FILES = 300
 
 
+def _kg_synth_fingerprint() -> str:
+    """Content fingerprint of the staged-corpus generator: hash of the
+    kg/synth module source (the generator) so edits to make_content &co.
+    never silently reuse a stale /tmp staging from an earlier run/round
+    (ADVICE r2 — the polyglot stager already versions; this makes every
+    kg stager content-addressed the same way)."""
+    import hashlib
+    import inspect
+
+    from rdf_tabular_spark.kg import synth
+
+    return hashlib.md5(inspect.getsource(synth).encode()).hexdigest()[:10]
+
+
 def _kg_oracle_source_path() -> str:
     """Stage the deterministic synthetic source table (input_hint shape) as
     ONE parquet file both engines read. ~1 in 5 files get case-variant
@@ -1641,7 +1658,8 @@ def _kg_oracle_source_path() -> str:
 
     path = os.path.join(
         tempfile.gettempdir(),
-        f"rdf_tabular_spark_kg_oracle_{KG_ORACLE_FILES}.parquet")
+        f"rdf_tabular_spark_kg_oracle_{KG_ORACLE_FILES}"
+        f"_{_kg_synth_fingerprint()}.parquet")
     if os.path.exists(path):
         return path
     import pyarrow as pa
@@ -1684,7 +1702,8 @@ def _kg_oracle_v2_path() -> str:
 
     path = os.path.join(
         tempfile.gettempdir(),
-        f"rdf_tabular_spark_kg_oracle_v2b_{KG_ORACLE_FILES}.parquet")
+        f"rdf_tabular_spark_kg_oracle_v2b_{KG_ORACLE_FILES}"
+        f"_{_kg_synth_fingerprint()}.parquet")
     if os.path.exists(path):
         return path
     import pyarrow as pa

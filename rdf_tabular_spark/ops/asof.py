@@ -69,9 +69,19 @@ def asof_join_backward(
         "_carry", F.last("_payload", ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
+        # DATE (and TIMESTAMP) columns reject a direct ->double cast;
+        # route temporal types through TIMESTAMP first so the
+        # tolerance arithmetic is uniformly in seconds (ADVICE r2).
+        def _seconds(col: F.Column, dtype: str) -> F.Column:
+            if dtype.startswith(("date", "timestamp")):
+                return col.cast("timestamp").cast("double")
+            return col.cast("double")
+
+        lt = dict(left.dtypes)[left_time]
+        rt = dict(right.dtypes)[right_time]
         fresh = (
-            F.col("_t").cast("double")
-            - F.col("_carry._rt").cast("double")) <= tolerance_seconds
+            _seconds(F.col("_t"), lt)
+            - _seconds(F.col("_carry._rt"), rt)) <= tolerance_seconds
         out = out.withColumn(
             "_carry", F.when(fresh, F.col("_carry")))
     return out.select(

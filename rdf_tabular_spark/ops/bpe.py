@@ -107,14 +107,42 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
     return merges
 
 
+#: merge-list size above which ``engine="auto"`` switches from chained
+#: native folds (plan grows linearly with merge count; blows
+#: task-binary/codegen limits near real 32k-merge tokenizers) to the
+#: Arrow-batched rank-map UDF
+NATIVE_MERGE_LIMIT = 200
+
+
 def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]],
-               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+               text_col: str = "text", id_col: str = "doc_id",
+               engine: str = "auto") -> DataFrame:
     """Apply a learned merge list to every document: (id_col, n_bpe_tokens,
-    tokens array for inspection). Map-only — the merges are driver-side
-    constants folded into chained native array expressions, one fold per
-    merge, inside whole-stage codegen (bound the merge list at a few
-    hundred; beyond that, switch to a broadcast merge-rank map in an
-    Arrow-batched pandas UDF)."""
+    tokens array for inspection). Two map-only engines, identical output
+    (pinned by parity tests):
+
+    - ``native`` — merges folded into chained native array expressions,
+      one fold per merge, whole-stage codegen. The expression tree grows
+      linearly with merge count, so this path is bounded at a few
+      hundred merges.
+    - ``udf`` — the 32k-merge scale path: a broadcast merge-rank map
+      applied in an Arrow-batched ``mapInPandas`` (lowest-rank-pair
+      loop, the classic tokenizer apply; per-batch word memoization).
+      One broadcast + zero shuffles; word splitting stays native
+      (the same ``nonempty_tokens`` expression both engines share).
+
+    ``auto`` picks ``udf`` above ``NATIVE_MERGE_LIMIT`` merges.
+    The engines are equivalent because applying merge k can never create
+    an occurrence of a lower-ranked pair (the merged symbol l+r did not
+    exist when earlier merges were learned, and new adjacencies always
+    involve it), so sequential in-order folds and the min-rank loop
+    reach the same fixpoint."""
+    if engine == "auto":
+        engine = "udf" if len(merges) > NATIVE_MERGE_LIMIT else "native"
+    if engine == "udf":
+        return _bpe_encode_udf(docs, merges, text_col, id_col)
+    if engine != "native":
+        raise ValueError(f"unknown bpe_encode engine: {engine!r}")
     from .text import nonempty_tokens
 
     # empty tokens are filtered exactly as in word_vocab: without the
@@ -138,3 +166,70 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]],
         F.size(toks).alias("n_bpe_tokens"),
         toks.alias("bpe_tokens"),
     )
+
+
+def _segment_word(word: str, ranks: dict, cache: dict) -> list[str]:
+    """Segment one word with the min-rank merge loop (same greedy
+    left-to-right replacement per pass as :func:`_apply_merge`)."""
+    got = cache.get(word)
+    if got is not None:
+        return got
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best = None
+        best_rank = None
+        for a, b in zip(syms, syms[1:]):
+            rk = ranks.get((a, b))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best = rk, (a, b)
+        if best is None:
+            break
+        left, right = best
+        merged = left + right
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = merged
+            else:
+                out.append(x)
+        syms = out
+    cache[word] = syms
+    return syms
+
+
+def _bpe_encode_udf(docs: DataFrame, merges: list[tuple[str, str, int]],
+                    text_col: str, id_col: str) -> DataFrame:
+    """The scale engine of :func:`bpe_encode`: broadcast merge-rank map +
+    Arrow-batched mapInPandas. Word splitting happens natively BEFORE the
+    UDF (shared nonempty_tokens expression), so Python only ever sees
+    word arrays; a per-task memo cache collapses the Zipfian word
+    distribution (most batches re-segment few distinct words)."""
+    import pandas as pd
+
+    from ..deploy import ensure_py_files
+    from .text import nonempty_tokens
+
+    ensure_py_files(docs.sparkSession)
+    ranks = {(left, right): i for i, (left, right, *_) in enumerate(merges)}
+    b_ranks = docs.sparkSession.sparkContext.broadcast(ranks)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    staged = docs.select(
+        F.col(id_col).alias("_id"),
+        nonempty_tokens(F.col(text_col)).alias("_words"))
+    schema = f"{id_col} {id_type}, n_bpe_tokens int, bpe_tokens array<string>"
+
+    def run(batches):
+        rk = b_ranks.value
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks, ns = [], []
+            for words in pdf["_words"]:
+                out: list[str] = []
+                for w in words:
+                    out.extend(_segment_word(w, rk, cache))
+                toks.append(out)
+                ns.append(len(out))
+            yield pd.DataFrame(
+                {id_col: pdf["_id"], "n_bpe_tokens": ns, "bpe_tokens": toks})
+
+    return staged.mapInPandas(run, schema=schema)

@@ -19,17 +19,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def sessionize(events: DataFrame, gap_s: int = 1800,
-               user_col: str = "user_id",
-               ts_col: str = "ts") -> DataFrame:
-    """Adds ``session_id`` (0-based per user, in time order) to each event.
-
-    A new session starts when the gap to the previous event of the same
-    user exceeds ``gap_s`` seconds (classic lag → boundary-flag → running
-    sum; the Structured Streaming twin of this semantics is
-    ``F.session_window(ts, gap)``).  Gap comparison is on whole epoch
-    seconds (timestamp→long truncates), pinning sub-second ties to one
-    portable answer."""
+def _sessionized(events: DataFrame, gap_s: int, user_col: str,
+                 ts_col: str) -> DataFrame:
+    """Internal: events + ``session_id`` + the ``_es`` epoch-seconds
+    helper column (kept for span aggregation in session_stats)."""
     # NTZ timestamps can't cast straight to long; route through TIMESTAMP
     # (session tz is pinned UTC everywhere in this engine)
     staged = events.withColumn(
@@ -45,18 +38,36 @@ def sessionize(events: DataFrame, gap_s: int = 1800,
          ).cast("long"))
 
 
+def sessionize(events: DataFrame, gap_s: int = 1800,
+               user_col: str = "user_id",
+               ts_col: str = "ts") -> DataFrame:
+    """Adds ``session_id`` (0-based per user, in time order) to each event.
+
+    A new session starts when the gap to the previous event of the same
+    user exceeds ``gap_s`` seconds (classic lag → boundary-flag → running
+    sum; the Structured Streaming twin of this semantics is
+    ``F.session_window(ts, gap)``).  Gap comparison is on whole epoch
+    seconds (timestamp→long truncates), pinning sub-second ties to one
+    portable answer.  Output = input columns + ``session_id`` only."""
+    return _sessionized(events, gap_s, user_col, ts_col).drop("_es")
+
+
 def session_stats(events: DataFrame, gap_s: int = 1800,
                   user_col: str = "user_id",
-                  ts_col: str = "ts") -> DataFrame:
-    """Per-session rollup: event count, span seconds, value sum, distinct
-    event types.  One extra hash aggregation on (user, session) — already
+                  ts_col: str = "ts",
+                  value_col: str | None = "value",
+                  type_col: str | None = "event_type") -> DataFrame:
+    """Per-session rollup: event count, span seconds, and (when the
+    corresponding column name is not None) value sum and distinct event
+    types.  One extra hash aggregation on (user, session) — already
     co-partitioned with the sessionize shuffle, so AQE coalesces it into
     a local agg in practice."""
-    s = sessionize(events, gap_s, user_col, ts_col)
-    return (
-        s.groupBy(user_col, "session_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-             (F.max("_es") - F.min("_es")).cast("long").alias("span_s"),
-             F.round(F.sum("value"), 6).alias("value_sum"),
-             F.count_distinct("event_type").cast("long").alias("n_types"))
-    )
+    s = _sessionized(events, gap_s, user_col, ts_col)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.max("_es") - F.min("_es")).cast("long").alias("span_s")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 6).alias("value_sum"))
+    if type_col is not None:
+        aggs.append(
+            F.count_distinct(type_col).cast("long").alias("n_types"))
+    return s.groupBy(user_col, "session_id").agg(*aggs)

@@ -14,13 +14,15 @@ Scale design:
   see agg_salted_counts.)
 - ``doc_freq`` dedups (doc, token) BEFORE the per-token count, so the
   reducer again sees pre-combined partials, never one row per occurrence.
-- ``tfidf_topk`` deliberately defines its ranking on the INTEGER key
-  (tf DESC, df ASC, token ASC) rather than the float score — rarity only
-  breaks term-frequency ties. That choice makes row selection immune to
-  last-ulp ln() differences between engines (a float-ranked top-k can
-  pick different rows at the rank-k boundary), so the oracle twin selects
-  identical rows; the smoothed TF-IDF score is still reported as a
-  column. The per-doc window partitions on doc_id — no global sort.
+- ``tfidf_topk`` ranks on the 6-dp ROUNDED tfidf score (descending) with
+  the integer (tf DESC, df ASC, token ASC) key as tiebreak.  Ranking on
+  the rounded score keeps the emitted rank consistent with the emitted
+  tfidf column, while the rounding + integer tiebreak keeps row selection
+  portable across engines: the raw ln() differs in the last ulp between
+  engines, but at 6 dp both round to the same value (the oracle
+  hash-compares the rounded column, so any divergence would already
+  fail), and equal rounded scores order by the integer key.  The per-doc
+  window partitions on doc_id — no global sort.
 """
 
 from __future__ import annotations
@@ -67,7 +69,8 @@ def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text",
     """Top-k tokens per document by smoothed TF-IDF.
 
     score = tf * (ln((N + 1) / (df + 1)) + 1), reported rounded to 6dp;
-    ranking uses the engine-portable integer key (see module docstring).
+    ranking is on the rounded score with an engine-portable integer
+    tiebreak (see module docstring).
     """
     from ..caching import cache_bounded as _cache
 
@@ -91,6 +94,7 @@ def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text",
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(),
         F.col("tf").desc(), F.col("df").asc(), F.col("token").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

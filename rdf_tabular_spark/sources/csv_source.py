@@ -392,6 +392,15 @@ def scan_lines_df(
     semantics (embedded header extraction, comment aggregation,
     multiLine records).
 
+    Cell parsing is JVM-side ``from_csv`` when the dialect declares a
+    quoteChar (the default), so quoted cells embedding the delimiter
+    parse correctly (ADVICE r2); only a dialect with quoting explicitly
+    disabled takes the plain split. Being line-based, this path cannot
+    frame cells that embed LINE TERMINATORS — those files need
+    :func:`read_table`'s multiLine fallback. The commentPrefix filter is
+    quote-safe as-is: a quoted first cell starts with the quote
+    character at line level, so ``"#not a comment",x`` is kept.
+
     Returns (file_col, _sourceRow, _row, _c0.._cN)."""
     from pyspark.sql.window import Window
 
@@ -399,7 +408,26 @@ def scan_lines_df(
     df = lines.filter(F.col(line_col) > d.skipRows + d.header_row_count)
     if d.commentPrefix:
         df = df.filter(~F.col(text_col).startswith(d.commentPrefix))
-    parts = F.split(F.col(text_col), re.escape(d.delimiter))
+    if d.quoteChar:
+        trim_pre = d.effective_trim
+        opts = {
+            "sep": d.delimiter,
+            "quote": d.quoteChar,
+            "escape": d.quoteChar if d.doubleQuote else "\\",
+            "mode": "PERMISSIVE",
+            # strip pre/post-quote whitespace JVM-side so ` "a"` still
+            # quote-parses; post-parse trim below covers unquoted cells
+            "ignoreLeadingWhiteSpace":
+                "true" if trim_pre in ("true", "start") else "false",
+            "ignoreTrailingWhiteSpace":
+                "true" if trim_pre in ("true", "end") else "false",
+        }
+        schema_str = ", ".join(f"_x{i} string" for i in range(n_cols))
+        parsed = F.from_csv(F.col(text_col), F.lit(schema_str), opts)
+        parts = F.array(
+            *[parsed.getField(f"_x{i}") for i in range(n_cols)])
+    else:
+        parts = F.split(F.col(text_col), re.escape(d.delimiter))
     if d.skipBlankRows:
         # CSVW blank = every cell empty (",," is blank too), matching the
         # single-file scan's concat-of-cells test

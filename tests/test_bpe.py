@@ -105,3 +105,67 @@ def test_bpe_train_min_pair_count_stops(spark):
     docs = spark.createDataFrame(
         [(1, "ab cd ef")], "doc_id long, text string")  # every pair count 1
     assert bpe_train(docs, n_merges=5, min_pair_count=2) == []
+
+
+def test_bpe_encode_udf_engine_matches_native(spark):
+    """The Arrow-batched rank-map engine must produce byte-identical
+    output to the chained-native-fold engine (ops/bpe.py bpe_encode)."""
+    from rdf_tabular_spark.ops.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS + [None, "", "  low\t new "])],
+        "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=6)
+    native = {r.doc_id: (r.n_bpe_tokens, r.bpe_tokens)
+              for r in bpe_encode(docs, merges, engine="native").collect()}
+    udf = {r.doc_id: (r.n_bpe_tokens, r.bpe_tokens)
+           for r in bpe_encode(docs, merges, engine="udf").collect()}
+    assert native == udf
+
+
+def _syllable_corpus():
+    """Deterministic corpus rich enough to learn 1000+ merges: 3-syllable
+    words over a 9-syllable alphabet, each word twice (so every pair
+    clears min_pair_count=2)."""
+    syl = ["ba", "ce", "di", "fo", "gu", "hy", "ka", "lo", "mu"]
+    words = [a + b + c + d
+             for a in syl for b in syl for c in syl for d in syl[:2]][:1400]
+    texts = []
+    for i in range(0, len(words), 30):
+        chunk = " ".join(words[i:i + 30])
+        texts.append(chunk)
+        texts.append(chunk)  # second occurrence => pair counts >= 2
+    return texts
+
+
+def test_bpe_encode_udf_1k_merges_matches_reference(spark):
+    """The scale engine at a real merge-list size the native path cannot
+    reach: 1000 merges trained by the pure-Python reference, applied by
+    the UDF engine, compared word-for-word against sequential reference
+    application (VERDICT r2 item 3)."""
+    from rdf_tabular_spark.ops.bpe import bpe_encode
+
+    texts = _syllable_corpus()
+    merges = _ref_train(texts, 1000)
+    assert len(merges) == 1000
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: list(r.bpe_tokens)
+           for r in bpe_encode(docs, merges).collect()}  # auto -> udf
+
+    seg_cache: dict[str, tuple] = {}
+
+    def ref_segment(w):
+        if w not in seg_cache:
+            syms = tuple(list(w) + [EOW])
+            for left, right, _ in merges:
+                syms = _ref_merge(syms, left, right)
+            seg_cache[w] = syms
+        return seg_cache[w]
+
+    for i, text in enumerate(texts):
+        want = []
+        for w in text.split(" "):
+            want.extend(ref_segment(w))
+        assert got[i] == want, f"doc {i} diverged"

@@ -22,8 +22,11 @@ def test_sessionize_splits_on_gap(spark):
         (2, 0, "a", 1.0),
     ])
     # user 1: 0s and 100s in session 0; 2000s starts session 1 (gap > 1800)
-    got = sorted((r["user_id"], r["_es"], r["session_id"])
-                 for r in sessionize(df, gap_s=1800).collect())
+    out = sessionize(df, gap_s=1800)
+    # the _es helper column must not leak into the public output (ADVICE r2)
+    assert out.columns == df.columns + ["session_id"]
+    got = sorted((r["user_id"], r["ts"], r["session_id"])
+                 for r in out.collect())
     assert [g[2] for g in got if g[0] == 1] == [0, 0, 1]
     assert [g[2] for g in got if g[0] == 2] == [0]
 
@@ -34,7 +37,7 @@ def test_sessionize_boundary_is_strict(spark):
 
     df = _ev(spark, [(1, 0, "a", 1.0), (1, 1800, "b", 1.0),
                      (1, 3601, "c", 1.0)])
-    out = sorted((r["_es"], r["session_id"])
+    out = sorted((r["ts"], r["session_id"])
                  for r in sessionize(df, gap_s=1800).collect())
     assert [s for _, s in out] == [0, 0, 1]
 
@@ -50,6 +53,20 @@ def test_session_stats_rollup(spark):
     assert rows[0]["n_events"] == 2 and rows[0]["span_s"] == 60
     assert rows[0]["value_sum"] == 5.5 and rows[0]["n_types"] == 2
     assert rows[1]["n_events"] == 1 and rows[1]["span_s"] == 0
+
+
+def test_session_stats_optional_agg_columns(spark):
+    """value/event-type aggregate columns are parameterized; None omits
+    the aggregate entirely (ADVICE r2 — they were hardcoded)."""
+    from rdf_tabular_spark.ops.sessions import session_stats
+
+    df = _ev(spark, [(1, 0, "view", 2.0), (1, 60, "click", 3.5)]) \
+        .withColumnRenamed("value", "amount")
+    out = session_stats(df, gap_s=1800, value_col="amount", type_col=None)
+    assert out.columns == ["user_id", "session_id", "n_events", "span_s",
+                           "value_sum"]
+    r = out.collect()[0]
+    assert r["value_sum"] == 5.5 and r["n_events"] == 2
 
 
 def test_session_stats_partition_invariant(spark):
