@@ -1,16 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns + typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is environment-gated: real codecs (PIL / librosa / ffmpeg)
-aren't in this container, so decode is STUBBED — either raising
-NotImplementedError (strict mode) or producing a deterministic fake
-(sha-seeded) so the Spark-side plumbing — schema, batch shape, partitioning,
-UDF signatures — is real and testable end-to-end.
+Image decode is REAL for stdlib-decodable formats: uncompressed 24-bit
+BMP and binary PPM (P6) are parsed byte-for-byte in-process (encode +
+decode below), so ``decode_strict`` and :func:`decode_images` do actual
+pixel work in this container. Heavier codecs (JPEG/PNG pixels, audio,
+video) remain environment-gated behind PIL/librosa/av — on a production
+cluster ship them via ``--archives`` and the same dispatch picks them up.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -39,8 +41,122 @@ def attach_media_column(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def encode_bmp(width: int, height: int,
+               pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (BITMAPINFOHEADER, BI_RGB).
+    *pixels* is row-major top-down [(r, g, b)]; rows are written
+    bottom-up with zero padding to 4-byte stride, per the format."""
+    stride = (width * 3 + 3) & ~3
+    image_size = stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size,
+        2835, 2835, 0, 0)
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for r, g, b in pixels[y]:
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\0" * (stride - len(row))
+        body += row
+    return header + dib + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse an uncompressed 24-bit BMP -> (width, height, rgb bytes
+    row-major top-down). Pure stdlib; validates magic/bpp/compression."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    header_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    bpp, compression = struct.unpack_from("<HI", payload, 28)
+    if header_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rgb = bytearray(width * height * 3)
+    for row in range(height):
+        src = data_offset + row * stride
+        y = (height - 1 - row) if bottom_up else row
+        for x in range(width):
+            b, g, r = payload[src + x * 3: src + x * 3 + 3]
+            dst = (y * width + x) * 3
+            rgb[dst:dst + 3] = bytes((r, g, b))
+    return width, height, bytes(rgb)
+
+
+def encode_ppm(width: int, height: int,
+               pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Binary PPM (P6) writer: row-major top-down RGB, maxval 255."""
+    body = bytearray()
+    for row in pixels:
+        for r, g, b in row:
+            body += bytes((r, g, b))
+    return f"P6\n{width} {height}\n255\n".encode() + bytes(body)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6) -> (width, height, rgb row-major bytes)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens (comments '#...' allowed), then ONE whitespace byte
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while payload[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval 255 PPM supported")
+    body = payload[pos + 1: pos + 1 + width * height * 3]
+    return width, height, body
+
+
+def attach_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL uncompressed-BMP payloads per row: constant-pixel
+    images whose width/height/pixel value derive from the id
+    (w = 5 + id%7, h = 4 + id%5, v = id%200 + 10), so an oracle can
+    recompute what decode must recover without itself decoding. Widths
+    hit non-multiple-of-4 strides and the padding bytes are zero, so a
+    decoder that misreads padding as pixels shifts the mean."""
+    import pandas as pd
+
+    from ..deploy import ensure_py_files
+
+    ensure_py_files(df.sparkSession)
+    staged = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w, h, v = 5 + i % 7, 4 + i % 5, i % 200 + 10
+                payloads.append(
+                    encode_bmp(w, h, [[(v, v, v)] * w for _ in range(h)]))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": "image",
+                 "payload": payloads})
+
+    return staged.mapInPandas(
+        run, schema="media_id long, kind string, payload binary")
+
+
 def _try_real_decoder(kind: str):
-    """Import-gated real decoders; None in this container."""
+    """Import-gated heavyweight decoders (PIL/librosa/av); None in this
+    container — ship via --archives on a real cluster."""
     try:
         if kind == "image":
             from PIL import Image  # noqa: F401
@@ -50,14 +166,54 @@ def _try_real_decoder(kind: str):
     return None
 
 
-def decode_strict(kind: str, payload: bytes):
-    """The real decode path. STUB: the codec libraries are not available in
-    this environment; on a production cluster, ship them via --archives and
-    this function dispatches to PIL/librosa/av."""
-    if _try_real_decoder(kind) is None:
+def decode_strict(kind: str, payload: bytes) -> tuple[int, int, bytes]:
+    """The real decode path -> (width, height, rgb bytes). Images in
+    stdlib-decodable formats (uncompressed BMP, binary PPM) decode
+    in-process; other formats dispatch to PIL when available; audio/video
+    remain environment-gated (librosa/av not in this container)."""
+    if kind == "image":
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
+        pil = _try_real_decoder("image")
+        if pil is not None:
+            img = pil.open(__import__("io").BytesIO(payload)).convert("RGB")
+            return img.width, img.height, img.tobytes()
         raise NotImplementedError(
-            f"no {kind} codec in this environment; install PIL/librosa/av")
-    raise NotImplementedError("real decoder dispatch not wired in sandbox")
+            "image format needs PIL (only BMP/PPM decode in-process); "
+            "install via --archives")
+    raise NotImplementedError(
+        f"no {kind} codec in this environment; install librosa/av")
+
+
+def decode_images(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL decode through the Arrow plumbing: media -> (media_id, width,
+    height, n_pixel_bytes, mean_pixel) by actually parsing each payload
+    (decode_strict). Map-only mapInPandas; at scale repartition so each
+    task's pixel buffers fit executor memory."""
+    import pandas as pd
+
+    from ..deploy import ensure_py_files
+
+    ensure_py_files(media.sparkSession)
+    schema = ("media_id long, width int, height int, n_pixel_bytes long, "
+              "mean_pixel double")
+
+    def run(batches):
+        for pdf in batches:
+            w, h, nb, mean = [], [], [], []
+            for payload in pdf["payload"]:
+                dw, dh, rgb = decode_strict("image", bytes(payload))
+                w.append(dw)
+                h.append(dh)
+                nb.append(len(rgb))
+                mean.append(round(sum(rgb) / len(rgb), 6) if rgb else 0.0)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "width": w, "height": h,
+                "n_pixel_bytes": nb, "mean_pixel": mean})
+
+    return media.mapInPandas(run, schema=schema)
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
