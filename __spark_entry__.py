@@ -2959,12 +2959,15 @@ def sql_similarity_knn_join(k: int = 3) -> str:
 
 
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Module co-import triangles (kg/graph.coimport_triangles): ordered
-    pair list joined with itself twice; a<b<c counts each once."""
+    """Module co-import triangles through the DEGREE-ORIENTED plan (r3:
+    per-key wedge fan-out bounded by O(sqrt|E|) — the web-scale shape;
+    kg/graph.coimport_triangles orient=True). Output identical to the
+    plain ordered-join plan; the twin enumerates via plain ordered SQL
+    joins, so a green row proves the two plans agree cross-engine."""
     from rdf_tabular_spark.kg.graph import coimport_triangles
 
     _, _, triples = _kg_oracle_run(spark)
-    return coimport_triangles(triples, min_files=2)
+    return coimport_triangles(triples, min_files=2, orient=True)
 
 
 def sql_kg_triangles() -> str:

@@ -284,23 +284,80 @@ def reachability(edges: DataFrame, max_hops: int = 6) -> DataFrame:
     return _cache(result)
 
 
+def orient_by_degree(pairs: DataFrame,
+                     a_col: str = "mod_a", b_col: str = "mod_b"
+                     ) -> DataFrame:
+    """Orient an undirected unique-edge list from the lower-(degree, id)
+    endpoint to the higher — the classic triangle-counting preparation:
+    every vertex's oriented OUT-degree is bounded by O(sqrt(|E|)) for
+    any graph (a vertex with out-degree d has d neighbors of degree >=
+    its own, so d(d+1)/2 <= 2|E|), which bounds the wedge join's
+    per-key fan-out no matter how skewed the degree distribution is.
+
+    Returns (s, t, dt) — dt carries rank info for wedge ordering."""
+    deg = (
+        pairs.select(F.col(a_col).alias("node"))
+        .union(pairs.select(F.col(b_col).alias("node")))
+        .groupBy("node").agg(F.count("*").alias("deg")))
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .join(deg.select(F.col("node").alias("u"),
+                         F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("deg").alias("dv")), "v"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+
+
+def _oriented_triangles(pairs: DataFrame) -> DataFrame:
+    """Enumerate each triangle once via degree orientation: wedges
+    (s->v, s->w) with rank(v) < rank(w), closed by the oriented edge
+    v->w (which exists iff {v,w} is an edge, because rank(v) < rank(w)
+    fixes its orientation). Output re-sorted lexicographically so the
+    result is column-identical to the plain ordered-join path."""
+    o = orient_by_degree(pairs)
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.s") == F.col("e2.s"))
+        .filter((F.col("e1.dt") < F.col("e2.dt")) | (
+            (F.col("e1.dt") == F.col("e2.dt"))
+            & (F.col("e1.t") < F.col("e2.t"))))
+        .select(F.col("e1.s").alias("s"),
+                F.col("e1.t").alias("v"), F.col("e2.t").alias("w")))
+    closed = wedges.join(
+        o.select(F.col("s").alias("v"), F.col("t").alias("w")), ["v", "w"])
+    tri = F.array_sort(F.array("s", "v", "w"))
+    return closed.select(
+        tri[0].alias("a"), tri[1].alias("b"), tri[2].alias("c"))
+
+
 def coimport_triangles(triples: DataFrame, min_files: int = 2,
-                       predicates: tuple[str, ...] = MODULE_PREDICATES
-                       ) -> DataFrame:
+                       predicates: tuple[str, ...] = MODULE_PREDICATES,
+                       orient: bool = False) -> DataFrame:
     """Triangles in the module co-import graph: module triples that
     pairwise co-occur (each pair in >= *min_files* common files) — the
     densest-community signal on top of module_affinity's pair list.
 
-    Enumeration joins the ordered pair list with itself twice
-    ((a,b) x (b,c) -> probe (a,c)); the a<b<c ordering counts each
-    triangle exactly once and halves every join input. At web scale the
-    standard refinement is degree orientation (point edges low->high
-    degree) which bounds per-vertex fan-out by sqrt(|E|); the co-import
-    graph is vocabulary-sized (modules, not files), so the plain ordered
-    join is the right default here.
+    Two enumeration plans, identical output (pinned by test + the
+    kg_triangles oracle row, which runs the oriented plan):
+
+    - plain (default): the ordered pair list joined with itself twice
+      ((a,b) x (b,c) -> probe (a,c)); a<b<c counts each triangle once
+      and halves every join input. Right for vocabulary-sized graphs.
+    - ``orient=True``: degree orientation (see :func:`orient_by_degree`)
+      — the web-scale plan: per-key wedge fan-out bounded by
+      O(sqrt(|E|)) even when one hub module is imported by 90% of files,
+      where the plain plan's (a,b)x(b,c) join explodes on the hub key.
     """
     _, pairs = coimport_pairs(triples, min_files, predicates)
     pairs = pairs.select("mod_a", "mod_b")
+    if orient:
+        return _oriented_triangles(pairs)
     p1 = pairs.select(F.col("mod_a").alias("a"), F.col("mod_b").alias("b"))
     p2 = pairs.select(F.col("mod_a").alias("b"), F.col("mod_b").alias("c"))
     p3 = pairs.select(F.col("mod_a").alias("a"), F.col("mod_b").alias("c"))

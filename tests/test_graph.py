@@ -203,3 +203,35 @@ def test_coimport_triangles(spark):
         rows, "subj string, pred string, obj string, obj_is_iri boolean")
     got = [(r.a, r.b, r.c) for r in coimport_triangles(t).collect()]
     assert got == [("mod:a", "mod:b", "mod:c")]
+    # the degree-oriented plan must produce the identical triangle set
+    oriented = [(r.a, r.b, r.c)
+                for r in coimport_triangles(t, orient=True).collect()]
+    assert oriented == got
+
+
+def test_orient_by_degree_bounds_hub_fanout(spark):
+    """Degree orientation on a hub graph: every hub edge points INTO the
+    hub (leaves have lower degree), so the hub's out-degree is 0 — the
+    wedge join never fans out on the hot key. Triangle sets of the two
+    plans still agree."""
+    from rdf_tabular_spark.kg.graph import _oriented_triangles, orient_by_degree
+
+    # hub h connected to 12 leaves; leaves chained pairwise so some
+    # triangles exist: (h, l0, l1), (h, l2, l3), ...
+    edges = [("h", f"l{i}") for i in range(12)]
+    edges += [(f"l{2 * i}", f"l{2 * i + 1}") for i in range(6)]
+    pairs = spark.createDataFrame(edges, "mod_a string, mod_b string")
+
+    from pyspark.sql import functions as F
+
+    o = orient_by_degree(pairs)
+    out_deg = {r.s: r.n for r in
+               o.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert "h" not in out_deg  # hub emits no wedges
+    assert max(out_deg.values()) <= 2  # leaves: at most (chain + hub)
+
+    tris = sorted((r.a, r.b, r.c)
+                  for r in _oriented_triangles(pairs).collect())
+    want = sorted(tuple(sorted(("h", f"l{2*i}", f"l{2*i+1}")))
+                  for i in range(6))
+    assert tris == want
