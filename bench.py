@@ -140,39 +140,23 @@ def kg_job(spark, n_files: int, stage: str = "full"):
     return n, time.time() - t0
 
 
-def run_suite(sf_dir: str, cpus: int) -> dict:
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __spark_entry__ as entry
+def _suite_pass(spark, entry, sf_dir: str, n_files: int) -> tuple[dict, int]:
+    """One full pass over the headline suite: every query once, the KG
+    pipeline once, graph analytics once. Returns (per-query sec, kg
+    triple count). Running the suite as two complete PASSES (instead of
+    two back-to-back runs per query) makes pass 1 a true single-run
+    full-suite wall — the cross-round-comparable number VERDICT r2 asked
+    for — while min(pass1, pass2) stays the steady-state best-of-2."""
+    from rdf_tabular_spark.kg import graph
 
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    spark = _mk_spark(cpus)
     qs = entry.queries()
-    # JVM/JIT + scan warm-up so per-query numbers reflect steady state
-    # rather than charging first-query session costs to whoever runs first
-    spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
-    for t in ("lineitem", "documents"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     per_query: dict[str, float] = {}
-    t_suite = time.time()
     for name in BENCH_QUERIES:
-        # best-of-2: the sandbox host shows up-to-2x run-to-run variance
-        # from contention (BASELINE.md); the min is the steady-state number
-        # and is what BASELINE.md records, so driver-recorded BENCH_r{N}
-        # and builder-recorded baselines stop drifting apart
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        per_query[name] = round(best, 3)
-        print(f"  {name}: {per_query[name]}s", file=sys.stderr)
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        per_query[name] = round(time.time() - t0, 3)
 
-    n_files = max(1000, int(KG_FILES_PER_SF * (sf or 0.1)))
     n_triples, kg_wall = kg_job(spark, n_files)
-    n2, kg_wall2 = kg_job(spark, n_files)
-    assert n2 == n_triples  # deterministic pipeline
-    kg_wall = min(kg_wall, kg_wall2)
     per_query["kg_pipeline"] = round(kg_wall, 3)
 
     # graph analytics over the bench-scale assembled graph (not the tiny
@@ -180,22 +164,44 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     # (localCheckpoint) so these numbers time the analytics, not a
     # pipeline re-run. components shares pagerank's iteration shape and
     # is left out of the headline to keep it lean.
-    from rdf_tabular_spark.kg import graph
-
     src = spark.read.parquet(ensure_kg_source(spark, n_files))
     _, _, triples = entry._kg_pipeline(src)
     graph_input = triples.localCheckpoint()
     for gname, gfn in (("kg_degrees", graph.degrees),
                        ("kg_pagerank", graph.pagerank)):
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            gfn(graph_input).count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        per_query[gname] = round(best, 3)
-        print(f"  {gname}: {per_query[gname]}s", file=sys.stderr)
+        t0 = time.time()
+        gfn(graph_input).count()
+        per_query[gname] = round(time.time() - t0, 3)
+    return per_query, n_triples
+
+
+def run_suite(sf_dir: str, cpus: int) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    spark = _mk_spark(cpus)
+    # JVM/JIT + scan warm-up so per-query numbers reflect steady state
+    # rather than charging first-query session costs to whoever runs first
+    spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "documents"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    n_files = max(1000, int(KG_FILES_PER_SF * (sf or 0.1)))
+
+    t_suite = time.time()
+    pass1, n_triples = _suite_pass(spark, entry, sf_dir, n_files)
+    single_run_wall = time.time() - t_suite
+    # best-of-2: the sandbox host shows up-to-2x run-to-run variance
+    # from contention (BASELINE.md); the min is the steady-state number
+    # and is what BASELINE.md records, so driver-recorded BENCH_r{N}
+    # and builder-recorded baselines stop drifting apart
+    pass2, n2 = _suite_pass(spark, entry, sf_dir, n_files)
+    assert n2 == n_triples  # deterministic pipeline
     raw_wall = time.time() - t_suite
+    per_query = {k: min(pass1[k], pass2[k]) for k in pass1}
+    for name in per_query:
+        print(f"  {name}: {per_query[name]}s", file=sys.stderr)
+    kg_wall = per_query["kg_pipeline"]
     spark.stop()
     return {
         # renamed from headline_suite_wall when the semantics changed: the
@@ -206,12 +212,47 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
+        # one MEASURED end-to-end wall of a single full pass (cold-ish):
+        # the metric-translation-free cross-round number (VERDICT r2 §8)
+        "single_run_wall": round(single_run_wall, 3),
+        "queries_single_run": pass1,
         "raw_wall_2x_runs": round(raw_wall, 3),
         "sf": sf,
         "kg_files": n_files,
         "kg_triples": n_triples,
         "kg_triples_per_sec": round(n_triples / kg_wall, 1),
     }
+
+
+def run_late(sf_dir: str, cpus: int) -> dict:
+    """Best-of-2 timings for every registry query NOT in the headline
+    suite (the BASELINE.md 'late additions' table — re-timed best-of-2
+    per VERDICT r2 §9; the r2 table was single contended runs)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    spark = _mk_spark(cpus)
+    spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
+    qs = entry.queries()
+    skip = set(BENCH_QUERIES) | {"kg_pipeline", "kg_degrees", "kg_pagerank"}
+    per_query: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in qs.items():
+        if name in skip:
+            continue
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        per_query[name] = round(best, 3)
+        rows[name] = n
+        print(f"  {name}: {per_query[name]}s ({n} rows)", file=sys.stderr)
+    spark.stop()
+    return {"metric": "late_additions_best_of_2", "sf": sf,
+            "queries": per_query, "rows": rows}
 
 
 def run_scaling(sf: float, pair: tuple[int, int] = (2, 8),
@@ -266,6 +307,9 @@ def main() -> None:
         out = run_scaling(sf, pair, stage)
         out["stage"] = stage
         print(json.dumps(out))
+        return
+    if "--late" in sys.argv:
+        print(json.dumps(run_late(sf_dir, cpus)))
         return
     print(json.dumps(run_suite(sf_dir, cpus)))
 

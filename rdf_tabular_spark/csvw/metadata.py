@@ -613,6 +613,24 @@ def _validate_datatype(dt: Any, where: str, errors: list, warnings: list) -> Non
     base = dt.get("base", "string")
     if base in UNSUPPORTED:
         warnings.append(f"{where}: unsupported datatype base {base!r}")
+    fmt = dt.get("format")
+    if fmt is not None:
+        # invalid formats warn and act as if not set (metadata.rb:679-716);
+        # the matching drop happens at typing time (operators/cells.py)
+        from . import uax35
+        from .datatypes import DATE_BASES, NUMERIC_BASES
+        try:
+            if base in NUMERIC_BASES:
+                f = fmt if isinstance(fmt, dict) else {"pattern": fmt}
+                uax35.compile_number_pattern(
+                    f.get("pattern"), f.get("groupChar") or ",",
+                    f.get("decimalChar") or ".")
+            elif base in DATE_BASES:
+                uax35.compile_date_pattern(str(fmt))
+            elif base != "boolean" and isinstance(fmt, str):
+                re.compile(fmt)
+        except (uax35.PatternError, re.error) as e:
+            warnings.append(f"{where}: invalid format {fmt!r}: {e}")
     length, min_l, max_l = dt.get("length"), dt.get("minLength"), dt.get("maxLength")
     if length is not None and min_l is not None and length < min_l:
         errors.append(f"{where}: length < minLength")

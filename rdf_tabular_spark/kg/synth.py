@@ -166,11 +166,31 @@ def make_content(i: int, lang: str) -> str:
     return "\n".join(lines) + "\n"
 
 
-def repo_for(i: int, n_repos: int) -> str:
-    # ~30% of files land in the hot monorepo (skew by design)
-    if _h("hot", i) % 10 < 3:
+def repo_for(i: int, n_repos: int, hot: bool = True) -> str:
+    # ~30% of files land in the hot monorepo (skew by design);
+    # hot=False gives the uniform control corpus for skew benchmarks
+    if hot and _h("hot", i) % 10 < 3:
         return "repo-0000-monorepo"
     return f"repo-{1 + _h('repo', i) % (n_repos - 1):04d}"
+
+
+#: the hot-module line per language (skew bench: one module imported by
+#: ~90% of files — VERDICT r2 item 6); json inserts into dependencies
+_HOT_IMPORT = {
+    "python": "import requests",
+    "ruby": "require 'requests'",
+    "javascript": "const requests_hot = require('requests');",
+}
+
+
+def with_hot_module(content: str, lang: str) -> str:
+    """Prepend/insert an import of the hot module into generated content."""
+    if lang == "json":
+        return content.replace(
+            '"dependencies": {\n',
+            '"dependencies": {\n    "requests": "^1.0.0",\n', 1)
+    line = _HOT_IMPORT.get(lang)
+    return f"{line}\n{content}" if line else content
 
 
 def lang_for(i: int) -> str:
@@ -180,9 +200,16 @@ def lang_for(i: int) -> str:
 def synth_source_table(
     spark: SparkSession, n_files: int, n_repos: int | None = None,
     partitions: int | None = None,
+    hot_repo: bool = True, hot_module_frac: float = 0.0,
 ) -> DataFrame:
     """Build the source table distributed: spark.range -> mapInPandas
-    (content is a pure function of the row index)."""
+    (content is a pure function of the row index).
+
+    *hot_repo* False removes the 30% monorepo (uniform control);
+    *hot_module_frac* > 0 makes that fraction of files import the hot
+    module (``requests``) on top of their generated imports — the
+    adversarial key-skew corpus for the skew benchmarks. Defaults
+    reproduce the round-1/2 corpus byte-for-byte."""
     import pandas as pd
 
     from ..deploy import ensure_py_files
@@ -198,12 +225,16 @@ def synth_source_table(
                 i = int(i)
                 lang = lang_for(i)
                 ext = {"python": "py", "ruby": "rb", "javascript": "js", "json": "json"}[lang]
-                rows["repo"].append(repo_for(i, n_repos))
+                content = make_content(i, lang)
+                if hot_module_frac > 0 and (
+                        _h("hotmod", i) % 1000 < hot_module_frac * 1000):
+                    content = with_hot_module(content, lang)
+                rows["repo"].append(repo_for(i, n_repos, hot=hot_repo))
                 rows["path"].append(
                     f"src/{_h('d1', i) % 20:02d}/{_h('d2', i) % 50:02d}/file_{i}.{ext}")
                 rows["commit"].append(hashlib.sha1(f"commit|{i}".encode()).hexdigest())
                 rows["lang"].append(lang)
-                rows["content"].append(make_content(i, lang))
+                rows["content"].append(content)
             yield pd.DataFrame(rows)
 
     schema = "repo string, path string, commit string, lang string, content string"

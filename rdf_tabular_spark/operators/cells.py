@@ -220,6 +220,16 @@ def _facet_errors(dt: CompiledDatatype, lex: Column, base: str) -> Column:
     return F.array_compact(F.array(*errs))
 
 
+def _regex_ok(fmt: str) -> bool:
+    """True when *fmt* compiles as a regex; an invalid regex format acts
+    as if format were not set (metadata.rb:710-716 log_warn + delete)."""
+    try:
+        re.compile(fmt)
+        return True
+    except re.error:
+        return False
+
+
 def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Column:
     """Type one (post-split, non-null) string item ->
     struct<lex, dt, lang, err>. On any validation error the item degrades to
@@ -244,8 +254,14 @@ def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Col
     elif base in NUMERIC_BASES:
         fmt = dt.format if isinstance(dt.format, dict) else (
             {"pattern": dt.format} if isinstance(dt.format, str) else {})
-        plan = uax35.compile_number_pattern(
-            fmt.get("pattern"), fmt.get("groupChar") or ",", fmt.get("decimalChar") or ".")
+        try:
+            plan = uax35.compile_number_pattern(
+                fmt.get("pattern"), fmt.get("groupChar") or ",", fmt.get("decimalChar") or ".")
+        except uax35.PatternError:
+            # invalid picture pattern: act as if format were not set
+            # (metadata.rb:695-700 log_warn + object.delete(:format))
+            plan = uax35.compile_number_pattern(
+                None, fmt.get("groupChar") or ",", fmt.get("decimalChar") or ".")
         norm = normalize_number_expr(v, plan)
         lex = F.coalesce(norm, v)
         valid = norm.isNotNull()
@@ -285,8 +301,15 @@ def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Col
             err_msgs.append(F.when(~valid, F.concat(v, F.lit(" does not match boolean"))))
             lex = F.coalesce(lex, v)
     elif base in DATE_BASES:
+        plan = None
         if dt.format:
-            plan = uax35.compile_date_pattern(str(dt.format))
+            try:
+                plan = uax35.compile_date_pattern(str(dt.format))
+            except uax35.PatternError:
+                # invalid date/time pattern: act as if format were not set
+                # (metadata.rb:701-709 log_warn + object.delete(:format))
+                plan = None
+        if plan is not None:
             norm = normalize_date_expr(v, plan, base)
             lex = F.coalesce(norm, v)
             valid = norm.isNotNull()
@@ -297,7 +320,7 @@ def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Col
             err_msgs.append(F.when(still, F.concat(lex, F.lit(f" is not a valid {base}"))))
             valid = valid & lex.rlike(_java_re(check))
     elif base in DURATION_BASES:
-        if dt.format:
+        if dt.format and _regex_ok(str(dt.format)):
             ok = v.rlike(_java_re(str(dt.format)))
             err_msgs.append(F.when(~ok, F.concat(v, F.lit(f" does not match format {dt.format}"))))
             valid = ok
@@ -313,7 +336,8 @@ def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Col
         valid = ok
     else:
         # other types: format is a plain regex (metadata.rb:2256-2257)
-        if dt.format and base not in ("json", "xml", "html"):
+        if dt.format and base not in ("json", "xml", "html") \
+                and _regex_ok(str(dt.format)):
             ok = v.rlike(_java_re(str(dt.format)))
             err_msgs.append(F.when(~ok, F.concat(v, F.lit(f" does not match format {dt.format}"))))
             valid = ok
@@ -378,6 +402,14 @@ def cell_expr(raw: Column, col: CompiledColumn, table: CompiledTable) -> Column:
 
     if col.separator:
         items = F.split(value, re.escape(col.separator), -1)
+        # Ruby String#split semantics (metadata.rb:2073): trailing empty
+        # strings are dropped and splitting the empty string yields [] —
+        # which is also how the model's "empty string -> empty list" rule
+        # is realized. Keep interior empties (they take default/null).
+        last_nonempty = F.aggregate(
+            F.transform(items, lambda x, i: F.when(x != "", i + 1).otherwise(F.lit(0))),
+            F.lit(0), lambda acc, v: F.greatest(acc, v))
+        items = F.slice(items, F.lit(1), last_nonempty)
     else:
         items = F.array(value)
 

@@ -159,11 +159,23 @@ def minhash_lsh_pairs(
     df: DataFrame, threshold: float = 0.8, k: int = 3,
     bands: int = 16, rows_per_band: int = 2,
     id_col: str = "doc_id", text_col: str = "text",
-    verify: bool = True,
+    verify: bool = True, max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: shingle -> minhash -> band buckets ->
     bucket self-join; optional exact-Jaccard re-verification of candidates
-    (the scale path: candidates ≪ n², verification is cheap)."""
+    (the scale path: candidates ≪ n², verification is cheap).
+
+    *max_bucket_size* is the adversarial-bucket guard for web-scale
+    corpora: a bucket of B members emits B(B-1)/2 candidates, so one hot
+    bucket (boilerplate, empty/templated docs — measured 1716-member
+    buckets on the 20k skew-bench corpus) turns a band join into a
+    quadratic single task. Buckets above the cap switch to HUB pairs
+    (every member vs the bucket's min-id member): B-1 candidates, and
+    the bucket's members stay one connected component for dedup
+    clustering. Pairwise completeness inside oversized buckets is traded
+    away — at dedup thresholds such a bucket is one boilerplate cluster,
+    and cluster election only needs connectivity. None (default) keeps
+    the exact all-pairs semantics."""
     # candidates-then-verify: the band-bucket self-join shuffles only
     # (band, key, id) — the hashed-shingle arrays are re-attached to the far
     # smaller candidate pair set for exact-Jaccard verification. Staged +
@@ -181,13 +193,30 @@ def minhash_lsh_pairs(
         for bnd in range(bands)
     ])
     bucketed = hashed.select("id", F.explode(band_keys).alias("key"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key")
+        sized = bucketed.select(
+            "key", "id",
+            F.count("*").over(w).alias("_n"),
+            F.min("id").over(w).alias("_hub"))
+        bucketed = sized.filter(F.col("_n") <= max_bucket_size) \
+            .select("key", "id")
+        # hub < id always (hub is the bucket min), so ordering holds
+        hub_pairs = (
+            sized.filter((F.col("_n") > max_bucket_size)
+                         & (F.col("id") != F.col("_hub")))
+            .select(F.col("_hub").alias("a"), F.col("id").alias("b")))
     pairs = (
         bucketed.select(F.col("key"), F.col("id").alias("a"))
         .join(bucketed.select(F.col("key"), F.col("id").alias("b")), "key")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .dropDuplicates(["a", "b"])
     )
+    if max_bucket_size is not None:
+        pairs = pairs.unionByName(hub_pairs)
+    pairs = pairs.dropDuplicates(["a", "b"])
     if not verify:
         return pairs.select("a", "b", F.lit(None).cast("double").alias("jaccard"))
     sides = hashed.select("id", "shh")

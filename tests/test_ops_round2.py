@@ -150,3 +150,29 @@ def test_negative_samples_deterministic(spark):
     from collections import Counter
     per = Counter(anchor for anchor, *_ in a)
     assert set(per.values()) <= {2, 3}
+
+
+def test_minhash_bucket_cap_hub_connectivity(spark):
+    """max_bucket_size switches oversized LSH buckets to hub pairs: the
+    candidate set shrinks from B^2/2 to B-1 per hot bucket, capped pairs
+    are a subset of the uncapped verified pairs, and an identical-dup
+    cluster stays one connected component through the hub."""
+    from rdf_tabular_spark.ops.dedup import minhash_lsh_pairs
+
+    boiler = "the license header " * 12
+    rows = [(f"d{i:02d}", boiler) for i in range(20)]
+    rows += [(f"u{i}", f"unique document body number {i} with words {i*7}")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    full = {(r["a"], r["b"])
+            for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    capped_df = minhash_lsh_pairs(docs, threshold=0.8, max_bucket_size=5)
+    capped = {(r["a"], r["b"]) for r in capped_df.collect()}
+
+    assert capped <= full
+    # every identical doc reaches the hub d00 -> one component
+    assert {("d00", f"d{i:02d}") for i in range(1, 20)} <= capped
+    # and the hub pattern collapsed the quadratic blowup
+    assert len(full) == 20 * 19 // 2
+    assert len(capped) == 19

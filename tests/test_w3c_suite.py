@@ -49,9 +49,20 @@ def _load_manifest(path: str, data_dir: str, base: str):
 
 
 def _collect_entries():
+    here = os.path.join(os.path.dirname(__file__), "w3c")
     out = _load_manifest(
-        os.path.join(os.path.dirname(__file__), "w3c", "manifest.jsonld"),
-        FIXTURE_DIR, BASE)
+        os.path.join(here, "manifest.jsonld"), FIXTURE_DIR, BASE)
+    # r3: locally-authored spec-corner entries (dialect combos, UAX-35
+    # shifts, composite FKs, exotic datatypes + facets, templates,
+    # null/default/list interplay) — hand-derived goldens standing in for
+    # the network-only official manifests
+    out += _load_manifest(
+        os.path.join(here, "extra", "manifest-extra.jsonld"),
+        os.path.join(here, "extra"), "http://example.org/x/")
+    # r3: the reference's own etc/doap golden (gem-generated, Rakefile:65)
+    out += _load_manifest(
+        os.path.join(here, "manifest-etc.jsonld"),
+        os.path.join(FIXTURE_DIR, "..", "..", "etc"), BASE)
     mirror = os.environ.get("CSVW_TESTS_DIR")
     if mirror:
         for variant in ("rdf", "json", "validation"):
