@@ -87,7 +87,10 @@ class Dialect:
 
     @property
     def escape_char(self) -> str:
-        return '"' if self.doubleQuote else "\\"
+        # doubleQuote=true escapes by doubling the QUOTE char (whatever it
+        # is — a quoteChar of ' doubles as ''), false by backslash; the JVM
+        # csv option `escape` implements doubling when set to the quote char
+        return (self.quoteChar or '"') if self.doubleQuote else "\\"
 
     @property
     def line_terminator_list(self) -> list[str]:

@@ -134,15 +134,31 @@ def _fallback_expand(template: str, bindings: dict[str, Column]) -> Column:
         ensure_py_files(active)
 
     names = [n for n in template_variables(template) if n in bindings]
+    if not names:
+        return F.lit(py_expand(template, {}))
 
-    @pandas_udf("string")
-    def _expand(*cols: pd.Series) -> pd.Series:
-        out = []
-        for row in zip(*cols):
-            out.append(py_expand(template, dict(zip(names, row))))
-        return pd.Series(out)
+    from typing import Iterator, Tuple
 
-    return _expand(*[bindings[n] for n in names])
+    # scalar-iterator form: the only pandas-UDF shape that admits a
+    # variable number of input columns (a variadic `*cols` signature is
+    # rejected by the type-hint inference). Annotations are assigned as
+    # REAL typing objects — inline hints would be stringified by
+    # `from __future__ import annotations` and the local Iterator/pd
+    # names are unresolvable from module globals at inference time.
+    def _expand(it):
+        for cols in it:
+            if not isinstance(cols, tuple):
+                cols = (cols,)
+            yield pd.Series(
+                [py_expand(template, dict(zip(names, row)))
+                 for row in zip(*cols)],
+                dtype=object)
+
+    _expand.__annotations__ = {
+        "it": Iterator[Tuple[pd.Series, ...]],
+        "return": Iterator[pd.Series],
+    }
+    return pandas_udf(_expand, "string")(*[bindings[n] for n in names])
 
 
 def _common_bindings(table: CompiledTable) -> dict[str, Column]:
