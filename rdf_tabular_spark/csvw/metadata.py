@@ -176,8 +176,11 @@ class CompiledColumn:
 @dataclass(frozen=True)
 class ForeignKey:
     column_reference: tuple[str, ...]
-    resource: str  # resolved referenced-table url
+    resource: str | None  # resolved referenced-table url
     referenced_columns: tuple[str, ...]
+    #: reference.schemaReference (resolved @id of the target tableSchema);
+    #: parse_metadata resolves it to the owning table's url into `resource`
+    schema_ref: str | None = None
 
 
 @dataclass(frozen=True)
@@ -192,6 +195,7 @@ class CompiledTable:
     suppress_output: bool = False
     common_properties: dict = field(default_factory=dict)
     notes: Any = None
+    schema_id: str | None = None  # tableSchema @id (schemaReference target)
 
 
 @dataclass(frozen=True)
@@ -335,7 +339,10 @@ def _compile_table(
         if isinstance(ref_cols, str):
             ref_cols = (ref_cols,)
         resource = _resolve_url(ref.get("resource"), base)
-        fks.append(ForeignKey(tuple(colref), resource, tuple(ref_cols or ())))
+        schema_ref = _resolve_url(ref.get("schemaReference"), base)
+        fks.append(ForeignKey(
+            tuple(colref), resource, tuple(ref_cols or ()),
+            schema_ref=schema_ref))
 
     return CompiledTable(
         url=url,
@@ -348,6 +355,8 @@ def _compile_table(
         suppress_output=bool(obj.get("suppressOutput", False)),
         common_properties={k: v for k, v in obj.items() if _is_common_property(k)},
         notes=obj.get("notes"),
+        schema_id=_resolve_url(schema.get("@id"), base)
+        if isinstance(schema, dict) else None,
     )
 
 
@@ -420,6 +429,21 @@ def parse_metadata(doc: dict, base: str | None = None) -> CompiledTableGroup:
         _compile_table(t, base, group_inherit, doc.get("dialect"), default_lang)
         for t in doc.get("tables") or []
     )
+    # resolve schemaReference FKs to the owning table's url — needs the
+    # whole group compiled (metadata.rb: schemaReference matches the @id
+    # of another table's tableSchema)
+    by_schema_id = {t.schema_id: t.url for t in tables if t.schema_id}
+    if any(fk.schema_ref for t in tables for fk in t.foreign_keys):
+        from dataclasses import replace
+
+        tables = tuple(
+            replace(t, foreign_keys=tuple(
+                replace(fk, resource=by_schema_id.get(fk.schema_ref))
+                if fk.schema_ref and fk.resource is None else fk
+                for fk in t.foreign_keys))
+            if any(fk.schema_ref for fk in t.foreign_keys) else t
+            for t in tables
+        )
     return CompiledTableGroup(
         tables=tables,
         id=_resolve_url(doc.get("@id"), base),

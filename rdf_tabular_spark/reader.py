@@ -402,6 +402,16 @@ def validate(
             parts.append(spark.createDataFrame(
                 [("scan", table.url, None, None, None, p)
                  for p in scan.problems], out_schema))
+        if scan.problems_df is not None:
+            # lazy ragged-row findings from the fast line path: stays a
+            # set-level plan, materialized only here in validation mode
+            parts.append(scan.problems_df.select(
+                F.lit("scan").alias("kind"),
+                F.lit(table.url).alias("table"),
+                F.lit(None).cast("long").alias("row"),
+                F.col("source_row").cast("long"),
+                F.lit(None).cast("string").alias("column"),
+                F.col("detail")))
         # schema-vs-embedded-header compatibility (verify_compatible!,
         # metadata.rb:996-1079): in validation mode an incompatibility is a
         # reported problem; the declared schema then proceeds unmerged

@@ -41,6 +41,10 @@ class TableScan:
     comments: list[str] = field(default_factory=list)
     n_physical_columns: int = 0
     problems: list[str] = field(default_factory=list)  # e.g. ragged rows
+    #: lazy scan problems (source_row long, detail string) — the fast line
+    #: path surfaces ragged rows through this DataFrame so the ToRdf hot
+    #: path never pays a probe action; only validate() materializes it
+    problems_df: DataFrame | None = None
 
 
 #: (path, mtime, quoteChar, delimiter) -> does the file need record framing
@@ -333,7 +337,11 @@ def read_table(
         width = len(_parse_csv_line(first[0].value, d)) if first else 0
         n_cols = max(width, 1)
 
-    schema_ddl = ", ".join(f"`_x{i}` string" for i in range(n_cols))
+    # one overflow slot so data rows wider than the schema surface as
+    # ragged-row problems (lazily, via problems_df) instead of being
+    # silently truncated — same contract as the record-framing path
+    schema_ddl = ", ".join(f"`_x{i}` string" for i in range(n_cols)) \
+        + ", `_overflow` string"
     opts = {
         "sep": d.delimiter,
         "quote": d.quoteChar or '"',
@@ -345,6 +353,10 @@ def read_table(
         F.from_csv(F.col("value"), schema_ddl, opts).alias("r"),
         "value",
     )
+    problems_df = parsed.filter(F.col("r._overflow").isNotNull()).select(
+        F.col("_sourceRow").alias("source_row"),
+        F.concat(F.lit(f"ragged row wider than the {n_cols}-column schema"))
+        .alias("detail"))
     cols = [F.col(f"r._x{i + d.skipColumns}").alias(f"_c{i}")
             for i in range(n_cols - d.skipColumns)]
     parsed = parsed.select("_sourceRow", "value", *cols)
@@ -370,6 +382,7 @@ def read_table(
         header_titles=header_titles,
         comments=comments,
         n_physical_columns=n_cols,
+        problems_df=problems_df,
     )
 
 
