@@ -197,10 +197,12 @@ def minhash_lsh_pairs(
         from pyspark.sql import Window
 
         w = Window.partitionBy("key")
-        sized = bucketed.select(
+        # cached: three consumers (both join sides + hub pairs) would
+        # otherwise each recompute the shingle->minhash->window subtree
+        sized = _cache(bucketed.select(
             "key", "id",
             F.count("*").over(w).alias("_n"),
-            F.min("id").over(w).alias("_hub"))
+            F.min("id").over(w).alias("_hub")))
         bucketed = sized.filter(F.col("_n") <= max_bucket_size) \
             .select("key", "id")
         # hub < id always (hub is the bucket min), so ordering holds
