@@ -767,6 +767,31 @@ def q_split_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(scored, "quality", scale=0.8)
 
 
+def q_split_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (ops/split.source_quota_sample): at most 12
+    docs per source, md5-deterministic ranking — the per-domain cap of a
+    pretraining mix. One shuffle keyed by source; Spark rewrites the
+    rank<=k filter to WindowGroupLimit (map-side top-k heap), so a hot
+    domain never materializes on one reducer."""
+    from rdf_tabular_spark.ops.split import source_quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_quota_sample(docs, 12).select("doc_id", "source")
+
+
+def sql_split_source_quota() -> str:
+    return """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(COALESCE(CAST(doc_id AS VARCHAR), '__null__')
+                            || '|quota'), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 12
+    """
+
+
 def sql_split_weighted_sample() -> str:
     return f"""
     WITH q AS MATERIALIZED ({sql_text_quality()})
@@ -3246,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_recall": q_similarity_recall,
         "multimodal_decode": q_multimodal_decode,
         "bpe_encode": q_bpe_encode,
+        "split_source_quota": q_split_source_quota,
         # -- r2-hash-proven (CORRECTNESS_r02.json green rows) --------------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -3326,6 +3352,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": sql_split_assign(),
         "split_stratified": sql_split_stratified(),
         "split_weighted_sample": sql_split_weighted_sample(),
+        "split_source_quota": sql_split_source_quota(),
         "text_vocab": sql_text_vocab(),
         "text_tfidf": sql_text_tfidf(),
         "text_oov_rate": sql_text_oov_rate(),

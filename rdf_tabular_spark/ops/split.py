@@ -125,3 +125,34 @@ def weighted_sample(df: DataFrame, weight_col: str,
     w = F.coalesce(F.col(weight_col), F.lit(0.0))
     cut = F.least(F.round(w * scale * BUCKETS), F.lit(float(BUCKETS)))
     return df.filter(bucket < cut)
+
+
+def source_quota_sample(df: DataFrame, quota: int,
+                        source_col: str = "source",
+                        key_col: str = "doc_id",
+                        salt: str = "quota") -> DataFrame:
+    """Per-source document cap — the per-domain quota step of a
+    pretraining mix (no single domain/source may dominate the corpus).
+    Keeps at most *quota* rows per source, chosen by a deterministic
+    md5 ranking of the row KEY (never physical layout), so the same
+    quota on the same corpus always keeps the same rows.
+
+    One shuffle, keyed by source. At web scale the key space (registrable
+    domains) is ~10^7-wide, so partitions balance; a single hot source is
+    bounded by the quota itself — Spark rewrites the rank<=k filter into
+    WindowGroupLimit, which keeps a per-partition top-k heap on the map
+    side and never materializes a hot source's full row list on one
+    reducer."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.concat(F.coalesce(F.col(key_col).cast("string"),
+                                  F.lit("__null__")),
+                       F.lit("|" + salt))),
+        F.col(key_col),
+    )
+    return (
+        df.withColumn("_quota_rank", F.row_number().over(w))
+        .filter(F.col("_quota_rank") <= quota)
+        .drop("_quota_rank")
+    )

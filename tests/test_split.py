@@ -121,3 +121,28 @@ def test_weighted_sample_null_weight_dropped(spark):
         [(1, None), (2, 1.0)], "doc_id long, w double")
     kept = {r.doc_id for r in weighted_sample(df, "w").collect()}
     assert kept == {2}  # NULL weight = conservative drop, never 100% keep
+
+
+def test_source_quota_sample(spark):
+    """Quota cap: at most N per source, deterministic across partition
+    layouts, monotone in quota (raising it only adds rows)."""
+    from rdf_tabular_spark.ops.split import source_quota_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(60)] + [(100 + i, "hot")
+                                                    for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept = source_quota_sample(df, 5)
+    per = {r["source"]: r["count"]
+           for r in kept.groupBy("source").count().collect()}
+    assert all(v == 5 for v in per.values()) and len(per) == 4
+
+    a = sorted(r["doc_id"] for r in source_quota_sample(
+        df.repartition(2), 5).collect())
+    b = sorted(r["doc_id"] for r in source_quota_sample(
+        df.repartition(13), 5).collect())
+    assert a == b
+
+    small = {r["doc_id"] for r in source_quota_sample(df, 5).collect()}
+    big = {r["doc_id"] for r in source_quota_sample(df, 9).collect()}
+    assert small <= big
