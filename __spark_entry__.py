@@ -792,6 +792,36 @@ def sql_split_source_quota() -> str:
     """
 
 
+def q_split_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mix rebalance (ops/split.rebalance_mix): downsample three
+    sources toward 60/30/10 — per-source keep-prob f*T/n with
+    T = min(n/f), md5-deterministic keeps, map-only after one
+    #sources-row count agg (no corpus re-shuffle)."""
+    from rdf_tabular_spark.ops.split import rebalance_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return rebalance_mix(
+        docs, {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+    ).select("doc_id", "source")
+
+
+def sql_split_rebalance_mix() -> str:
+    return """
+    WITH fr(source, f) AS (VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1)),
+    c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT MIN(c.n / fr.f) AS t FROM c JOIN fr USING (source)),
+    cut AS (
+      SELECT c.source,
+             CAST(floor(least(1.0, fr.f * t.t / c.n) * 10000) AS BIGINT) AS cut
+      FROM c JOIN fr USING (source), t)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN cut ON d.source = cut.source
+    WHERE CAST(('0x' || substr(md5(COALESCE(CAST(d.doc_id AS VARCHAR),
+                                            '__null__') || '|mix'),
+                               1, 8)) AS BIGINT) % 10000 < cut.cut
+    """
+
+
 def sql_split_weighted_sample() -> str:
     return f"""
     WITH q AS MATERIALIZED ({sql_text_quality()})
@@ -3272,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "bpe_encode": q_bpe_encode,
         "split_source_quota": q_split_source_quota,
+        "split_rebalance_mix": q_split_rebalance_mix,
         # -- r2-hash-proven (CORRECTNESS_r02.json green rows) --------------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -3353,6 +3384,7 @@ def oracle_sql() -> dict[str, str]:
         "split_stratified": sql_split_stratified(),
         "split_weighted_sample": sql_split_weighted_sample(),
         "split_source_quota": sql_split_source_quota(),
+        "split_rebalance_mix": sql_split_rebalance_mix(),
         "text_vocab": sql_text_vocab(),
         "text_tfidf": sql_text_tfidf(),
         "text_oov_rate": sql_text_oov_rate(),

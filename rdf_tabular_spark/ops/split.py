@@ -156,3 +156,36 @@ def source_quota_sample(df: DataFrame, quota: int,
         .filter(F.col("_quota_rank") <= quota)
         .drop("_quota_rank")
     )
+
+
+def rebalance_mix(df: DataFrame, target_fracs: dict[str, float],
+                  source_col: str = "source",
+                  key_col: str = "doc_id", salt: str = "mix") -> DataFrame:
+    """Downsample toward a target source mix ("30% code / 50% web /
+    20% books"). Source *s* with ``n_s`` rows and target fraction
+    ``f_s`` keeps each row with probability ``p_s = f_s * T / n_s``
+    where ``T = min_s(n_s / f_s)`` — the largest output size at which
+    every requested fraction is reachable by downsampling alone (the
+    scarcest source keeps 100%). Sources absent from the target are
+    dropped.
+
+    Keeps are md5-deterministic per row key (layout-/cluster-invariant,
+    rerunnable). Cost: one map-side-combined count per source (rows =
+    #sources, driver-bounded like k-means centroids), then a map-only
+    filter with the per-source cut folded in as a literal map — no join,
+    no second shuffle of the corpus."""
+    counts = {r[0]: r[1]
+              for r in df.groupBy(source_col).count().collect()}
+    t = min(counts[s] / f for s, f in target_fracs.items()
+            if f > 0 and s in counts)
+    cuts = []
+    for s, f in sorted(target_fracs.items()):
+        if s not in counts or f <= 0:
+            continue
+        p = min(1.0, f * t / counts[s])
+        # floor, not round: half-even vs half-away rounding differs
+        # across engines; floor keeps the cut reproducible everywhere
+        cuts.extend([F.lit(s), F.lit(float(int(p * BUCKETS)))])
+    cut = F.element_at(F.create_map(*cuts), F.col(source_col))
+    bucket = hash_bucket(F.col(key_col), salt)
+    return df.filter(cut.isNotNull() & (bucket < cut))

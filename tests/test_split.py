@@ -146,3 +146,30 @@ def test_source_quota_sample(spark):
     small = {r["doc_id"] for r in source_quota_sample(df, 5).collect()}
     big = {r["doc_id"] for r in source_quota_sample(df, 9).collect()}
     assert small <= big
+
+
+def test_rebalance_mix(spark):
+    """Mix rebalance: the scarcest source (relative to its target) keeps
+    everything, proportions approach the target, absent sources drop,
+    and keeps are layout-invariant."""
+    from rdf_tabular_spark.ops.split import rebalance_mix
+
+    rows = ([(i, "web") for i in range(400)]
+            + [(1000 + i, "code") for i in range(100)]
+            + [(2000 + i, "junk") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = rebalance_mix(df, {"web": 0.5, "code": 0.5})
+    per = {r["source"]: r["count"]
+           for r in out.groupBy("source").count().collect()}
+    # T = min(400/0.5, 100/0.5) = 200 -> code keeps all 100,
+    # web keeps ~100 of 400 (md5 Bernoulli at p=0.25)
+    assert per["code"] == 100
+    assert 70 <= per["web"] <= 130
+    assert "junk" not in per
+
+    a = sorted(r["doc_id"] for r in rebalance_mix(
+        df.repartition(3), {"web": 0.5, "code": 0.5}).collect())
+    b = sorted(r["doc_id"] for r in rebalance_mix(
+        df.repartition(11), {"web": 0.5, "code": 0.5}).collect())
+    assert a == b
