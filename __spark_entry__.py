@@ -1172,6 +1172,46 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_docs(docs, test, n=8)
 
 
+def q_decon_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (ops/decon.fuzzy_decon_pairs, engine="md5"):
+    MinHash-banded train x eval candidate join (eval side broadcast),
+    exact-Jaccard verified — catches lightly-edited test copies the
+    8-gram pass misses. md5 end-to-end so the DuckDB twin reproduces
+    the rows bit-for-bit; production uses engine="fast" (murmur3),
+    pinned equal by tests."""
+    from rdf_tabular_spark.ops.decon import fuzzy_decon_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 37 == 0)
+    return fuzzy_decon_pairs(docs, test, threshold=0.5, engine="md5")
+
+
+def sql_decon_fuzzy() -> str:
+    n_bands, rows_per_band = 8, 2
+    sigs = ", ".join(
+        f"list_min(list_transform(s, t -> md5(t || '|{seed}')))"
+        for seed in range(n_bands * rows_per_band))
+    keys = ", ".join(
+        "md5('{b}' || '|' || sig[{i}] || '|' || sig[{j}])".format(
+            b=b, i=b * rows_per_band + 1, j=b * rows_per_band + 2)
+        for b in range(n_bands))
+    return _SHINGLE_SQL.format(km1=2) + f""",
+    sig AS (SELECT doc_id, s, [{sigs}] AS sig FROM sh),
+    keys AS (SELECT doc_id, unnest([{keys}]) AS key FROM sig),
+    pairs AS (
+      SELECT DISTINCT tr.doc_id AS train_id, te.doc_id AS test_id
+      FROM keys tr JOIN keys te ON tr.key = te.key
+      WHERE te.doc_id % 37 = 0)
+    SELECT p.train_id, p.test_id,
+           round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                 / len(list_distinct(x.s || y.s)), 6) AS jaccard
+    FROM pairs p JOIN sh x ON x.doc_id = p.train_id
+                 JOIN sh y ON y.doc_id = p.test_id
+    WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+          / len(list_distinct(x.s || y.s)) >= 0.5
+    """
+
+
 def sql_decontaminate() -> str:
     return """
     WITH toks AS (
@@ -3303,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "split_source_quota": q_split_source_quota,
         "split_rebalance_mix": q_split_rebalance_mix,
+        "decon_fuzzy": q_decon_fuzzy,
         # -- r2-hash-proven (CORRECTNESS_r02.json green rows) --------------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -3385,6 +3426,7 @@ def oracle_sql() -> dict[str, str]:
         "split_weighted_sample": sql_split_weighted_sample(),
         "split_source_quota": sql_split_source_quota(),
         "split_rebalance_mix": sql_split_rebalance_mix(),
+        "decon_fuzzy": sql_decon_fuzzy(),
         "text_vocab": sql_text_vocab(),
         "text_tfidf": sql_text_tfidf(),
         "text_oov_rate": sql_text_oov_rate(),

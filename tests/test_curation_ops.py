@@ -337,3 +337,29 @@ def test_char_entropy(spark):
     assert got[2] == (4, round(math.log(2), 6))      # two equal symbols
     assert got[3] == (4, round(math.log(4), 6))      # uniform = ln(n)
     assert got[4] == (0, None) and got[5] == (0, None)
+
+
+def test_fuzzy_decon_engines_agree_and_catch_edits(spark):
+    """fast (murmur3) and md5 engines return identical pairs; a
+    lightly-edited test copy is flagged while unrelated docs are not."""
+    from rdf_tabular_spark.ops.decon import fuzzy_decon_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    train = spark.createDataFrame(
+        [(1, base),
+         (2, base.replace("lazy", "sleepy")),     # light edit -> flagged
+         (3, "completely different content about spark query planning "
+             "and shuffle partitions in a distributed engine")],
+        "doc_id long, text string")
+    test = spark.createDataFrame([(100, base)], "doc_id long, text string")
+
+    fast = {(r["train_id"], r["test_id"]): r["jaccard"]
+            for r in fuzzy_decon_pairs(train, test, threshold=0.4).collect()}
+    md5 = {(r["train_id"], r["test_id"]): r["jaccard"]
+           for r in fuzzy_decon_pairs(train, test, threshold=0.4,
+                                      engine="md5").collect()}
+    assert fast == md5
+    assert (1, 100) in fast and fast[(1, 100)] == 1.0
+    assert (2, 100) in fast and fast[(2, 100)] < 1.0
+    assert all(t != 3 for t, _ in fast)
