@@ -2256,6 +2256,25 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples
 
 
+def q_kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped graph serialization (kg/materialize.subject_adjacency):
+    per (subj, pred) the sorted '|'-joined object list — the
+    deterministic form behind graph_json_lines, the rdf-tabular to_json
+    analog for the assembled graph. One hash agg keyed by (subj, pred)."""
+    from rdf_tabular_spark.kg.materialize import subject_adjacency
+
+    _, _, triples = _kg_oracle_run(spark)
+    return subject_adjacency(triples)
+
+
+def sql_kg_adjacency() -> str:
+    return f"""
+    WITH t AS ({sql_kg_triples()})
+    SELECT subj, pred, string_agg(obj, '|' ORDER BY obj) AS objs
+    FROM t GROUP BY subj, pred
+    """
+
+
 def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity table with the aliases array serialized '|'-joined — the
     driver's pandas canonicalizer can't sort list cells (round-1 red row)."""
@@ -3344,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_source_quota": q_split_source_quota,
         "split_rebalance_mix": q_split_rebalance_mix,
         "decon_fuzzy": q_decon_fuzzy,
+        "kg_adjacency": q_kg_adjacency,
         # -- r2-hash-proven (CORRECTNESS_r02.json green rows) --------------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -3427,6 +3447,7 @@ def oracle_sql() -> dict[str, str]:
         "split_source_quota": sql_split_source_quota(),
         "split_rebalance_mix": sql_split_rebalance_mix(),
         "decon_fuzzy": sql_decon_fuzzy(),
+        "kg_adjacency": sql_kg_adjacency(),
         "text_vocab": sql_text_vocab(),
         "text_tfidf": sql_text_tfidf(),
         "text_oov_rate": sql_text_oov_rate(),

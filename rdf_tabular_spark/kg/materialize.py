@@ -1,0 +1,88 @@
+"""Final graph materialization: production tables + JSON serialization.
+
+The north-star target shape is "Iceberg triple and entity tables plus an
+rdf-tabular-compatible JSON serialization". The Iceberg *catalog* is an
+environment non-goal (runtime jar absent in this sandbox — README), but
+the layout decisions that matter at 100 TB are the writer's, and they go
+through the same ``DataFrameWriter`` seam an Iceberg sink uses:
+
+- the triple table is PARTITIONED BY ``pred``: the BGP layer
+  (kg/query.py) pins constant predicates onto the scan, so a
+  ``?s imports ?o`` pattern over a 100 TB triple table with ~40 distinct
+  predicates reads only the matching partition directories (partition
+  pruning), not the whole table;
+- within each predicate partition, files are written sorted by ``subj``
+  (``sortWithinPartitions``) so min/max footer stats make subject point
+  lookups skip row groups;
+- the entity table is small (vocabulary-sized) and lands as a plain
+  sorted table.
+
+The JSON serialization mirrors rdf-tabular's ``to_json`` row-object
+shape (reader.rb to_json: one object per subject with predicate keys):
+one JSON line per subject, predicates as keys, objects as sorted arrays.
+One shuffle, keyed by subject; serialization is native ``to_json``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def materialize_graph(triples: DataFrame, entities: DataFrame,
+                      path: str) -> dict[str, str]:
+    """Write the final graph tables; returns the table paths."""
+    t_path = os.path.join(path, "triples")
+    e_path = os.path.join(path, "entities")
+    (triples
+     .repartition("pred")
+     .sortWithinPartitions("subj", "obj")
+     .write.mode("overwrite").partitionBy("pred").parquet(t_path))
+    entities.sort("iri").write.mode("overwrite").parquet(e_path)
+    return {"triples": t_path, "entities": e_path}
+
+
+def subject_adjacency(triples: DataFrame) -> DataFrame:
+    """(subj, pred, objs) with objects sorted and '|'-joined — the
+    deterministic grouped form behind the JSON serialization (and its
+    cross-engine oracle). One hash aggregation keyed by (subj, pred)."""
+    return (
+        triples.groupBy("subj", "pred")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("obj")))
+             .alias("objs"))
+    )
+
+
+def graph_json_lines(triples: DataFrame) -> DataFrame:
+    """One JSON line per subject: ``{"@id": subj, "<pred>": [objs...]}``
+    with predicate keys and object arrays sorted (deterministic bytes).
+    The rdf-tabular ``to_json`` analog for the assembled graph; feed to
+    ``operators.json_rows.write_json_lines`` for the distributed sink."""
+    per_pred = (
+        triples.groupBy("subj", "pred")
+        .agg(F.sort_array(F.collect_list("obj")).alias("objs")))
+    # JSON-escape the bare subject string by serializing a 1-element
+    # array and stripping the brackets (to_json only takes containers)
+    subj_json = F.expr(
+        "substring(to_json(array(subj)), 2, length(to_json(array(subj))) - 2)")
+    return (
+        per_pred.groupBy("subj")
+        .agg(F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("pred", "objs"))))
+            .alias("po"))
+        .select(
+            "subj",
+            F.concat(
+                F.lit('{"@id":'), subj_json,
+                F.when(F.size("po") > 0, F.concat(F.lit(","),
+                       F.regexp_replace(F.to_json(F.col("po")), r"^\{|\}$", "")))
+                .otherwise(F.lit("")),
+                F.lit("}"),
+            ).alias("json"))
+    )
+
+
+def read_triples(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, "triples"))

@@ -206,3 +206,42 @@ def test_resume_after_partial_stage_failure(spark, tmp_path):
     assert not resumed["graph"]  # the killed stage re-ran
     got = sorted(map(tuple, res2["triples"].collect()))
     assert got == want
+
+
+def test_materialize_graph_partition_pruning(spark, tmp_path):
+    """Final graph tables: triple table partitioned by pred (a constant-
+    predicate read carries a PartitionFilter — the BGP layer's scan
+    shape), full roundtrip, and deterministic JSON-lines serialization."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from rdf_tabular_spark.kg.materialize import (
+        graph_json_lines,
+        materialize_graph,
+        read_triples,
+    )
+
+    tr = spark.createDataFrame(
+        [("a", "imports", "x"), ("a", "imports", "b"),
+         ("a", "defines", 'f"1'), ("b", "imports", "x")],
+        "subj string, pred string, obj string")
+    ent = spark.createDataFrame([("x", "module")], "iri string, kind string")
+
+    paths = materialize_graph(tr, ent, str(tmp_path))
+    back = read_triples(spark, str(tmp_path))
+    assert back.count() == 4
+
+    pruned = back.filter(F.col("pred") == "imports")
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "pred" in pf[0]
+    assert pruned.count() == 3
+
+    lines = {r["subj"]: json.loads(r["json"])
+             for r in graph_json_lines(tr).collect()}
+    assert lines["a"] == {"@id": "a", "defines": ['f"1'],
+                          "imports": ["b", "x"]}
+    assert lines["b"] == {"@id": "b", "imports": ["x"]}
