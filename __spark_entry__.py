@@ -2412,6 +2412,32 @@ def sql_kg_bgp() -> str:
     """
 
 
+def q_kg_bgp_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property-path operators beyond ``pred+`` (kg/query.py r3):
+    inverse (^imports walks module -> importing file) composed with
+    alternation (imports|dependsOn) on a shared variable. ``pred*``
+    (zero-or-more) is pytest-covered (test_bgp) — its zero-length node
+    set has no natural single-query SQL twin."""
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    return match_bgp(triples, [
+        ("?m", "^" + _KG + "imports", "?f"),
+        ("?f", _KG + "imports|" + _KG + "dependsOn", "?x"),
+    ], project=["m", "f", "x"])
+
+
+def sql_kg_bgp_paths() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT DISTINCT i.obj AS m, i.subj AS f, a.obj AS x
+    FROM kgq i
+    JOIN kgq a ON a.subj = i.subj
+              AND a.pred IN ('{_KG}imports', '{_KG}dependsOn')
+    WHERE i.pred = '{_KG}imports'
+    """
+
+
 def q_kg_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UNION (kg/query.union_bgp): every file->module relationship
     regardless of edge kind (imports UNION dependsOn), set semantics."""
@@ -3364,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_rebalance_mix": q_split_rebalance_mix,
         "decon_fuzzy": q_decon_fuzzy,
         "kg_adjacency": q_kg_adjacency,
+        "kg_bgp_paths": q_kg_bgp_paths,
         # -- r2-hash-proven (CORRECTNESS_r02.json green rows) --------------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -3448,6 +3475,7 @@ def oracle_sql() -> dict[str, str]:
         "split_rebalance_mix": sql_split_rebalance_mix(),
         "decon_fuzzy": sql_decon_fuzzy(),
         "kg_adjacency": sql_kg_adjacency(),
+        "kg_bgp_paths": sql_kg_bgp_paths(),
         "text_vocab": sql_text_vocab(),
         "text_tfidf": sql_text_tfidf(),
         "text_oov_rate": sql_text_oov_rate(),

@@ -47,16 +47,20 @@ DEFAULT_PATH_MAX_HOPS = 10
 
 def _compile_path_pattern(triples: DataFrame, pattern: tuple,
                           max_hops: int) -> DataFrame:
-    """A pattern whose predicate ends in ``+`` (SPARQL one-or-more
-    property path): replace the triple scan with the bounded transitive
-    closure of that predicate's edge list (graph.reachability — semi-
-    naive BFS), then bind s/o exactly like a plain pattern. Constants
-    filter the CLOSED pair set, so ``(<file>, "kg:dep+", ?m)`` is
-    everything reachable from one node."""
+    """A pattern whose predicate ends in ``+`` or ``*`` (SPARQL one-/
+    zero-or-more property paths): replace the triple scan with the
+    bounded transitive closure of that predicate's edge list
+    (graph.reachability — semi-naive BFS), then bind s/o exactly like a
+    plain pattern. Constants filter the CLOSED pair set, so
+    ``(<file>, "kg:dep+", ?m)`` is everything reachable from one node.
+    ``pred*`` additionally matches the zero-length path: one (x, x) row
+    per graph node (distinct subjects ∪ IRI objects over the whole
+    triple table — the engine's pragmatic reading of SPARQL's
+    unbounded zero-length term set)."""
     from .graph import reachability
 
     s, p, o = pattern
-    base = p[:-1]
+    base, star = p[:-1], p.endswith("*")
     edges = (
         triples.filter((F.col("pred") == base) & F.col("obj_is_iri"))
         .select(F.col("subj").alias("subj"), F.col("obj").alias("obj"))
@@ -68,6 +72,14 @@ def _compile_path_pattern(triples: DataFrame, pattern: tuple,
             max_hops=max_hops)
         .select(F.col("src").alias("subj"), F.col("dst").alias("obj"))
     )
+    if star:
+        nodes = (
+            triples.select("subj")
+            .unionByName(triples.filter(F.col("obj_is_iri"))
+                         .select(F.col("obj").alias("subj")))
+            .distinct())
+        closed = closed.unionByName(
+            nodes.select("subj", F.col("subj").alias("obj"))).distinct()
     df = closed
     var_cols: dict[str, str] = {}
     for pos, term in zip(("subj", "obj"), (s, o)):
@@ -91,8 +103,23 @@ def _compile_pattern(triples: DataFrame, pattern: tuple,
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o): {pattern!r}")
     pred = pattern[1]
-    if isinstance(pred, str) and not _is_var(pred) and pred.endswith("+"):
-        return _compile_path_pattern(triples, pattern, path_max_hops)
+    if isinstance(pred, str) and not _is_var(pred):
+        if pred.startswith("^"):
+            # inverse path: swap subject/object and recurse (composes
+            # with +/*/| since the remainder re-dispatches)
+            return _compile_pattern(
+                triples, (pattern[2], pred[1:], pattern[0]), path_max_hops)
+        if "|" in pred:
+            # alternation: union of each alternative's matches; every
+            # branch binds the same variables, so columns line up
+            out = None
+            for alt in pred.split("|"):
+                part = _compile_pattern(
+                    triples, (pattern[0], alt, pattern[2]), path_max_hops)
+                out = part if out is None else out.unionByName(part)
+            return out.distinct()
+        if pred.endswith(("+", "*")):
+            return _compile_path_pattern(triples, pattern, path_max_hops)
     df = triples
     var_cols: dict[str, str] = {}  # var name -> first position holding it
     for pos, term in zip(_POSITIONS, pattern):

@@ -197,3 +197,37 @@ def test_union_bgp_bag_semantics(spark):
     bag = union_bgp(t, [[("?f", "imports", "?m")], [("?f", "dep", "?m")]],
                     project=["f", "m"], distinct=False).collect()
     assert len(bag) == 2  # bag semantics keeps both branch solutions
+
+
+def test_property_path_inverse_star_alternation(spark):
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    rows = [
+        ("a", "dep", "b", True), ("b", "dep", "c", True),
+        ("x", "uses", "b", True),
+        ("a", "lang", "py", False),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean")
+
+    # inverse: ^dep swaps direction
+    inv = {(r.x, r.y) for r in match_bgp(t, [("?x", "^dep", "?y")]).collect()}
+    assert inv == {("b", "a"), ("c", "b")}
+
+    # zero-or-more: dep+ pairs plus one (n, n) per graph NODE (subjects
+    # and IRI objects; the literal "py" is not a node)
+    star = {(r.x, r.y)
+            for r in match_bgp(t, [("?x", "dep*", "?y")]).collect()}
+    nodes = {"a", "b", "c", "x"}
+    assert star == {("a", "b"), ("b", "c"), ("a", "c")} | {
+        (n, n) for n in nodes}
+
+    # alternation: dep|uses
+    alt = {(r.x, r.y)
+           for r in match_bgp(t, [("?x", "dep|uses", "?y")]).collect()}
+    assert alt == {("a", "b"), ("b", "c"), ("x", "b")}
+
+    # composition: inverse of one-or-more (^dep+ = reachable backwards)
+    invplus = {(r.x, r.y)
+               for r in match_bgp(t, [("?x", "^dep+", "?y")]).collect()}
+    assert invplus == {("b", "a"), ("c", "b"), ("c", "a")}
