@@ -2438,6 +2438,38 @@ def sql_kg_bgp_paths() -> str:
     """
 
 
+def q_kg_bgp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY / HAVING / ORDER+LIMIT (kg/query.aggregate_bgp +
+    solution_modifiers): top-5 repos by distinct imported modules. The
+    ORDER BY+LIMIT compiles to TakeOrderedAndProject (per-partition
+    top-k heap), never a global sort."""
+    from rdf_tabular_spark.kg.query import aggregate_bgp, solution_modifiers
+
+    _, _, triples = _kg_oracle_run(spark)
+    agg = aggregate_bgp(triples, [
+        ("?f", _KG + "imports", "?m"),
+        ("?f", _KG + "inRepo", "?r"),
+    ], group_by=["r"], aggs={"n_modules": "count(distinct m)",
+                             "n_links": "count(*)"},
+        having=["n_modules >= 2"])
+    return solution_modifiers(
+        agg, order_by=["n_modules DESC", "n_links DESC", "r"], limit=5)
+
+
+def sql_kg_bgp_aggregate() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT r.obj AS r, count(DISTINCT i.obj) AS n_modules,
+           count(*) AS n_links
+    FROM kgq i JOIN kgq r ON r.subj = i.subj AND r.pred = '{_KG}inRepo'
+    WHERE i.pred = '{_KG}imports'
+    GROUP BY r.obj
+    HAVING count(DISTINCT i.obj) >= 2
+    ORDER BY n_modules DESC, n_links DESC, r
+    LIMIT 5
+    """
+
+
 def q_kg_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UNION (kg/query.union_bgp): every file->module relationship
     regardless of edge kind (imports UNION dependsOn), set semantics."""
@@ -3391,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decon_fuzzy": q_decon_fuzzy,
         "kg_adjacency": q_kg_adjacency,
         "kg_bgp_paths": q_kg_bgp_paths,
+        "kg_bgp_aggregate": q_kg_bgp_aggregate,
         # -- r2-hash-proven (CORRECTNESS_r02.json green rows) --------------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -3476,6 +3509,7 @@ def oracle_sql() -> dict[str, str]:
         "decon_fuzzy": sql_decon_fuzzy(),
         "kg_adjacency": sql_kg_adjacency(),
         "kg_bgp_paths": sql_kg_bgp_paths(),
+        "kg_bgp_aggregate": sql_kg_bgp_aggregate(),
         "text_vocab": sql_text_vocab(),
         "text_tfidf": sql_text_tfidf(),
         "text_oov_rate": sql_text_oov_rate(),

@@ -271,3 +271,68 @@ def minus_bgp(triples: DataFrame, patterns: list[tuple],
             raise ValueError(f"projected variables not bound: {missing}")
         acc = acc.select(*project)
     return acc.distinct() if distinct else acc
+
+
+def aggregate_bgp(triples: DataFrame, patterns: list[tuple],
+                  group_by: list[str], aggs: dict[str, str],
+                  having: list[str] | None = None,
+                  optional: list[tuple] | None = None,
+                  filters: list[str] | None = None,
+                  path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
+    """SPARQL GROUP BY + aggregates over a matched BGP.
+
+    *aggs* maps output column -> SQL aggregate expression over the bound
+    variables (``{"n_imports": "count(distinct m)"}``); *having* filters
+    the aggregated rows (SPARQL HAVING). The match runs with bag
+    semantics (``distinct=False``) because SPARQL aggregates operate on
+    the solution MULTISET — a premature distinct would silently turn
+    count() into count(distinct). One hash aggregation keyed by the
+    group variables; Spark's partial aggregation combines map-side, so a
+    hot group never concentrates raw solution rows on one reducer."""
+    sols = match_bgp(triples, patterns, optional=optional, filters=filters,
+                     distinct=False, path_max_hops=path_max_hops)
+    missing = [v for v in group_by if v not in sols.columns]
+    if missing:
+        raise ValueError(f"group_by variables not bound: {missing}")
+    out = sols.groupBy(*group_by).agg(
+        *[F.expr(expr).alias(name) for name, expr in aggs.items()])
+    for expr in having or []:
+        out = out.filter(F.expr(expr))
+    return out
+
+
+def solution_modifiers(df: DataFrame, order_by: list[str] | None = None,
+                       limit: int | None = None,
+                       offset: int | None = None) -> DataFrame:
+    """SPARQL ORDER BY / LIMIT / OFFSET over a solution set.
+
+    ORDER BY entries are SQL sort expressions (``"n DESC"``, ``"r"``).
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject — a per-partition
+    top-k heap plus a single k-row merge on the driver, never a global
+    sort of the solution set. OFFSET (rarely sane at scale) is applied
+    after the ordered limit via a window-free local slice when a limit
+    is present, else through a global sort (documented cost)."""
+    def _sort_expr(e: str):
+        # F.expr("n DESC") silently drops the direction (parses as `n`);
+        # peel the ASC/DESC suffix explicitly
+        head, _, tail = e.rpartition(" ")
+        if head and tail.upper() in ("ASC", "DESC"):
+            c = F.expr(head)
+            return c.desc() if tail.upper() == "DESC" else c.asc()
+        return F.expr(e)
+
+    if order_by:
+        df = df.orderBy(*[_sort_expr(e) for e in order_by])
+    if offset:
+        # SPARQL OFFSET needs the first offset+limit rows; keep the
+        # top-(offset+limit) heap shape, then drop the head locally
+        take = (offset + limit) if limit is not None else None
+        rows = df.limit(take) if take is not None else df
+        spark = df.sparkSession
+        head = rows.collect()[offset:]
+        out = spark.createDataFrame(head, df.schema) if head else \
+            spark.createDataFrame([], df.schema)
+        return out
+    if limit is not None:
+        df = df.limit(limit)
+    return df

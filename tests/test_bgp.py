@@ -231,3 +231,40 @@ def test_property_path_inverse_star_alternation(spark):
     invplus = {(r.x, r.y)
                for r in match_bgp(t, [("?x", "^dep+", "?y")]).collect()}
     assert invplus == {("b", "a"), ("c", "b"), ("c", "a")}
+
+
+def test_aggregate_bgp_and_modifiers(spark):
+    """GROUP BY over the solution multiset (bag semantics), HAVING, and
+    ORDER BY DESC + LIMIT through the top-k path."""
+    from rdf_tabular_spark.kg.query import aggregate_bgp, solution_modifiers
+
+    t = spark.createDataFrame(
+        [("f1", "imports", "a", True), ("f1", "imports", "b", True),
+         ("f2", "imports", "a", True), ("f3", "imports", "a", True),
+         ("f1", "inRepo", "r1", True), ("f2", "inRepo", "r1", True),
+         ("f3", "inRepo", "r2", True)],
+        "subj string, pred string, obj string, obj_is_iri boolean")
+
+    agg = aggregate_bgp(
+        t, [("?f", "imports", "?m"), ("?f", "inRepo", "?r")],
+        group_by=["r"], aggs={"n": "count(distinct m)",
+                              "links": "count(*)"})
+    rows = {r["r"]: (r["n"], r["links"]) for r in agg.collect()}
+    # bag semantics: r1 has 3 solution rows (f1x2 + f2), 2 distinct mods
+    assert rows == {"r1": (2, 3), "r2": (1, 1)}
+
+    top = solution_modifiers(agg, order_by=["n DESC", "r"], limit=1)
+    assert [(r["r"], r["n"]) for r in top.collect()] == [("r1", 2)]
+    plan = top._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "TakeOrdered" in plan
+
+    off = solution_modifiers(agg, order_by=["n DESC", "r"],
+                             limit=1, offset=1)
+    assert [r["r"] for r in off.collect()] == ["r2"]
+
+    hav = aggregate_bgp(
+        t, [("?f", "imports", "?m"), ("?f", "inRepo", "?r")],
+        group_by=["r"], aggs={"n": "count(distinct m)"}, having=["n >= 2"])
+    assert [r["r"] for r in hav.collect()] == ["r1"]
