@@ -26,8 +26,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# spark-submit ships the package via --py-files; direct `python tools/...`
+# runs resolve it from the repo root instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -39,6 +44,9 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", default=None,
                     help="enable resumable per-stage checkpoints + lineage")
     ap.add_argument("--jaccard-threshold", type=float, default=0.55)
+    ap.add_argument("--json-lines", action="store_true",
+                    help="also write the per-subject JSON-lines "
+                         "serialization (rdf-tabular to_json analog)")
     args = ap.parse_args()
     if not args.source and not args.n_files:
         ap.error("one of --source / --n-files is required")
@@ -80,8 +88,18 @@ def main() -> None:
         triples = dedupe_triples(
             link.remap_triples(raw, labels)).select(*TRIPLE_COLUMNS)
 
-    triples.write.mode("overwrite").parquet(f"{args.output}/triples")
-    entities.write.mode("overwrite").parquet(f"{args.output}/entities")
+    from rdf_tabular_spark.kg.materialize import (
+        graph_json_lines,
+        materialize_graph,
+    )
+
+    materialize_graph(triples, entities, args.output)
+    if args.json_lines:
+        # distributed JSONL sink: one line per subject, straight from the
+        # executors — no driver materialization
+        (graph_json_lines(spark.read.parquet(f"{args.output}/triples"))
+         .select("json").write.mode("overwrite")
+         .text(f"{args.output}/graph_jsonl"))
     n_triples = spark.read.parquet(f"{args.output}/triples").count()
     n_entities = spark.read.parquet(f"{args.output}/entities").count()
     wall = time.time() - t0
