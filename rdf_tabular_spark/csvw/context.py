@@ -69,6 +69,10 @@ def expand_iri(value: str, base: str | None = None, vocab: bool = False) -> str:
     JSON-LD context does for metadata values (documentRelative when *base*)."""
     if value is None:
         return None
+    if value.startswith("_:"):
+        # blank-node identifier: JSON-LD expand_iri returns it as-is
+        # (never document-relative) — templated "_:{id}" urls yield bnodes
+        return value
     m = _PNAME_RE.match(value)
     if m and m.group(1) in PREFIXES:
         return PREFIXES[m.group(1)] + m.group(2)

@@ -104,12 +104,17 @@ def compile_iri_template(
 
     if re.match(_SCHEME_RE, static_prefix):
         return expanded
+    if static_prefix.startswith("_:"):
+        # blank-node template ("_:{id}"): bnode identifiers are returned
+        # as-is, never resolved document-relative (JSON-LD expand_iri)
+        return expanded
     if static_prefix.startswith("#"):
         return F.concat(F.lit(_base_no_fragment(base)), expanded)
     if static_prefix == "":
         # resolution shape depends on the expanded value — runtime dispatch
         return (
             F.when(expanded == "", F.lit(base))
+            .when(expanded.startswith("_:"), expanded)
             .when(expanded.rlike(_SCHEME_RE), expanded)
             .when(expanded.startswith("#"), F.concat(F.lit(_base_no_fragment(base)), expanded))
             .otherwise(F.concat(F.lit(_base_dir(base)), expanded))
