@@ -44,14 +44,25 @@ class NumberPlan:
     """Compiled numeric picture pattern.
 
     ``regex`` validates the raw (whitespace-collapsed, upper-cased) value;
-    normalization then removes ``group_char``, maps ``decimal_char`` to '.',
-    applies the %/‰ decimal shift and E->e / NAN->NaN fixes.
+    normalization then strips the literal ``prefix``/``suffix`` affixes
+    (display text like a currency code — %/‰ stay for the shift), removes
+    ``group_char``, maps ``decimal_char`` to '.', applies the %/‰ decimal
+    shift and E->e / NAN->NaN fixes.
+
+    Affix stripping is a DELIBERATE divergence from the reference, which
+    keeps the matched prefix inside the typed value ("USD 1,234.50" with
+    pattern "USD #,##0.00" -> ill-formed "USD1234.50"^^xsd:decimal,
+    uax35.rb:206-211); the UAX-35 reading is that affixes are display
+    text and the numeric value excludes them — the same principle the
+    reference itself applies to %/‰.
     """
 
     regex: str
     group_char: str = ","
     decimal_char: str = "."
     pattern: str | None = None
+    prefix: str = ""
+    suffix: str = ""
 
 
 def _analyze_grouped_digits(part: str, group_char: str) -> tuple[int, int, int, int]:
@@ -209,14 +220,43 @@ def build_number_regex(
     return f"^(?:{prefix_re})(?:{body})(?:{suffix_re})$"
 
 
+def _affix_literals(pattern: str | None, group_char: str,
+                    decimal_char: str) -> tuple[str, str]:
+    """The literal prefix/suffix text of a picture pattern, whitespace-
+    collapsed and with %/‰ removed (those stay in the value for the
+    decimal shift)."""
+    if pattern is None:
+        return "", ""
+    g = re.escape(group_char)
+    d = re.escape(decimal_char)
+    numeric_re = (
+        rf"(?:\#|{g})*(?:0|{g})*"
+        rf"(?:{d}(?:0|{g})*(?:\#|{g})*"
+        rf"(?:E[+-]?(?:\#|{g})*(?:0|{g})*)?"
+        r")?"
+    )
+    m = re.match(rf"^(?P<prefix>[^#0]*)(?P<num>{numeric_re})(?P<suffix>.*)$",
+                 pattern)
+    if not m or not m.group("num"):
+        return "", ""
+
+    def clean(s: str) -> str:
+        return re.sub(r"[\s%‰]", "", s)
+
+    return clean(m.group("prefix")), clean(m.group("suffix"))
+
+
 def compile_number_pattern(
     pattern: str | None, group_char: str = ",", decimal_char: str = "."
 ) -> NumberPlan:
+    prefix, suffix = _affix_literals(pattern, group_char, decimal_char)
     return NumberPlan(
         regex=build_number_regex(pattern, group_char, decimal_char),
         group_char=group_char,
         decimal_char=decimal_char,
         pattern=pattern,
+        prefix=prefix,
+        suffix=suffix,
     )
 
 
@@ -232,6 +272,12 @@ def normalize_number(value: str, plan: NumberPlan) -> str | None:
     if not re.match(plan.regex, v):
         return None
     v = re.sub(r"\s+", "", v)
+    # strip literal display affixes (see NumberPlan docstring); the match
+    # above anchored them, so plain removal is exact
+    if plan.prefix and v.startswith(plan.prefix.upper()):
+        v = v[len(plan.prefix):]
+    if plan.suffix and v.endswith(plan.suffix.upper()):
+        v = v[: -len(plan.suffix)]
     v = v.replace(plan.group_char, "").replace(plan.decimal_char, ".")
     return shift_pct_permille(v)
 

@@ -87,6 +87,19 @@ def normalize_number_expr(v: Column, plan: uax35.NumberPlan) -> Column:
     if len(plan.group_char) == 1:
         ok = ok & ~v.contains(plan.group_char * 2)
     cleaned = F.regexp_replace(upper, r"\s+", "")
+    # strip literal display affixes (NumberPlan docstring): anchored by
+    # the regex match, so prefix/suffix removal is exact
+    if plan.prefix:
+        p = plan.prefix.upper()
+        cleaned = F.when(
+            cleaned.startswith(p), F.substring(cleaned, len(p) + 1, 2**30)
+        ).otherwise(cleaned)
+    if plan.suffix:
+        s = plan.suffix.upper()
+        cleaned = F.when(
+            cleaned.endswith(s),
+            F.substring(cleaned, 1, F.length(cleaned) - len(s)),
+        ).otherwise(cleaned)
     cleaned = F.replace(cleaned, F.lit(plan.group_char), F.lit(""))
     if plan.decimal_char != ".":
         cleaned = F.replace(cleaned, F.lit(plan.decimal_char), F.lit("."))
