@@ -196,6 +196,11 @@ class CompiledTable:
     common_properties: dict = field(default_factory=dict)
     notes: Any = None
     schema_id: str | None = None  # tableSchema @id (schemaReference target)
+    #: raw metadata dicts of the inherit chain (schema, table, group...) so
+    #: columns created AFTER compile time (embedded-header merge) still
+    #: honor inherited properties like a schema-level aboutUrl
+    inherit_levels: tuple = ()
+    default_lang: str = "und"
 
 
 @dataclass(frozen=True)
@@ -357,6 +362,8 @@ def _compile_table(
         notes=obj.get("notes"),
         schema_id=_resolve_url(schema.get("@id"), base)
         if isinstance(schema, dict) else None,
+        inherit_levels=tuple(inherit.levels),
+        default_lang=default_lang,
     )
 
 
@@ -475,6 +482,25 @@ def default_table_for(url: str, columns_from_header: list[str],
         for i, t in enumerate(columns_from_header)
     )
     return CompiledTable(url=url, columns=cols)
+
+
+def columns_from_header(table: CompiledTable,
+                        header: list[str]) -> CompiledTable:
+    """Header-derived columns for a declared table WITHOUT columns, still
+    honoring the table's inherited properties (a schema- or table-level
+    aboutUrl/datatype/null/... reaches the generated columns exactly as
+    it would have at compile time — metadata.rb inherited-property
+    semantics apply to on-demand columns too)."""
+    from dataclasses import replace
+
+    inherit = _Inherit(*table.inherit_levels) if table.inherit_levels \
+        else _Inherit({})
+    cols = tuple(
+        _compile_column({"titles": t} if t else {}, i + 1,
+                        table.dialect.skipColumns, inherit,
+                        table.default_lang)
+        for i, t in enumerate(header))
+    return replace(table, columns=cols)
 
 
 def merge_embedded_titles(table: CompiledTable, header: list[str],

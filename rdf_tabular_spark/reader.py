@@ -145,7 +145,11 @@ def _effective_table(table: CompiledTable, scan: TableScan) -> CompiledTable:
     if not titles:
         width = max(scan.n_physical_columns - table.dialect.skipColumns, 0)
         titles = [""] * width
-    return default_table_for(table.url, titles)
+    from .csvw.metadata import columns_from_header
+
+    # keeps the declared table's inherited properties (schema-level
+    # aboutUrl etc.) on the header-derived columns
+    return columns_from_header(table, titles)
 
 
 def _scan_table(spark: SparkSession, table: CompiledTable,
