@@ -386,10 +386,19 @@ def validate(
     parts: list[DataFrame] = []
 
     # metadata-document validation first (reference validate!, reader.rb:167)
-    if isinstance(metadata, dict):
+    # — a metadata JSON handed in as a PATH gets its document loaded and
+    # validated exactly like a dict (the runner/CLI pass paths)
+    doc = metadata
+    if isinstance(doc, str) and doc.endswith((".json", ".jsonld")) \
+            and os.path.isfile(doc):
+        import json as _json
+
+        with open(doc, encoding="utf-8") as f:
+            doc = _json.load(f)
+    if isinstance(doc, dict):
         from .csvw.metadata import validate_document
 
-        md_errors, md_warnings = validate_document(metadata, base=base)
+        md_errors, md_warnings = validate_document(doc, base=base)
         md_rows = (
             [("metadata_error", None, None, None, None, e) for e in md_errors]
             + [("metadata_warning", None, None, None, None, w)
