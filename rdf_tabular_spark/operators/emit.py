@@ -12,7 +12,7 @@ both sides.
 from __future__ import annotations
 
 import re
-from urllib.parse import unquote
+from urllib.parse import unquote, urljoin
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -95,6 +95,25 @@ def compile_iri_template(
     m = _PNAME_SPLIT.match(static_prefix)
     if m and m.group(1) in PREFIXES:
         template = PREFIXES[m.group(1)] + template[len(m.group(1)) + 1:]
+        static_prefix = template.split("{", 1)[0]
+
+    # Document-relative templates with a non-empty static prefix resolve that
+    # prefix per RFC 3986 driver-side (dot segments "../x", absolute-path
+    # "/x", query "?x=" references — the reference joins the whole expanded
+    # value, context.expand_iri documentRelative, metadata.rb:1957); the
+    # rewritten template is absolute so the executor-side expression is a
+    # plain expansion. Dot segments INSIDE a variable's value are not
+    # normalized (they would need per-row resolution; templates putting
+    # "../" in data are out of spec scope).
+    if (static_prefix
+            and not re.match(_SCHEME_RE, static_prefix)
+            and not static_prefix.startswith("_:")):
+        resolved = urljoin(base, static_prefix)
+        # urljoin drops a trailing empty fragment/query marker
+        # ("x.csv#" -> ".../x.csv"); the template needs it verbatim
+        if static_prefix[-1] in "#?" and not resolved.endswith(static_prefix[-1]):
+            resolved += static_prefix[-1]
+        template = resolved + template[len(static_prefix):]
         static_prefix = template.split("{", 1)[0]
 
     if not is_native_compilable(template):
