@@ -222,9 +222,11 @@ def emit_table_triples(
 
         about = compile_iri_template(col.about_url, bindings, base)
         subject = F.coalesce(about, default_subject) if about is not None else default_subject
-        subjects.append(subject)
         if col.suppress_output:
+            # suppressed cells contribute neither triples nor a
+            # csvw:describes subject (reader.rb:308-315 skips before both)
             continue
+        subjects.append(subject)
 
         if col.property_url:
             pred = compile_iri_template(col.property_url, bindings, base)
