@@ -86,6 +86,28 @@ def _typed_value(col: CompiledColumn, item: Column) -> Column:
     return lex
 
 
+def _is_nonfinite(d: Column) -> Column:
+    return F.isnan(d) | (d == float("inf")) | (d == float("-inf"))
+
+
+def _special_float_expr(col: CompiledColumn) -> Column | None:
+    """String twin for a scalar float column: the canonical XSD lexical
+    (NaN / INF / -INF) when the value is non-finite, else null. Spark's
+    JSON writer would spell these "Infinity"/"-Infinity"; the reference
+    emits the literal's lexical form (reader.rb:575-576). Separator lists
+    keep Spark's spelling (an array cannot mix number and string types)."""
+    if (col.value_url or col.separator is not None
+            or col.datatype.base not in _FLOAT_BASES):
+        return None
+    values = cell_values(col.name)
+    d = F.try_element_at(values, F.lit(1))["lex"].cast("double")
+    return F.when(
+        (F.size(values) > 0) & _is_nonfinite(d),
+        F.when(F.isnan(d), F.lit("NaN"))
+        .when(d > 0, F.lit("INF"))
+        .otherwise(F.lit("-INF")))
+
+
 def _group_key(col: CompiledColumn) -> str:
     return col.about_url or ""
 
@@ -138,8 +160,14 @@ def build_row_objects(
         if col.separator is not None:
             arr = F.transform(values, lambda it: _typed_value(col, it))
             return F.when(F.size(values) > 0, arr)
-        return F.when(F.size(values) > 0,
-                      _typed_value(col, F.try_element_at(values, F.lit(1))))
+        v = _typed_value(col, F.try_element_at(values, F.lit(1)))
+        if col.datatype.base in _FLOAT_BASES:
+            # non-finite doubles serialize as the XSD lexical via the twin
+            # field below (reference keeps NaN/INF/-INF as strings while
+            # finite values go native, reader.rb:575-576); null here so
+            # exactly one of the pair survives ignoreNullFields
+            v = F.when(~_is_nonfinite(v), v)
+        return F.when(F.size(values) > 0, v)
 
     def group_struct(gkey: str, depth: int = 0) -> Column:
         cols = groups[gkey]
@@ -152,8 +180,15 @@ def build_row_objects(
             v = value_expr(col, gkey, depth)
             if v is None:
                 continue
-            fields.append(v.alias(_json_key(col, table)))
+            key = _json_key(col, table)
+            fields.append(v.alias(key))
             present = present | v.isNotNull()
+            special = _special_float_expr(col)
+            if special is not None:
+                # duplicate struct field name: at most one of the pair is
+                # non-null, and ignoreNullFields keeps the JSON key unique
+                fields.append(special.alias(key))
+                present = present | special.isNotNull()
         return F.when(present, F.struct(*fields)).otherwise(F.lit(None))
 
     # building order matters: value_expr marks inlined groups while structs
