@@ -48,6 +48,20 @@ def compact_iri(iri: str) -> str:
     return f"{best}:{local}"
 
 
+def compact_iri_col(c: Column) -> Column:
+    """Executor-side ``compact_iri``: longest-namespace-first chained
+    ``when`` over the (bounded, 43-entry) CSVW context prefix map —
+    driver-compiled constants, whole-stage-codegen friendly. Tie order
+    matches the driver-side function (dict order, stable sort)."""
+    expr: Column | None = None
+    for pre, ns in sorted(PREFIXES.items(), key=lambda kv: -len(kv[1])):
+        cond = c.startswith(ns) & (F.length(c) > len(ns))
+        branch = F.concat(F.lit(pre + ":"), F.substring(c, len(ns) + 1, 2**24))
+        expr = (F.when(cond, branch) if expr is None
+                else expr.when(cond, branch))
+    return expr.otherwise(c)
+
+
 def _json_key(col: CompiledColumn, table: CompiledTable) -> str:
     if col.property_url is None:
         return col.name
@@ -161,6 +175,14 @@ def build_row_objects(
             arr = F.transform(values, lambda it: _typed_value(col, it))
             return F.when(F.size(values) > 0, arr)
         v = _typed_value(col, F.try_element_at(values, F.lit(1)))
+        if (_json_key(col, table) == "@type"
+                and col.datatype.base not in _INT_BASES
+                and col.datatype.base not in _FLOAT_BASES
+                and col.datatype.base != "boolean"):
+            # @type without valueUrl: the cell VALUE is the type and is
+            # compacted against the CSVW context (reader.rb:567-568
+            # cell.valueUrl || cell.value)
+            v = compact_iri_col(v)
         if col.datatype.base in _FLOAT_BASES:
             # non-finite doubles serialize as the XSD lexical via the twin
             # field below (reference keeps NaN/INF/-INF as strings while
