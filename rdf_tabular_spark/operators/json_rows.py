@@ -16,6 +16,7 @@ fragments as JSONL and never collect).
 from __future__ import annotations
 
 import json
+from collections import Counter
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -147,7 +148,13 @@ def build_row_objects(
         groups[k].append(col)
 
     # J3 static nesting: a valueUrl template equal to another group's
-    # aboutUrl template inlines that group (self-references stay strings)
+    # aboutUrl template inlines that group (self-references stay strings).
+    # The reference inlines only targets referenced EXACTLY ONCE in the row
+    # (reader.rb:597 ref[:count] != 1); template equality makes that
+    # statically decidable — two columns sharing a valueUrl template expand
+    # to the same URL every row, so their count is never 1.
+    vu_counts = Counter(
+        c.value_url for cs in groups.values() for c in cs if c.value_url)
     inlined: set[str] = set()
 
     def value_expr(col: CompiledColumn, own_group: str, depth: int) -> Column | None:
@@ -156,7 +163,7 @@ def build_row_objects(
         if col.value_url:
             target = col.value_url
             if (depth < 3 and target != own_group and target in groups
-                    and target != ""):
+                    and target != "" and vu_counts[target] == 1):
                 inlined.add(target)
                 nested = group_struct(target, depth + 1)
                 cond = F.lit(True) if col.virtual else (F.size(values) > 0)
