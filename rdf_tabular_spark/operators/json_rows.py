@@ -225,18 +225,30 @@ def build_row_objects(
     structs = {k: group_struct(k) for k in group_order}
     top = [F.to_json(structs[k]) for k in group_order if k not in inlined]
     objs = F.array_compact(F.array(*top))
+    # row titles: the rowTitles columns' string values, in declaration
+    # order (reader.rb:533 merge_compacted_value(r, "titles", t))
+    title_arrays = []
+    for rt in table.row_titles:
+        rcol = next((c for c in table.columns if c.name == rt), None)
+        if rcol is not None:
+            title_arrays.append(F.transform(
+                cell_values(rcol.name), lambda v: v["lex"]))
+    titles = (F.flatten(F.array(*title_arrays)) if title_arrays
+              else F.array().cast("array<string>"))
     return cells_df.select(
-        F.col("_row"), F.col("_sourceRow"), objs.alias("objs"))
+        F.col("_row"), F.col("_sourceRow"), objs.alias("objs"),
+        titles.alias("titles"))
 
 
 def build_row_fragments(
     cells_df: DataFrame, table: CompiledTable,
 ) -> DataFrame:
-    """cells DF -> (_row, _sourceRow, frag) where *frag* is the JSON text of
-    this row's objects, comma-joined (wrap in [] to parse)."""
+    """cells DF -> (_row, _sourceRow, frag, titles) where *frag* is the JSON
+    text of this row's objects, comma-joined (wrap in [] to parse)."""
     rows = build_row_objects(cells_df, table)
     return rows.select(
-        "_row", "_sourceRow", F.concat_ws(",", "objs").alias("frag"))
+        "_row", "_sourceRow", F.concat_ws(",", "objs").alias("frag"),
+        "titles")
 
 
 def write_json_lines(
@@ -270,10 +282,23 @@ def write_json_lines(
         )
     else:
         url_prefix = json.dumps(f"{table.url.split('#', 1)[0]}#row=")[:-1]
+        t = F.col("titles")
+        tj = F.to_json(t)
+        # single title -> scalar (merge_compacted_value): strip the
+        # one-element array's outer brackets, safe for any content
+        titles_frag = (
+            F.when(F.size(t) <= 0, F.lit(""))
+            .when(F.size(t) == 1, F.concat(
+                F.lit('"titles":'),
+                F.substring(tj, 2, 2**24).substr(
+                    F.lit(1), F.length(tj) - 2),
+                F.lit(",")))
+            .otherwise(F.concat(F.lit('"titles":'), tj, F.lit(","))))
         line = F.concat(
             F.lit('{"url":' + url_prefix),
             F.col("_sourceRow").cast("string"), F.lit('",'),
             F.lit('"rownum":'), F.col("_row").cast("string"), F.lit(","),
+            titles_frag,
             F.lit('"describes":['), F.concat_ws(",", "objs"), F.lit("]}"),
         )
         lines = (
@@ -322,7 +347,8 @@ def assemble_minimal(frag_rows: list[tuple[int, str]]) -> list:
 
 
 def assemble_standard_table(
-    table: CompiledTable, frag_rows: list[tuple[int, int, str]],
+    table: CompiledTable,
+    frag_rows: list[tuple[int, int, str]] | list[tuple[int, int, str, list]],
 ) -> dict:
     out: dict = {"url": table.url}
     for k, v in table.common_properties.items():
@@ -330,11 +356,17 @@ def assemble_standard_table(
     if table.notes is not None:
         out["notes"] = simplify_common_value(table.notes, base=table.url)
     rows = []
-    for _row, _source_row, frag in sorted(frag_rows):
-        rows.append({
+    for rec in sorted(frag_rows, key=lambda t: t[:2]):
+        _row, _source_row, frag = rec[0], rec[1], rec[2]
+        titles = list(rec[3]) if len(rec) > 3 and rec[3] else []
+        row_obj: dict = {
             "url": f"{table.url.split('#', 1)[0]}#row={_source_row}",
             "rownum": _row,
-            "describes": json.loads(f"[{frag}]") if frag else [],
-        })
+        }
+        if titles:
+            # merge_compacted_value: one title -> scalar (reader.rb:533)
+            row_obj["titles"] = titles[0] if len(titles) == 1 else titles
+        row_obj["describes"] = json.loads(f"[{frag}]") if frag else []
+        rows.append(row_obj)
     out["row"] = rows
     return out

@@ -308,7 +308,8 @@ def to_json(
                 assemble_minimal([(r["_row"], r["frag"]) for r in frags]))
         else:
             tables_out.append(assemble_standard_table(
-                table, [(r["_row"], r["_sourceRow"], r["frag"]) for r in frags]))
+                table, [(r["_row"], r["_sourceRow"], r["frag"], r["titles"])
+                        for r in frags]))
 
     if mode == "minimal":
         return minimal_objs
