@@ -349,8 +349,14 @@ def assemble_minimal(frag_rows: list[tuple[int, str]]) -> list:
 def assemble_standard_table(
     table: CompiledTable,
     frag_rows: list[tuple[int, int, str]] | list[tuple[int, int, str, list]],
+    comments: list[str] | None = None,
 ) -> dict:
-    out: dict = {"url": table.url}
+    out: dict = {}
+    if table.id:
+        out["@id"] = table.id  # reader.rb:504
+    out["url"] = table.url
+    if comments:
+        out["rdfs:comment"] = list(comments)  # reader.rb:513-515
     for k, v in table.common_properties.items():
         out[k] = simplify_common_value(v, base=table.url)
     if table.notes is not None:

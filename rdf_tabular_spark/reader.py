@@ -309,11 +309,14 @@ def to_json(
         else:
             tables_out.append(assemble_standard_table(
                 table, [(r["_row"], r["_sourceRow"], r["frag"], r["titles"])
-                        for r in frags]))
+                        for r in frags],
+                comments=scan.comments))
 
     if mode == "minimal":
         return minimal_objs
     envelope: dict = {"tables": tables_out}
+    if group.id:
+        envelope["@id"] = group.id  # reader.rb:457
     for k, v in group.common_properties.items():
         envelope[k] = simplify_common_value(v, base=base)
     if group.notes is not None:

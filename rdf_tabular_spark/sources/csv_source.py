@@ -185,10 +185,22 @@ def _read_table_multiline(
     if skip or header_n:
         head = df.orderBy("_sourceRow").limit(skip + header_n).collect()
         for r in head[:skip]:
-            text = " ".join(v for v in tuple(r)[:n_cols] if v is not None)
+            # skipped lines re-join on the DELIMITER and become comment
+            # annotations; dialect trim applies before prefix detection,
+            # the result is stripped and empties dropped
+            # (metadata.rb:1846-1853; full multi-char prefix removed where
+            # the reference's [1..-1] hardcodes one char)
+            text = d.delimiter.join(
+                v for v in tuple(r)[:n_cols] if v is not None)
+            trim_mode = d.effective_trim
+            if trim_mode in (True, "true", "start"):
+                text = text.lstrip()
+            if trim_mode in (True, "true", "end"):
+                text = text.rstrip()
             if d.commentPrefix and text.startswith(d.commentPrefix):
                 text = text[len(d.commentPrefix):]
-            if text.strip():
+            text = text.strip()
+            if text:
                 comments.append(text)
         for r in head[skip:skip + header_n]:
             cells = [v if v is not None else "" for v in tuple(r)[:n_cols]]
@@ -202,10 +214,12 @@ def _read_table_multiline(
     if d.commentPrefix:
         first_col = F.coalesce(F.col("_x0"), F.lit(""))
         comment_rows = df.filter(first_col.startswith(d.commentPrefix))
-        comments.extend(
+        # data-region comments join on ' ', strip, drop empty
+        # (metadata.rb:882-886)
+        comments.extend(filter(None, (
             " ".join(str(v) for v in tuple(r)[:n_cols] if v is not None)[
-                len(d.commentPrefix):]
-            for r in comment_rows.collect())
+                len(d.commentPrefix):].strip()
+            for r in comment_rows.collect())))
         df = df.filter(~first_col.startswith(d.commentPrefix))
 
     cols = [F.col(f"_x{i + d.skipColumns}").alias(f"_c{i}")
@@ -302,10 +316,18 @@ def read_table(
     if skip or header_n:
         head = [r.value for r in df.orderBy("_sourceRow").limit(skip + header_n).collect()]
         for line in head[:skip]:
+            # trim before prefix detection, strip after removal, drop
+            # empties (metadata.rb:1846-1853)
             text = line
+            trim_mode = d.effective_trim
+            if trim_mode in ("true", "start"):
+                text = text.lstrip()
+            if trim_mode in ("true", "end"):
+                text = text.rstrip()
             if d.commentPrefix and text.startswith(d.commentPrefix):
                 text = text[len(d.commentPrefix):]
-            if text.strip():
+            text = text.strip()
+            if text:
                 comments.append(text)
         for line in head[skip : skip + header_n]:
             if d.commentPrefix and line.startswith(d.commentPrefix):
@@ -316,11 +338,13 @@ def read_table(
                 header_titles = [c.strip() for c in cells]
         df = df.filter(F.col("_sourceRow") > skip + header_n)
 
-    # comment rows inside the data region (S3)
+    # comment rows inside the data region (S3): strip, drop empty
+    # (metadata.rb:882-886)
     if d.commentPrefix:
         comment_rows = df.filter(F.col("value").startswith(d.commentPrefix))
-        comments.extend(
-            r.value[len(d.commentPrefix):] for r in comment_rows.collect())
+        comments.extend(filter(None, (
+            r.value[len(d.commentPrefix):].strip()
+            for r in comment_rows.collect())))
         df = df.filter(~F.col("value").startswith(d.commentPrefix))
 
     # determine physical width: declared schema, else the header row, else

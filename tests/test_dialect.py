@@ -39,8 +39,8 @@ def test_skip_rows_and_header(spark, tmp_path):
                     {"skipRows": 1, "commentPrefix": "#"})
     rows = sorted(scan.df.collect(), key=lambda r: r["_row"])
     assert scan.header_titles == ["col_a", "col_b"]
-    # only the prefix is stripped (reference metadata.rb:881-888 sub)
-    assert scan.comments == [" a comment line"]
+    # prefix removed, then stripped (reference metadata.rb:1851 / 884)
+    assert scan.comments == ["a comment line"]
     assert [(r["_row"], r["_sourceRow"], r["_c0"], r["_c1"]) for r in rows] == [
         (1, 3, "1", "x"), (2, 4, "2", "y")]
 
