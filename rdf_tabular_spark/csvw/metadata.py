@@ -418,7 +418,14 @@ def detect_type(doc: dict) -> str:
 def parse_metadata(doc: dict, base: str | None = None) -> CompiledTableGroup:
     """Parse + normalize a CSVW metadata document into a compiled plan.
 
-    *base* is the metadata document's own URL (urls resolve against it)."""
+    *base* is the metadata document's own URL (urls resolve against it).
+
+    Invalid property VALUES act as if unset (warn-and-ignore,
+    metadata.rb set_property) — the sanitization pass strips them before
+    compilation; :func:`validate_document` surfaces the messages."""
+    from .normalize import sanitize_metadata
+
+    doc, _w, _e = sanitize_metadata(doc, base)
     default_lang = _context_language(doc.get("@context"))
     kind = detect_type(doc)
     if kind == "Table":
@@ -729,9 +736,15 @@ def validate_document(doc: dict, base: str | None = None) -> tuple[list[str], li
     virtual-before-non-virtual (error), primaryKey referencing a missing
     column (warn), foreignKey structure — exactly one of
     resource/schemaReference, resolvable targets, existing columns on both
-    sides (all errors) — and datatype facet combinations (errors)."""
-    errors: list[str] = []
-    warnings: list[str] = []
+    sides (all errors) — and datatype facet combinations (errors).
+
+    The sanitization pass (:mod:`.normalize`) runs first: invalid property
+    VALUES are warnings (the property acts unset, so the structural checks
+    below see the cleaned document), while @id/@type violations, missing
+    required keys, and malformed common-property JSON-LD are errors."""
+    from .normalize import sanitize_metadata
+
+    doc, warnings, errors = sanitize_metadata(doc, base)
     kind = detect_type(doc)
     table_docs = doc.get("tables", [doc] if kind == "Table" else [])
 

@@ -171,3 +171,145 @@ def test_unsupported_datatype_warns():
         base=BASE)
     assert errors == []
     assert any("unsupported datatype" in w for w in warnings)
+
+
+# ---- sanitization: warn-and-ignore property values (normalize.py, ----
+# ---- reference set_property metadata.rb:1203-1219) -----------------------
+
+
+from rdf_tabular_spark.csvw.normalize import sanitize_metadata
+
+
+def test_invalid_inherited_values_act_unset():
+    doc = _schema_doc({"columns": [
+        {"name": "c", "null": 1, "ordered": "yes", "required": "yes",
+         "lang": "not a tag!", "textDirection": "up", "default": 5,
+         "separator": 7}]})
+    clean, warnings, errors = sanitize_metadata(doc, base=BASE)
+    col = clean["tableSchema"]["columns"][0]
+    assert set(col) == {"name"}
+    assert len(warnings) == 7 and errors == []
+
+
+def test_invalid_dialect_values_act_unset():
+    doc = {"url": "t.csv", "dialect": {
+        "delimiter": True, "header": "yes", "headerRowCount": "1",
+        "skipRows": -1, "encoding": "no-such-enc", "trim": 1,
+        "skipBlankRows": "no", "doubleQuote": "maybe", "quoteChar": 3,
+        "lineTerminators": False, "skipColumns": True}}
+    clean, warnings, errors = sanitize_metadata(doc, base=BASE)
+    assert clean["dialect"] == {}
+    assert len(warnings) == 11 and errors == []
+
+
+def test_dialect_null_quote_and_comment_prefix_kept():
+    doc = {"url": "t.csv",
+           "dialect": {"quoteChar": None, "commentPrefix": None}}
+    clean, warnings, _ = sanitize_metadata(doc, base=BASE)
+    assert clean["dialect"] == {"quoteChar": None, "commentPrefix": None}
+    assert warnings == []
+
+
+def test_bnode_id_is_error():
+    _, _, errors = sanitize_metadata({"url": "t.csv", "@id": "_:t"}, BASE)
+    assert any("_:" in e for e in errors)
+
+
+def test_wrong_at_type_is_error():
+    _, _, errors = sanitize_metadata(
+        {"url": "t.csv", "@type": "Tabel", "tableSchema": {}}, BASE)
+    assert any("@type" in e for e in errors)
+
+
+def test_empty_tables_is_error():
+    _, _, errors = sanitize_metadata({"tables": []}, BASE)
+    assert any("tables" in e for e in errors)
+
+
+def test_table_missing_url_is_error():
+    _, _, errors = sanitize_metadata(
+        {"tables": [{"tableSchema": {"columns": []}}]}, BASE)
+    assert any("url" in e for e in errors)
+
+
+def test_unexpected_key_warns():
+    _, warnings, _ = sanitize_metadata(
+        {"url": "t.csv", "rowTitle": "x"}, BASE)
+    assert any("unexpected" in w for w in warnings)
+
+
+def test_titles_cleanup():
+    doc = _schema_doc({"columns": [
+        {"name": "c", "titles": {"en": "C", "12!bad": "X"}},
+        {"name": "d", "titles": ["D", 7]}]})
+    clean, warnings, _ = sanitize_metadata(doc, BASE)
+    cols = clean["tableSchema"]["columns"]
+    assert cols[0]["titles"] == {"en": ["C"]}
+    assert cols[1]["titles"] == ["D"]
+    assert len(warnings) == 2
+
+
+def test_nonarray_columns_warn_to_empty():
+    clean, warnings, _ = sanitize_metadata(
+        _schema_doc({"columns": "nope"}), BASE)
+    assert clean["tableSchema"]["columns"] == []
+    assert any("columns" in w for w in warnings)
+
+
+def test_invalid_context_language_warns_and_ignored():
+    doc = {"@context": ["http://www.w3.org/ns/csvw", {"@language": "x!"}],
+           "url": "t.csv"}
+    clean, warnings, _ = sanitize_metadata(doc, BASE)
+    assert "@language" not in clean["@context"][1]
+    assert any("@language" in w for w in warnings)
+
+
+@pytest.mark.parametrize("value,frag", [
+    ({"@value": "T", "@language": "en", "@type": "xsd:string"},
+     "both @type and @language"),
+    ({"@value": "T", "@id": "x"}, "may not contain keys"),
+    ({"@list": ["a"]}, "invalid use of '@list'"),
+    ({"@id": "_:me"}, "BNode"),
+    ({"@id": "http://e.org/x", "@type": 5}, "invalid type"),
+    ({"@value": "T", "@language": "99!"}, "@language"),
+])
+def test_common_property_jsonld_errors(value, frag):
+    _, _, errors = sanitize_metadata(
+        {"url": "t.csv", "dc:title": value}, BASE)
+    assert any(frag in e for e in errors), (frag, errors)
+
+
+def test_common_property_valid_forms_pass():
+    doc = {"url": "t.csv",
+           "dc:title": {"@value": "T", "@language": "en"},
+           "dc:creator": {"@id": "http://e.org/me",
+                          "@type": "schema:Person",
+                          "schema:name": "N"},
+           "dc:subject": ["a", {"@value": "b", "@type": "xsd:string"}]}
+    _, warnings, errors = sanitize_metadata(doc, BASE)
+    assert errors == [] and warnings == []
+
+
+def test_builtin_datatype_id_is_error():
+    _, _, errors = sanitize_metadata(_schema_doc({"columns": [
+        {"name": "c", "datatype": {
+            "base": "integer",
+            "@id": "http://www.w3.org/2001/XMLSchema#integer"}}]}), BASE)
+    assert any("built-in" in e for e in errors)
+
+
+def test_transformation_checks():
+    doc = {"url": "t.csv", "transformations": [
+        {"@type": "Template", "url": "t.xsl",
+         "targetFormat": "http://e.org/f",
+         "scriptFormat": "http://e.org/s", "source": "json"},
+        "junk"]}
+    clean, warnings, errors = sanitize_metadata(doc, BASE)
+    assert len(clean["transformations"]) == 1
+    assert any("transformations" in w for w in warnings)
+    assert errors == []
+    _, _, errors2 = sanitize_metadata(
+        {"url": "t.csv", "transformations": [
+            {"@type": "Template", "url": "t.xsl",
+             "scriptFormat": "http://e.org/s"}]}, BASE)
+    assert any("targetFormat" in e for e in errors2)

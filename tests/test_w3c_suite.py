@@ -136,10 +136,14 @@ def test_w3c_entry(spark, entry, data_dir, base):
         problems = validate(spark, meta_arg, base=entry_base,
                             search_dir=data_dir,
                             url_map=_url_map(data_dir, base))
-        errors = [r for r in problems.collect() if r["kind"] in ERROR_KINDS]
+        rows = problems.collect()
+        errors = [r for r in rows if r["kind"] in ERROR_KINDS]
         if etype == "NegativeValidationTest":
             assert errors, entry["id"]
         else:
             assert not errors, (entry["id"], errors[:5])
+            if etype == "WarningValidationTest":
+                warns = [r for r in rows if r["kind"] not in ERROR_KINDS]
+                assert warns, (entry["id"], "expected warnings")
     else:
         pytest.skip(f"unsupported entry type {entry['type']}")
