@@ -1786,6 +1786,53 @@ def sql_multimodal_decode() -> str:
     """
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (r3): synthesize zlib-deflated PNG payloads with
+    the same id-derived dims/pixel scheme as the BMP row
+    (ops/multimodal.attach_png_media), then actually inflate + de-filter
+    every payload in the Arrow mapInPandas path (decode_png via
+    decode_images). A hash-exact match against the arithmetic twin proves
+    the inflate/de-filter/channel logic recovered exactly what the
+    encoder embedded."""
+    from rdf_tabular_spark.ops.multimodal import attach_png_media, decode_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_png_media(docs))
+
+
+def sql_multimodal_png() -> str:
+    # identical embedded-parameter scheme to the BMP twin
+    return sql_multimodal_decode()
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (r3): synthesize PCM-WAV payloads whose rate /
+    frame-count / amplitude derive from the id
+    (ops/multimodal.attach_wav_media), then parse every RIFF container
+    and unpack every int16 sample in the Arrow mapInPandas path
+    (decode_wav via decode_audio). The fixtures are ±amplitude square
+    waves, so the decoded RMS is exactly the amplitude and the duration
+    is frames·1000/rate — closed forms the twin recomputes without
+    decoding; a hash-exact match proves real sample-domain decode."""
+    from rdf_tabular_spark.ops.multimodal import attach_wav_media, decode_audio
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_audio(attach_wav_media(docs))
+
+
+def sql_multimodal_audio() -> str:
+    return """
+    SELECT doc_id AS media_id,
+           CAST(1 AS INT) AS channels,
+           CAST(8000 * (1 + doc_id % 2) AS INT) AS sample_rate,
+           CAST(2000 + (doc_id % 5) * 400 AS BIGINT) AS n_frames,
+           CAST((2000 + (doc_id % 5) * 400) * 1000.0
+                / (8000 * (1 + doc_id % 2)) AS DOUBLE) AS duration_ms,
+           CAST(500 + doc_id % 1000 AS DOUBLE) AS rms
+    FROM documents
+    """
+
+
 # ---------------------------------------------------------------------------
 # Source-code KG construction (north rule) — staged deterministic source,
 # full DuckDB oracle (extraction regexes + linking + assembly replicated)
@@ -3415,6 +3462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
         # -- new since r2 --------------------------------------------------
+        "multimodal_png": q_multimodal_png,
+        "multimodal_audio": q_multimodal_audio,
         "similarity_recall": q_similarity_recall,
         "multimodal_decode": q_multimodal_decode,
         "bpe_encode": q_bpe_encode,
@@ -3532,6 +3581,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": sql_multimodal_frames(),
         "multimodal_features": sql_multimodal_features(),
         "multimodal_decode": sql_multimodal_decode(),
+        "multimodal_png": sql_multimodal_png(),
+        "multimodal_audio": sql_multimodal_audio(),
         "kg_triples": sql_kg_triples(),
         "kg_streaming_triples": sql_kg_streaming_triples(),
         "kg_entities": sql_kg_entities(),

@@ -2,17 +2,24 @@
 columns + typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Image decode is REAL for stdlib-decodable formats: uncompressed 24-bit
-BMP and binary PPM (P6) are parsed byte-for-byte in-process (encode +
-decode below), so ``decode_strict`` and :func:`decode_images` do actual
-pixel work in this container. Heavier codecs (JPEG/PNG pixels, audio,
-video) remain environment-gated behind PIL/librosa/av — on a production
-cluster ship them via ``--archives`` and the same dispatch picks them up.
+BMP, binary PPM (P6), and PNG (zlib inflate + full scanline
+de-filtering, 8-bit RGB/RGBA) are parsed byte-for-byte in-process
+(encode + decode below), and audio decode is REAL for PCM WAV (stdlib
+``wave`` + sample unpack), so ``decode_strict`` / :func:`decode_images`
+/ :func:`decode_audio` do actual pixel/sample work in this container.
+Heavier codecs (JPEG pixels, compressed audio, video) remain
+environment-gated behind PIL/librosa/av — on a production cluster ship
+them via ``--archives`` and the same dispatch picks them up.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import math
 import struct
+import wave
+import zlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -124,6 +131,229 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, body
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body)))
+
+
+def encode_png(width: int, height: int,
+               pixels: list[list[tuple[int, ...]]]) -> bytes:
+    """Minimal PNG writer: 8-bit RGB (3-tuples) or RGBA (4-tuples),
+    filter-0 scanlines, one zlib-deflated IDAT."""
+    channels = len(pixels[0][0]) if pixels and pixels[0] else 3
+    color_type = 6 if channels == 4 else 2
+    raw = bytearray()
+    for row in pixels:
+        raw.append(0)  # filter type None
+        for px in row:
+            raw += bytes(px)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a PNG -> (width, height, rgb bytes row-major top-down).
+    Real stdlib decode: chunk walk, zlib inflate of the concatenated
+    IDATs, and full de-filtering (None/Sub/Up/Average/Paeth) per the PNG
+    spec §9. Supports 8-bit truecolor (RGB) and truecolor+alpha (alpha
+    dropped); palette/interlace/16-bit dispatch to PIL when present."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4: pos + 8]
+        body = payload[pos + 8: pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced RGB/RGBA PNG decoded in-process "
+            f"(depth={depth}, color={color_type}, interlace={interlace})")
+    bpp = 4 if color_type == 6 else 3
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data size mismatch")
+    recon = bytearray(stride * height)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1: (y + 1) * (stride + 1)]
+        off = y * stride
+        prior = recon[off - stride: off] if y else bytes(stride)
+        for x in range(stride):
+            left = recon[off + x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                v = line[x]
+            elif ftype == 1:
+                v = line[x] + left
+            elif ftype == 2:
+                v = line[x] + up
+            elif ftype == 3:
+                v = line[x] + ((left + up) >> 1)
+            elif ftype == 4:
+                v = line[x] + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"invalid PNG filter type {ftype}")
+            recon[off + x] = v & 0xFF
+    if bpp == 3:
+        return width, height, bytes(recon)
+    rgb = bytearray(width * height * 3)
+    for i in range(width * height):
+        rgb[i * 3: i * 3 + 3] = recon[i * 4: i * 4 + 3]
+    return width, height, bytes(rgb)
+
+
+def encode_wav(sample_rate: int, n_frames: int, amplitude: int,
+               channels: int = 1) -> bytes:
+    """PCM WAV writer (stdlib ``wave``): int16 square wave alternating
+    ±amplitude every 4 frames — every sample has |x| = amplitude, so the
+    true RMS is exactly ``amplitude`` (an oracle can recompute it without
+    decoding)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = bytearray()
+        for i in range(n_frames):
+            s = amplitude if (i // 4) % 2 == 0 else -amplitude
+            frames += struct.pack("<h", s) * channels
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL audio decode: PCM WAV -> (channels, sample_rate, n_frames,
+    rms). Parses the RIFF container via stdlib ``wave`` and unpacks every
+    int16 sample to compute the root-mean-square amplitude."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        channels, sampwidth = w.getnchannels(), w.getsampwidth()
+        rate, n_frames = w.getframerate(), w.getnframes()
+        if sampwidth != 2:
+            raise NotImplementedError(
+                f"only 16-bit PCM WAV decoded in-process "
+                f"(sampwidth={sampwidth})")
+        data = w.readframes(n_frames)
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    rms = math.sqrt(sum(s * s for s in samples) / len(samples)) \
+        if samples else 0.0
+    return channels, rate, n_frames, rms
+
+
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL PCM-WAV payloads per row with id-derived params
+    (rate = 8000·(1 + id%2), frames = 2000 + (id%5)·400,
+    amplitude = 500 + id%1000) so an oracle can recompute what decode
+    must recover — the square-wave RMS is exactly the amplitude."""
+    import pandas as pd
+
+    from ..deploy import ensure_py_files
+
+    ensure_py_files(df.sparkSession)
+    staged = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                payloads.append(encode_wav(
+                    8000 * (1 + i % 2), 2000 + (i % 5) * 400,
+                    500 + i % 1000))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": "audio",
+                 "payload": payloads})
+
+    return staged.mapInPandas(
+        run, schema="media_id long, kind string, payload binary")
+
+
+def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL PNG payloads per row: constant-pixel RGB images
+    with the same id-derived dims/value scheme as :func:`attach_bmp_media`
+    (w = 5 + id%7, h = 4 + id%5, v = id%200 + 10), zlib-deflated through
+    the in-process encoder."""
+    import pandas as pd
+
+    from ..deploy import ensure_py_files
+
+    ensure_py_files(df.sparkSession)
+    staged = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w, h, v = 5 + i % 7, 4 + i % 5, i % 200 + 10
+                payloads.append(
+                    encode_png(w, h, [[(v, v, v)] * w for _ in range(h)]))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": "image",
+                 "payload": payloads})
+
+    return staged.mapInPandas(
+        run, schema="media_id long, kind string, payload binary")
+
+
+def decode_audio(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL audio decode through the Arrow plumbing: media ->
+    (media_id, channels, sample_rate, n_frames, duration_ms, rms) by
+    actually parsing each WAV payload (decode_wav). Map-only
+    mapInPandas; at scale repartition so each task's sample buffers fit
+    executor memory."""
+    import pandas as pd
+
+    from ..deploy import ensure_py_files
+
+    ensure_py_files(media.sparkSession)
+    schema = ("media_id long, channels int, sample_rate int, "
+              "n_frames long, duration_ms double, rms double")
+
+    def run(batches):
+        for pdf in batches:
+            ch, sr, nf, dur, rms = [], [], [], [], []
+            for payload in pdf["payload"]:
+                c, r, n, x = decode_wav(bytes(payload))
+                ch.append(c)
+                sr.append(r)
+                nf.append(n)
+                dur.append(n * 1000.0 / r)
+                rms.append(x)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "channels": ch,
+                "sample_rate": sr, "n_frames": nf, "duration_ms": dur,
+                "rms": rms})
+
+    return media.mapInPandas(run, schema=schema)
+
+
 def attach_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL uncompressed-BMP payloads per row: constant-pixel
     images whose width/height/pixel value derive from the id
@@ -176,13 +406,19 @@ def decode_strict(kind: str, payload: bytes) -> tuple[int, int, bytes]:
             return decode_bmp(payload)
         if payload[:2] == b"P6":
             return decode_ppm(payload)
+        if payload[:8] == _PNG_MAGIC:
+            return decode_png(payload)
         pil = _try_real_decoder("image")
         if pil is not None:
-            img = pil.open(__import__("io").BytesIO(payload)).convert("RGB")
+            img = pil.open(io.BytesIO(payload)).convert("RGB")
             return img.width, img.height, img.tobytes()
         raise NotImplementedError(
-            "image format needs PIL (only BMP/PPM decode in-process); "
+            "image format needs PIL (BMP/PPM/PNG decode in-process); "
             "install via --archives")
+    if kind == "audio" and payload[:4] == b"RIFF":
+        raise ValueError(
+            "PCM WAV decodes through decode_wav/decode_audio, which return "
+            "sample-domain fields, not (width, height, rgb)")
     raise NotImplementedError(
         f"no {kind} codec in this environment; install librosa/av")
 
