@@ -1786,6 +1786,49 @@ def sql_multimodal_decode() -> str:
     """
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022, arXiv:2107.06499): maximal
+    per-document token spans covered by an 8-gram occurring in >= 2
+    distinct documents (ops/dedup.substring_duplicate_spans). The twin
+    replicates gram hashing, the distinct-doc filter, and the
+    gaps-and-islands merge in SQL — hash-exact span boundaries."""
+    from rdf_tabular_spark.ops.dedup import substring_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_duplicate_spans(docs, k=8, min_docs=2)
+
+
+def sql_dedup_substring() -> str:
+    return r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest([{'pos': i-1, 'g': md5(array_to_string(t[i:i+7], ' '))}
+                     for i in generate_series(1, len(t) - 7)],
+                    recursive := true)
+      FROM toks),
+    dup AS (SELECT g FROM grams GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+    lagged AS (SELECT doc_id, pos,
+                      LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+               FROM hits),
+    isl AS (SELECT doc_id, pos,
+                   SUM(CASE WHEN prev IS NULL OR pos > prev + 8
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM lagged)
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """
+
+
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode (r3): synthesize zlib-deflated PNG payloads with
     the same id-derived dims/pixel scheme as the BMP row
@@ -3462,6 +3505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_polyglot": q_kg_polyglot,
         "kg_sha_invariant": q_kg_sha_invariant,
         # -- new since r2 --------------------------------------------------
+        "dedup_substring": q_dedup_substring,
         "multimodal_png": q_multimodal_png,
         "multimodal_audio": q_multimodal_audio,
         "similarity_recall": q_similarity_recall,
@@ -3581,6 +3625,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": sql_multimodal_frames(),
         "multimodal_features": sql_multimodal_features(),
         "multimodal_decode": sql_multimodal_decode(),
+        "dedup_substring": sql_dedup_substring(),
         "multimodal_png": sql_multimodal_png(),
         "multimodal_audio": sql_multimodal_audio(),
         "kg_triples": sql_kg_triples(),

@@ -536,3 +536,75 @@ def dedup_clusters(
         "cluster_id",
         (F.col("mention") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def substring_duplicate_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499) in its
+    k-gram-island formulation: a token position is duplicated when some
+    k-token window covering its window-start appears in >= *min_docs*
+    DISTINCT documents; maximal runs of duplicated windows merge into
+    ``[span_start, span_end)`` token-index spans per document — the spans
+    a curation pipeline cuts out of the training text.
+
+    Returns (doc_id, span_start, span_end, span_tokens), one row per
+    maximal duplicated span.
+
+    Scale shape (100 TB corpus):
+
+    - gram rows carry ``(md5, id, pos)`` only — document text is scanned
+      once and never re-shuffled;
+    - the duplicated-gram set is a map-side-combinable count-distinct
+      aggregate followed by a SEMI-join back, so a boilerplate gram
+      appearing in 10^6 documents contributes one flag and 10^6 hit rows
+      — never the 10^12 pairs an all-pairs formulation would (this is
+      why substring dedup needs no LSH-style bucket cap);
+    - island merging is one per-document window over the (small) hit
+      subset: partition key = doc id, so no global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    idx = F.when(
+        F.size("_t") >= k, F.sequence(F.lit(0), F.size("_t") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = staged.select(
+        "doc_id",
+        F.explode(F.transform(idx, lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice("_t", i + 1, k), " ")).alias("g"),
+        ))).alias("x"),
+    ).select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        hits
+        .withColumn("_prev", F.lag("pos").over(w))
+        # windows are all k tokens long, so [prev, prev+k) and [pos,
+        # pos+k) overlap-or-touch exactly when pos <= prev + k
+        .withColumn("_new", F.when(
+            F.col("_prev").isNull() | (F.col("pos") > F.col("_prev") + k),
+            1).otherwise(0))
+        .withColumn("_island", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        isl.groupBy("doc_id", "_island")
+        .agg(F.min("pos").alias("_s"), (F.max("pos") + k).alias("_e"))
+        .select(
+            "doc_id",
+            F.col("_s").cast("long").alias("span_start"),
+            F.col("_e").cast("long").alias("span_end"),
+            (F.col("_e") - F.col("_s")).cast("long").alias("span_tokens"),
+        )
+    )

@@ -176,3 +176,49 @@ def test_minhash_bucket_cap_hub_connectivity(spark):
     # and the hub pattern collapsed the quadratic blowup
     assert len(full) == 20 * 19 // 2
     assert len(capped) == 19
+
+
+def test_substring_duplicate_spans(spark):
+    """Lee-et-al-style exact substring dedup: maximal islands of 8-gram
+    windows shared by >= 2 distinct docs, with correct token offsets."""
+    from rdf_tabular_spark.ops.dedup import substring_duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog and then some"
+    docs = [
+        (1, shared + " more filler words here"),
+        (2, "prefix text " + shared + " closing words"),
+        (3, "totally unrelated content about spark catalyst optimizer and parquet column pruning"),
+        (4, "x totally unrelated content about spark catalyst optimizer and parquet column pruning y"),
+        (5, "short doc"),
+        (6, "a doc with no eight gram overlap against anything else at all truly"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r.doc_id, r.span_start): r
+           for r in substring_duplicate_spans(df, k=8).collect()}
+    # the 12-token shared run: doc 1 at offset 0, doc 2 at offset 2
+    assert out[(1, 0)].span_end == 12 and out[(1, 0)].span_tokens == 12
+    assert out[(2, 2)].span_end == 14
+    # the 11-token run shared by docs 3/4 shifts by doc 4's leading token
+    assert out[(3, 0)].span_end == 11
+    assert out[(4, 1)].span_end == 12
+    # short docs and unshared docs contribute nothing
+    assert {d for d, _ in out} == {1, 2, 3, 4}
+
+
+def test_substring_spans_merge_islands(spark):
+    """Two duplicated regions separated by unique text stay two spans;
+    overlapping/adjacent windows merge into one."""
+    from rdf_tabular_spark.ops.dedup import substring_duplicate_spans
+
+    run_a = "alpha beta gamma delta epsilon zeta eta theta"        # 8 tokens
+    run_b = "one two three four five six seven eight nine"         # 9 tokens
+    docs = [
+        (1, run_a + " UNIQUE1 UNIQUE2 UNIQUE3 " + run_b),
+        (2, run_a + " xxx yyy zzz www " + run_b),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = sorted((r.span_start, r.span_end) for r in
+                   substring_duplicate_spans(df, k=8).collect()
+                   if r.doc_id == 1)
+    # doc 1: run_a = tokens [0,8), run_b = tokens [11,20) — two islands
+    assert spans == [(0, 8), (11, 20)]
