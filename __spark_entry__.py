@@ -1829,6 +1829,65 @@ def sql_dedup_substring() -> str:
     """
 
 
+def q_dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of exact substring dedup: cut every duplicated
+    span out of the normalized text (ops/dedup.remove_duplicate_spans) —
+    documents fully covered by duplicated spans come out empty, clean
+    documents pass through untouched. Hash-exact vs a SQL twin that
+    re-derives spans and filters token positions with NOT EXISTS."""
+    from rdf_tabular_spark.ops.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, k=8, min_docs=2)
+
+
+def sql_dedup_substring_clean() -> str:
+    return r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest([{'pos': i-1, 'g': md5(array_to_string(t[i:i+7], ' '))}
+                     for i in generate_series(1, len(t) - 7)],
+                    recursive := true)
+      FROM toks),
+    dup AS (SELECT g FROM grams GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+    lagged AS (SELECT doc_id, pos,
+                      LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+               FROM hits),
+    isl AS (SELECT doc_id, pos,
+                   SUM(CASE WHEN prev IS NULL OR pos > prev + 8
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM lagged),
+    spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+              FROM isl GROUP BY doc_id, island),
+    tok_pos AS (
+      SELECT doc_id,
+             unnest([{'pos': i-1, 'tok': t[i]}
+                     for i in generate_series(1, len(t))],
+                    recursive := true)
+      FROM toks),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok FROM tok_pos tp
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = tp.doc_id
+                          AND tp.pos >= s.s AND tp.pos < s.e)),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   COUNT(*) AS n FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(t) AS n_all FROM toks)
+    SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+           CAST(t.n_all - COALESCE(a.n, 0) AS BIGINT) AS n_removed_tokens
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode (r3): synthesize zlib-deflated PNG payloads with
     the same id-derived dims/pixel scheme as the BMP row
@@ -3506,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sha_invariant": q_kg_sha_invariant,
         # -- new since r2 --------------------------------------------------
         "dedup_substring": q_dedup_substring,
+        "dedup_substring_clean": q_dedup_substring_clean,
         "multimodal_png": q_multimodal_png,
         "multimodal_audio": q_multimodal_audio,
         "similarity_recall": q_similarity_recall,
@@ -3626,6 +3686,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": sql_multimodal_features(),
         "multimodal_decode": sql_multimodal_decode(),
         "dedup_substring": sql_dedup_substring(),
+        "dedup_substring_clean": sql_dedup_substring_clean(),
         "multimodal_png": sql_multimodal_png(),
         "multimodal_audio": sql_multimodal_audio(),
         "kg_triples": sql_kg_triples(),

@@ -608,3 +608,45 @@ def substring_duplicate_spans(
             (F.col("_e") - F.col("_s")).cast("long").alias("span_tokens"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, spans: DataFrame | None = None,
+    id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, min_docs: int = 2,
+) -> DataFrame:
+    """Apply exact-substring dedup: cut every duplicated span
+    (:func:`substring_duplicate_spans`, passed in or computed here) out
+    of the normalized text — the actionable Lee-et-al pass a curation
+    pipeline runs before training.
+
+    Returns (doc_id, clean_text, n_tokens, n_removed_tokens); documents
+    with no duplicated span pass through with n_removed_tokens = 0.
+
+    Scale shape: spans aggregate to one array per affected document
+    (bounded by doc length), broadcast-or-shuffle joined back on the doc
+    key; the cut itself is a map-only higher-order filter over the token
+    array — no per-row Python."""
+    if spans is None:
+        spans = substring_duplicate_spans(df, id_col, text_col, k, min_docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t")) \
+        .join(per_doc, "doc_id", "left")
+    spans_arr = F.coalesce(
+        "_spans", F.array().cast(
+            "array<struct<span_start:long,span_end:long>>"))
+    kept = F.filter(
+        F.transform("_t", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda x: ~F.exists(
+            spans_arr,
+            lambda s: (x["i"] >= s["span_start"]) & (x["i"] < s["span_end"])),
+    )
+    return staged.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ")
+        .alias("clean_text"),
+        F.size(kept).cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )

@@ -222,3 +222,27 @@ def test_substring_spans_merge_islands(spark):
                    if r.doc_id == 1)
     # doc 1: run_a = tokens [0,8), run_b = tokens [11,20) — two islands
     assert spans == [(0, 8), (11, 20)]
+
+
+def test_remove_duplicate_spans(spark):
+    from rdf_tabular_spark.ops.dedup import remove_duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog and then some"
+    docs = [
+        (1, shared + " more filler words here"),
+        (2, "prefix text " + shared + " closing words"),
+        (3, "identical doc body repeated verbatim across the corpus ok"),
+        (4, "identical doc body repeated verbatim across the corpus ok"),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, k=8).collect()}
+    assert out[1].clean_text == "more filler words here"
+    assert (out[1].n_tokens, out[1].n_removed_tokens) == (4, 12)
+    assert out[2].clean_text == "prefix text closing words"
+    # exact duplicates are fully covered -> emptied, not dropped
+    assert out[3].clean_text == "" and out[3].n_removed_tokens == 9
+    assert out[4].clean_text == ""
+    # untouched docs pass through (normalized) with zero removals
+    assert out[5].clean_text == "short doc" and out[5].n_removed_tokens == 0
+    assert len(out) == 5
