@@ -1786,6 +1786,47 @@ def sql_multimodal_decode() -> str:
     """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8-style quantization of the embedding column (FAISS-SQ8
+    shape, ops/similarity.quantize_embeddings): per-dimension global
+    ranges -> integer codes + per-vector worst reconstruction error. The
+    twin replays the same range/scale arithmetic in DOUBLE (the engine
+    promotes float32 to double exactly) — hash-exact codes and error."""
+    from rdf_tabular_spark.ops.similarity import quantize_codes_str
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_codes_str(emb)
+
+
+def sql_embedding_quantize() -> str:
+    return r"""
+    WITH dims AS (
+      SELECT d, MIN(v) AS lo, MAX(v) AS hi FROM (
+        SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings) GROUP BY d),
+    rng AS (SELECT list(lo ORDER BY d) AS los,
+                   list(hi ORDER BY d) AS his FROM dims)
+    SELECT vec_id,
+           array_to_string(
+             [CAST(CAST(CASE WHEN his[i] = los[i] THEN 0.0
+                ELSE round((CAST(embedding[i] AS DOUBLE) - los[i]) * 255.0
+                           / (his[i] - los[i]), 0)
+                END AS INT) AS VARCHAR)
+              for i in generate_series(1, len(embedding))], ',') AS codes,
+           round(list_max(
+             [abs(los[i]
+                  + (CASE WHEN his[i] = los[i] THEN 0.0
+                     ELSE round((CAST(embedding[i] AS DOUBLE) - los[i])
+                                * 255.0 / (his[i] - los[i]), 0) END)
+                    * (his[i] - los[i]) / 255.0
+                  - CAST(embedding[i] AS DOUBLE))
+              for i in generate_series(1, len(embedding))]), 6)
+             AS max_abs_err
+    FROM embeddings, rng
+    """
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (Lee et al. 2022, arXiv:2107.06499): maximal
     per-document token spans covered by an 8-gram occurring in >= 2
@@ -3566,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new since r2 --------------------------------------------------
         "dedup_substring": q_dedup_substring,
         "dedup_substring_clean": q_dedup_substring_clean,
+        "embedding_quantize": q_embedding_quantize,
         "multimodal_png": q_multimodal_png,
         "multimodal_audio": q_multimodal_audio,
         "similarity_recall": q_similarity_recall,
@@ -3687,6 +3729,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": sql_multimodal_decode(),
         "dedup_substring": sql_dedup_substring(),
         "dedup_substring_clean": sql_dedup_substring_clean(),
+        "embedding_quantize": sql_embedding_quantize(),
         "multimodal_png": sql_multimodal_png(),
         "multimodal_audio": sql_multimodal_audio(),
         "kg_triples": sql_kg_triples(),

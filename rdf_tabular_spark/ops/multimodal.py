@@ -233,16 +233,16 @@ def encode_wav(sample_rate: int, n_frames: int, amplitude: int,
     ±amplitude every 4 frames — every sample has |x| = amplitude, so the
     true RMS is exactly ``amplitude`` (an oracle can recompute it without
     decoding)."""
+    import numpy as np
+
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(channels)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        frames = bytearray()
-        for i in range(n_frames):
-            s = amplitude if (i // 4) % 2 == 0 else -amplitude
-            frames += struct.pack("<h", s) * channels
-        w.writeframes(bytes(frames))
+        signs = np.where((np.arange(n_frames) // 4) % 2 == 0,
+                         amplitude, -amplitude).astype("<i2")
+        w.writeframes(np.repeat(signs, channels).tobytes())
     return buf.getvalue()
 
 
@@ -260,9 +260,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
                 f"only 16-bit PCM WAV decoded in-process "
                 f"(sampwidth={sampwidth})")
         data = w.readframes(n_frames)
-    samples = struct.unpack(f"<{len(data) // 2}h", data)
-    rms = math.sqrt(sum(s * s for s in samples) / len(samples)) \
-        if samples else 0.0
+    import numpy as np
+
+    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    # integer sum of squares is exact (no float accumulation error), so
+    # the RMS matches the pure-Python fold bit-for-bit
+    rms = math.sqrt(int((samples * samples).sum()) / samples.size) \
+        if samples.size else 0.0
     return channels, rate, n_frames, rms
 
 

@@ -311,3 +311,64 @@ def negative_samples(emb: DataFrame, k: int = 4,
     return cand.join(right, "neg_id").select(
         "anchor", "rank", "neg_id",
         *[f"neg_{c}" for c in payload_cols])
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Scalar (int8-style) quantization of an embedding column — the
+    standard ANN memory-compression pass (FAISS SQ8 shape): per-DIMENSION
+    global [min, max] ranges map each float to an integer code in
+    [0, levels], shrinking a float32 vector ~4x for billion-vector
+    serving tiers.
+
+    Returns (id, codes array<int>, max_abs_err double) where max_abs_err
+    is the per-vector worst reconstruction error — the quality number a
+    user trades against memory.
+
+    Scale shape: the per-dim ranges are one map-side-combinable agg over
+    posexploded (dim, value) pairs collapsing to dim-count rows (64-ish),
+    collected and re-broadcast as LITERAL arrays — the corpus itself is
+    quantized map-only in one pass, no shuffle, no Python."""
+    dims = (
+        emb.select(F.posexplode(vec_col).alias("d", "v"))
+        .groupBy("d").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .orderBy("d").collect()
+    )
+    lo = F.array(*[F.lit(float(r["lo"])) for r in dims])
+    hi = F.array(*[F.lit(float(r["hi"])) for r in dims])
+    vec = F.col(vec_col)
+    idx = F.sequence(F.lit(1), F.size(vec))
+    code_at = lambda i: F.when(  # noqa: E731
+        F.element_at(hi, i) == F.element_at(lo, i), F.lit(0.0)
+    ).otherwise(F.round(
+        (F.element_at(vec, i) - F.element_at(lo, i)) * float(levels)
+        / (F.element_at(hi, i) - F.element_at(lo, i)), 0))
+    dequant_at = lambda i: (  # noqa: E731
+        F.element_at(lo, i)
+        + code_at(i) * (F.element_at(hi, i) - F.element_at(lo, i))
+        / float(levels))
+    codes = F.transform(idx, lambda i: code_at(i).cast("int"))
+    err = F.array_max(F.transform(
+        idx, lambda i: F.abs(dequant_at(i) - F.element_at(vec, i))))
+    return emb.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+def quantize_codes_str(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       levels: int = 255) -> DataFrame:
+    """:func:`quantize_embeddings` with the code array serialized to a
+    comma-joined string — the cross-engine comparison form (value hashing
+    of arrays is representation-sensitive; a string is not)."""
+    q = quantize_embeddings(emb, id_col, vec_col, levels)
+    return q.select(
+        id_col,
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",")
+        .alias("codes"),
+        "max_abs_err",
+    )

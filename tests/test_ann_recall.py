@@ -116,3 +116,43 @@ def test_knn_join_blocked_recall(emb):
     approx = knn_join(assigned, k=3, block_col="cluster")
     got = knn_recall_at_k(approx, exact, 3).collect()[0]["recall"]
     assert got >= 0.3
+
+
+def test_quantize_embeddings_bounds(spark):
+    """SQ codes stay in [0, levels]; reconstruction error is bounded by
+    half a quantization step per dimension; a degenerate (constant)
+    dimension quantizes to code 0 with zero error."""
+    from rdf_tabular_spark.ops.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.0, 5.0, -1.0, 7.0]),
+        (2, [1.0, 5.0, 1.0, -7.0]),
+        (3, [0.5, 5.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    for r in out.values():
+        assert all(0 <= c <= 255 for c in r.codes)
+    # dim 2 is constant (5.0): everyone gets code 0, contributing no error
+    assert [out[i].codes[1] for i in (1, 2, 3)] == [0, 0, 0]
+    # extremes land on the ends of the code range
+    assert out[1].codes[0] == 0 and out[2].codes[0] == 255
+    assert out[1].codes[3] == 255 and out[2].codes[3] == 0
+    # error bound: half a step of the widest dim (range 14 over 255 levels)
+    for r in out.values():
+        # 1e-6 slack: max_abs_err is reported rounded to 6 dp
+        assert r.max_abs_err <= 14.0 / 255.0 / 2.0 + 1e-6
+
+
+def test_quantize_roundtrip_monotone(spark):
+    """Dequantized values preserve the order of the originals within a
+    dimension (quantization is monotone)."""
+    from rdf_tabular_spark.ops.similarity import quantize_embeddings
+
+    rows = [(i, [float(i) / 10.0]) for i in range(11)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sorted((r.vec_id, r.codes[0])
+                 for r in quantize_embeddings(emb).collect())
+    codes = [c for _, c in out]
+    assert codes == sorted(codes)
+    assert codes[0] == 0 and codes[-1] == 255
