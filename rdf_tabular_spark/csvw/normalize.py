@@ -295,9 +295,12 @@ def _sanitize_obj(obj: dict, cls: str, base: str | None,
                        "boolean true or false", warnings)
         d = obj.get("dialect")
         if d is not None and not isinstance(d, (dict, str)):
+            # degrade to {} (defaults apply) rather than deleting: the key
+            # participates in type detection, so removal would reclassify
+            # the document on a re-parse
             warnings.append(f"{cls} has invalid property 'dialect' "
                             f"({d!r}): expected a URL or object")
-            del obj["dialect"]
+            obj["dialect"] = {}
         elif isinstance(d, dict):
             _sanitize_obj(d, "Dialect", base, warnings, errors)
         ts = obj.get("tableSchema")

@@ -163,3 +163,74 @@ def test_local_linking_properties(names):
         assert canon == min(members)
     # idempotent/deterministic
     assert dict(link_mentions_local(sorted(names))) == labels
+
+
+# ---------------------------------------------------------------------------
+# metadata sanitization (normalize.py)
+# ---------------------------------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(min_value=-10**9, max_value=10**9),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=12))
+
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(
+            st.sampled_from([
+                "url", "tables", "tableSchema", "dialect", "columns",
+                "name", "titles", "datatype", "null", "lang", "separator",
+                "ordered", "required", "default", "aboutUrl", "propertyUrl",
+                "valueUrl", "textDirection", "primaryKey", "rowTitles",
+                "foreignKeys", "notes", "transformations", "@id", "@type",
+                "@context", "dc:title", "suppressOutput", "virtual",
+                "delimiter", "skipRows", "trim", "format", "base",
+            ]) | st.text(max_size=8),
+            children, max_size=5)),
+    max_leaves=20)
+
+_docs = st.dictionaries(
+    st.sampled_from([
+        "url", "tables", "tableSchema", "dialect", "@id", "@type",
+        "@context", "notes", "dc:title", "lang", "null", "transformations",
+    ]) | st.text(max_size=8),
+    _json_values, max_size=6)
+
+
+@given(_docs)
+@settings(max_examples=200, deadline=None)
+def test_sanitize_never_raises_and_is_idempotent(doc):
+    """The sanitizer is total over arbitrary JSON documents (a crash on
+    weird metadata is a production incident at 10^12-file scale), and
+    warn-level cleanup converges in one pass: re-sanitizing the cleaned
+    document yields the same document and no NEW warnings (unexpected-key
+    warnings and error-level findings persist by design — they never
+    mutate the document)."""
+    from rdf_tabular_spark.csvw.normalize import sanitize_metadata
+
+    clean, warnings, errors = sanitize_metadata(doc, "http://e.org/m.json")
+    clean2, warnings2, errors2 = sanitize_metadata(
+        clean, "http://e.org/m.json")
+    assert clean2 == clean
+    assert set(warnings2) <= set(warnings)
+    # the only warnings that persist are the non-mutating classes
+    assert all("unexpected keys" in w or "context missing" in w
+               for w in warnings2)
+    assert errors2 == errors
+
+
+@given(_docs)
+@settings(max_examples=200, deadline=None)
+def test_error_free_sanitized_docs_always_compile(doc):
+    """Any document the sanitizer passes without errors must compile into
+    a plan (parse_metadata must not raise) — the warn-and-ignore layer
+    exists precisely so downstream code never sees a wrong-typed value."""
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.csvw.normalize import sanitize_metadata
+
+    clean, _w, errors = sanitize_metadata(doc, "http://e.org/m.json")
+    if errors:
+        return
+    parse_metadata(doc, base="http://e.org/m.json")
