@@ -2628,6 +2628,29 @@ def sql_kg_bgp_paths() -> str:
     """
 
 
+def q_kg_bgp_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence property path (kg/query.py r3 tuple form): co-import
+    pairs via imports/^imports — the two-step chain through a fresh
+    intermediate variable, inverse composed INSIDE the sequence. The
+    twin is the classic self-join on the shared module."""
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    imp = _KG + "imports"
+    return match_bgp(triples, [
+        ("?a", ("/", imp, "^" + imp), "?b"),
+    ], project=["a", "b"])
+
+
+def sql_kg_bgp_sequence() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT DISTINCT x.subj AS a, y.subj AS b
+    FROM kgq x JOIN kgq y ON x.obj = y.obj
+    WHERE x.pred = '{_KG}imports' AND y.pred = '{_KG}imports'
+    """
+
+
 def q_kg_bgp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL GROUP BY / HAVING / ORDER+LIMIT (kg/query.aggregate_bgp +
     solution_modifiers): top-5 repos by distinct imported modules. The
@@ -3608,6 +3631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "dedup_substring_clean": q_dedup_substring_clean,
         "embedding_quantize": q_embedding_quantize,
+        "kg_bgp_sequence": q_kg_bgp_sequence,
         "multimodal_png": q_multimodal_png,
         "multimodal_audio": q_multimodal_audio,
         "similarity_recall": q_similarity_recall,
@@ -3730,6 +3754,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring": sql_dedup_substring(),
         "dedup_substring_clean": sql_dedup_substring_clean(),
         "embedding_quantize": sql_embedding_quantize(),
+        "kg_bgp_sequence": sql_kg_bgp_sequence(),
         "multimodal_png": sql_multimodal_png(),
         "multimodal_audio": sql_multimodal_audio(),
         "kg_triples": sql_kg_triples(),

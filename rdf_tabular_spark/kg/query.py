@@ -47,9 +47,10 @@ DEFAULT_PATH_MAX_HOPS = 10
 
 def _compile_path_pattern(triples: DataFrame, pattern: tuple,
                           max_hops: int) -> DataFrame:
-    """A pattern whose predicate ends in ``+`` or ``*`` (SPARQL one-/
-    zero-or-more property paths): replace the triple scan with the
-    bounded transitive closure of that predicate's edge list
+    """A pattern whose predicate ends in ``+``, ``*`` or ``?`` (SPARQL
+    one-or-more / zero-or-more / zero-or-one property paths): replace the
+    triple scan with the bounded transitive closure (``+``/``*``) or the
+    plain single-hop edges (``?``) of that predicate's edge list
     (graph.reachability — semi-naive BFS), then bind s/o exactly like a
     plain pattern. Constants filter the CLOSED pair set, so
     ``(<file>, "kg:dep+", ?m)`` is everything reachable from one node.
@@ -60,19 +61,23 @@ def _compile_path_pattern(triples: DataFrame, pattern: tuple,
     from .graph import reachability
 
     s, p, o = pattern
-    base, star = p[:-1], p.endswith("*")
+    base, mode = p[:-1], p[-1]
     edges = (
         triples.filter((F.col("pred") == base) & F.col("obj_is_iri"))
         .select(F.col("subj").alias("subj"), F.col("obj").alias("obj"))
     )
-    closed = (
-        reachability(
-            edges.select(F.col("subj").alias("src"),
-                         F.col("obj").alias("dst")),
-            max_hops=max_hops)
-        .select(F.col("src").alias("subj"), F.col("dst").alias("obj"))
-    )
-    if star:
+    if mode == "?":
+        # zero-or-one: the single-hop edges themselves, no closure
+        closed = edges
+    else:
+        closed = (
+            reachability(
+                edges.select(F.col("subj").alias("src"),
+                             F.col("obj").alias("dst")),
+                max_hops=max_hops)
+            .select(F.col("src").alias("subj"), F.col("dst").alias("obj"))
+        )
+    if mode in ("*", "?"):
         nodes = (
             triples.select("subj")
             .unionByName(triples.filter(F.col("obj_is_iri"))
@@ -97,12 +102,38 @@ def _compile_path_pattern(triples: DataFrame, pattern: tuple,
         *[F.col(pos).alias(name) for name, pos in var_cols.items()])
 
 
+#: fresh intermediate-variable ids for sequence paths
+_SEQ_IDS = __import__("itertools").count()
+
+
 def _compile_pattern(triples: DataFrame, pattern: tuple,
                      path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
     """One triple pattern -> filtered projection with variable columns."""
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o): {pattern!r}")
     pred = pattern[1]
+    if isinstance(pred, tuple) and pred and pred[0] == "/":
+        # sequence path p1/p2/...: chain through fresh intermediate
+        # variables and join consecutive steps on them (tuple form, not
+        # string parsing — '/' is ubiquitous inside IRIs). Each step
+        # re-dispatches, so ^/+/*/?/| compose inside a sequence.
+        steps = list(pred[1:])
+        if len(steps) < 2:
+            raise ValueError(f"sequence path needs >= 2 steps: {pred!r}")
+        terms = ([pattern[0]]
+                 + [f"?__seq{next(_SEQ_IDS)}" for _ in steps[:-1]]
+                 + [pattern[2]])
+        df = None
+        for i, step in enumerate(steps):
+            part = _compile_pattern(
+                triples, (terms[i], step, terms[i + 1]), path_max_hops)
+            if df is None:
+                df = part
+            else:
+                on = sorted(set(df.columns) & set(part.columns))
+                df = df.join(part, on=on) if on else df.crossJoin(part)
+        keep = [c for c in df.columns if not c.startswith("__seq")]
+        return df.select(*keep).distinct()
     if isinstance(pred, str) and not _is_var(pred):
         if pred.startswith("^"):
             # inverse path: swap subject/object and recurse (composes
@@ -118,7 +149,7 @@ def _compile_pattern(triples: DataFrame, pattern: tuple,
                     triples, (pattern[0], alt, pattern[2]), path_max_hops)
                 out = part if out is None else out.unionByName(part)
             return out.distinct()
-        if pred.endswith(("+", "*")):
+        if pred.endswith(("+", "*", "?")):
             return _compile_path_pattern(triples, pattern, path_max_hops)
     df = triples
     var_cols: dict[str, str] = {}  # var name -> first position holding it

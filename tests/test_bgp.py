@@ -268,3 +268,44 @@ def test_aggregate_bgp_and_modifiers(spark):
         t, [("?f", "imports", "?m"), ("?f", "inRepo", "?r")],
         group_by=["r"], aggs={"n": "count(distinct m)"}, having=["n >= 2"])
     assert [r["r"] for r in hav.collect()] == ["r1"]
+
+
+def test_zero_or_one_path(spark):
+    """imports? = the single-hop edges plus a zero-length row per node."""
+    got = {(r["s"], r["o"]) for r in match_bgp(
+        _triples(spark), [("?s", "imports?", "?o")]).collect()}
+    # one-hop matches present
+    assert {("f:a", "m:x"), ("f:c", "m:y")} <= got
+    # zero-length rows: every node matches itself (even edge-less r:1)
+    assert {("r:1", "r:1"), ("m:y", "m:y"), ("f:a", "f:a")} <= got
+    # but NO two-hop rows: imports? never composes hops
+    assert ("f:a", "r:1") not in got
+
+
+def test_sequence_path(spark):
+    """imports/type chains through the intermediate module variable."""
+    got = {(r["f"], r["t"]) for r in match_bgp(
+        _triples(spark),
+        [("?f", ("/", "imports", "type"), "?t")]).collect()}
+    assert got == {("f:a", "Module"), ("f:b", "Module"), ("f:c", "Module")}
+
+
+def test_sequence_path_with_constant_endpoint(spark):
+    got = {r["f"] for r in match_bgp(
+        _triples(spark),
+        [("?f", ("/", "imports", "type"), "Module")]).collect()}
+    assert got == {"f:a", "f:b", "f:c"}
+
+
+def test_sequence_composes_with_inverse(spark):
+    """imports/^imports = co-import pairs (files sharing a module)."""
+    got = {(r["a"], r["b"]) for r in match_bgp(
+        _triples(spark),
+        [("?a", ("/", "imports", "^imports"), "?b")]).collect()}
+    assert ("f:a", "f:b") in got and ("f:b", "f:a") in got
+    assert ("f:a", "f:c") not in got  # different modules
+
+
+def test_sequence_needs_two_steps(spark):
+    with pytest.raises(ValueError):
+        match_bgp(_triples(spark), [("?a", ("/", "imports"), "?b")])
