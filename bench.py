@@ -32,7 +32,15 @@ def _mk_spark(cpus: int, confine_jvm: bool = False):
     everything. Scaling runs set this; the headline suite doesn't."""
     from pyspark.sql import SparkSession
 
-    builder = SparkSession.builder.master(f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        # sf0.1 tables are single small parquet files; the default 128 MB
+        # split puts 600k-cell scans on 1-3 cores. A 100 TB input is many
+        # files/row-groups wide — smaller local splits mirror that
+        # parallelism instead of benchmarking an artificial 1-core scan
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+    )
     if confine_jvm:
         builder = builder.config(
             "spark.driver.extraJavaOptions",
@@ -140,6 +148,23 @@ def kg_job(spark, n_files: int, stage: str = "full"):
     return n, time.time() - t0
 
 
+def force_eval(df) -> int:
+    """Evaluate a query FULLY and return its row count. ``df.count()``
+    lets Catalyst prune the final projection, so a map-only operator
+    (text quality, langid, decode, ...) times the SCAN, not the compute
+    (found r3: the curation pipeline was 16x its 'count' time once a
+    filter forced the expressions). One aggregate over
+    count + bit_xor(xxhash64(*cols)) forces every output column
+    JVM-side and ships two scalars to the driver."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+    ).collect()[0]
+    return row["n"]
+
+
 def _suite_pass(spark, entry, sf_dir: str, n_files: int) -> tuple[dict, int]:
     """One full pass over the headline suite: every query once, the KG
     pipeline once, graph analytics once. Returns (per-query sec, kg
@@ -153,7 +178,7 @@ def _suite_pass(spark, entry, sf_dir: str, n_files: int) -> tuple[dict, int]:
     per_query: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        force_eval(qs[name](spark, sf_dir))
         per_query[name] = round(time.time() - t0, 3)
 
     n_triples, kg_wall = kg_job(spark, n_files)
@@ -211,6 +236,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "metric": "headline_suite_best_sum",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
+        # r3: per-query timing forces FULL evaluation (force_eval) —
+        # .count() let Catalyst prune map-only projections, so earlier
+        # rounds under-timed pure-projection queries (BASELINE.md r3
+        # carries a both-bases comparison table)
+        "eval": "forced",
         "queries": per_query,
         # one MEASURED end-to-end wall of a single full pass (cold-ish):
         # the metric-translation-free cross-round number (VERDICT r2 §8)
@@ -244,7 +274,7 @@ def run_late(sf_dir: str, cpus: int) -> dict:
         best = None
         for _ in range(2):
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            n = force_eval(fn(spark, sf_dir))
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         per_query[name] = round(best, 3)
