@@ -1354,6 +1354,44 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_t(spark, sf_dir, "events"), gap_s=1800)
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window sessionization (the streaming-compatible
+    formulation — identical expression runs under readStream+watermark):
+    hash-exact against a gaps-and-islands SQL twin, proving the native
+    session assignment equals the lag/running-sum formulation on
+    whole-second data (ops/sessions.session_window_stats boundary
+    parity)."""
+    from rdf_tabular_spark.ops.sessions import session_window_stats
+
+    return session_window_stats(_t(spark, sf_dir, "events"), gap_s=1800)
+
+
+def sql_events_session_window() -> str:
+    return """
+    WITH o AS (
+      SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events),
+    l AS (
+      SELECT user_id, value, es,
+             lag(es) OVER (PARTITION BY user_id ORDER BY es) AS prev
+      FROM o),
+    s AS (
+      SELECT user_id, value, es,
+             sum(CASE WHEN prev IS NULL OR es - prev > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY es
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM l)
+    SELECT user_id,
+           CAST(min(es) AS BIGINT) AS session_start_es,
+           CAST(max(es) AS BIGINT) AS session_last_es,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM s GROUP BY user_id, island
+    """
+
+
 def sql_events_sessionize() -> str:
     return """
     WITH o AS (
@@ -3632,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_clean": q_dedup_substring_clean,
         "embedding_quantize": q_embedding_quantize,
         "kg_bgp_sequence": q_kg_bgp_sequence,
+        "events_session_window": q_events_session_window,
         "multimodal_png": q_multimodal_png,
         "multimodal_audio": q_multimodal_audio,
         "similarity_recall": q_similarity_recall,
@@ -3755,6 +3794,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_clean": sql_dedup_substring_clean(),
         "embedding_quantize": sql_embedding_quantize(),
         "kg_bgp_sequence": sql_kg_bgp_sequence(),
+        "events_session_window": sql_events_session_window(),
         "multimodal_png": sql_multimodal_png(),
         "multimodal_audio": sql_multimodal_audio(),
         "kg_triples": sql_kg_triples(),

@@ -71,3 +71,41 @@ def session_stats(events: DataFrame, gap_s: int = 1800,
         aggs.append(
             F.count_distinct(type_col).cast("long").alias("n_types"))
     return s.groupBy(user_col, "session_id").agg(*aggs)
+
+
+def session_window_stats(events: DataFrame, gap_s: int = 1800,
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         value_col: str = "value") -> DataFrame:
+    """Native ``F.session_window`` sessionization — the
+    streaming-compatible path: the identical expression runs unchanged
+    under ``readStream`` + watermark, where per-key session state is
+    merged incrementally instead of a partition sort (SURVEY §2.8
+    extension; no lag/running-sum window, so no per-user sort at all in
+    streaming mode).
+
+    Boundary parity with :func:`sessionize`: Spark merges an event into a
+    session when it falls within ``[start, last + gap]`` INCLUSIVE (an
+    event exactly ``gap`` after the last one still merges — verified
+    against the islands formulation on real data), i.e. it closes at
+    ``diff > gap`` exactly like the lag/running-sum formulation, so the
+    same ``gap_s`` over second-truncated timestamps assigns IDENTICAL
+    sessions (the equivalence the oracle row pins cross-engine).
+
+    Returns (user, session_start_es, session_last_es, n_events,
+    value_sum) — epoch-second session bounds of actual events, not the
+    gap-padded window end."""
+    gap = gap_s
+    staged = events.withColumn(
+        "_ts", F.date_trunc("second", F.col(ts_col).cast("timestamp")))
+    return (
+        staged.groupBy(
+            F.col(user_col),
+            F.session_window("_ts", f"{gap} seconds").alias("_w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.round(F.sum(value_col), 6).alias("value_sum"))
+        .select(
+            user_col,
+            F.col("_w.start").cast("long").alias("session_start_es"),
+            (F.col("_w.end").cast("long") - gap).alias("session_last_es"),
+            "n_events", "value_sum")
+    )

@@ -98,3 +98,33 @@ def test_repetition_case_whitespace_normalized(spark):
     df = spark.createDataFrame([(1, "The  THE the")], "doc_id int, text string")
     r = repetition_metrics(df).collect()[0]
     assert r["n_tokens"] == 3 and r["top_word_frac"] == 1.0
+
+
+def test_session_window_matches_islands(spark):
+    """The native F.session_window formulation assigns the same sessions
+    as the lag/running-sum islands formulation (boundary: an event
+    exactly gap seconds after the last one MERGES; gap+1 splits)."""
+    from rdf_tabular_spark.ops.sessions import (
+        session_stats, session_window_stats)
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:30:00", 2.0),   # exactly 1800s -> same session
+        (1, "2024-01-01 01:00:01", 4.0),   # 1801s -> new session
+        (2, "2024-01-01 00:00:00", 8.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, value double") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value",
+                    "'x' AS event_type")
+    native = {(r.user_id, r.session_start_es, r.session_last_es,
+               r.n_events, r.value_sum)
+              for r in session_window_stats(ev, gap_s=1800).collect()}
+    base = 1704067200  # 2024-01-01T00:00:00Z epoch
+    assert native == {
+        (1, base, base + 1800, 2, 3.0),
+        (1, base + 3601, base + 3601, 1, 4.0),
+        (2, base, base, 1, 8.0),
+    }
+    # cardinality parity with the islands formulation on the same input
+    islands = session_stats(ev, gap_s=1800).collect()
+    assert len(islands) == len(native)
