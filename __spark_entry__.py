@@ -1354,6 +1354,59 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_t(spark, sf_dir, "events"), gap_s=1800)
 
 
+def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table-A1 repetition signals (ops/text.gopher_repetition):
+    top-2-gram fraction + duplicate-line fraction + duplicated-line
+    character fraction, computed as per-row sorted-array folds (map-only).
+    The twin recomputes them RELATIONALLY (unnest + group-by) — agreeing
+    answers from two different formulations, cross-engine."""
+    from rdf_tabular_spark.ops.text import gopher_repetition
+
+    return gopher_repetition(_t(spark, sf_dir, "documents"))
+
+
+def sql_text_gopher_repetition() -> str:
+    return r"""
+    WITH lines AS (
+      SELECT doc_id, x AS line FROM (
+        SELECT doc_id, unnest(string_split(COALESCE(text, ''), chr(10))) AS x
+        FROM documents)
+      WHERE trim(x) <> ''),
+    lstats AS (
+      SELECT doc_id,
+             SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+             SUM(c * l) AS total_chars,
+             SUM(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dup_chars
+      FROM (SELECT doc_id, line, COUNT(*) AS c, len(line) AS l
+            FROM lines GROUP BY doc_id, line)
+      GROUP BY doc_id),
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(COALESCE(text, '')),
+                                              '\s+', ' ', 'g')), ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+1], ' ')
+                     for i in generate_series(1, len(t) - 1)]) AS g
+      FROM toks),
+    gstats AS (
+      SELECT doc_id, MAX(c) AS top2, SUM(c) AS n2
+      FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           round(COALESCE(CAST(g.top2 AS DOUBLE) / g.n2, 0.0), 6)
+             AS top_2gram_frac,
+           round(COALESCE(1.0 - CAST(l.n_distinct AS DOUBLE) / l.n_lines,
+                          0.0), 6) AS dup_line_frac,
+           round(COALESCE(CAST(l.dup_chars AS DOUBLE) / l.total_chars,
+                          0.0), 6) AS dup_line_char_frac
+    FROM documents d
+    LEFT JOIN lstats l USING (doc_id)
+    LEFT JOIN gstats g USING (doc_id)
+    """
+
+
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native F.session_window sessionization (the streaming-compatible
     formulation — identical expression runs under readStream+watermark):
@@ -3671,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "kg_bgp_sequence": q_kg_bgp_sequence,
         "events_session_window": q_events_session_window,
+        "text_gopher_repetition": q_text_gopher_repetition,
         "multimodal_png": q_multimodal_png,
         "multimodal_audio": q_multimodal_audio,
         "similarity_recall": q_similarity_recall,
@@ -3795,6 +3849,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": sql_embedding_quantize(),
         "kg_bgp_sequence": sql_kg_bgp_sequence(),
         "events_session_window": sql_events_session_window(),
+        "text_gopher_repetition": sql_text_gopher_repetition(),
         "multimodal_png": sql_multimodal_png(),
         "multimodal_audio": sql_multimodal_audio(),
         "kg_triples": sql_kg_triples(),

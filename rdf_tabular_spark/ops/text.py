@@ -456,3 +456,83 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.log(n.cast("double"))
                     - state / n / 1e6, 6)),
     })
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher-suite repetition signals beyond :func:`repetition_metrics`
+    (Rae et al. 2021 Table A1): top-2-gram multiplicity fraction,
+    duplicate-LINE fraction, and the fraction of characters inside
+    duplicated lines (every copy counts, including the first).
+
+    Lines are raw ``\\n`` splits with whitespace-only lines dropped;
+    2-grams run over the normalized token stream. All three are per-row
+    sorted-array folds (equal elements are adjacent after array_sort) —
+    map-only, no explode shuffle, lambdas reference only their arguments
+    (the alias-capture pushdown hazard)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        F.col(id_col),
+        F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "").alias("_lines"),
+        F.split(normalize_text(c), " ").alias("_toks"),
+    )
+    lines = F.col("_lines")
+    toks = F.col("_toks")
+    zero = F.lit(0).cast("long")
+
+    n_lines = F.size(lines)
+    total_chars = F.aggregate(
+        lines, zero, lambda acc, x: acc + F.length(x))
+    sorted_l = F.array_sort(lines)
+    # one fold yields BOTH the distinct count (run starts) and the chars
+    # inside duplicated lines: on a repeat, add len(x) plus retroactively
+    # the first copy's length when the run was still 1
+    st = F.aggregate(
+        sorted_l,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 zero.alias("run"), zero.alias("dupchars"),
+                 zero.alias("distinct")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).cast("long").alias("run"),
+            (acc["dupchars"] + F.when(
+                x == acc["prev"],
+                F.length(x) + F.when(acc["run"] == 1, F.length(x))
+                .otherwise(zero)).otherwise(zero)).cast("long")
+            .alias("dupchars"),
+            (acc["distinct"] + F.when(
+                x == acc["prev"], zero).otherwise(F.lit(1)).cast("long"))
+            .cast("long").alias("distinct")),
+    )
+
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams2 = F.zip_with(
+        F.slice(toks, 1, n_pairs), F.slice(toks, 2, n_pairs),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    n_2g = F.size(grams2)
+    top2 = F.aggregate(
+        F.array_sort(grams2),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 zero.alias("run"), zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .cast("long").alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                .cast("long")).alias("best")),
+    )["best"]
+
+    return staged.select(
+        id_col,
+        F.round(F.when(n_2g > 0, top2 / n_2g).otherwise(F.lit(0.0)), 6)
+        .alias("top_2gram_frac"),
+        F.round(F.when(n_lines > 0,
+                       1.0 - st["distinct"] / n_lines).otherwise(F.lit(0.0)),
+                6).alias("dup_line_frac"),
+        F.round(F.when(total_chars > 0,
+                       st["dupchars"] / total_chars).otherwise(F.lit(0.0)),
+                6).alias("dup_line_char_frac"),
+    )

@@ -363,3 +363,31 @@ def test_fuzzy_decon_engines_agree_and_catch_edits(spark):
     assert (1, 100) in fast and fast[(1, 100)] == 1.0
     assert (2, 100) in fast and fast[(2, 100)] < 1.0
     assert all(t != 3 for t, _ in fast)
+
+
+def test_gopher_repetition(spark):
+    from rdf_tabular_spark.ops.text import gopher_repetition
+
+    docs = [
+        # 3 lines, one duplicated (2 copies of 'dup line' = 16 of 24 chars)
+        (1, "dup line\nunique middle\ndup line"),
+        # 'a b' 2-gram repeats 3x of 5 grams; no duplicate lines
+        (2, "a b a b a b"),
+        (3, None),
+        (4, "   \n  \n"),          # only whitespace lines -> all zeros
+        (5, "single"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    assert len(out) == 5
+    r1 = out[1]
+    assert r1.dup_line_frac == round(1 - 2 / 3, 6)
+    assert r1.dup_line_char_frac == round(16 / 29, 6)  # 2*8 of 8+13+8
+    r2 = out[2]
+    assert r2.top_2gram_frac == 0.6      # 'a b' x3 of 5 grams
+    assert r2.dup_line_frac == 0.0
+    for d in (3, 4):
+        r = out[d]
+        assert (r.top_2gram_frac, r.dup_line_frac, r.dup_line_char_frac) \
+            == (0.0, 0.0, 0.0)
+    assert out[5].top_2gram_frac == 0.0
