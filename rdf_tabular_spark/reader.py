@@ -9,6 +9,7 @@ semantics apply a final dedup. Multi-table groups fan out driver-side
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 from urllib.parse import urlparse
@@ -382,11 +383,20 @@ def validate(
         pk_violations,
     )
 
-    group, html_text, search_dir = _load_group(
-        metadata, base, search_dir, headers)
-
     out_schema = ("kind string, table string, row long, source_row long, "
                   "column string, detail string")
+
+    try:
+        group, html_text, search_dir = _load_group(
+            metadata, base, search_dir, headers)
+    except json.JSONDecodeError as e:
+        # malformed metadata JSON is a VALIDATION FINDING, not a crash
+        # (official suite test092 'invalid JSON'): the document is
+        # unprocessable, so the single metadata_error row is the report
+        return spark.createDataFrame(
+            [("metadata_error", None, None, None, None,
+              f"metadata is not valid JSON: {e}")], out_schema)
+
     parts: list[DataFrame] = []
 
     # metadata-document validation first (reference validate!, reader.rb:167)
