@@ -75,7 +75,8 @@ def session_stats(events: DataFrame, gap_s: int = 1800,
 
 def session_window_stats(events: DataFrame, gap_s: int = 1800,
                          user_col: str = "user_id", ts_col: str = "ts",
-                         value_col: str = "value") -> DataFrame:
+                         value_col: str = "value",
+                         ts_prepared: bool = False) -> DataFrame:
     """Native ``F.session_window`` sessionization — the
     streaming-compatible path: the identical expression runs unchanged
     under ``readStream`` + watermark, where per-key session state is
@@ -93,14 +94,21 @@ def session_window_stats(events: DataFrame, gap_s: int = 1800,
 
     Returns (user, session_start_es, session_last_es, n_events,
     value_sum) — epoch-second session bounds of actual events, not the
-    gap-padded window end."""
+    gap-padded window end.
+
+    *ts_prepared*: the STREAMING entry path. A watermark attaches to a
+    specific attribute and does not survive the internal cast/trunc
+    projection, so a streaming caller pre-truncates
+    (``date_trunc('second', CAST(ts AS TIMESTAMP))``), watermarks that
+    column, and passes ``ts_prepared=True`` — the op then uses it
+    verbatim and the identical aggregation runs incrementally."""
     gap = gap_s
-    staged = events.withColumn(
-        "_ts", F.date_trunc("second", F.col(ts_col).cast("timestamp")))
+    tcol = F.col(ts_col) if ts_prepared else F.date_trunc(
+        "second", F.col(ts_col).cast("timestamp"))
     return (
-        staged.groupBy(
+        events.groupBy(
             F.col(user_col),
-            F.session_window("_ts", f"{gap} seconds").alias("_w"))
+            F.session_window(tcol, f"{gap} seconds").alias("_w"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
              F.round(F.sum(value_col), 6).alias("value_sum"))
         .select(

@@ -174,3 +174,45 @@ def test_streaming_dedup_order_independent_and_replayable(spark, tmp_path):
         sink)
     assert {(r.fp, r.doc_id)
             for r in spark.read.parquet(sink).collect()} == before
+
+
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    """The SAME session_window_stats expression runs under readStream +
+    watermark (incremental per-key session-state merge) and — once the
+    availableNow trigger drains the source — emits the same sessions the
+    batch run computes."""
+    from rdf_tabular_spark.ops.sessions import session_window_stats
+
+    src = str(tmp_path / "ev")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.coalesce(1).write.parquet(src)
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(events.schema).parquet(src)
+        # the watermark must sit on the exact column session_window uses:
+        # pre-truncate to seconds (parity with the batch path) and cast
+        # NTZ -> TIMESTAMP, then watermark it
+        .withColumn("ts", F.date_trunc(
+            "second", F.col("ts").cast("timestamp")))
+        .withWatermark("ts", "1 hour"))
+    out = session_window_stats(stream, gap_s=1800, ts_prepared=True)
+    q = (out.writeStream.format("memory").queryName("sesswin")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["user_id"], r["session_start_es"]):
+           (r["session_last_es"], r["n_events"], r["value_sum"])
+           for r in spark.sql("select * from sesswin").collect()}
+    want = {(r["user_id"], r["session_start_es"]):
+            (r["session_last_es"], r["n_events"], r["value_sum"])
+            for r in session_window_stats(events, gap_s=1800).collect()}
+    # append mode emits only watermark-closed sessions; every emitted
+    # session must exist in the batch answer with identical stats
+    assert got, "streaming query emitted nothing"
+    assert all(want[k] == v for k, v in got.items())
+    # and the drained stream should have closed nearly everything
+    assert len(got) >= 0.9 * len(want)
