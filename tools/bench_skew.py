@@ -86,6 +86,14 @@ def jobs(spark, src_path: str) -> dict[str, float]:
     timed("lsh_bands_capped",
           lambda: minhash_lsh_pairs(
               docs, threshold=0.8, max_bucket_size=64).count())
+    # substring dedup's skew claim: a boilerplate 8-gram present in ~90%
+    # of documents (the hot module's import line) is ONE aggregate row +
+    # one semi-join flag per occurrence — never candidate PAIRS — so the
+    # skewed corpus costs ~the uniform one
+    from rdf_tabular_spark.ops.dedup import substring_duplicate_spans
+
+    timed("substring_spans",
+          lambda: substring_duplicate_spans(docs, k=8).count())
     return out
 
 
