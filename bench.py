@@ -34,12 +34,15 @@ def _mk_spark(cpus: int, confine_jvm: bool = False):
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
-        # sf0.1 tables are single small parquet files; the default 128 MB
-        # split puts 600k-cell scans on 1-3 cores. A 100 TB input is many
-        # files/row-groups wide — smaller local splits mirror that
-        # parallelism instead of benchmarking an artificial 1-core scan
+        # bench inputs are O(100 MB); the default 128 MB split would cap
+        # scans at a few tasks no matter the core count (at production
+        # scale splits are plentiful). NOTE splits only take effect at
+        # ROW-GROUP boundaries — the staged multi-file copies from
+        # ensure_split_sf_dir are what actually widen single-file tables;
+        # the low openCost keeps those small files one-task-each instead
+        # of bin-packed back onto a few cores.
         .config("spark.sql.files.maxPartitionBytes", "4m")
-        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "128k")
     )
     if confine_jvm:
         builder = builder.config(
@@ -56,10 +59,6 @@ def _mk_spark(cpus: int, confine_jvm: bool = False):
     return (
         builder
         .config("spark.sql.shuffle.partitions", str(cpus))
-        # split-bound scan parallelism: bench inputs are O(100 MB); the
-        # default 128 MB split would cap scans at a few tasks no matter
-        # the core count (at production scale splits are plentiful)
-        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -94,6 +93,40 @@ BENCH_QUERIES = [
 ]
 
 KG_FILES_PER_SF = 200_000  # n_files = KG_FILES_PER_SF * sf
+
+SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+             "lineitem", "events", "documents", "embeddings"]
+
+
+def ensure_split_sf_dir(spark, sf_dir: str, parts: int = 32) -> str:
+    """Stage the sf tables once into *parts*-file copies (same rows, same
+    schema) and return the staged dir.
+
+    The driver's sf tables are single-file, SINGLE-ROW-GROUP parquet
+    (lineitem sf0.1: 600k rows, one group), and a row group is the unit
+    of scan parallelism — ``maxPartitionBytes`` cannot split one, so
+    every map-heavy query was effectively timed on ONE core regardless
+    of the session's core count (found r3: csvw_uax35_number spent 10.7 s
+    evaluating 600k typed cells serially). A production 100 TB input is
+    thousands of files / row groups wide; the staged copy gives the bench
+    scans the same property, exactly as :func:`ensure_kg_source` already
+    does for the KG source table. Row CONTENT is identical, so every
+    query computes the same (order-insensitive, force_eval-hashed)
+    result; only the scan layout changes."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+                        f"sfbench_{tag}_{parts}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        for t in SF_TABLES:
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            if not os.path.exists(src):
+                continue
+            spark.read.parquet(src).repartition(parts).write.mode(
+                "overwrite").parquet(os.path.join(path, f"{t}.parquet"))
+        with open(marker, "w"):
+            pass
+    return path
 
 
 def ensure_kg_source(spark, n_files: int) -> str:
@@ -206,21 +239,23 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     spark = _mk_spark(cpus)
+    # many-file staged copy of the sf tables (untimed, like ensure_kg_source)
+    bench_dir = ensure_split_sf_dir(spark, sf_dir)
     # JVM/JIT + scan warm-up so per-query numbers reflect steady state
     # rather than charging first-query session costs to whoever runs first
     spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
     for t in ("lineitem", "documents"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        spark.read.parquet(f"{bench_dir}/{t}.parquet").count()
     n_files = max(1000, int(KG_FILES_PER_SF * (sf or 0.1)))
 
     t_suite = time.time()
-    pass1, n_triples = _suite_pass(spark, entry, sf_dir, n_files)
+    pass1, n_triples = _suite_pass(spark, entry, bench_dir, n_files)
     single_run_wall = time.time() - t_suite
     # best-of-2: the sandbox host shows up-to-2x run-to-run variance
     # from contention (BASELINE.md); the min is the steady-state number
     # and is what BASELINE.md records, so driver-recorded BENCH_r{N}
     # and builder-recorded baselines stop drifting apart
-    pass2, n2 = _suite_pass(spark, entry, sf_dir, n_files)
+    pass2, n2 = _suite_pass(spark, entry, bench_dir, n_files)
     assert n2 == n_triples  # deterministic pipeline
     raw_wall = time.time() - t_suite
     per_query = {k: min(pass1[k], pass2[k]) for k in pass1}
@@ -263,6 +298,7 @@ def run_late(sf_dir: str, cpus: int) -> dict:
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     spark = _mk_spark(cpus)
+    bench_dir = ensure_split_sf_dir(spark, sf_dir)
     spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
     qs = entry.queries()
     skip = set(BENCH_QUERIES) | {"kg_pipeline", "kg_degrees", "kg_pagerank"}
@@ -274,7 +310,7 @@ def run_late(sf_dir: str, cpus: int) -> dict:
         best = None
         for _ in range(2):
             t0 = time.time()
-            n = force_eval(fn(spark, sf_dir))
+            n = force_eval(fn(spark, bench_dir))
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         per_query[name] = round(best, 3)
