@@ -2196,6 +2196,178 @@ def _kg_oracle_v2_path() -> str:
     return path
 
 
+WEB_ORACLE_DOCS = 2000
+
+#: curated blocklist for the oracle corpus (3 of the 18 staged domains)
+WEB_BLOCKLIST = ["badsite.com", "spam.co.uk", "tracker.org"]
+
+
+def _web_synth_rows() -> list[tuple[str, str]]:
+    """Deterministic synthetic web-docs corpus (doc_id, text) for the URL
+    curation oracles (ops/urls.py): the sf documents table contains no
+    URLs, so — like the staged KG source — a small staged corpus makes
+    the operators observable. URLs vary scheme case, subdomain depth,
+    ports/paths/queries/fragments, two-level public suffixes, glued
+    sentence punctuation, and the userinfo / IPv4-literal corners; ~1 in
+    5 docs has no URL at all. Pure Python (hashlib-derived, no RNG
+    state) so ``oracle_sql()`` can stage the identical file."""
+    import hashlib
+
+    def h(tag: str, i: int) -> int:
+        return int(hashlib.md5(f"web|{tag}|{i}".encode()).hexdigest()[:8], 16)
+
+    domains = [
+        "example.com", "dataset.org", "research.net", "corpus.io",
+        "openweb.dev", "library.ac.uk", "news.co.uk", "shop.com.au",
+        "labs.co.jp", "mirror.edu", "wiki.info", "archive.org",
+        "papers.net", "blog.me", "docs.dev",
+    ] + WEB_BLOCKLIST
+    subs = ["", "www.", "api.", "cdn.static.", "blog.", "m."]
+    schemes = ["https://", "http://", "HTTPS://", "Http://"]
+    tails = ["", "/", "/index.html", "/a/b?q=1&x=2", "/p#frag", ":8080/x",
+             "/download.tar.gz"]
+    puncts = ["", ".", ",", ";", ")", "]!", "?"]
+    words = ["data", "spark", "corpus", "web", "crawl", "page", "filter",
+             "token", "model", "train", "clean", "scale", "shuffle",
+             "join", "scan", "text"]
+    rows: list[tuple[str, str]] = []
+    for i in range(WEB_ORACLE_DOCS):
+        toks = [words[h(f"w{j}", i) % len(words)]
+                for j in range(10 + h("len", i) % 25)]
+        for j in range(h("n", i) % 5):
+            url = (schemes[h(f"s{j}", i) % len(schemes)]
+                   + subs[h(f"sub{j}", i) % len(subs)]
+                   + domains[h(f"d{j}", i) % len(domains)]
+                   + tails[h(f"t{j}", i) % len(tails)])
+            pos = h(f"p{j}", i) % (len(toks) + 1)
+            toks.insert(pos, url + puncts[h(f"q{j}", i) % len(puncts)])
+        if i % 211 == 0:
+            toks.append("http://user:pw@secure.example.org/path,")
+        if i % 389 == 0:
+            toks.append("http://192.168.%d.%d:8080/admin;"
+                        % (h("ip1", i) % 256, h("ip2", i) % 256))
+        rows.append((f"web_{i:05d}", " ".join(toks)))
+    return rows
+
+
+def _web_oracle_path() -> str:
+    """Stage the synthetic web-docs corpus as one parquet file both
+    engines read; content-addressed on the generator source so edits
+    never reuse a stale staging (ADVICE r2 convention)."""
+    import hashlib
+    import inspect
+    import os
+    import tempfile
+
+    fp = hashlib.md5(
+        inspect.getsource(_web_synth_rows).encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"rdf_tabular_spark_web_oracle_{WEB_ORACLE_DOCS}_{fp}.parquet")
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _web_synth_rows()
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(pa.table({"doc_id": [r[0] for r in rows],
+                             "text": [r[1] for r in rows]}), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-grain extraction + host/registered-domain normalization
+    (ops/urls.py, the C4/RefinedWeb curation shape): one
+    regexp_extract_all projection + explode; host/domain are anchored
+    regex projections on the short URL strings, never the doc body."""
+    from rdf_tabular_spark.ops.urls import extract_urls
+
+    return extract_urls(spark.read.parquet(_web_oracle_path()))
+
+
+def _sql_url_parsed() -> str:
+    """Shared CTE: staged web corpus -> (doc_id, url, host, domain) —
+    the IDENTICAL RE2-safe patterns the Spark columns use, replayed in
+    DuckDB (regexp_extract_all / string_split / negative list index)."""
+    from rdf_tabular_spark.ops.urls import PUBLIC_SUFFIX_2
+
+    sfx = ",".join(f"'{s}'" for s in PUBLIC_SUFFIX_2)
+    return rf"""
+    web AS (SELECT * FROM '{_web_oracle_path()}'),
+    raw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(
+               text, '(?i)\bhttps?://[^\s<>"'']+')) AS raw_url
+      FROM web),
+    cleaned AS (
+      SELECT doc_id,
+             regexp_replace(raw_url, '[.,;:!?)\]]+$', '') AS url
+      FROM raw),
+    hosted AS (
+      SELECT doc_id, url,
+        regexp_replace(lower(regexp_extract(regexp_replace(regexp_replace(
+          url, '(?i)^https?://', ''), '^[^/@]*@', ''), '^[^/:?#]+')),
+          '^www\.', '') AS host
+      FROM cleaned),
+    labeled AS (
+      SELECT doc_id, url, host, string_split(host, '.') AS ls FROM hosted),
+    parsed AS (
+      SELECT doc_id, url, host,
+        CASE WHEN regexp_matches(host, '^[0-9.]+$') OR len(ls) < 2 THEN host
+             WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN ({sfx})
+               THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+             ELSE ls[-2] || '.' || ls[-1] END AS domain
+      FROM labeled)
+    """
+
+
+def sql_url_extract() -> str:
+    return f"WITH {_sql_url_parsed()} SELECT doc_id, url, host, domain FROM parsed"
+
+
+def q_url_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus mix (ops/urls.domain_mix): URL
+    occurrences + distinct citing docs, one map-side-combined agg — the
+    input a rebalance pass (ops/split.rebalance_mix) consumes."""
+    from rdf_tabular_spark.ops.urls import domain_mix
+
+    return domain_mix(spark.read.parquet(_web_oracle_path()))
+
+
+def sql_url_domain_mix() -> str:
+    return (f"WITH {_sql_url_parsed()} "
+            "SELECT domain, count(*) AS n_urls, "
+            "count(DISTINCT doc_id) AS n_docs FROM parsed GROUP BY domain")
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist document filter (ops/urls.blocklist_filter):
+    drop every doc citing a blocked registered domain — a pure map-only
+    per-row array predicate (zero shuffles); survivors keep their URL
+    count so the row carries evidence the extraction ran."""
+    from rdf_tabular_spark.ops.urls import blocklist_filter, url_array
+
+    docs = spark.read.parquet(_web_oracle_path())
+    kept = blocklist_filter(docs, WEB_BLOCKLIST)
+    return kept.select(
+        "doc_id", F.size(url_array(F.col("text"))).alias("n_urls"))
+
+
+def sql_url_blocklist() -> str:
+    blocked = ",".join(f"'{d}'" for d in WEB_BLOCKLIST)
+    return rf"""
+    WITH {_sql_url_parsed()}
+    SELECT doc_id,
+           len(regexp_extract_all(
+             text, '(?i)\bhttps?://[^\s<>"'']+')) AS n_urls
+    FROM web
+    WHERE doc_id NOT IN (
+      SELECT doc_id FROM parsed WHERE domain IN ({blocked}))
+    """
+
+
 # (lang, rule order within lang, kind, regex with groups 1=name [2=detail],
 #  group count) — the numbered-group twins of kg/extract.py LANG_RULES; the
 # oracle depends on rule ORDER because per-file row_idx counts structures in
@@ -2985,6 +3157,54 @@ def sql_dedup_cluster_assign(iterations: int = 10) -> str:
     """
 
 
+def q_dedup_cluster_elect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper election (ops/dedup.elect_canonical) on the
+    embedding dedup clusters: keep each cluster's highest-L2-norm member
+    (the quality proxy the embeddings table supports), min-id on ties —
+    the curation-grade replacement for the positional min-id keeper."""
+    from rdf_tabular_spark.ops.dedup import (
+        dedup_clusters, elect_canonical, embedding_near_pairs)
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    pairs = embedding_near_pairs(emb, threshold=0.2, block_col="label")
+    clustered = dedup_clusters(emb, pairs, id_col="vec_id")
+    scores = emb.select(
+        "vec_id",
+        F.aggregate("embedding", F.lit(0.0),
+                    lambda acc, x: acc + x * x).alias("score"))
+    out = elect_canonical(clustered.select("vec_id", "cluster_id"),
+                          scores, id_col="vec_id")
+    return out.select("vec_id", "cluster_id",
+                      F.round("score", 6).alias("score"), "keep")
+
+
+def sql_dedup_cluster_elect() -> str:
+    """Cluster-assign twin + arg-max-by-(score, min id) election via a
+    row_number window; the norm replays Spark's ordered double fold."""
+    return f"""
+    WITH cl AS MATERIALIZED ({sql_dedup_cluster_assign()}),
+    sc AS (
+      SELECT CAST(vec_id AS VARCHAR) AS vec_id,
+             list_sum(list_transform(
+               embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS score
+      FROM embeddings),
+    j AS (
+      SELECT cl.vec_id, cl.cluster_id, sc.score
+      FROM cl JOIN sc USING (vec_id)),
+    w AS (
+      SELECT vec_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM j)
+    SELECT j.vec_id, j.cluster_id, ROUND(j.score, 6) AS score,
+           j.vec_id = k.keeper AS keep
+    FROM j JOIN (SELECT cluster_id, vec_id AS keeper FROM w WHERE rn = 1) k
+      USING (cluster_id)
+    """
+
+
 def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe splitting (ops/split.leakage_safe_split): dup clusters
     from the embedding pair graph, then the md5 split keyed on the CLUSTER
@@ -3690,6 +3910,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # absorb any truncation; their green r2 rows are on record and
     # tools/check_entry.py re-verifies the full registry in BASELINE.md).
     return {
+        # -- new this session (no prior record: least proven, so first) ---
+        "url_extract": q_url_extract,
+        "url_domain_mix": q_url_domain_mix,
+        "url_blocklist": q_url_blocklist,
+        "dedup_cluster_elect": q_dedup_cluster_elect,
         # -- uncovered by CORRECTNESS_r02 (judge re-ran green; need a
         #    driver row) ---------------------------------------------------
         "kg_pagerank": q_kg_pagerank,
@@ -3792,6 +4017,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "url_extract": sql_url_extract(),
+        "url_domain_mix": sql_url_domain_mix(),
+        "url_blocklist": sql_url_blocklist(),
+        "dedup_cluster_elect": sql_dedup_cluster_elect(),
         "csvw_triples_minimal": sql_csvw_triples_minimal(),
         "csvw_triples_standard": sql_csvw_triples_standard(),
         "csvw_datatype_byte": sql_csvw_datatype_byte(),

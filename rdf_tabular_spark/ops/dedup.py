@@ -538,6 +538,44 @@ def dedup_clusters(
     )
 
 
+def elect_canonical(assign: DataFrame, scores: DataFrame,
+                    id_col: str = "doc_id",
+                    score_col: str = "score") -> DataFrame:
+    """Quality-aware canonical election: re-elect each dedup cluster's
+    keeper as the member with the HIGHEST score (ties -> min id),
+    replacing :func:`dedup_clusters`' positional min-id keeper. The
+    production pattern is to keep the best-quality member of every
+    near-dup cluster (longest / highest quality-score / most-cited), not
+    an arbitrary one — curation guidance the min-id election can't give.
+
+    *assign* is dedup_clusters' (id, cluster_id) output; *scores* maps id
+    -> a numeric quality score. Returns (id, cluster_id, score, keep)
+    with exactly one keep per cluster.
+
+    Scale shape: one join of the NARROW assignment rows to the score
+    column plus one map-side-combined arg-min aggregation per cluster
+    (min of a (negated score, id) struct — the hot boilerplate cluster
+    reaches its reducer as one partial per partition); the corpus is
+    never touched. NULL scores negate to +infinity, so they lose to
+    every scored member and fall back to min-id among themselves —
+    the election stays total and deterministic for unscored rows.
+    """
+    sid = F.col(id_col).cast("string")
+    sc = scores.select(sid.alias(id_col), F.col(score_col).alias("_score"))
+    j = (assign.select(sid.alias(id_col), "cluster_id")
+         .join(sc, id_col, "left"))
+    neg = -F.coalesce(F.col("_score"), F.lit(float("-inf")))
+    winner = (
+        j.groupBy("cluster_id")
+        .agg(F.min(F.struct(neg.alias("ns"),
+                            F.col(id_col).alias("i"))).alias("w"))
+        .select("cluster_id", F.col("w.i").alias("_keeper")))
+    return (
+        j.join(winner, "cluster_id")
+        .select(id_col, "cluster_id", F.col("_score").alias(score_col),
+                (F.col(id_col) == F.col("_keeper")).alias("keep")))
+
+
 def substring_duplicate_spans(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, min_docs: int = 2,

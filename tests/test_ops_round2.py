@@ -246,3 +246,28 @@ def test_remove_duplicate_spans(spark):
     # untouched docs pass through (normalized) with zero removals
     assert out[5].clean_text == "short doc" and out[5].n_removed_tokens == 0
     assert len(out) == 5
+
+
+def test_elect_canonical_quality_ties_and_nulls(spark):
+    from rdf_tabular_spark.ops.dedup import elect_canonical
+
+    assign = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"),   # cluster a
+         ("d", "d"), ("e", "d"),               # cluster d: score tie
+         ("f", "f"), ("g", "f")],              # cluster f: all NULL scores
+        "doc_id string, cluster_id string")
+    scores = spark.createDataFrame(
+        [("a", 1.0), ("b", 9.0), ("c", 3.0), ("d", 5.0), ("e", 5.0)],
+        "doc_id string, score double")
+    out = {r["doc_id"]: r for r in
+           elect_canonical(assign, scores).collect()}
+    kept = sorted(k for k, r in out.items() if r["keep"])
+    # b wins cluster a on score; d wins the tie by min id; f wins the
+    # all-NULL cluster by min id; exactly one keeper per cluster
+    assert kept == ["b", "d", "f"]
+    assert out["f"]["score"] is None and out["g"]["score"] is None
+    clusters = {}
+    for r in out.values():
+        clusters.setdefault(r["cluster_id"], 0)
+        clusters[r["cluster_id"]] += int(r["keep"])
+    assert set(clusters.values()) == {1}
