@@ -2966,6 +2966,40 @@ def sql_kg_bgp_union() -> str:
     """
 
 
+def q_kg_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage seam end-to-end (sources/snapshots.py): the v1 and v2
+    oracle corpora committed as OVERWRITE snapshots of one
+    snapshot-manifest table, then the incremental graph built from
+    snapshot READS (time travel for v1, current for v2). The oracle
+    recomputes v2 from the plain staged parquet, so a green row proves
+    incremental-through-the-table-layer == full recompute, cross-engine."""
+    import os
+    import tempfile
+
+    from rdf_tabular_spark.kg import delta, extract
+    from rdf_tabular_spark.sources.snapshots import SnapshotTable
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"rdf_tabular_spark_kg_snaptab_{KG_ORACLE_FILES}"
+        f"_{_kg_synth_fingerprint()}")
+    t = SnapshotTable(base)
+    if t.current_snapshot_id() is None:
+        t.commit(spark.read.parquet(_kg_oracle_source_path()),
+                 mode="overwrite")
+    if t.current_snapshot_id() == 1:
+        t.commit(spark.read.parquet(_kg_oracle_v2_path()), mode="overwrite")
+    prev = extract.extract_structures(
+        t.read(spark, 1), layout="source", carry_sha=False,
+        emit_file_rows=True)
+    _, _, triples = delta.incremental_graph(prev, t.read(spark, 2))
+    return triples
+
+
+def sql_kg_snapshot_incremental() -> str:
+    return sql_kg_triples(src=_kg_oracle_v2_path())
+
+
 def q_kg_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL MINUS (kg/query.minus_bgp): importing files that define NO
     class — compiles to a left-anti join on the shared variable, the
@@ -3915,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_mix": q_url_domain_mix,
         "url_blocklist": q_url_blocklist,
         "dedup_cluster_elect": q_dedup_cluster_elect,
+        "kg_snapshot_incremental": q_kg_snapshot_incremental,
         # -- uncovered by CORRECTNESS_r02 (judge re-ran green; need a
         #    driver row) ---------------------------------------------------
         "kg_pagerank": q_kg_pagerank,
@@ -4021,6 +4056,7 @@ def oracle_sql() -> dict[str, str]:
         "url_domain_mix": sql_url_domain_mix(),
         "url_blocklist": sql_url_blocklist(),
         "dedup_cluster_elect": sql_dedup_cluster_elect(),
+        "kg_snapshot_incremental": sql_kg_snapshot_incremental(),
         "csvw_triples_minimal": sql_csvw_triples_minimal(),
         "csvw_triples_standard": sql_csvw_triples_standard(),
         "csvw_datatype_byte": sql_csvw_datatype_byte(),

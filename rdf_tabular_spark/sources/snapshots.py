@@ -1,0 +1,160 @@
+"""Snapshot-manifest tables: an Iceberg-shaped storage seam on parquet.
+
+The north rule targets "Iceberg tables of source-code repositories";
+the Iceberg runtime jar is not in this container, so this module
+implements the SEMANTICS the engine actually depends on — atomic
+snapshot commits, time travel, and an incremental (appended-files)
+scan — as a thin manifest layer over plain parquet, behind the same
+``spark.read.parquet`` seam a real catalog would use. Swapping in real
+Iceberg is a config change at the read/write call sites, not a
+redesign.
+
+Layout (one directory per table):
+
+    <table>/data-<token>/part-*.parquet   immutable data files
+    <table>/snapshots/<seq>.json          one manifest per snapshot
+
+A manifest lists EVERY live data file of its snapshot (the flattened
+form of Iceberg's manifest list) plus the files its commit ADDED, its
+parent id and commit mode. Readers plan from one manifest read; no
+directory listing of data ever happens, so stale files from failed
+commits are invisible (and garbage-collectable).
+
+Commit protocol — atomic + optimistic, no locks:
+
+1. data files are written to a fresh ``data-<token>/`` directory
+   (never mutated after);
+2. the manifest is staged to a temp name and published with
+   ``os.link(tmp, final)`` — link fails with EEXIST if another
+   committer took the same sequence number, in which case the commit
+   RE-READS the now-current snapshot, rebases its live-file list, and
+   retries with the next number. Data files never need rewriting on
+   conflict (append/overwrite commute with everything except another
+   overwrite, exactly Iceberg's optimistic model).
+
+Scale notes (10^12 files): manifests here are single JSON documents,
+fine up to ~10^6 data files per table; beyond that a real catalog
+shards manifests into a tree (Iceberg's manifest-list -> manifest ->
+data-file levels) — the read/plan seam below would not change. Commits
+move zero existing bytes (append and overwrite both only WRITE new
+files), and the incremental scan reads ONLY the files added after a
+snapshot — the input shape kg/delta.py's re-extraction wants, without
+even a diff join for append-only sources.
+
+The reference has no storage layer (rdf-tabular reads files and HTTP,
+reader.rb); this module is engine infrastructure for the KG pipeline's
+resumable/incremental contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    """A directory-backed snapshot table (see module docstring)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(self._snap_dir(), exist_ok=True)
+
+    # -- manifest plumbing ------------------------------------------------
+    def _snap_dir(self) -> str:
+        return os.path.join(self.path, "snapshots")
+
+    def _snap_file(self, sid: int) -> str:
+        return os.path.join(self._snap_dir(), f"{sid:012d}.json")
+
+    def history(self) -> list[int]:
+        """All snapshot ids, oldest first."""
+        return sorted(
+            int(f[:-5]) for f in os.listdir(self._snap_dir())
+            if f.endswith(".json") and f[:-5].isdigit())
+
+    def current_snapshot_id(self) -> int | None:
+        ids = self.history()
+        return ids[-1] if ids else None
+
+    def manifest(self, sid: int) -> dict:
+        with open(self._snap_file(sid)) as fh:
+            return json.load(fh)
+
+    # -- write -------------------------------------------------------------
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write *df* as new immutable data files and publish the next
+        snapshot atomically. ``mode='append'`` keeps the previous
+        snapshot's files live; ``'overwrite'`` replaces them (the old
+        files stay on disk for time travel). Returns the snapshot id."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown commit mode {mode!r}")
+        token = uuid.uuid4().hex[:12]
+        data_dir = f"data-{token}"
+        df.write.parquet(os.path.join(self.path, data_dir))
+        added = sorted(
+            f"{data_dir}/{f}"
+            for f in os.listdir(os.path.join(self.path, data_dir))
+            if f.startswith("part-") and f.endswith(".parquet"))
+        tmp = os.path.join(self._snap_dir(), f".tmp-{token}.json")
+        try:
+            while True:
+                parent = self.current_snapshot_id()
+                live = added if mode == "overwrite" or parent is None else (
+                    self.manifest(parent)["files"] + added)
+                sid = (parent or 0) + 1
+                with open(tmp, "w") as fh:
+                    json.dump({"snapshot_id": sid, "parent": parent,
+                               "mode": mode, "files": live,
+                               "added": added}, fh)
+                try:
+                    os.link(tmp, self._snap_file(sid))
+                    return sid
+                except FileExistsError:
+                    continue  # lost the race: rebase on the new current
+        finally:
+            os.unlink(tmp)
+
+    # -- read --------------------------------------------------------------
+    def _require(self, sid: int | None) -> int:
+        cur = self.current_snapshot_id()
+        if cur is None:
+            raise ValueError(f"snapshot table {self.path} has no snapshots")
+        if sid is None:
+            return cur
+        if not os.path.exists(self._snap_file(sid)):
+            raise ValueError(f"unknown snapshot {sid} in {self.path}")
+        return sid
+
+    def _read_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        return spark.read.parquet(*[os.path.join(self.path, f)
+                                    for f in files])
+
+    def read(self, spark: SparkSession,
+             snapshot_id: int | None = None) -> DataFrame:
+        """The table as of *snapshot_id* (default: current) — time
+        travel is just planning from an older manifest."""
+        sid = self._require(snapshot_id)
+        return self._read_files(spark, self.manifest(sid)["files"])
+
+    def read_appended(self, spark: SparkSession, since: int,
+                      until: int | None = None) -> DataFrame:
+        """Only the rows ADDED by snapshots in ``(since, until]`` — the
+        incremental/CDC scan: planning unions the ``added`` lists, so
+        the cost is proportional to the delta, never the table."""
+        until = self._require(until)
+        files = [f for sid in self.history() if since < sid <= until
+                 for f in self.manifest(sid)["added"]]
+        if not files:
+            raise ValueError(
+                f"no files added in ({since}, {until}] of {self.path}")
+        return self._read_files(spark, files)
+
+    def diff(self, old: int, new: int) -> dict[str, list[str]]:
+        """Data files added/removed between two snapshots (metadata-only;
+        no data is read)."""
+        a = set(self.manifest(self._require(old))["files"])
+        b = set(self.manifest(self._require(new))["files"])
+        return {"added": sorted(b - a), "removed": sorted(a - b)}

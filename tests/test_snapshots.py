@@ -1,0 +1,121 @@
+"""Snapshot-manifest tables (sources/snapshots.py): atomic commits, time
+travel, incremental scan, and the storage seam under the incremental KG
+path."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_tabular_spark.sources.snapshots import SnapshotTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _batch(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "id long, val string")
+
+
+def test_append_read_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    s1 = t.commit(_batch(spark, 0, 5))
+    s2 = t.commit(_batch(spark, 5, 8))
+    assert (s1, s2) == (1, 2) and t.history() == [1, 2]
+    assert _rows(t.read(spark)) == _rows(_batch(spark, 0, 8))
+    assert _rows(t.read(spark, s1)) == _rows(_batch(spark, 0, 5))
+
+
+def test_overwrite_keeps_old_snapshots_readable(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_batch(spark, 0, 5))
+    t.commit(_batch(spark, 5, 8))
+    s3 = t.commit(_batch(spark, 100, 103), mode="overwrite")
+    assert _rows(t.read(spark)) == _rows(_batch(spark, 100, 103))
+    assert _rows(t.read(spark, 2)) == _rows(_batch(spark, 0, 8))
+    d = t.diff(2, s3)
+    assert d["added"] and d["removed"] and not (set(d["added"])
+                                                & set(d["removed"]))
+
+
+def test_read_appended_is_delta_only(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_batch(spark, 0, 5))
+    t.commit(_batch(spark, 5, 8))
+    t.commit(_batch(spark, 8, 9))
+    assert _rows(t.read_appended(spark, since=1)) == _rows(_batch(spark, 5, 9))
+    assert _rows(t.read_appended(spark, since=1, until=2)) == _rows(
+        _batch(spark, 5, 8))
+    # planning reads only the added files, never the table
+    planned = t.read_appended(spark, since=2)
+    n_files = len(t.manifest(3)["added"])
+    assert planned.inputFiles() and len(planned.inputFiles()) == n_files
+
+
+def test_commit_conflict_rebases_and_retries(spark, tmp_path, monkeypatch):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_batch(spark, 0, 5))
+    real_link = os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        if not state["raced"]:
+            state["raced"] = True
+            # another committer publishes snapshot 2 first
+            m = t.manifest(1)
+            with open(t._snap_file(2), "w") as fh:
+                json.dump({"snapshot_id": 2, "parent": 1, "mode": "append",
+                           "files": m["files"], "added": []}, fh)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", racing_link)
+    sid = t.commit(_batch(spark, 5, 8))
+    assert sid == 3 and state["raced"]
+    # the rebased manifest carries BOTH the racer's files and ours
+    assert _rows(t.read(spark)) == _rows(_batch(spark, 0, 8))
+
+
+def test_bad_reads_raise(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="no snapshots"):
+        t.read(spark)
+    t.commit(_batch(spark, 0, 2))
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read(spark, 99)
+    with pytest.raises(ValueError, match="no files added"):
+        t.read_appended(spark, since=1)
+
+
+def test_incremental_kg_from_snapshot_diff(spark, tmp_path):
+    """The storage seam end-to-end: v1/v2 as overwrite snapshots, the
+    incremental graph built from snapshot READS equals a full recompute
+    of the v2 snapshot (same invariant as test_delta, now through the
+    table layer)."""
+    from rdf_tabular_spark.kg import delta, extract, synth
+
+    t = SnapshotTable(str(tmp_path / "src"))
+    v1 = synth.synth_source_table(spark, 80)
+    idx = F.expr(
+        r"try_cast(regexp_extract(path, 'file_(\\d+)\\.', 1) as bigint)")
+    v2 = (synth.synth_source_table(spark, 80).filter(idx < 70)
+          .withColumn("content", F.when(
+              idx % 9 == 0,
+              F.concat(F.col("content"), F.lit("\nimport snapmod\n")))
+              .otherwise(F.col("content"))))
+    t.commit(v1, mode="overwrite")
+    t.commit(v2, mode="overwrite")
+
+    prev = extract.extract_structures(
+        t.read(spark, 1), layout="source", carry_sha=False,
+        emit_file_rows=True)
+    _, _, inc = delta.incremental_graph(prev, t.read(spark, 2))
+    full_prev = extract.extract_structures(
+        t.read(spark, 2), layout="source", carry_sha=False,
+        emit_file_rows=True)
+    _, _, full = delta.incremental_graph(full_prev, t.read(spark, 2))
+    assert _rows(inc) == _rows(full)
