@@ -563,6 +563,41 @@ def sql_dedup_minhash_md5() -> str:
     """
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall of the 8x2 MinHash banding against the EXACT
+    PPJoin pair set at the same (threshold, k) — the dedup-family analog
+    of similarity_recall (VERDICT r2 item 5): nothing previously measured
+    how many true near-dup pairs the banding misses. Both pair sets and
+    the intersection are recomputed by the twin, so the recall NUMBER is
+    cross-engine-verified."""
+    from rdf_tabular_spark.ops.dedup import (
+        minhash_lsh_pairs_md5, ngram_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.5, k=3).select("a", "b")
+    lsh = minhash_lsh_pairs_md5(docs, threshold=0.5, k=3).select("a", "b")
+    hits = exact.join(lsh.withColumn("_hit", F.lit(1)), ["a", "b"], "left")
+    e_stats = hits.agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"))
+    l_stats = lsh.agg(F.count("*").alias("n_lsh"))
+    return e_stats.crossJoin(l_stats).select(
+        "n_exact", "n_lsh", "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"))
+
+
+def sql_dedup_lsh_recall() -> str:
+    return f"""
+    WITH e AS MATERIALIZED (SELECT a, b FROM ({sql_dedup_ngram_jaccard()})),
+    l AS MATERIALIZED (SELECT a, b FROM ({sql_dedup_minhash_md5()}))
+    SELECT (SELECT count(*) FROM e) AS n_exact,
+           (SELECT count(*) FROM l) AS n_lsh,
+           (SELECT count(*) FROM e JOIN l USING (a, b)) AS n_hit,
+           round(CAST((SELECT count(*) FROM e JOIN l USING (a, b)) AS DOUBLE)
+                 / (SELECT count(*) FROM e), 6) AS recall
+    """
+
+
 def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable-hash SimHash (60-bit, md5-derived token hashes) at the
     standard Hamming radius 3, pigeonhole-complete — the oracle row for
@@ -3950,6 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "dedup_cluster_elect": q_dedup_cluster_elect,
         "kg_snapshot_incremental": q_kg_snapshot_incremental,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
         # -- uncovered by CORRECTNESS_r02 (judge re-ran green; need a
         #    driver row) ---------------------------------------------------
         "kg_pagerank": q_kg_pagerank,
@@ -4057,6 +4093,7 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist": sql_url_blocklist(),
         "dedup_cluster_elect": sql_dedup_cluster_elect(),
         "kg_snapshot_incremental": sql_kg_snapshot_incremental(),
+        "dedup_lsh_recall": sql_dedup_lsh_recall(),
         "csvw_triples_minimal": sql_csvw_triples_minimal(),
         "csvw_triples_standard": sql_csvw_triples_standard(),
         "csvw_datatype_byte": sql_csvw_datatype_byte(),

@@ -74,3 +74,35 @@ def test_domain_mix_counts(spark):
     mix = {r["domain"]: (r["n_urls"], r["n_docs"])
            for r in urls.domain_mix(docs).collect()}
     assert mix == {"docs.dev": (3, 2), "papers.net": (1, 1)}
+
+
+def test_host_parse_matches_urllib_on_generated_corpus(spark):
+    """Independent-implementation parity: the anchored-regex host chain
+    must agree with stdlib urllib.parse (a parser, not a regex) on a
+    deterministic corpus spanning userinfo/ports/paths-with-@/queries/
+    fragments/case."""
+    import hashlib
+    from urllib.parse import urlsplit
+
+    def h(tag, i):
+        return int(hashlib.md5(f"{tag}|{i}".encode()).hexdigest()[:8], 16)
+
+    schemes = ["http://", "https://", "HTTP://", "hTTps://"]
+    users = ["", "bob@", "user:p-w@"]
+    hosts = ["example.com", "WWW.Example.co.uk", "a.b.c.site.org",
+             "api.dataset.io", "192.168.1.9", "localhost", "x-y.z.net"]
+    ports = ["", ":80", ":8443"]
+    tails = ["", "/", "/p/q", "/u/@handle", "/q?a=1&b=:2", "/x#f:rag",
+             "/a@b/c"]
+    corpus = [schemes[h("s", i) % 4] + users[h("u", i) % 3]
+              + hosts[h("h", i) % 7] + ports[h("p", i) % 3]
+              + tails[h("t", i) % 7]
+              for i in range(300)]
+    got = {r["url"]: r["host"] for r in urls.extract_urls(
+        _docs(spark, [f"x {u} y" for u in corpus])).collect()}
+    assert len(got) == len(set(corpus))
+    for u in corpus:
+        expect = urlsplit(u).hostname
+        if expect.startswith("www."):
+            expect = expect[4:]
+        assert got[u] == expect, (u, got[u], expect)
