@@ -2294,8 +2294,11 @@ def _web_oracle_path() -> str:
     import os
     import tempfile
 
+    # hash the module-level inputs the generator reads by NAME too, or
+    # editing them would silently reuse a stale staging (review r3)
     fp = hashlib.md5(
-        inspect.getsource(_web_synth_rows).encode()).hexdigest()[:10]
+        (inspect.getsource(_web_synth_rows)
+         + repr(WEB_BLOCKLIST)).encode()).hexdigest()[:10]
     path = os.path.join(
         tempfile.gettempdir(),
         f"rdf_tabular_spark_web_oracle_{WEB_ORACLE_DOCS}_{fp}.parquet")
@@ -2343,7 +2346,7 @@ def _sql_url_parsed() -> str:
     hosted AS (
       SELECT doc_id, url,
         regexp_replace(lower(regexp_extract(regexp_replace(regexp_replace(
-          url, '(?i)^https?://', ''), '^[^/@]*@', ''), '^[^/:?#]+')),
+          url, '(?i)^https?://', ''), '^[^/@?#]*@', ''), '^[^/:?#]+')),
           '^www\.', '') AS host
       FROM cleaned),
     labeled AS (
@@ -3018,12 +3021,24 @@ def q_kg_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"rdf_tabular_spark_kg_snaptab_{KG_ORACLE_FILES}"
         f"_{_kg_synth_fingerprint()}")
-    t = SnapshotTable(base)
-    if t.current_snapshot_id() is None:
+    if not os.path.exists(base):
+        # build the whole two-snapshot table in a private dir, then one
+        # atomic rename — a concurrent stager can never observe (or
+        # extend) a half-staged table (review r3: the earlier
+        # commit-into-the-shared-path guard could double-commit v1 under
+        # a race and poison the cache permanently)
+        import shutil
+
+        tmp = f"{base}.{os.getpid()}.tmp"
+        t = SnapshotTable(tmp)
         t.commit(spark.read.parquet(_kg_oracle_source_path()),
                  mode="overwrite")
-    if t.current_snapshot_id() == 1:
         t.commit(spark.read.parquet(_kg_oracle_v2_path()), mode="overwrite")
+        try:
+            os.rename(tmp, base)
+        except OSError:  # lost the race; the winner's table is complete
+            shutil.rmtree(tmp)
+    t = SnapshotTable(base)
     prev = extract.extract_structures(
         t.read(spark, 1), layout="source", carry_sha=False,
         emit_file_rows=True)

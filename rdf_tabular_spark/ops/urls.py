@@ -68,10 +68,12 @@ def clean_url(url: Column) -> Column:
 def url_host(url: Column) -> Column:
     """Lowercased host of a URL: scheme and userinfo stripped, port/path/
     query/fragment cut, leading ``www.`` dropped. Pure anchored-regex
-    projections — ``[^/@]*`` cannot cross a ``/``, so an ``@`` later in
-    the path never masquerades as userinfo."""
+    projections — ``[^/@?#]*`` cannot cross a path/query/fragment
+    delimiter, so an ``@`` later in the URL (path handle, query value)
+    never masquerades as userinfo (RFC 3986: userinfo ends before the
+    first ``/``, ``?`` or ``#``)."""
     s = F.regexp_replace(url, "(?i)^https?://", "")
-    s = F.regexp_replace(s, "^[^/@]*@", "")
+    s = F.regexp_replace(s, "^[^/@?#]*@", "")
     host = F.lower(F.regexp_extract(s, "^[^/:?#]+", 0))
     return F.regexp_replace(host, "^www[.]", "")
 

@@ -115,7 +115,12 @@ class SnapshotTable:
                 except FileExistsError:
                     continue  # lost the race: rebase on the new current
         finally:
-            os.unlink(tmp)
+            # tmp may not exist yet if the failure preceded its first
+            # write (e.g. a corrupt parent manifest) — don't mask that
+            import contextlib
+
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
 
     # -- read --------------------------------------------------------------
     def _require(self, sid: int | None) -> int:

@@ -28,6 +28,10 @@ def test_host_parsing_corners(spark):
         "http://a.b.c.d.example.com": ("a.b.c.d.example.com", "example.com"),
         # path '@' after the first '/' is NOT userinfo
         "https://wiki.info/page/@handle": ("wiki.info", "wiki.info"),
+        # '@' inside a query/fragment BEFORE any '/' is not userinfo
+        # either (review r3: userinfo ends at the first /, ? or #)
+        "http://example.com?u=a@b": ("example.com", "example.com"),
+        "http://badsite.com#a@b": ("badsite.com", "badsite.com"),
     }
     for url, (host, domain) in cases.items():
         r = _one_host(spark, url)
