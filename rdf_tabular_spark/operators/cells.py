@@ -28,6 +28,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..csvw import uax35
+# _let re-homed to expr.py (urls.py needs it too); old name kept for
+# this module's call sites
+from ..expr import let_ as _let
 from ..csvw.datatypes import (
     BINARY_BASES,
     DATE_BASES,
@@ -243,17 +246,7 @@ def _regex_ok(fmt: str) -> bool:
         return False
 
 
-def _let(val: Column, body) -> Column:
-    """Expression-level ``let``: materialize *val* ONCE and hand it to
-    *body* as a higher-order-lambda argument. Interpreted HOF lambdas
-    have no common-subexpression elimination — every reference to a
-    Column re-evaluates its whole subtree — but a lambda ARGUMENT is a
-    materialized value, so wrapping an expensive subtree in a
-    single-element transform makes N references cost one evaluation
-    (measured ~20x on the UAX-35 number typing path, where the
-    normalize tree was re-run for the validity flag, the lexical check,
-    each bounds check, each error message, and the output struct)."""
-    return F.element_at(F.transform(F.array(val), body), 1)
+
 
 
 def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Column:

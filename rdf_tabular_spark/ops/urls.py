@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..expr import let_
+
 #: whole-match URL shape: scheme + everything up to whitespace/brackets.
 #: Kept RE2-compatible (no lookaround) so the DuckDB oracle twin runs the
 #: IDENTICAL pattern.
@@ -82,15 +84,26 @@ def registered_domain(host: Column,
                       suffixes2: tuple[str, ...] = PUBLIC_SUFFIX_2) -> Column:
     """Registered (pay-level) domain of a host: last two dot-labels,
     or last three when the two-label tail is a public suffix (co.uk
-    etc.). IPv4 literals and single-label hosts pass through whole."""
-    labels = F.split(host, "[.]")
-    n = F.size(labels)
-    dom2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    dom3 = F.concat_ws(".", F.element_at(labels, -3), dom2)
-    return (
-        F.when(host.rlike("^[0-9.]+$") | (n < 2), host)
-        .when((n >= 3) & dom2.isin(*suffixes2), dom3)
-        .otherwise(dom2))
+    etc.). IPv4 literals and single-label hosts pass through whole.
+
+    The *host* argument and the split label array are staged through
+    :func:`~rdf_tabular_spark.expr.let_`: when the caller passes a
+    composed expression (``registered_domain(url_host(u))`` inside a
+    per-URL lambda — the blocklist path), interpreted HOF trees have no
+    common-subexpression elimination, so every one of the ~10
+    references here would otherwise re-run the whole host regex chain."""
+    def on_labels(h: Column, labels: Column) -> Column:
+        n = F.size(labels)
+        dom2 = F.concat_ws(
+            ".", F.element_at(labels, -2), F.element_at(labels, -1))
+        dom3 = F.concat_ws(".", F.element_at(labels, -3), dom2)
+        return (
+            F.when(h.rlike("^[0-9.]+$") | (n < 2), h)
+            .when((n >= 3) & dom2.isin(*suffixes2), dom3)
+            .otherwise(dom2))
+
+    return let_(host, lambda h: let_(F.split(h, "[.]"),
+                                     lambda ls: on_labels(h, ls)))
 
 
 def url_array(text: Column) -> Column:
