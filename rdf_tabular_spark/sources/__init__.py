@@ -1,1 +1,3 @@
-"""Table sources: dialect-aware CSV/TSV scans and in-memory inputs."""
+"""Table sources: dialect-aware CSV/TSV scans, in-memory inputs, HTML
+tables, and snapshot-manifest parquet tables (Iceberg-shaped commits /
+time travel / incremental scans — snapshots.py)."""

@@ -119,3 +119,30 @@ def test_incremental_kg_from_snapshot_diff(spark, tmp_path):
         emit_file_rows=True)
     _, _, full = delta.incremental_graph(full_prev, t.read(spark, 2))
     assert _rows(inc) == _rows(full)
+
+
+def test_commit_sequence_matches_model(spark, tmp_path):
+    """Model-based: a deterministic mixed append/overwrite sequence must
+    keep every snapshot's read() equal to a plain-Python model of the
+    live row set, both as-of each commit and via time travel at the end."""
+    import hashlib
+
+    def h(tag, i):
+        return int(hashlib.md5(f"seq|{tag}|{i}".encode()).hexdigest()[:8], 16)
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    model: dict[int, list[tuple[int, str]]] = {}
+    live: list[tuple[int, str]] = []
+    nxt = 0
+    for i in range(8):
+        n = 1 + h("n", i) % 4
+        batch = [(nxt + j, f"v{nxt + j}") for j in range(n)]
+        nxt += n
+        mode = "overwrite" if h("m", i) % 3 == 0 else "append"
+        sid = t.commit(spark.createDataFrame(batch, "id long, val string"),
+                       mode=mode)
+        live = list(batch) if mode == "overwrite" else live + batch
+        model[sid] = list(live)
+        assert _rows(t.read(spark)) == sorted(live)
+    for sid, want in model.items():
+        assert _rows(t.read(spark, sid)) == sorted(want), sid
