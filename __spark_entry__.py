@@ -2237,14 +2237,18 @@ WEB_ORACLE_DOCS = 2000
 WEB_BLOCKLIST = ["badsite.com", "spam.co.uk", "tracker.org"]
 
 
-def _web_synth_rows() -> list[tuple[str, str]]:
-    """Deterministic synthetic web-docs corpus (doc_id, text) for the URL
-    curation oracles (ops/urls.py): the sf documents table contains no
-    URLs, so — like the staged KG source — a small staged corpus makes
-    the operators observable. URLs vary scheme case, subdomain depth,
-    ports/paths/queries/fragments, two-level public suffixes, glued
-    sentence punctuation, and the userinfo / IPv4-literal corners; ~1 in
-    5 docs has no URL at all. Pure Python (hashlib-derived, no RNG
+def _web_synth_rows() -> list[tuple[str, str, str]]:
+    """Deterministic synthetic web-docs corpus (doc_id, site, text) for
+    the URL-curation and boilerplate oracles: the sf documents table
+    contains no URLs or shared page chrome, so — like the staged KG
+    source — a small staged corpus makes the operators observable. URLs
+    vary scheme case, subdomain depth, ports/paths/queries/fragments,
+    two-level public suffixes, glued sentence punctuation, and the
+    userinfo / IPv4-literal corners; ~1 in 5 docs has no URL at all.
+    Docs are multi-line (2-4 content lines); each of 12 sites owns two
+    boilerplate lines (header/footer chrome) injected into ~70 % of its
+    docs — above remove_boilerplate's default threshold, while every
+    content line stays unique. Pure Python (hashlib-derived, no RNG
     state) so ``oracle_sql()`` can stage the identical file."""
     import hashlib
 
@@ -2265,23 +2269,39 @@ def _web_synth_rows() -> list[tuple[str, str]]:
     words = ["data", "spark", "corpus", "web", "crawl", "page", "filter",
              "token", "model", "train", "clean", "scale", "shuffle",
              "join", "scan", "text"]
-    rows: list[tuple[str, str]] = []
+    sites = [f"site{k:02d}" for k in range(12)]
+    rows: list[tuple[str, str, str]] = []
     for i in range(WEB_ORACLE_DOCS):
-        toks = [words[h(f"w{j}", i) % len(words)]
-                for j in range(10 + h("len", i) % 25)]
+        site = sites[h("site", i) % len(sites)]
+        n_lines = 2 + h("nl", i) % 3
+        lines = []
+        for li in range(n_lines):
+            # "doc {i} line {li}" tokens make every content line unique
+            # corpus-wide, so boilerplate detection has zero false hits
+            lines.append(" ".join(
+                [f"d{i}l{li}"]
+                + [words[h(f"w{li}.{j}", i) % len(words)]
+                   for j in range(6 + h(f"len{li}", i) % 12)]))
         for j in range(h("n", i) % 5):
             url = (schemes[h(f"s{j}", i) % len(schemes)]
                    + subs[h(f"sub{j}", i) % len(subs)]
                    + domains[h(f"d{j}", i) % len(domains)]
                    + tails[h(f"t{j}", i) % len(tails)])
-            pos = h(f"p{j}", i) % (len(toks) + 1)
-            toks.insert(pos, url + puncts[h(f"q{j}", i) % len(puncts)])
+            li = h(f"ul{j}", i) % n_lines
+            toks = lines[li].split(" ")
+            toks.insert(h(f"p{j}", i) % (len(toks) + 1),
+                        url + puncts[h(f"q{j}", i) % len(puncts)])
+            lines[li] = " ".join(toks)
         if i % 211 == 0:
-            toks.append("http://user:pw@secure.example.org/path,")
+            lines[-1] += " http://user:pw@secure.example.org/path,"
         if i % 389 == 0:
-            toks.append("http://192.168.%d.%d:8080/admin;"
-                        % (h("ip1", i) % 256, h("ip2", i) % 256))
-        rows.append((f"web_{i:05d}", " ".join(toks)))
+            lines[-1] += (" http://192.168.%d.%d:8080/admin;"
+                          % (h("ip1", i) % 256, h("ip2", i) % 256))
+        if h("bp1", i) % 10 < 7:
+            lines.insert(0, f"welcome to {site} subscribe to the newsletter")
+        if h("bp2", i) % 10 < 7:
+            lines.append(f"copyright {site} all rights reserved")
+        rows.append((f"web_{i:05d}", site, "\n".join(lines)))
     return rows
 
 
@@ -2310,7 +2330,8 @@ def _web_oracle_path() -> str:
     rows = _web_synth_rows()
     tmp = f"{path}.{os.getpid()}.tmp"
     pq.write_table(pa.table({"doc_id": [r[0] for r in rows],
-                             "text": [r[1] for r in rows]}), tmp)
+                             "site": [r[1] for r in rows],
+                             "text": [r[2] for r in rows]}), tmp)
     os.replace(tmp, path)
     return path
 
@@ -2403,6 +2424,64 @@ def sql_url_blocklist() -> str:
     FROM web
     WHERE doc_id NOT IN (
       SELECT doc_id FROM parsed WHERE domain IN ({blocked}))
+    """
+
+
+def _sql_boilerplate_sets(threshold: float = 0.5, min_docs: int = 3) -> str:
+    """Shared CTE chain: staged web corpus -> per-site boilerplate
+    line-hash sets, replaying ops/boilerplate.py's detection (md5 line
+    identity, distinct-doc counts, strict > threshold)."""
+    return f"""
+    web AS (SELECT * FROM '{_web_oracle_path()}'),
+    lines AS (
+      SELECT site, doc_id, unnest(string_split(text, chr(10))) AS line
+      FROM web),
+    pl AS (
+      SELECT site, md5(line) AS line_md5, count(DISTINCT doc_id) AS n_docs
+      FROM lines WHERE line <> '' GROUP BY site, md5(line)),
+    tot AS (SELECT site, count(*) AS site_docs FROM web GROUP BY site),
+    bp AS (
+      SELECT site, line_md5, n_docs, site_docs
+      FROM pl JOIN tot USING (site)
+      WHERE n_docs >= {min_docs}
+        AND CAST(n_docs AS DOUBLE) / site_docs > {threshold}),
+    sets AS (SELECT site, list(line_md5) AS bps FROM bp GROUP BY site)
+    """
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site boilerplate detection (ops/boilerplate.boilerplate_lines,
+    the CCNet shape): lines present in > half a site's documents."""
+    from rdf_tabular_spark.ops.boilerplate import boilerplate_lines
+
+    return boilerplate_lines(spark.read.parquet(_web_oracle_path()))
+
+
+def sql_boilerplate_lines() -> str:
+    return (f"WITH {_sql_boilerplate_sets()} "
+            "SELECT site, line_md5, n_docs, site_docs FROM bp")
+
+
+def q_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal applied (ops/boilerplate.remove_boilerplate):
+    every site's chrome lines cut from every doc, map-only against the
+    broadcast per-site hash sets; pure-chrome docs come back empty, not
+    dropped."""
+    from rdf_tabular_spark.ops.boilerplate import remove_boilerplate
+
+    return remove_boilerplate(spark.read.parquet(_web_oracle_path()))
+
+
+def sql_boilerplate_clean() -> str:
+    flt = ("list_filter(string_split(w.text, chr(10)), "
+           "x -> NOT list_contains(COALESCE(s.bps, CAST([] AS VARCHAR[])), "
+           "md5(x)))")
+    return f"""
+    WITH {_sql_boilerplate_sets()}
+    SELECT w.doc_id, w.site,
+           array_to_string({flt}, chr(10)) AS text,
+           len(string_split(w.text, chr(10))) - len({flt}) AS n_removed
+    FROM web w LEFT JOIN sets s USING (site)
     """
 
 
@@ -3995,6 +4074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_entry.py re-verifies the full registry in BASELINE.md).
     return {
         # -- new this session (no prior record: least proven, so first) ---
+        "boilerplate_lines": q_boilerplate_lines,
+        "boilerplate_clean": q_boilerplate_clean,
         "url_extract": q_url_extract,
         "url_domain_mix": q_url_domain_mix,
         "url_blocklist": q_url_blocklist,
@@ -4103,6 +4184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "boilerplate_lines": sql_boilerplate_lines(),
+        "boilerplate_clean": sql_boilerplate_clean(),
         "url_extract": sql_url_extract(),
         "url_domain_mix": sql_url_domain_mix(),
         "url_blocklist": sql_url_blocklist(),
