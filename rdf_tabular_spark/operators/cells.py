@@ -28,9 +28,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..csvw import uax35
-# _let re-homed to expr.py (urls.py needs it too); old name kept for
-# this module's call sites
-from ..expr import let_ as _let
 from ..csvw.datatypes import (
     BINARY_BASES,
     DATE_BASES,
@@ -47,6 +44,9 @@ from ..csvw.datatypes import (
     lexical_regex_for,
 )
 from ..csvw.metadata import CompiledColumn, CompiledDatatype, CompiledTable
+# _let re-homed to expr.py (urls.py needs it too); old name kept for
+# this module's call sites
+from ..expr import let_ as _let
 
 ITEM_SCHEMA = "struct<lex:string,dt:string,lang:string,err:string>"
 
@@ -244,9 +244,6 @@ def _regex_ok(fmt: str) -> bool:
         return True
     except re.error:
         return False
-
-
-
 
 
 def typed_item_expr(v: Column, col: CompiledColumn, table: CompiledTable) -> Column:

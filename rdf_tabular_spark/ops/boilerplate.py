@@ -59,19 +59,31 @@ def boilerplate_lines(docs: DataFrame, threshold: float = 0.5,
 
 def remove_boilerplate(docs: DataFrame, threshold: float = 0.5,
                        min_docs: int = 3, site_col: str = "site",
-                       id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       id_col: str = "doc_id", text_col: str = "text",
+                       detected: DataFrame | None = None) -> DataFrame:
     """Cut every boilerplate line (per :func:`boilerplate_lines`) out of
     every document of its site. Returns the input rows with *text_col*
     replaced by the cleaned text plus an ``n_removed`` line count; docs
     that were pure chrome come back with empty text, not dropped (the
     caller's quality filter decides their fate).
 
-    The per-site hash sets broadcast (threshold-bounded, see module
-    docstring), so this pass is map-only over the corpus."""
-    sets = boilerplate_lines(
-        docs, threshold, min_docs, site_col, id_col, text_col
-    ).groupBy(site_col).agg(
+    Pass *detected* (a :func:`boilerplate_lines` result) to reuse a
+    detection pass the caller already ran — otherwise detection (one
+    corpus-wide aggregate) reruns here. The per-site hash sets broadcast
+    (threshold-bounded, see module docstring), so the removal pass is
+    map-only over the corpus.
+
+    Cost note: consuming BOTH outputs evaluates the per-line filter
+    twice per row — higher-order trees are excluded from Spark's
+    subexpression elimination, so the cleaned text and the count can't
+    share one evaluation as column expressions. Consumers that select
+    only the cleaned text don't pay for the count (column pruning drops
+    that branch); the md5-per-line pass itself is cheap next to the
+    scan."""
+    if detected is None:
+        detected = boilerplate_lines(
+            docs, threshold, min_docs, site_col, id_col, text_col)
+    sets = detected.groupBy(site_col).agg(
         F.sort_array(F.collect_set("line_md5")).alias("_bp"))
     joined = docs.join(F.broadcast(sets), site_col, "left")
     bp = F.coalesce(F.col("_bp"), F.array().cast("array<string>"))

@@ -134,11 +134,15 @@ def test_commit_sequence_matches_model(spark, tmp_path):
     model: dict[int, list[tuple[int, str]]] = {}
     live: list[tuple[int, str]] = []
     nxt = 0
-    for i in range(8):
+    # fixed mode sequence so every transition is exercised, in particular
+    # append-ON-TOP-of-overwrite (review r3: a hash-derived sequence
+    # happened to never produce it)
+    modes = ["append", "overwrite", "append", "append",
+             "overwrite", "append", "overwrite", "append"]
+    for i, mode in enumerate(modes):
         n = 1 + h("n", i) % 4
         batch = [(nxt + j, f"v{nxt + j}") for j in range(n)]
         nxt += n
-        mode = "overwrite" if h("m", i) % 3 == 0 else "append"
         sid = t.commit(spark.createDataFrame(batch, "id long, val string"),
                        mode=mode)
         live = list(batch) if mode == "overwrite" else live + batch
