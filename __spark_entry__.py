@@ -2905,6 +2905,111 @@ def sql_kg_degrees() -> str:
     """
 
 
+def q_kg_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS TBox closure (kg/infer.py tbox_closure: semi-naive iteration
+    on the vocabulary-sized ontology alone — rdfs5/rdfs11 transitivity,
+    domain/range rows carried through)."""
+    from rdf_tabular_spark.kg import infer
+
+    return infer.tbox_closure(infer.ontology_df(spark))
+
+
+def q_kg_rdfs_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-new RDFS-inferred triples over the assembled code KG
+    (kg/infer.py: rdfs2/3/7/9 as single broadcast joins of the instance
+    stream against the closed TBox; the 10^12-row side never shuffles)."""
+    from rdf_tabular_spark.kg import infer
+
+    _, _, triples = _kg_oracle_run(spark)
+    return infer.inferred_only(triples, infer.ontology_df(spark))
+
+
+def _sql_onto_closure() -> str:
+    """Shared CTE text: the CODE_ONTOLOGY as VALUES + its recursive
+    closure (`closed`) — generated from the same Python list the Spark
+    side reads, so the twins cannot drift."""
+    from rdf_tabular_spark.kg import infer
+
+    vals = ",\n      ".join("('%s','%s','%s')" % t for t in infer.CODE_ONTOLOGY)
+    return f"""
+    onto(subj, pred, obj) AS (VALUES {vals}),
+    hier AS (SELECT DISTINCT subj, pred, obj FROM onto
+             WHERE pred IN ('{infer.SUBCLASS}', '{infer.SUBPROP}')),
+    cl AS (
+      SELECT subj, pred, obj FROM hier
+      UNION
+      SELECT cl.subj, cl.pred, h.obj
+      FROM cl JOIN hier h ON cl.obj = h.subj AND cl.pred = h.pred
+    ),
+    closed AS (
+      SELECT subj, pred, obj FROM cl
+      UNION ALL
+      SELECT subj, pred, obj FROM onto
+      WHERE pred NOT IN ('{infer.SUBCLASS}', '{infer.SUBPROP}')
+    )"""
+
+
+def sql_kg_rdfs_closure() -> str:
+    return f"""
+    WITH RECURSIVE {_sql_onto_closure()}
+    SELECT subj, pred, obj FROM closed
+    """
+
+
+def sql_kg_rdfs_infer() -> str:
+    from rdf_tabular_spark.kg import infer
+
+    # the recursive closure lives in a nested subquery: sql_kg_triples()
+    # carries its own WITH, and DuckDB won't scope both under one outer
+    # WITH RECURSIVE list
+    return f"""
+    WITH closed AS MATERIALIZED (SELECT * FROM ({sql_kg_rdfs_closure()})),
+    kgt AS MATERIALIZED ({sql_kg_triples()}),
+    subprop AS (SELECT subj AS p, obj AS q FROM closed
+                WHERE pred = '{infer.SUBPROP}'),
+    subclass AS (SELECT subj AS c, obj AS d FROM closed
+                 WHERE pred = '{infer.SUBCLASS}'),
+    domains AS (SELECT subj AS p, obj AS c FROM closed
+                WHERE pred = '{infer.DOMAIN}'),
+    ranges AS (SELECT subj AS p, obj AS c FROM closed
+               WHERE pred = '{infer.RANGE}'),
+    derived_edges AS (
+      SELECT t.subj, sp.q AS pred, t.obj, t.obj_is_iri
+      FROM kgt t JOIN subprop sp ON t.pred = sp.p),
+    edges_all AS (
+      SELECT subj, pred, obj, obj_is_iri FROM kgt
+      UNION ALL SELECT subj, pred, obj, obj_is_iri FROM derived_edges),
+    dom_types AS (
+      SELECT e.subj, d.c AS obj
+      FROM edges_all e JOIN domains d ON e.pred = d.p),
+    rng_types AS (
+      SELECT e.obj AS subj, r.c AS obj
+      FROM edges_all e JOIN ranges r ON e.pred = r.p WHERE e.obj_is_iri),
+    asserted_types AS (
+      SELECT subj, obj FROM kgt WHERE pred = '{_RDF_TYPE}'),
+    types_all AS (
+      SELECT subj, obj FROM asserted_types
+      UNION ALL SELECT subj, obj FROM dom_types
+      UNION ALL SELECT subj, obj FROM rng_types),
+    super_types AS (
+      SELECT t.subj, sc.d AS obj
+      FROM types_all t JOIN subclass sc ON t.obj = sc.c),
+    inferred AS (
+      SELECT DISTINCT subj, pred, obj FROM (
+        SELECT subj, '{_RDF_TYPE}' AS pred, obj FROM dom_types
+        UNION ALL SELECT subj, '{_RDF_TYPE}', obj FROM rng_types
+        UNION ALL SELECT subj, '{_RDF_TYPE}', obj FROM super_types
+        UNION ALL SELECT subj, pred, obj FROM derived_edges))
+    SELECT i.subj, i.pred, i.obj, TRUE AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM inferred i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM kgt t
+      WHERE t.subj = i.subj AND t.pred = i.pred AND t.obj = i.obj)
+    """
+
+
 def sql_kg_pagerank(damping: float = 0.85, iterations: int = 8) -> str:
     """Unrolled power iteration (one CTE per step) — exactly the
     kg/graph.py formulation: dangling mass dropped, fixed step count.
@@ -4074,6 +4179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_entry.py re-verifies the full registry in BASELINE.md).
     return {
         # -- new this session (no prior record: least proven, so first) ---
+        "kg_rdfs_closure": q_kg_rdfs_closure,
+        "kg_rdfs_infer": q_kg_rdfs_infer,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_clean": q_boilerplate_clean,
         "url_extract": q_url_extract,
@@ -4184,6 +4291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_rdfs_closure": sql_kg_rdfs_closure(),
+        "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "boilerplate_lines": sql_boilerplate_lines(),
         "boilerplate_clean": sql_boilerplate_clean(),
         "url_extract": sql_url_extract(),

@@ -1,0 +1,119 @@
+"""RDFS forward-chaining materialization (kg/infer.py).
+
+Rule-by-rule checks on a hand-built graph, closure idempotence, and the
+broadcast-TBox plan shape. Rule numbering follows the RDFS entailment
+tables of the RDF 1.1 Semantics REC (rdfs2/3/5/7/9/11)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_tabular_spark.kg import infer
+from rdf_tabular_spark.kg.annotate import KG
+from rdf_tabular_spark.csvw.datatypes import RDF_TYPE
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, iri, None, None) for s, p, o, iri in rows],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+
+
+@pytest.fixture(scope="module")
+def onto(spark):
+    return infer.ontology_df(spark)
+
+
+def test_tbox_closure_transitive(spark):
+    onto = infer.ontology_df(spark, [
+        ("A", infer.SUBCLASS, "B"),
+        ("B", infer.SUBCLASS, "C"),
+        ("C", infer.SUBCLASS, "D"),
+        ("p", infer.SUBPROP, "q"),
+        ("q", infer.SUBPROP, "r"),
+        ("p", infer.DOMAIN, "A"),
+    ])
+    got = {(r.subj, r.pred, r.obj) for r in infer.tbox_closure(onto).collect()}
+    assert ("A", infer.SUBCLASS, "C") in got
+    assert ("A", infer.SUBCLASS, "D") in got  # depth 3
+    assert ("B", infer.SUBCLASS, "D") in got
+    assert ("p", infer.SUBPROP, "r") in got
+    assert ("p", infer.DOMAIN, "A") in got  # carried through
+    # nothing invented
+    assert ("D", infer.SUBCLASS, "A") not in got
+    assert len(got) == 6 + 4
+
+
+def test_rdfs7_subproperty_edge(spark, onto):
+    t = _triples(spark, [("f1", KG + "imports", "m1", True)])
+    got = {(r.subj, r.pred, r.obj)
+           for r in infer.rdfs_materialize(t, onto, include_tbox=False).collect()}
+    assert ("f1", KG + "references", "m1") in got
+    # transitive superproperty in ONE pass (closed TBox)
+    assert ("f1", KG + "associatedWith", "m1") in got
+
+
+def test_rdfs2_3_domain_range_types(spark, onto):
+    t = _triples(spark, [("f1", KG + "defines", "s1", True),
+                         ("f2", KG + "imports", "m1", True)])
+    got = {(r.subj, r.pred, r.obj)
+           for r in infer.rdfs_materialize(t, onto, include_tbox=False).collect()}
+    assert ("f1", RDF_TYPE, KG + "Definer") in got          # rdfs2
+    assert ("m1", RDF_TYPE, KG + "Importable") in got       # rdfs3
+    # rdfs9 over the rdfs2/3-derived types, same pass
+    assert ("f1", RDF_TYPE, KG + "CodeEntity") in got
+    assert ("m1", RDF_TYPE, KG + "CodeEntity") in got
+
+
+def test_rdfs3_skips_literal_objects(spark, onto):
+    onto2 = infer.ontology_df(spark, [(KG + "path", infer.RANGE, "X")])
+    t = _triples(spark, [("f1", KG + "path", "a/b.py", False)])
+    got = {(r.subj, r.pred, r.obj)
+           for r in infer.rdfs_materialize(t, onto2, include_tbox=False).collect()}
+    assert ("a/b.py", RDF_TYPE, "X") not in got
+
+
+def test_rdfs9_asserted_types(spark, onto):
+    t = _triples(spark, [("s1", RDF_TYPE, KG + "Class", True)])
+    got = {(r.subj, r.pred, r.obj)
+           for r in infer.rdfs_materialize(t, onto, include_tbox=False).collect()}
+    assert ("s1", RDF_TYPE, KG + "Symbol") in got
+    assert ("s1", RDF_TYPE, KG + "CodeEntity") in got  # depth 2
+
+
+def test_materialize_idempotent_and_set(spark, onto):
+    t = _triples(spark, [
+        ("f1", KG + "imports", "m1", True),
+        ("f1", RDF_TYPE, KG + "File", True),
+        ("f1", KG + "imports", "m1", True),  # duplicate in
+    ])
+    once = infer.rdfs_materialize(t, onto)
+    twice = infer.rdfs_materialize(once, onto)
+    rows1 = [tuple(r) for r in once.collect()]
+    rows2 = [tuple(r) for r in twice.collect()]
+    assert len(rows1) == len(set(rows1))  # set semantics out
+    assert set(rows1) == set(rows2) and len(rows2) == len(rows1)
+
+
+def test_inferred_only_excludes_asserted(spark, onto):
+    t = _triples(spark, [
+        ("f1", KG + "imports", "m1", True),
+        ("f1", RDF_TYPE, KG + "File", True),
+    ])
+    new = infer.inferred_only(t, onto)
+    joined = new.join(
+        t.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "inner")
+    assert joined.isEmpty()
+    got = {(r.subj, r.pred, r.obj) for r in new.collect()}
+    assert ("f1", RDF_TYPE, KG + "Artifact") in got
+
+
+def test_instance_side_broadcast_plan(spark, onto):
+    t = _triples(spark, [("f1", KG + "imports", "m1", True)])
+    plan = infer.rdfs_materialize(t, onto)._jdf.queryExecution().executedPlan().toString()
+    # every TBox join must broadcast the ontology side; the instance
+    # stream must never sort-merge against it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
