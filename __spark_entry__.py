@@ -3010,6 +3010,38 @@ def sql_kg_rdfs_infer() -> str:
     """
 
 
+def q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (kg/query.construct): the co-import graph as NEW
+    triples — one bag-semantics BGP match, per-template projections,
+    one set-dedup on the instantiated (narrow) triple columns."""
+    from rdf_tabular_spark.kg import query as kq
+
+    _, _, triples = _kg_oracle_run(spark)
+    return kq.construct(
+        triples,
+        [("?f", _KG + "imports", "?m"), ("?g", _KG + "imports", "?m")],
+        template=[("?f", _KG + "coImports", "?g"),
+                  ("?f", _RDF_TYPE, _KG + "CoImporter")],
+        filters=["f < g"])
+
+
+def sql_kg_construct() -> str:
+    return f"""
+    WITH kgt AS MATERIALIZED ({sql_kg_triples()}),
+    imp AS (SELECT subj, obj FROM kgt WHERE pred = '{_KG}imports'),
+    sols AS (SELECT a.subj AS f, b.subj AS g
+             FROM imp a JOIN imp b ON a.obj = b.obj
+             WHERE a.subj < b.subj)
+    SELECT DISTINCT subj, pred, obj, TRUE AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM (
+      SELECT f AS subj, '{_KG}coImports' AS pred, g AS obj FROM sols
+      UNION ALL
+      SELECT f, '{_RDF_TYPE}', '{_KG}CoImporter' FROM sols)
+    """
+
+
 def sql_kg_pagerank(damping: float = 0.85, iterations: int = 8) -> str:
     """Unrolled power iteration (one CTE per step) — exactly the
     kg/graph.py formulation: dangling mass dropped, fixed step count.
@@ -4181,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this session (no prior record: least proven, so first) ---
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_rdfs_infer": q_kg_rdfs_infer,
+        "kg_construct": q_kg_construct,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_clean": q_boilerplate_clean,
         "url_extract": q_url_extract,
@@ -4293,6 +4326,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
+        "kg_construct": sql_kg_construct(),
         "boilerplate_lines": sql_boilerplate_lines(),
         "boilerplate_clean": sql_boilerplate_clean(),
         "url_extract": sql_url_extract(),

@@ -367,3 +367,52 @@ def solution_modifiers(df: DataFrame, order_by: list[str] | None = None,
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def construct(triples: DataFrame, patterns: list[tuple],
+              template: list[tuple],
+              optional: list[tuple] | None = None,
+              filters: list[str] | None = None,
+              path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate *template* triples from every BGP
+    solution and return them in the standard triple schema.
+
+    Each template entry is ``(subj, pred, obj[, obj_is_iri])`` where a
+    term starting with ``?`` substitutes the bound variable and anything
+    else is a constant; ``obj_is_iri`` defaults to True (CONSTRUCT
+    output that targets a literal object passes False). Entries whose
+    variables are unbound in a solution (possible under OPTIONAL) drop
+    that instantiation, per the SPARQL CONSTRUCT spec.
+
+    Scale shape: the solution set is matched ONCE with bag semantics;
+    each template is a pure projection of it, unioned and
+    set-deduplicated — CONSTRUCT returns an RDF *graph*, so the dedup is
+    semantic, not cosmetic. The dedup keys are the instantiated triple
+    columns (narrow strings), never the solution multiset."""
+    sols = match_bgp(triples, patterns, optional=optional, filters=filters,
+                     distinct=False, path_max_hops=path_max_hops)
+
+    def term_col(term: str):
+        return F.col(term[1:]) if _is_var(term) else F.lit(term)
+
+    outs = []
+    for entry in template:
+        s, p, o = entry[0], entry[1], entry[2]
+        obj_is_iri = entry[3] if len(entry) > 3 else True
+        for t in (s, p, o):
+            if _is_var(t) and t[1:] not in sols.columns:
+                raise ValueError(f"template variable {t!r} not bound")
+        inst = sols.select(
+            term_col(s).cast("string").alias("subj"),
+            term_col(p).cast("string").alias("pred"),
+            term_col(o).cast("string").alias("obj"),
+            F.lit(bool(obj_is_iri)).alias("obj_is_iri"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        ).filter(F.col("subj").isNotNull() & F.col("pred").isNotNull()
+                 & F.col("obj").isNotNull())
+        outs.append(inst)
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out.dropDuplicates(["subj", "pred", "obj"])

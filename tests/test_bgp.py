@@ -309,3 +309,58 @@ def test_sequence_composes_with_inverse(spark):
 def test_sequence_needs_two_steps(spark):
     with pytest.raises(ValueError):
         match_bgp(_triples(spark), [("?a", ("/", "imports"), "?b")])
+
+
+# -- CONSTRUCT ---------------------------------------------------------------
+
+def test_construct_basic_graph(spark):
+    from rdf_tabular_spark.kg.query import construct
+
+    out = construct(
+        _triples(spark),
+        [("?f", "imports", "?m"), ("?g", "imports", "?m")],
+        template=[("?f", "coImports", "?g")],
+        filters=["f < g"])
+    rows = {(r.subj, r.pred, r.obj, r.obj_is_iri) for r in out.collect()}
+    assert rows == {("f:a", "coImports", "f:b", True)}
+    assert out.columns == ["subj", "pred", "obj",
+                           "obj_is_iri", "obj_datatype", "obj_lang"]
+
+
+def test_construct_multi_template_dedup(spark):
+    from rdf_tabular_spark.kg.query import construct
+
+    # two files import m:x -> the constant-subject template instantiates
+    # twice but the GRAPH holds it once (set semantics)
+    out = construct(
+        _triples(spark),
+        [("?f", "imports", "m:x")],
+        template=[("?f", "type", "Importer"),
+                  ("m:x", "popular", "true", False)])
+    rows = {(r.subj, r.pred, r.obj, r.obj_is_iri) for r in out.collect()}
+    assert rows == {("f:a", "type", "Importer", True),
+                    ("f:b", "type", "Importer", True),
+                    ("m:x", "popular", "true", False)}
+
+
+def test_construct_optional_unbound_drops_instantiation(spark):
+    from rdf_tabular_spark.kg.query import construct
+
+    # f:b is in r:2; only the OPTIONAL pattern binds ?r for r:1 rows of
+    # a different shape — use a repo filter that cannot match f:b
+    out = construct(
+        _triples(spark),
+        [("?f", "imports", "?m")],
+        template=[("?f", "repoOf", "?r")],
+        optional=[("?f", "inRepo", "?r")])
+    # f:loop has no inRepo triple -> its ?r is NULL -> dropped
+    rows = {(r.subj, r.obj) for r in out.collect()}
+    assert rows == {("f:a", "r:1"), ("f:b", "r:2"), ("f:c", "r:1")}
+
+
+def test_construct_unbound_template_var_raises(spark):
+    from rdf_tabular_spark.kg.query import construct
+
+    with pytest.raises(ValueError, match="not bound"):
+        construct(_triples(spark), [("?f", "imports", "?m")],
+                  template=[("?f", "x", "?nope")])
