@@ -1266,6 +1266,57 @@ def sql_decontaminate() -> str:
     """
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced shard assignment (ops/pack.assign_shards): serpentine
+    striping in descending-token order; global rank composed from
+    value-banded cells so no single-partition window touches the
+    corpus."""
+    from rdf_tabular_spark.ops.pack import assign_shards
+
+    return assign_shards(_t(spark, sf_dir, "documents"), n_shards=16)
+
+
+def sql_pack_shards() -> str:
+    return r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+                    regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+                    t -> t <> '')) AS BIGINT) AS n_tokens,
+             CAST(CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                                                    '__null__')
+                                           || '|shard_rank'), 1, 8))
+                       AS BIGINT) % 16 AS INT) AS sub
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, sub ASC, doc_id ASC)
+               - 1 AS global_rank
+      FROM s)
+    SELECT doc_id, n_tokens, global_rank,
+           CAST(CASE WHEN (global_rank // 16) % 2 = 0 THEN global_rank % 16
+                     ELSE 15 - (global_rank % 16) END AS INT) AS shard
+    FROM r
+    """
+
+
+def q_pack_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard balance report (ops/pack.shard_stats) over the
+    assignment — the totals a pipeline asserts on before writing."""
+    from rdf_tabular_spark.ops.pack import assign_shards, shard_stats
+
+    return shard_stats(assign_shards(_t(spark, sf_dir, "documents"),
+                                     n_shards=16))
+
+
+def sql_pack_shard_stats() -> str:
+    return f"""
+    SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM ({sql_pack_shards()})
+    GROUP BY shard
+    """
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: per-doc (shard, bin, offset) layout at a 256-token
     budget over 8 md5 shards."""
@@ -4214,6 +4265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_rdfs_infer": q_kg_rdfs_infer,
         "kg_construct": q_kg_construct,
+        "pack_shards": q_pack_shards,
+        "pack_shard_stats": q_pack_shard_stats,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_clean": q_boilerplate_clean,
         "url_extract": q_url_extract,
@@ -4327,6 +4380,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_construct": sql_kg_construct(),
+        "pack_shards": sql_pack_shards(),
+        "pack_shard_stats": sql_pack_shard_stats(),
         "boilerplate_lines": sql_boilerplate_lines(),
         "boilerplate_clean": sql_boilerplate_clean(),
         "url_extract": sql_url_extract(),

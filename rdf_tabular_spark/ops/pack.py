@@ -92,3 +92,70 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
                 F.col("_n") - F.col("chunk_idx") * stride).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def assign_shards(df: DataFrame, n_shards: int = 16,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  sub_bands: int = 16) -> DataFrame:
+    """Balanced training-shard assignment: serpentine (boustrophedon)
+    striping over the documents in descending-token order — the final
+    step of a curation pipeline, where packed documents land in N output
+    shards whose token totals must be near-equal so no training-data
+    reader becomes the straggler.
+
+    Rank documents by ``(n_tokens DESC, sub_band, id)`` and stripe rank
+    ``r`` to shard ``r % n`` on even passes and ``n-1-(r % n)`` on odd
+    passes: each full pass hands every shard exactly one document, and
+    reversing the direction per pass cancels the within-pass descending
+    bias (classic LPT-style balance without LPT's sequential state —
+    max-min shard skew stays O(largest document), not O(pass count)).
+
+    Scale shape: a naive global ``row_number`` would be a single-partition
+    window. Instead the global rank is composed from value-based cells:
+    ``band = n_tokens`` (value, not quantile — deterministic) crossed
+    with ``sub_band = md5-bucket(id)`` (spreads the short-doc hot bands,
+    where millions of docs share one token count). Ranks are computed
+    per cell with an ordinary partitioned window, then offset by the
+    running total of cell sizes — a vocabulary-sized table (distinct
+    token counts x sub_bands) whose single-partition running sum is
+    bounded and cheap. One narrow shuffle of (id, n_tokens, sub) rows,
+    one bounded window; the corpus text never moves.
+    """
+    from .split import hash_bucket
+    from .text import token_count
+
+    staged = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        hash_bucket(F.col(id_col), salt="shard_rank",
+                    buckets=sub_bands).cast("int").alias("_sub"))
+    cells = staged.groupBy("n_tokens", "_sub").agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    w_off = (Window.orderBy(F.desc("n_tokens"), F.asc("_sub"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = cells.select(
+        "n_tokens", "_sub",
+        (F.sum("_cnt").over(w_off) - F.col("_cnt")).alias("_off"))
+    w_cell = Window.partitionBy("n_tokens", "_sub").orderBy(id_col)
+    ranked = (
+        staged.join(F.broadcast(offsets), ["n_tokens", "_sub"])
+        .select(
+            id_col, "n_tokens",
+            (F.col("_off") + F.row_number().over(w_cell) - 1)
+            .alias("global_rank")))
+    r, n = F.col("global_rank"), F.lit(n_shards)
+    pos = F.pmod(r, n)
+    shard = F.when(F.pmod(F.floor(r / n), F.lit(2)) == 0, pos) \
+        .otherwise(n - 1 - pos)
+    return ranked.select(
+        id_col, "n_tokens", "global_rank",
+        shard.cast("int").alias("shard"))
+
+
+def shard_stats(assigned: DataFrame) -> DataFrame:
+    """Per-shard document and token totals of an :func:`assign_shards`
+    result — the balance report a pipeline asserts on before writing.
+    One map-side-combined aggregation on the narrow assignment table."""
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"))

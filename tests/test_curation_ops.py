@@ -391,3 +391,49 @@ def test_gopher_repetition(spark):
         assert (r.top_2gram_frac, r.dup_line_frac, r.dup_line_char_frac) \
             == (0.0, 0.0, 0.0)
     assert out[5].top_2gram_frac == 0.0
+
+
+# ------------------------------------------------------- shard assignment
+
+
+def test_assign_shards_partition_of_corpus(docs):
+    from rdf_tabular_spark.ops.pack import assign_shards
+
+    out = assign_shards(docs, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # total assignment
+    assert {r.shard for r in rows} == set(range(8))
+    ranks = sorted(r.global_rank for r in rows)
+    assert ranks == list(range(len(rows)))  # dense global rank
+
+
+def test_assign_shards_serpentine_stripe(spark):
+    from rdf_tabular_spark.ops.pack import assign_shards
+
+    # 8 docs, 4 shards, distinct token counts -> rank = 8-i for doc i
+    data = [(f"d{i}", "w " * i) for i in range(1, 9)]
+    df = spark.createDataFrame(data, "doc_id string, text string")
+    got = {r.doc_id: (r.global_rank, r.shard)
+           for r in assign_shards(df, n_shards=4).collect()}
+    # descending tokens: d8 r0, d7 r1, ... d1 r7
+    assert got["d8"] == (0, 0) and got["d5"] == (3, 3)   # pass 0: 0,1,2,3
+    assert got["d4"] == (4, 3) and got["d1"] == (7, 0)   # pass 1 reversed
+
+
+def test_assign_shards_balance(docs):
+    from rdf_tabular_spark.ops.pack import assign_shards, shard_stats
+
+    stats = shard_stats(assign_shards(docs, n_shards=8)).collect()
+    toks = [r.total_tokens for r in stats]
+    assert len(stats) == 8
+    # serpentine striping on sorted sizes: spread bounded by a few of
+    # the largest documents; on the sf corpus that is a tight band
+    assert (max(toks) - min(toks)) / max(toks) < 0.05
+
+
+def test_assign_shards_deterministic_across_partitioning(docs):
+    from rdf_tabular_spark.ops.pack import assign_shards
+
+    a = sorted(map(tuple, assign_shards(docs.repartition(3), 8).collect()))
+    b = sorted(map(tuple, assign_shards(docs.repartition(13), 8).collect()))
+    assert a == b
