@@ -1317,6 +1317,89 @@ def sql_pack_shard_stats() -> str:
     """
 
 
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-unigram importance scores vs the lang='en' target
+    subset (ops/importance.py: bounded bucket table broadcast back,
+    integer micro-nat sums — layout-invariant)."""
+    from rdf_tabular_spark.ops.importance import importance_weights
+
+    return importance_weights(
+        _t(spark, sf_dir, "documents"), "lang = 'en'", buckets=4096)
+
+
+def _sql_importance_weights_body() -> str:
+    return r"""
+    d0 AS (SELECT doc_id, lang,
+                  list_filter(regexp_split_to_array(
+                    trim(regexp_replace(lower(COALESCE(text, '')),
+                                        '\s+', ' ', 'g')), ' '),
+                    t -> t <> '') AS toks
+           FROM documents),
+    tok AS (SELECT doc_id, lang = 'en' AS is_t, unnest(toks) AS tok FROM d0),
+    bt AS (SELECT CAST(('0x' || substr(md5(tok || '|dsir'), 1, 8))
+                       AS BIGINT) % 4096 AS bucket,
+                  COUNT(*) AS n_raw,
+                  SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_target
+           FROM tok GROUP BY 1),
+    tot AS (SELECT SUM(n_raw) AS tr, SUM(n_target) AS tt FROM bt),
+    lr AS (SELECT bucket,
+                  CAST(round((ln((n_target + 1) / (tot.tt + 4096.0))
+                              - ln((n_raw + 1) / (tot.tr + 4096.0))) * 1e6)
+                       AS BIGINT) AS q
+           FROM bt, tot),
+    per_doc AS (
+      SELECT t.doc_id, SUM(lr.q) AS score
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok || '|dsir'), 1, 8))
+                        AS BIGINT) % 4096 AS bucket
+            FROM tok) t
+      JOIN lr ON t.bucket = lr.bucket
+      GROUP BY t.doc_id),
+    w AS (
+      SELECT d0.doc_id,
+             CAST(len(d0.toks) AS BIGINT) AS n_tokens,
+             COALESCE(per_doc.score, 0) AS logratio_micronats,
+             CASE WHEN len(d0.toks) > 0
+                  THEN round(COALESCE(per_doc.score, 0)
+                             / len(d0.toks) / 1e6, 6)
+                  ELSE 0.0 END AS per_token_logratio
+      FROM d0 LEFT JOIN per_doc ON d0.doc_id = per_doc.doc_id)
+    """
+
+
+def sql_importance_weights() -> str:
+    return f"""
+    WITH {_sql_importance_weights_body()}
+    SELECT doc_id, n_tokens, logratio_micronats, per_token_logratio FROM w
+    """
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-fraction selection on the DSIR weights
+    (ops/importance.resample_by_importance: exact rank via value-banded
+    cells, no single-partition window)."""
+    from rdf_tabular_spark.ops.importance import (importance_weights,
+                                                  resample_by_importance)
+
+    w = importance_weights(
+        _t(spark, sf_dir, "documents"), "lang = 'en'", buckets=4096)
+    return resample_by_importance(w, 0.25)
+
+
+def sql_importance_resample() -> str:
+    return f"""
+    WITH {_sql_importance_weights_body()},
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY per_token_logratio DESC,
+                                   doc_id ASC) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM w)
+    SELECT doc_id, n_tokens, logratio_micronats, per_token_logratio
+    FROM ranked
+    WHERE r < GREATEST(1, CAST(FLOOR(0.25 * n) AS BIGINT))
+    """
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: per-doc (shard, bin, offset) layout at a 256-token
     budget over 8 md5 shards."""
@@ -4267,6 +4350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct": q_kg_construct,
         "pack_shards": q_pack_shards,
         "pack_shard_stats": q_pack_shard_stats,
+        "importance_weights": q_importance_weights,
+        "importance_resample": q_importance_resample,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_clean": q_boilerplate_clean,
         "url_extract": q_url_extract,
@@ -4382,6 +4467,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_construct": sql_kg_construct(),
         "pack_shards": sql_pack_shards(),
         "pack_shard_stats": sql_pack_shard_stats(),
+        "importance_weights": sql_importance_weights(),
+        "importance_resample": sql_importance_resample(),
         "boilerplate_lines": sql_boilerplate_lines(),
         "boilerplate_clean": sql_boilerplate_clean(),
         "url_extract": sql_url_extract(),
