@@ -3176,6 +3176,32 @@ def sql_kg_construct() -> str:
     """
 
 
+def q_kg_rdfs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental RDFS maintenance == full recompute, cross-engine:
+    Spark materializes the graph WITHOUT the kg:defines triples, then
+    extends it incrementally with them (kg/infer.rdfs_incremental — only
+    the delta pays inference, per the single-premise monotonicity
+    argument); the DuckDB twin recomputes the full materialization from
+    scratch."""
+    from rdf_tabular_spark.kg import infer
+
+    _, _, triples = _kg_oracle_run(spark)
+    onto = infer.ontology_df(spark)
+    old = triples.filter(F.col("pred") != _KG + "defines")
+    delta = triples.filter(F.col("pred") == _KG + "defines")
+    base = infer.rdfs_materialize(old, onto, include_tbox=False)
+    return infer.rdfs_incremental(base, delta, onto)
+
+
+def sql_kg_rdfs_incremental() -> str:
+    return f"""
+    SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
+    FROM ({sql_kg_triples()})
+    UNION ALL
+    SELECT * FROM ({sql_kg_rdfs_infer()})
+    """
+
+
 def sql_kg_pagerank(damping: float = 0.85, iterations: int = 8) -> str:
     """Unrolled power iteration (one CTE per step) — exactly the
     kg/graph.py formulation: dangling mass dropped, fixed step count.
@@ -4347,6 +4373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this session (no prior record: least proven, so first) ---
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_rdfs_infer": q_kg_rdfs_infer,
+        "kg_rdfs_incremental": q_kg_rdfs_incremental,
         "kg_construct": q_kg_construct,
         "pack_shards": q_pack_shards,
         "pack_shard_stats": q_pack_shard_stats,
@@ -4464,6 +4491,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
+        "kg_rdfs_incremental": sql_kg_rdfs_incremental(),
         "kg_construct": sql_kg_construct(),
         "pack_shards": sql_pack_shards(),
         "pack_shard_stats": sql_pack_shard_stats(),

@@ -204,3 +204,28 @@ def inferred_only(triples: DataFrame, ontology: DataFrame) -> DataFrame:
     return full.alias("f").join(
         triples.select("subj", "pred", "obj").alias("t"),
         ["subj", "pred", "obj"], "left_anti")
+
+
+def rdfs_incremental(materialized: DataFrame, delta: DataFrame,
+                     ontology: DataFrame) -> DataFrame:
+    """Incremental RDFS maintenance: extend an already-materialized graph
+    with a batch of new asserted triples WITHOUT re-running inference
+    over the old instance data.
+
+    Correct because RDFS ABox rules are *monotone and single-premise*
+    on the instance side (each rule joins ONE instance triple with the
+    broadcast TBox — never two instance triples), so inference
+    distributes over union:  infer(old ∪ delta) = infer(old) ∪
+    infer(delta).  The old graph contributes exactly its existing
+    materialization; only the delta pays extraction + inference, and the
+    final set-dedup runs on (delta-sized) new rows via anti-join against
+    the materialized table — a broadcast anti when the delta is small,
+    never a shuffle of the full graph. (Contrast OWL: a transitive
+    instance property would break the single-premise shape and force
+    semi-naive iteration over old+delta.)
+    """
+    delta_inferred = rdfs_materialize(delta, ontology, include_tbox=False)
+    new_rows = delta_inferred.join(
+        materialized.select("subj", "pred", "obj"),
+        ["subj", "pred", "obj"], "left_anti")
+    return materialized.unionByName(new_rows)

@@ -117,3 +117,22 @@ def test_instance_side_broadcast_plan(spark, onto):
     # stream must never sort-merge against it
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_equals_full_recompute(spark, onto):
+    old = _triples(spark, [
+        ("f1", KG + "imports", "m1", True),
+        ("f1", RDF_TYPE, KG + "File", True),
+        ("s1", RDF_TYPE, KG + "Class", True),
+    ])
+    delta = _triples(spark, [
+        ("f2", KG + "defines", "s2", True),
+        ("f1", KG + "imports", "m1", True),  # overlap with old
+    ])
+    base = infer.rdfs_materialize(old, onto)
+    inc = infer.rdfs_incremental(base, delta, onto)
+    full = infer.rdfs_materialize(old.unionByName(delta), onto)
+    got = {tuple(r) for r in inc.collect()}
+    want = {tuple(r) for r in full.collect()}
+    assert got == want
+    assert inc.count() == len(got)  # still a set
