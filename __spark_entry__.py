@@ -4162,6 +4162,52 @@ def sql_kg_triangles() -> str:
     """
 
 
+def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per module on the co-import graph
+    (kg/graph.clustering_coefficient — degree-oriented triangle plan,
+    explode-count per vertex, broadcast degree join)."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.clustering_coefficient(triples, min_files=2)
+
+
+def sql_kg_clustering() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    mods AS (
+      SELECT DISTINCT subj AS src, obj AS dst FROM kgq
+      WHERE obj_is_iri AND pred IN ('{_KG}imports', '{_KG}dependsOn')),
+    p AS (
+      SELECT x.dst AS a, y.dst AS b
+      FROM mods x JOIN mods y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY x.dst, y.dst
+      HAVING COUNT(*) >= 2),
+    tri AS (
+      SELECT p1.a, p1.b, p2.b AS c
+      FROM p p1
+      JOIN p p2 ON p1.b = p2.a
+      JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b),
+    deg AS (
+      SELECT node, COUNT(*) AS degree
+      FROM (SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+      GROUP BY node),
+    tcnt AS (
+      SELECT node, COUNT(*) AS triangles
+      FROM (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY node)
+    SELECT deg.node, deg.degree,
+           COALESCE(tcnt.triangles, 0) AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * COALESCE(tcnt.triangles, 0)
+                           / (deg.degree * (deg.degree - 1)), 6)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+    """
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components of the dependency graph (kg/graph.py
     components — min-label propagation, component id = min node IRI)."""
@@ -4375,6 +4421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_infer": q_kg_rdfs_infer,
         "kg_rdfs_incremental": q_kg_rdfs_incremental,
         "kg_construct": q_kg_construct,
+        "kg_clustering": q_kg_clustering,
         "pack_shards": q_pack_shards,
         "pack_shard_stats": q_pack_shard_stats,
         "importance_weights": q_importance_weights,
@@ -4493,6 +4540,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),
         "kg_construct": sql_kg_construct(),
+        "kg_clustering": sql_kg_clustering(),
         "pack_shards": sql_pack_shards(),
         "pack_shard_stats": sql_pack_shard_stats(),
         "importance_weights": sql_importance_weights(),

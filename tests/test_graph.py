@@ -235,3 +235,52 @@ def test_orient_by_degree_bounds_hub_fanout(spark):
     want = sorted(tuple(sorted(("h", f"l{2*i}", f"l{2*i+1}")))
                   for i in range(6))
     assert tris == want
+
+
+def test_clustering_coefficient_closed_form(spark):
+    from rdf_tabular_spark.kg import graph
+    from rdf_tabular_spark.kg.annotate import KG, file_iri, module_iri
+    from pyspark.sql import functions as F
+
+    # 4 files all importing {a,b,c} (a triangle) and one of them also d:
+    # d has degree 3 but closes no triangle beyond a-b-c... build edges
+    # so a,b,c form K3 (cc=1) and d attaches to a,b only (cc(d)=1: its
+    # two neighbors a,b are connected)
+    rows = []
+    for f in ("f1", "f2"):
+        for m in ("a", "b", "c"):
+            rows.append((f, m))
+    for f in ("f3", "f4"):
+        for m in ("a", "b", "d"):
+            rows.append((f, m))
+    df = spark.createDataFrame(rows, "f string, m string").select(
+        file_iri(F.lit("r"), F.col("f")).alias("subj"),
+        F.lit(KG + "imports").alias("pred"),
+        module_iri(F.col("m")).alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    got = {r.node.rsplit("/", 1)[-1]: (r.degree, r.triangles, r.clustering)
+           for r in graph.clustering_coefficient(df, min_files=2).collect()}
+    # a,b: degree 3 (b/c/d resp a/c/d), 2 triangles (abc, abd)
+    assert got["a"] == (3, 2, round(2 * 2 / (3 * 2), 6))
+    assert got["b"] == (3, 2, round(2 * 2 / (3 * 2), 6))
+    # c: neighbors a,b which are connected -> cc 1
+    assert got["c"] == (2, 1, 1.0)
+    assert got["d"] == (2, 1, 1.0)
+
+
+def test_clustering_oriented_equals_plain(spark):
+    from rdf_tabular_spark.kg import graph
+
+    src = __import__("rdf_tabular_spark.kg.synth", fromlist=["synth"])
+    table = src.synth_source_table(spark, 300)
+    from rdf_tabular_spark.kg import annotate, extract
+    from pyspark.sql import functions as F
+    ext = extract.extract_structures(table, layout="source", carry_sha=False)
+    triples = annotate.structure_triples(ext)
+    a = sorted(map(tuple, graph.clustering_coefficient(
+        triples, orient=True).collect()))
+    b = sorted(map(tuple, graph.clustering_coefficient(
+        triples, orient=False).collect()))
+    assert a == b and len(a) > 0
