@@ -138,6 +138,37 @@ def sql_csvw_triples_standard() -> str:
     """
 
 
+def q_csvw_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE (kg/query.describe — concise bounded description)
+    of the standard-mode table node: the csvw envelope's blank-node
+    structure (row bnodes + their rownum/type/url/describes) expands;
+    named describes-targets are boundaries and stay out."""
+    from rdf_tabular_spark.kg.query import describe
+
+    g = q_csvw_triples_standard(spark, sf_dir)
+    seed = g.filter(
+        F.col("pred") == "http://www.w3.org/ns/csvw#row"
+    ).select("subj").distinct()
+    return describe(g, seed)
+
+
+def sql_csvw_describe() -> str:
+    csvw = "http://www.w3.org/ns/csvw#"
+    # bnode-object closure unrolled (depth 2 suffices for the envelope:
+    # table bnode -> row bnodes -> named IRIs; one spare level)
+    hop = ("SELECT subj FROM {prev} UNION "
+           "SELECT g.obj FROM g JOIN {prev} p ON g.subj = p.subj "
+           "WHERE g.obj_is_iri AND substr(g.obj, 1, 2) = '_:'")
+    return f"""
+    WITH g AS MATERIALIZED ({sql_csvw_triples_standard()}),
+    s0 AS (SELECT DISTINCT subj FROM g WHERE pred = '{csvw}row'),
+    s1 AS ({hop.format(prev='s0')}),
+    s2 AS ({hop.format(prev='s1')}),
+    s3 AS ({hop.format(prev='s2')})
+    SELECT DISTINCT g.* FROM g JOIN s3 ON g.subj = s3.subj
+    """
+
+
 def q_csvw_datatype_byte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/C9/C11: integer-subtype bounds validation — out-of-range byte
     values degrade to plain literals with a populated error channel
@@ -4422,6 +4453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_incremental": q_kg_rdfs_incremental,
         "kg_construct": q_kg_construct,
         "kg_clustering": q_kg_clustering,
+        "csvw_describe": q_csvw_describe,
         "pack_shards": q_pack_shards,
         "pack_shard_stats": q_pack_shard_stats,
         "importance_weights": q_importance_weights,
@@ -4541,6 +4573,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),
         "kg_construct": sql_kg_construct(),
         "kg_clustering": sql_kg_clustering(),
+        "csvw_describe": sql_csvw_describe(),
         "pack_shards": sql_pack_shards(),
         "pack_shard_stats": sql_pack_shard_stats(),
         "importance_weights": sql_importance_weights(),

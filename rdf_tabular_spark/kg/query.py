@@ -416,3 +416,43 @@ def construct(triples: DataFrame, patterns: list[tuple],
     for nxt in outs[1:]:
         out = out.unionByName(nxt)
     return out.dropDuplicates(["subj", "pred", "obj"])
+
+
+def describe(triples: DataFrame, subjects: DataFrame,
+             max_hops: int = 8) -> DataFrame:
+    """SPARQL DESCRIBE as a concise bounded description (CBD): all
+    triples whose subject is in *subjects*, plus — recursively — the
+    triples of every blank node reached as an OBJECT of an included
+    triple (the standard CBD closure; named IRIs are boundaries, blank
+    nodes are internal structure that cannot be referenced from outside
+    the result and so must be expanded).
+
+    *subjects* is a one-column DataFrame (``subj``). Blank nodes are the
+    ``_:``-prefixed identifiers the emitters produce (operators/emit.py
+    skolem ids).
+
+    Scale shape: semi-naive frontier expansion like graph.reachability —
+    each round semi-joins the triple table on the (usually small)
+    frontier, collects newly-seen bnode objects via one anti-join
+    against the done set, and stops when the frontier drains (CSVW
+    envelope graphs have depth <= 4: group -> table -> row -> describes).
+    The per-round driver probe is a bounded isEmpty; the triple table is
+    never collected."""
+    done = subjects.select("subj").distinct()
+    frontier = done
+    acc = None
+    for _ in range(max_hops):
+        t = triples.join(frontier, "subj", "leftsemi")
+        acc = t if acc is None else acc.unionByName(t)
+        new = (
+            t.filter(F.col("obj_is_iri") & F.col("obj").startswith("_:"))
+            .select(F.col("obj").alias("subj")).distinct()
+            .join(done, "subj", "left_anti"))
+        if new.isEmpty():
+            break
+        done = done.unionByName(new)
+        frontier = new
+    # duplicates only arise if a subject lands in two frontiers (it
+    # cannot — done gates the frontier) — keep the defensive set anyway,
+    # on ALL columns so distinct (s,p,o,datatype/lang) variants survive
+    return acc.dropDuplicates()

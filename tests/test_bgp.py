@@ -364,3 +364,49 @@ def test_construct_unbound_template_var_raises(spark):
     with pytest.raises(ValueError, match="not bound"):
         construct(_triples(spark), [("?f", "imports", "?m")],
                   template=[("?f", "x", "?nope")])
+
+
+# -- DESCRIBE ----------------------------------------------------------------
+
+def _bnode_graph(spark):
+    rows = [
+        ("t:1", "row", "_:r1", True),
+        ("t:1", "url", "file.csv", False),
+        ("_:r1", "describes", "_:b1", True),
+        ("_:r1", "rownum", "1", False),
+        ("_:b1", "name", "alice", False),
+        ("_:b1", "knows", "p:bob", True),   # named IRI: boundary
+        ("p:bob", "name", "bob", False),    # must NOT be pulled in
+        ("t:2", "row", "_:r2", True),       # different table: not seeded
+        ("_:r2", "rownum", "1", False),
+    ]
+    return spark.createDataFrame(
+        [(s, p, o, iri, None, None) for s, p, o, iri in rows],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+
+
+def test_describe_bnode_closure_and_iri_boundary(spark):
+    from rdf_tabular_spark.kg.query import describe
+
+    g = _bnode_graph(spark)
+    seed = spark.createDataFrame([("t:1",)], "subj string")
+    got = {(r.subj, r.pred, r.obj) for r in describe(g, seed).collect()}
+    assert got == {
+        ("t:1", "row", "_:r1"), ("t:1", "url", "file.csv"),
+        ("_:r1", "describes", "_:b1"), ("_:r1", "rownum", "1"),
+        ("_:b1", "name", "alice"), ("_:b1", "knows", "p:bob"),
+    }
+
+
+def test_describe_literal_bnode_lookalike_not_followed(spark):
+    from rdf_tabular_spark.kg.query import describe
+
+    g = spark.createDataFrame(
+        [("t:1", "note", "_:r1", False, None, None),
+         ("_:r1", "x", "y", False, None, None)],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+    seed = spark.createDataFrame([("t:1",)], "subj string")
+    got = {(r.subj, r.obj) for r in describe(g, seed).collect()}
+    assert got == {("t:1", "_:r1")}  # literal object is not a node
