@@ -3511,6 +3511,28 @@ def sql_kg_bgp_optional() -> str:
     """
 
 
+def q_kg_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID property-partition statistics of the assembled graph
+    (kg/materialize.void_statistics — one multi-distinct agg keyed by
+    the vocabulary-sized predicate set)."""
+    from rdf_tabular_spark.kg import materialize
+
+    _, _, triples = _kg_oracle_run(spark)
+    return materialize.void_statistics(triples)
+
+
+def sql_kg_void_stats() -> str:
+    return f"""
+    SELECT pred, COUNT(*) AS n_triples,
+           COUNT(DISTINCT subj) AS distinct_subjects,
+           COUNT(DISTINCT obj) AS distinct_objects,
+           round(SUM(CASE WHEN obj_is_iri THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS iri_object_frac
+    FROM ({sql_kg_triples()})
+    GROUP BY pred
+    """
+
+
 def q_kg_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-repo rollup straight off the triple table — the everyday
     consumer query (files, languages, distinct imported modules per
@@ -4454,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct": q_kg_construct,
         "kg_clustering": q_kg_clustering,
         "csvw_describe": q_csvw_describe,
+        "kg_void_stats": q_kg_void_stats,
         "pack_shards": q_pack_shards,
         "pack_shard_stats": q_pack_shard_stats,
         "importance_weights": q_importance_weights,
@@ -4574,6 +4597,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_construct": sql_kg_construct(),
         "kg_clustering": sql_kg_clustering(),
         "csvw_describe": sql_csvw_describe(),
+        "kg_void_stats": sql_kg_void_stats(),
         "pack_shards": sql_pack_shards(),
         "pack_shard_stats": sql_pack_shard_stats(),
         "importance_weights": sql_importance_weights(),
