@@ -3086,7 +3086,11 @@ def q_kg_rdfs_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_tabular_spark.kg import infer
 
     _, _, triples = _kg_oracle_run(spark)
-    return infer.inferred_only(triples, infer.ontology_df(spark))
+    # the rule pass references the asserted graph several times (edge
+    # rules + type rules + the final anti-join); materialize it once —
+    # the production job reads an already-written triple table anyway
+    return infer.inferred_only(
+        triples.localCheckpoint(), infer.ontology_df(spark))
 
 
 def _sql_onto_closure() -> str:
@@ -3217,6 +3221,7 @@ def q_kg_rdfs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_tabular_spark.kg import infer
 
     _, _, triples = _kg_oracle_run(spark)
+    triples = triples.localCheckpoint()  # multi-referenced (see above)
     onto = infer.ontology_df(spark)
     old = triples.filter(F.col("pred") != _KG + "defines")
     delta = triples.filter(F.col("pred") == _KG + "defines")
