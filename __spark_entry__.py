@@ -1297,6 +1297,66 @@ def sql_decontaminate() -> str:
     """
 
 
+def q_range_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via bucket banding
+    (ops/rangejoin.py): every event inside a purchase's 30-minute
+    attribution window — equi-join on the hour bucket + exact BETWEEN,
+    never a nested-loop plan."""
+    from rdf_tabular_spark.ops.rangejoin import point_in_interval_join
+
+    events = _t(spark, sf_dir, "events")
+    pts = events.select(F.col("event_id").alias("pid"),
+                        F.col("ts").alias("t"))
+    iv = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"))
+    out = point_in_interval_join(pts, iv, "t", "lo", "hi",
+                                 bucket_width=3600)
+    return out.select("pid", "iid")
+
+
+def sql_range_point_join() -> str:
+    return """
+    WITH iv AS (
+      SELECT event_id AS iid, ts AS lo, ts + INTERVAL 30 MINUTE AS hi
+      FROM events WHERE event_type = 'purchase')
+    SELECT e.event_id AS pid, iv.iid
+    FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts <= iv.hi
+    """
+
+
+def q_range_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap range join (ops/rangejoin.py): purchase windows
+    vs signup windows that overlap in time — each pair emitted exactly
+    once by the bucket owning the overlap's left edge (no dedup pass)."""
+    from rdf_tabular_spark.ops.rangejoin import interval_overlap_join
+
+    events = _t(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("aid"), F.col("ts").alias("alo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ahi"))
+    b = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("bid"), F.col("ts").alias("blo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("bhi"))
+    return interval_overlap_join(
+        a, b, "alo", "ahi", "blo", "bhi", bucket_width=3600
+    ).select("aid", "bid")
+
+
+def sql_range_overlap_join() -> str:
+    return """
+    WITH a AS (SELECT event_id AS aid, ts AS alo,
+                      ts + INTERVAL 30 MINUTE AS ahi
+               FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT event_id AS bid, ts AS blo,
+                 ts + INTERVAL 30 MINUTE AS bhi
+          FROM events WHERE event_type = 'signup')
+    SELECT a.aid, b.bid
+    FROM a JOIN b ON a.alo <= b.bhi AND b.blo <= a.ahi
+    """
+
+
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced shard assignment (ops/pack.assign_shards): serpentine
     striping in descending-token order; global rank composed from
@@ -4482,6 +4542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering": q_kg_clustering,
         "csvw_describe": q_csvw_describe,
         "kg_void_stats": q_kg_void_stats,
+        "range_point_join": q_range_point_join,
+        "range_overlap_join": q_range_overlap_join,
         "pack_shards": q_pack_shards,
         "pack_shard_stats": q_pack_shard_stats,
         "importance_weights": q_importance_weights,
@@ -4603,6 +4665,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_clustering": sql_kg_clustering(),
         "csvw_describe": sql_csvw_describe(),
         "kg_void_stats": sql_kg_void_stats(),
+        "range_point_join": sql_range_point_join(),
+        "range_overlap_join": sql_range_overlap_join(),
         "pack_shards": sql_pack_shards(),
         "pack_shard_stats": sql_pack_shard_stats(),
         "importance_weights": sql_importance_weights(),
