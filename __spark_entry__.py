@@ -2137,6 +2137,78 @@ def sql_multimodal_decode() -> str:
     """
 
 
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (ops/similarity.pq_encode): 4 sub-block
+    codebooks learned with the deterministic Lloyd's trainer, final
+    encoding one map-only projection over broadcast literal centroids."""
+    from rdf_tabular_spark.ops.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _ = pq_encode(emb, m=4, k=8, iters=2, dim=64)
+    return out
+
+
+def _sql_pq_block(j: int, sub: int, k: int, iters: int) -> str:
+    """One sub-block's unrolled Lloyd's chain (same formulation as
+    _sql_kmeans_prelude, CTE names suffixed _b{j}, vectors sliced to the
+    block's dims)."""
+    lo, hi = j * sub + 1, (j + 1) * sub
+    parts = [f"""
+    e_b{j} AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding, {lo}, {hi}),
+                            x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0_b{j} AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+             list_transform(v, x -> round(x, 9)) AS c
+      FROM (SELECT vec_id, v FROM e_b{j} ORDER BY vec_id LIMIT {k}))"""]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}_b{j}"
+        parts.append(f""",
+    a{it}_b{j} AS (
+      SELECT vec_id, v, ci AS cluster FROM (
+        SELECT e.vec_id, e.v, c.ci,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, {sub}),
+                   i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.ci) AS rn
+        FROM e_b{j} e, {prev} c) WHERE rn = 1),
+    c{it}m_b{j} AS (
+      SELECT cluster AS ci, d, round(avg(v[d]), 9) AS cd
+      FROM a{it}_b{j}, range(1, {sub + 1}) r(d) GROUP BY cluster, d),
+    c{it}_b{j} AS (
+      SELECT p.ci, coalesce(u.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT ci, list(cd ORDER BY d) AS c FROM c{it}m_b{j} GROUP BY ci) u
+      USING (ci))""")
+    parts.append(f""",
+    afinal_b{j} AS (
+      SELECT vec_id, ci AS cluster FROM (
+        SELECT e.vec_id, c.ci,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, {sub}),
+                   i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.ci) AS rn
+        FROM e_b{j} e, c{iters}_b{j} c) WHERE rn = 1)""")
+    return "".join(parts)
+
+
+def sql_embedding_pq(m: int = 4, k: int = 8, iters: int = 2,
+                     dim: int = 64) -> str:
+    sub = dim // m
+    # each block chain starts with its own CTE name; concatenate them
+    # into one WITH list
+    chain = ",".join(_sql_pq_block(j, sub, k, iters) for j in range(m))
+    joins = " ".join(
+        f"JOIN afinal_b{j} a{j} USING (vec_id)" for j in range(1, m))
+    codes = ", ".join(
+        f"CAST(a{j}.cluster AS INT) AS code_{j}" for j in range(m))
+    return f"""
+    WITH {chain}
+    SELECT a0.vec_id, {codes}
+    FROM afinal_b0 a0 {joins}
+    """
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8-style quantization of the embedding column (FAISS-SQ8
     shape, ops/similarity.quantize_embeddings): per-dimension global
@@ -4544,6 +4616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_stats": q_kg_void_stats,
         "range_point_join": q_range_point_join,
         "range_overlap_join": q_range_overlap_join,
+        "embedding_pq": q_embedding_pq,
         "pack_shards": q_pack_shards,
         "pack_shard_stats": q_pack_shard_stats,
         "importance_weights": q_importance_weights,
@@ -4667,6 +4740,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_void_stats": sql_kg_void_stats(),
         "range_point_join": sql_range_point_join(),
         "range_overlap_join": sql_range_overlap_join(),
+        "embedding_pq": sql_embedding_pq(),
         "pack_shards": sql_pack_shards(),
         "pack_shard_stats": sql_pack_shard_stats(),
         "importance_weights": sql_importance_weights(),

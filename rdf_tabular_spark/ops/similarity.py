@@ -372,3 +372,55 @@ def quantize_codes_str(emb: DataFrame, id_col: str = "vec_id",
         .alias("codes"),
         "max_abs_err",
     )
+
+
+def pq_encode(emb: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int | None = None):
+    """Product quantization (FAISS PQ shape): split each vector into *m*
+    contiguous sub-blocks, learn a k-codebook per block with the
+    deterministic Lloyd's trainer (:func:`kmeans` — smallest-id init,
+    9-dp rounding, empty clusters keep their centroid), and encode every
+    vector as its per-block nearest-centroid ids. m bytes replace the
+    float vector — the billion-scale ANN memory layout; asymmetric
+    distance at query time sums per-block lookup tables.
+
+    Returns (DataFrame[id, code_0..code_{m-1}], codebooks) where
+    ``codebooks[j]`` is the block-j centroid list. The FINAL encoding is
+    one map-only projection: every per-block argmin runs over broadcast
+    literal centroids, so the corpus is scanned once for encoding (plus
+    the bounded trainer aggregations — k*dim/m cells per block per
+    iteration on the driver, corpus-independent)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])  # bounded 1-row probe
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    codebooks = []
+    for j in range(m):
+        block = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sub"))
+        _, cents = kmeans(block, k=k, iters=iters,
+                          id_col=id_col, vec_col="_sub")
+        codebooks.append(cents)
+    def _pick(j: int, cents: list[list[float]]):
+        block = F.slice(F.col(vec_col), j * sub + 1, sub)
+        dists = [
+            F.aggregate(
+                F.zip_with(block,
+                           F.array(*[F.lit(float(x)) for x in c]),
+                           lambda a, b: ((a - b) * (a - b)).cast("double")),
+                F.lit(0.0), lambda acc, x: acc + x)
+            for c in cents
+        ]
+        return F.array_min(F.array(*[
+            F.struct(d.alias("d"), F.lit(i).alias("i"))
+            for i, d in enumerate(dists)
+        ]))["i"]
+
+    out = emb.select(
+        F.col(id_col),
+        *[_pick(j, cents).alias(f"code_{j}")
+          for j, cents in enumerate(codebooks)])
+    return out, codebooks

@@ -156,3 +156,44 @@ def test_quantize_roundtrip_monotone(spark):
     codes = [c for _, c in out]
     assert codes == sorted(codes)
     assert codes[0] == 0 and codes[-1] == 255
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def test_pq_codes_match_per_block_kmeans(spark):
+    from pyspark.sql import functions as F
+    from rdf_tabular_spark.ops.similarity import kmeans, pq_encode
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    out, books = pq_encode(emb, m=4, k=4, iters=2, dim=64)
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
+    rows = {r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+            for r in out.collect()}
+    # block 2 cross-check: codes equal a standalone kmeans on that slice
+    block = emb.select("vec_id", F.slice("embedding", 33, 16).alias("_sub"))
+    assigned, cents = kmeans(block, k=4, iters=2, vec_col="_sub")
+    assert [list(c) for c in cents] == [list(c) for c in books[2]]
+    for r in assigned.collect():
+        assert rows[r.vec_id][2] == r.cluster
+    # codes live in [0, k)
+    assert all(0 <= c < 4 for cs in rows.values() for c in cs)
+
+
+def test_pq_dim_divisibility_checked(spark):
+    from rdf_tabular_spark.ops.similarity import pq_encode
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(10)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_encode(emb, m=5, dim=64)
+
+
+def test_pq_layout_invariant(spark):
+    from rdf_tabular_spark.ops.similarity import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a, _ = pq_encode(emb.repartition(3), m=4, k=8, iters=1, dim=64)
+    b, _ = pq_encode(emb.repartition(11), m=4, k=8, iters=1, dim=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
