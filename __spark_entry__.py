@@ -169,6 +169,56 @@ def sql_csvw_describe() -> str:
     """
 
 
+def q_csvw_turtle_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle serialization (operators/turtle.py): one prefix-compacted,
+    sorted statement block per subject of the standard-mode graph — the
+    deterministic-bytes form behind write_turtle's distributed sink."""
+    from rdf_tabular_spark.operators.turtle import to_turtle_blocks
+
+    return to_turtle_blocks(q_csvw_triples_standard(spark, sf_dir))
+
+
+def _sql_ttl_iri(x: str) -> str:
+    """CASE chain replaying turtle._iri_term: bnodes pass, known
+    namespaces compact when the local name is PN_LOCAL-safe, else
+    angle brackets. Generated from the SAME prefix table."""
+    from rdf_tabular_spark.operators.turtle import (DEFAULT_PREFIXES,
+                                                    _LOCAL_SAFE)
+
+    whens = "".join(
+        f"""
+      WHEN starts_with({x}, '{ns}')
+           AND regexp_matches(substr({x}, {len(ns) + 1}), '{_LOCAL_SAFE}')
+      THEN '{name}:' || substr({x}, {len(ns) + 1})"""
+        for name, ns in sorted(DEFAULT_PREFIXES.items(),
+                               key=lambda kv: -len(kv[1])))
+    return f"""CASE WHEN starts_with({x}, '_:') THEN {x}{whens}
+      ELSE '<' || {x} || '>' END"""
+
+
+def sql_csvw_turtle_blocks() -> str:
+    esc = ("replace(replace(replace(replace(replace(obj,"
+           " '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'),"
+           " chr(13), '\\r'), chr(9), '\\t')")
+    obj_term = f"""CASE WHEN obj_is_iri THEN {_sql_ttl_iri('obj')}
+      WHEN obj_lang IS NOT NULL THEN '"' || {esc} || '"@' || obj_lang
+      WHEN obj_datatype IS NOT NULL
+        THEN '"' || {esc} || '"^^' || {_sql_ttl_iri('obj_datatype')}
+      ELSE '"' || {esc} || '"' END"""
+    return f"""
+    WITH g AS MATERIALIZED ({sql_csvw_triples_standard()}),
+    terms AS (
+      SELECT subj,
+             {_sql_ttl_iri('pred')} || ' ' || {obj_term} AS po
+      FROM g)
+    SELECT subj,
+           {_sql_ttl_iri('subj')} || ' '
+             || string_agg(po, ' ;' || chr(10) || '    ' ORDER BY po)
+             || ' .' AS block
+    FROM terms GROUP BY subj
+    """
+
+
 def q_csvw_datatype_byte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/C9/C11: integer-subtype bounds validation — out-of-range byte
     values degrade to plain literals with a populated error channel
@@ -4613,6 +4663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct": q_kg_construct,
         "kg_clustering": q_kg_clustering,
         "csvw_describe": q_csvw_describe,
+        "csvw_turtle_blocks": q_csvw_turtle_blocks,
         "kg_void_stats": q_kg_void_stats,
         "range_point_join": q_range_point_join,
         "range_overlap_join": q_range_overlap_join,
@@ -4737,6 +4788,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_construct": sql_kg_construct(),
         "kg_clustering": sql_kg_clustering(),
         "csvw_describe": sql_csvw_describe(),
+        "csvw_turtle_blocks": sql_csvw_turtle_blocks(),
         "kg_void_stats": sql_kg_void_stats(),
         "range_point_join": sql_range_point_join(),
         "range_overlap_join": sql_range_overlap_join(),
