@@ -3698,6 +3698,75 @@ def sql_kg_bgp_optional() -> str:
     """
 
 
+def q_kg_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation report of the assembled KG (kg/shacl.py):
+    per-shape constraint checks as slice-local aggregations/anti-joins.
+    The shape set is deliberately strict (every File must import
+    something; canonical Modules may carry one mention) so the report is
+    non-vacuous — the violations REFLECT real graph properties and the
+    twin recomputes them."""
+    from rdf_tabular_spark.kg import shacl
+    from rdf_tabular_spark.kg.annotate import KG
+
+    _, _, triples = _kg_oracle_run(spark)
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    shapes = [
+        {"name": "FileSha", "target_class": KG + "File",
+         "property": KG + "sha256", "min_count": 1, "max_count": 1,
+         "datatype": xsd + "hexBinary"},
+        {"name": "FileImports", "target_class": KG + "File",
+         "property": KG + "imports", "min_count": 1},
+        {"name": "ModuleSingleMention", "target_class": KG + "Module",
+         "property": KG + "mention", "max_count": 1},
+        {"name": "ImportsTyped", "target_class": KG + "File",
+         "property": KG + "imports", "class": KG + "Module"},
+    ]
+    return shacl.validate_shapes(triples.localCheckpoint(), shapes)
+
+
+def sql_kg_shacl_report() -> str:
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    return f"""
+    WITH kgt AS MATERIALIZED ({sql_kg_triples()}),
+    types AS (SELECT subj, obj FROM kgt WHERE pred = '{_RDF_TYPE}'),
+    files AS (SELECT DISTINCT subj AS focus FROM types
+              WHERE obj = '{_KG}File'),
+    mods AS (SELECT DISTINCT subj AS focus FROM types
+             WHERE obj = '{_KG}Module'),
+    sha AS (SELECT subj, obj_is_iri, obj_datatype FROM kgt
+            WHERE pred = '{_KG}sha256'),
+    imp AS (SELECT subj, obj, obj_is_iri FROM kgt
+            WHERE pred = '{_KG}imports'),
+    men AS (SELECT subj FROM kgt WHERE pred = '{_KG}mention')
+    SELECT DISTINCT * FROM (
+      SELECT f.focus, 'FileSha' AS shape, 'cardinality' AS constraint,
+             CAST(COUNT(s.subj) AS VARCHAR) AS detail
+      FROM files f LEFT JOIN sha s ON s.subj = f.focus
+      GROUP BY f.focus HAVING COUNT(s.subj) < 1 OR COUNT(s.subj) > 1
+      UNION ALL
+      SELECT s.subj, 'FileSha', 'datatype',
+             COALESCE(s.obj_datatype, 'plain')
+      FROM sha s JOIN files f ON s.subj = f.focus
+      WHERE s.obj_is_iri OR s.obj_datatype IS DISTINCT FROM '{xsd}hexBinary'
+      UNION ALL
+      SELECT f.focus, 'FileImports', 'cardinality',
+             CAST(COUNT(i.subj) AS VARCHAR)
+      FROM files f LEFT JOIN imp i ON i.subj = f.focus
+      GROUP BY f.focus HAVING COUNT(i.subj) < 1
+      UNION ALL
+      SELECT m.focus, 'ModuleSingleMention', 'cardinality',
+             CAST(COUNT(x.subj) AS VARCHAR)
+      FROM mods m LEFT JOIN men x ON x.subj = m.focus
+      GROUP BY m.focus HAVING COUNT(x.subj) > 1
+      UNION ALL
+      SELECT i.subj, 'ImportsTyped', 'class', i.obj
+      FROM imp i
+      JOIN files f ON i.subj = f.focus
+      WHERE i.obj_is_iri AND NOT EXISTS (
+        SELECT 1 FROM mods m WHERE m.focus = i.obj))
+    """
+
+
 def q_kg_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VoID property-partition statistics of the assembled graph
     (kg/materialize.void_statistics — one multi-distinct agg keyed by
@@ -4665,6 +4734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csvw_describe": q_csvw_describe,
         "csvw_turtle_blocks": q_csvw_turtle_blocks,
         "kg_void_stats": q_kg_void_stats,
+        "kg_shacl_report": q_kg_shacl_report,
         "range_point_join": q_range_point_join,
         "range_overlap_join": q_range_overlap_join,
         "embedding_pq": q_embedding_pq,
@@ -4790,6 +4860,7 @@ def oracle_sql() -> dict[str, str]:
         "csvw_describe": sql_csvw_describe(),
         "csvw_turtle_blocks": sql_csvw_turtle_blocks(),
         "kg_void_stats": sql_kg_void_stats(),
+        "kg_shacl_report": sql_kg_shacl_report(),
         "range_point_join": sql_range_point_join(),
         "range_overlap_join": sql_range_overlap_join(),
         "embedding_pq": sql_embedding_pq(),
