@@ -1407,6 +1407,25 @@ def sql_range_overlap_join() -> str:
     """
 
 
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP dataset-card stats (ops/text.corpus_rollup): per
+    (source, lang), per source, and grand total in one Expand+agg."""
+    from rdf_tabular_spark.ops.text import corpus_rollup
+
+    return corpus_rollup(_t(spark, sf_dir, "documents"))
+
+
+def sql_corpus_rollup() -> str:
+    return r"""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           SUM(CAST(len(list_filter(
+                 regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+                 t -> t <> '')) AS BIGINT)) AS total_tokens
+    FROM documents
+    GROUP BY ROLLUP (source, lang)
+    """
+
+
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced shard assignment (ops/pack.assign_shards): serpentine
     striping in descending-token order; global rank composed from
@@ -4735,6 +4754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csvw_turtle_blocks": q_csvw_turtle_blocks,
         "kg_void_stats": q_kg_void_stats,
         "kg_shacl_report": q_kg_shacl_report,
+        "corpus_rollup": q_corpus_rollup,
         "range_point_join": q_range_point_join,
         "range_overlap_join": q_range_overlap_join,
         "embedding_pq": q_embedding_pq,
@@ -4861,6 +4881,7 @@ def oracle_sql() -> dict[str, str]:
         "csvw_turtle_blocks": sql_csvw_turtle_blocks(),
         "kg_void_stats": sql_kg_void_stats(),
         "kg_shacl_report": sql_kg_shacl_report(),
+        "corpus_rollup": sql_corpus_rollup(),
         "range_point_join": sql_range_point_join(),
         "range_overlap_join": sql_range_overlap_join(),
         "embedding_pq": sql_embedding_pq(),

@@ -536,3 +536,24 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
                        st["dupchars"] / total_chars).otherwise(F.lit(0.0)),
                 6).alias("dup_line_char_frac"),
     )
+
+
+def corpus_rollup(df: DataFrame, dims: tuple[str, str] = ("source", "lang"),
+                  text_col: str = "text") -> DataFrame:
+    """Multi-level dataset-card stats via ROLLUP: totals per
+    (dim1, dim2), per dim1 subtotal, and the grand total in ONE grouped
+    aggregation — the hierarchy a dataset release note tables out.
+
+    Spark's ``rollup`` compiles to a single Expand + hash aggregation:
+    every input row expands to its 3 grouping-set rows map-side and the
+    partial aggregation combines before the shuffle, so the added cost
+    over a flat groupBy is the expand factor, never an extra pass or
+    join. NULL marks the rolled-up level (standard SQL semantics), and
+    all aggregates are integer sums — layout-invariant."""
+    d1, d2 = dims
+    return (
+        df.rollup(d1, d2).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_col)).cast("long"))
+            .alias("total_tokens"))
+    )

@@ -437,3 +437,21 @@ def test_assign_shards_deterministic_across_partitioning(docs):
     a = sorted(map(tuple, assign_shards(docs.repartition(3), 8).collect()))
     b = sorted(map(tuple, assign_shards(docs.repartition(13), 8).collect()))
     assert a == b
+
+
+def test_corpus_rollup_levels_consistent(docs):
+    from rdf_tabular_spark.ops.text import corpus_rollup
+
+    rows = corpus_rollup(docs).collect()
+    detail = [(r.source, r.lang, r.n_docs, r.total_tokens)
+              for r in rows if r.source is not None and r.lang is not None]
+    per_source = {r.source: (r.n_docs, r.total_tokens)
+                  for r in rows if r.source is not None and r.lang is None}
+    grand = [r for r in rows if r.source is None and r.lang is None]
+    assert len(grand) == 1
+    assert grand[0].n_docs == docs.count()
+    # subtotals sum exactly to their parents (integer aggregates)
+    for src, (nd, tt) in per_source.items():
+        assert nd == sum(n for s, _, n, _ in detail if s == src)
+        assert tt == sum(t for s, _, _, t in detail if s == src)
+    assert grand[0].total_tokens == sum(t for _, t in per_source.values())
