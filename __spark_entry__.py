@@ -3695,6 +3695,33 @@ def sql_kg_bgp_minus() -> str:
     """
 
 
+def q_kg_bgp_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER NOT EXISTS (kg/query.exists_bgp): import edges
+    whose module never appears as a dependsOn target — semi/anti-join
+    semantics distinct from MINUS (a variable-disjoint group is a truth
+    test here, a loud error there)."""
+    from rdf_tabular_spark.kg.query import exists_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    return exists_bgp(
+        triples,
+        [("?f", _KG + "imports", "?m")],
+        exists=[("?f", _KG + "dependsOn", "?m")], negate=True)
+
+
+def sql_kg_bgp_not_exists() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT DISTINCT i.subj AS f, i.obj AS m
+    FROM kgq i
+    WHERE i.pred = '{_KG}imports'
+      AND NOT EXISTS (
+        SELECT 1 FROM kgq d
+        WHERE d.pred = '{_KG}dependsOn'
+          AND d.subj = i.subj AND d.obj = i.obj)
+    """
+
+
 def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with OPTIONAL (kg/query.py): dependency edges with the
     module's version spec left-joined — modules without one keep NULL."""
@@ -4755,6 +4782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_stats": q_kg_void_stats,
         "kg_shacl_report": q_kg_shacl_report,
         "corpus_rollup": q_corpus_rollup,
+        "kg_bgp_not_exists": q_kg_bgp_not_exists,
         "range_point_join": q_range_point_join,
         "range_overlap_join": q_range_overlap_join,
         "embedding_pq": q_embedding_pq,
@@ -4882,6 +4910,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_void_stats": sql_kg_void_stats(),
         "kg_shacl_report": sql_kg_shacl_report(),
         "corpus_rollup": sql_corpus_rollup(),
+        "kg_bgp_not_exists": sql_kg_bgp_not_exists(),
         "range_point_join": sql_range_point_join(),
         "range_overlap_join": sql_range_overlap_join(),
         "embedding_pq": sql_embedding_pq(),

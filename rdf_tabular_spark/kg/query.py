@@ -456,3 +456,53 @@ def describe(triples: DataFrame, subjects: DataFrame,
     # cannot — done gates the frontier) — keep the defensive set anyway,
     # on ALL columns so distinct (s,p,o,datatype/lang) variants survive
     return acc.dropDuplicates()
+
+
+def exists_bgp(triples: DataFrame, patterns: list[tuple],
+               exists: list[tuple], negate: bool = False,
+               project: list[str] | None = None,
+               filters: list[str] | None = None, distinct: bool = True,
+               path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
+    """SPARQL ``FILTER EXISTS`` / ``FILTER NOT EXISTS``: keep (or drop)
+    solutions for which the *exists* group matches under the solution's
+    bindings.
+
+    Deliberately distinct from :func:`minus_bgp` — the classic SPARQL
+    divergence: with NO shared variables, MINUS removes nothing
+    (disjoint domains are never compatible, so minus_bgp rejects the
+    call), while NOT EXISTS evaluates the group as a plain truth test —
+    one non-empty match eliminates EVERY solution. This function
+    implements the EXISTS semantics: shared variables become a
+    semi/anti join; a variable-disjoint group becomes a 1-or-0-row
+    existence probe multiplied in (limit(1), never a row-duplicating
+    product — the same guard shape match_bgp uses for fully-constant
+    patterns).
+
+    Compiles to LEFT SEMI (EXISTS) or LEFT ANTI (NOT EXISTS) on the
+    shared variable columns — J1's join shape, AQE broadcast/skew
+    handling unchanged."""
+    left = match_bgp(triples, patterns, distinct=False,
+                     path_max_hops=path_max_hops)
+    right = match_bgp(triples, exists, distinct=False,
+                      path_max_hops=path_max_hops)
+    shared = [c for c in right.columns if c in left.columns]
+    if shared:
+        acc = left.join(right.select(*shared).distinct(), shared,
+                        "left_anti" if negate else "leftsemi")
+    else:
+        # truth-test: does the group match AT ALL? (SPARQL EXISTS on a
+        # variable-disjoint group). limit(1) probe, early-exit scan.
+        probe = right.limit(1).select(F.lit(True).alias("__e__"))
+        if negate:
+            # keep all solutions iff the probe is EMPTY
+            acc = left.join(probe, F.lit(True), "left_anti")
+        else:
+            acc = left.crossJoin(probe).drop("__e__")
+    for expr in filters or []:
+        acc = acc.filter(F.expr(expr))
+    if project is not None:
+        missing = [v for v in project if v not in acc.columns]
+        if missing:
+            raise ValueError(f"projected variables not bound: {missing}")
+        acc = acc.select(*project)
+    return acc.distinct() if distinct else acc

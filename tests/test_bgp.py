@@ -410,3 +410,43 @@ def test_describe_literal_bnode_lookalike_not_followed(spark):
     seed = spark.createDataFrame([("t:1",)], "subj string")
     got = {(r.subj, r.obj) for r in describe(g, seed).collect()}
     assert got == {("t:1", "_:r1")}  # literal object is not a node
+
+
+# -- FILTER EXISTS / NOT EXISTS ----------------------------------------------
+
+def test_not_exists_shared_vars(spark):
+    from rdf_tabular_spark.kg.query import exists_bgp
+
+    # files importing something but NOT in repo r:1
+    rows = exists_bgp(
+        _triples(spark), [("?f", "imports", "?m")],
+        exists=[("?f", "inRepo", "r:1")], negate=True,
+        project=["f"]).collect()
+    assert sorted(r["f"] for r in rows) == ["f:b", "f:loop"]
+
+
+def test_exists_shared_vars(spark):
+    from rdf_tabular_spark.kg.query import exists_bgp
+
+    rows = exists_bgp(
+        _triples(spark), [("?f", "imports", "?m")],
+        exists=[("?f", "inRepo", "r:1")], project=["f"]).collect()
+    assert sorted(r["f"] for r in rows) == ["f:a", "f:c"]
+
+
+def test_not_exists_disjoint_is_truth_test_unlike_minus(spark):
+    from rdf_tabular_spark.kg.query import exists_bgp, minus_bgp
+
+    # the classic divergence: the group shares no variable. MINUS
+    # refuses (would remove nothing); NOT EXISTS eliminates EVERYTHING
+    # because the group matches somewhere in the graph.
+    with pytest.raises(ValueError, match="shares no variable"):
+        minus_bgp(_triples(spark), [("?f", "imports", "?m")],
+                  minus=[("?x", "type", "Module")])
+    out = exists_bgp(_triples(spark), [("?f", "imports", "?m")],
+                     exists=[("?x", "type", "Module")], negate=True)
+    assert out.isEmpty()
+    # and a group that matches NOTHING eliminates nothing
+    kept = exists_bgp(_triples(spark), [("?f", "imports", "?m")],
+                      exists=[("?x", "type", "Nothing")], negate=True)
+    assert kept.count() == 4

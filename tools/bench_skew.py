@@ -94,6 +94,23 @@ def jobs(spark, src_path: str) -> dict[str, float]:
 
     timed("substring_spans",
           lambda: substring_duplicate_spans(docs, k=8).count())
+    # assign_shards' skew exposure is the RANK BAND (= token count), not
+    # the corpus label: a corpus where every document has the same
+    # length concentrates the whole rank window into one band, split
+    # only by the md5 sub-bands. Time the natural corpus against a
+    # degenerate equal-length one (same rows, text replaced by a
+    # constant 50-token string) — the sub-band split must hold the
+    # per-window size and the wall time.
+    from rdf_tabular_spark.ops.pack import assign_shards
+
+    timed("shard_assign",
+          lambda: assign_shards(docs, n_shards=32).count())
+    timed("shard_assign_hotband",
+          lambda: assign_shards(
+              docs.withColumn(
+                  "text",
+                  F.array_join(F.array_repeat(F.lit("w"), 50), " ")),
+              n_shards=32).count())
     return out
 
 
