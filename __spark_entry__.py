@@ -2278,6 +2278,41 @@ def sql_embedding_pq(m: int = 4, k: int = 8, iters: int = 2,
     """
 
 
+def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the PQ codes (ops/similarity.pq_adc_topk): the
+    m×k lookup table rides as literals, scoring is map-only over the
+    code table, top-k is TakeOrderedAndProject. The twin RE-LEARNS the
+    codebooks (unrolled Lloyd's per block) and replays the lookup."""
+    from rdf_tabular_spark.ops.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, _query_vec(), topk=10, m=4, k=8, iters=2,
+                       dim=64)
+
+
+def sql_embedding_pq_adc(m: int = 4, k: int = 8, iters: int = 2,
+                         dim: int = 64, topk: int = 10) -> str:
+    sub = dim // m
+    qv = _query_vec()
+    chain = ",".join(_sql_pq_block(j, sub, k, iters) for j in range(m))
+    luts = ",".join(f"""
+    lut{j} AS (
+      SELECT ci, list_sum(list_transform(generate_series(1, {sub}),
+               i -> c[i] * ([{",".join(repr(float(v)) for v in qv[j * sub:(j + 1) * sub])}])[i])) AS v
+      FROM c{iters}_b{j})""" for j in range(m))
+    joins = " ".join(
+        f"JOIN afinal_b{j} a{j} USING (vec_id)" for j in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN lut{j} ON a{j}.cluster = lut{j}.ci" for j in range(m))
+    total = " + ".join(f"lut{j}.v" for j in range(m))
+    return f"""
+    WITH {chain},{luts}
+    SELECT a0.vec_id, round({total}, 6) AS adc_score
+    FROM afinal_b0 a0 {joins} {lut_joins}
+    ORDER BY adc_score DESC, a0.vec_id ASC LIMIT {topk}
+    """
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8-style quantization of the embedding column (FAISS-SQ8
     shape, ops/similarity.quantize_embeddings): per-dimension global
@@ -4783,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_report": q_kg_shacl_report,
         "corpus_rollup": q_corpus_rollup,
         "kg_bgp_not_exists": q_kg_bgp_not_exists,
+        "embedding_pq_adc": q_embedding_pq_adc,
         "range_point_join": q_range_point_join,
         "range_overlap_join": q_range_overlap_join,
         "embedding_pq": q_embedding_pq,
@@ -4911,6 +4947,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_shacl_report": sql_kg_shacl_report(),
         "corpus_rollup": sql_corpus_rollup(),
         "kg_bgp_not_exists": sql_kg_bgp_not_exists(),
+        "embedding_pq_adc": sql_embedding_pq_adc(),
         "range_point_join": sql_range_point_join(),
         "range_overlap_join": sql_range_overlap_join(),
         "embedding_pq": sql_embedding_pq(),

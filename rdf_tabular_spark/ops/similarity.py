@@ -424,3 +424,41 @@ def pq_encode(emb: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
         *[_pick(j, cents).alias(f"code_{j}")
           for j, cents in enumerate(codebooks)])
     return out, codebooks
+
+
+def pq_adc_topk(emb: DataFrame, query: list[float], topk: int = 10,
+                m: int = 4, k: int = 8, iters: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the query-time
+    half of product quantization: the query stays full-precision, each
+    corpus vector is its m codes, and the inner product decomposes into
+    m one-lookup terms ``LUT[j][code_j] = <query_j, centroid_j,code>``.
+
+    Scale shape: the m×k lookup table is computed on the driver (m·k
+    floats, corpus-independent) and rides into the plan as literal
+    arrays; scoring a 10^12-vector corpus is a map-only projection over
+    the (id, m codes) table — the float vectors are never touched at
+    query time — and top-k compiles to TakeOrderedAndProject (per-
+    partition heap + k-row driver merge, no global sort).
+
+    Deterministic: codebooks from the bit-reproducible trainer, LUT
+    entries summed in block order, ties broken by id."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    codes, books = pq_encode(emb, m=m, k=k, iters=iters,
+                             id_col=id_col, vec_col=vec_col, dim=dim)
+    sub = dim // m
+    luts = []
+    for j, cents in enumerate(books):
+        qb = query[j * sub:(j + 1) * sub]
+        luts.append([sum(qi * ci for qi, ci in zip(qb, c)) for c in cents])
+    score = None
+    for j, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in lut]),
+            F.col(f"code_{j}") + 1)
+        score = term if score is None else score + term
+    scored = codes.select(
+        F.col(id_col), F.round(score, 6).alias("adc_score"))
+    return scored.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(topk)

@@ -197,3 +197,27 @@ def test_pq_layout_invariant(spark):
     a, _ = pq_encode(emb.repartition(3), m=4, k=8, iters=1, dim=64)
     b, _ = pq_encode(emb.repartition(11), m=4, k=8, iters=1, dim=64)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pq_adc_matches_reconstruction_scoring(spark):
+    from pyspark.sql import functions as F
+    from rdf_tabular_spark.ops.similarity import pq_adc_topk, pq_encode
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    q = [((i * 37) % 13 - 6) / 7.0 for i in range(64)]
+    top = pq_adc_topk(emb, q, topk=5, m=4, k=4, iters=1, dim=64).collect()
+    assert len(top) == 5
+    # closed-form check: ADC score == dot(query, reconstructed vector)
+    codes, books = pq_encode(emb, m=4, k=4, iters=1, dim=64)
+    rows = {r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+            for r in codes.collect()}
+    for r in top:
+        recon = []
+        for j in range(4):
+            recon += books[j][rows[r.vec_id][j]]
+        want = round(sum(a * b for a, b in zip(q, recon)), 6)
+        assert abs(r.adc_score - want) < 1e-6
+    # descending, ties by id
+    scores = [(r.adc_score, r.vec_id) for r in top]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
