@@ -3757,6 +3757,36 @@ def sql_kg_bgp_not_exists() -> str:
     """
 
 
+def q_kg_bgp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES (kg/query.values_bgp): parameter-batch the import
+    BGP with an inline module list — one broadcast join, one plan for
+    N keys."""
+    from rdf_tabular_spark.kg.query import values_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    mods = [{"m": _KGI + "mod/requests"}, {"m": _KGI + "mod/numpy"},
+            {"m": _KGI + "mod/os"}, {"m": _KGI + "mod/no-such-module"}]
+    return values_bgp(
+        triples,
+        [("?f", _KG + "imports", "?m"), ("?f", _KG + "inRepo", "?r")],
+        values=mods)
+
+
+def sql_kg_bgp_values() -> str:
+    mods = ",".join(
+        f"('{_KGI}mod/{m}')" for m in
+        ("requests", "numpy", "os", "no-such-module"))
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    vals(m) AS (VALUES {mods})
+    SELECT DISTINCT i.subj AS f, i.obj AS m, r.obj AS r
+    FROM kgq i
+    JOIN kgq r ON r.subj = i.subj AND r.pred = '{_KG}inRepo'
+    JOIN vals ON i.obj = vals.m
+    WHERE i.pred = '{_KG}imports'
+    """
+
+
 def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with OPTIONAL (kg/query.py): dependency edges with the
     module's version spec left-joined — modules without one keep NULL."""
@@ -4819,6 +4849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "kg_bgp_not_exists": q_kg_bgp_not_exists,
         "embedding_pq_adc": q_embedding_pq_adc,
+        "kg_bgp_values": q_kg_bgp_values,
         "range_point_join": q_range_point_join,
         "range_overlap_join": q_range_overlap_join,
         "embedding_pq": q_embedding_pq,
@@ -4948,6 +4979,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_rollup": sql_corpus_rollup(),
         "kg_bgp_not_exists": sql_kg_bgp_not_exists(),
         "embedding_pq_adc": sql_embedding_pq_adc(),
+        "kg_bgp_values": sql_kg_bgp_values(),
         "range_point_join": sql_range_point_join(),
         "range_overlap_join": sql_range_overlap_join(),
         "embedding_pq": sql_embedding_pq(),

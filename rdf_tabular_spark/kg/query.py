@@ -506,3 +506,44 @@ def exists_bgp(triples: DataFrame, patterns: list[tuple],
             raise ValueError(f"projected variables not bound: {missing}")
         acc = acc.select(*project)
     return acc.distinct() if distinct else acc
+
+
+def values_bgp(triples: DataFrame, patterns: list[tuple],
+               values: list[dict],
+               project: list[str] | None = None,
+               filters: list[str] | None = None, distinct: bool = True,
+               path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
+    """SPARQL VALUES: join the solution multiset with an inline binding
+    table. *values* is a list of ``{var: term}`` dicts (every dict must
+    bind the same variables; UNDEF wildcards are not supported — bind
+    fewer variables instead).
+
+    Scale shape: the VALUES table is inline data — it becomes a
+    broadcast-hash join against the solutions, i.e. a selective filter
+    pushed into the match rather than a post-hoc driver loop. When the
+    VALUES variables cover a pattern's constant position this is exactly
+    the 'parameter batch' idiom (run one plan for N keys instead of N
+    plans)."""
+    if not values:
+        raise ValueError("empty VALUES list")
+    cols = sorted(values[0])
+    if any(sorted(v) != cols for v in values):
+        raise ValueError("every VALUES row must bind the same variables")
+    sols = match_bgp(triples, patterns, distinct=False,
+                     path_max_hops=path_max_hops)
+    missing = [c for c in cols if c not in sols.columns]
+    if missing:
+        raise ValueError(f"VALUES variables not bound by patterns: {missing}")
+    spark = triples.sparkSession
+    vals = spark.createDataFrame(
+        [tuple(v[c] for c in cols) for v in values],
+        ", ".join(f"{c} string" for c in cols))
+    acc = sols.join(F.broadcast(vals.distinct()), cols, "inner")
+    for expr in filters or []:
+        acc = acc.filter(F.expr(expr))
+    if project is not None:
+        bad = [v for v in project if v not in acc.columns]
+        if bad:
+            raise ValueError(f"projected variables not bound: {bad}")
+        acc = acc.select(*project)
+    return acc.distinct() if distinct else acc

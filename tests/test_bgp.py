@@ -450,3 +450,37 @@ def test_not_exists_disjoint_is_truth_test_unlike_minus(spark):
     kept = exists_bgp(_triples(spark), [("?f", "imports", "?m")],
                       exists=[("?x", "type", "Nothing")], negate=True)
     assert kept.count() == 4
+
+
+# -- VALUES --------------------------------------------------------------
+
+def test_values_binds_solutions(spark):
+    from rdf_tabular_spark.kg.query import values_bgp
+
+    rows = values_bgp(
+        _triples(spark), [("?f", "imports", "?m"), ("?f", "inRepo", "?r")],
+        values=[{"m": "m:x"}, {"m": "m:zzz"}]).collect()
+    assert sorted((r.f, r.m, r.r) for r in rows) == [
+        ("f:a", "m:x", "r:1"), ("f:b", "m:x", "r:2")]
+
+
+def test_values_multi_var_rows(spark):
+    from rdf_tabular_spark.kg.query import values_bgp
+
+    rows = values_bgp(
+        _triples(spark), [("?f", "imports", "?m"), ("?f", "inRepo", "?r")],
+        values=[{"m": "m:x", "r": "r:1"}, {"m": "m:y", "r": "r:1"}]).collect()
+    assert sorted((r.f, r.m) for r in rows) == [("f:a", "m:x"), ("f:c", "m:y")]
+
+
+def test_values_validation(spark):
+    from rdf_tabular_spark.kg.query import values_bgp
+
+    with pytest.raises(ValueError, match="empty VALUES"):
+        values_bgp(_triples(spark), [("?f", "imports", "?m")], values=[])
+    with pytest.raises(ValueError, match="same variables"):
+        values_bgp(_triples(spark), [("?f", "imports", "?m")],
+                   values=[{"m": "m:x"}, {"f": "f:a"}])
+    with pytest.raises(ValueError, match="not bound"):
+        values_bgp(_triples(spark), [("?f", "imports", "?m")],
+                   values=[{"nope": "1"}])
