@@ -3525,6 +3525,41 @@ def sql_kg_incremental() -> str:
     return sql_kg_triples(src=_kg_oracle_v2_path())
 
 
+def q_kg_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-level diff of the v1 vs v2 oracle graphs
+    (kg/delta.graph_diff): added/removed rows via two anti-joins; the
+    unchanged majority never materializes. The twin recomputes BOTH
+    graph versions from the staged sources and diffs them in SQL."""
+    from rdf_tabular_spark.kg.delta import graph_diff
+
+    _, _, old = _kg_oracle_run(spark)
+    v2 = spark.read.parquet(_kg_oracle_v2_path()).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256))
+    _, _, new = _kg_pipeline(v2)
+    return graph_diff(old, new)
+
+
+def sql_kg_graph_diff() -> str:
+    return f"""
+    WITH oldg AS MATERIALIZED (
+      SELECT subj, pred, obj FROM ({sql_kg_triples()})),
+    newg AS MATERIALIZED (
+      SELECT subj, pred, obj
+      FROM ({sql_kg_triples(src=_kg_oracle_v2_path())}))
+    SELECT DISTINCT 'added' AS change, n.subj, n.pred, n.obj
+    FROM newg n
+    WHERE NOT EXISTS (SELECT 1 FROM oldg o
+                      WHERE o.subj = n.subj AND o.pred = n.pred
+                        AND o.obj = n.obj)
+    UNION ALL
+    SELECT DISTINCT 'removed', o.subj, o.pred, o.obj
+    FROM oldg o
+    WHERE NOT EXISTS (SELECT 1 FROM newg n
+                      WHERE n.subj = o.subj AND n.pred = o.pred
+                        AND n.obj = o.obj)
+    """
+
+
 def q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive triple-pattern (BGP) query over the assembled graph
     (kg/query.py): files importing a typed Module, with their repo —
@@ -4850,6 +4885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_not_exists": q_kg_bgp_not_exists,
         "embedding_pq_adc": q_embedding_pq_adc,
         "kg_bgp_values": q_kg_bgp_values,
+        "kg_graph_diff": q_kg_graph_diff,
         "range_point_join": q_range_point_join,
         "range_overlap_join": q_range_overlap_join,
         "embedding_pq": q_embedding_pq,
@@ -4980,6 +5016,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_not_exists": sql_kg_bgp_not_exists(),
         "embedding_pq_adc": sql_embedding_pq_adc(),
         "kg_bgp_values": sql_kg_bgp_values(),
+        "kg_graph_diff": sql_kg_graph_diff(),
         "range_point_join": sql_range_point_join(),
         "range_overlap_join": sql_range_overlap_join(),
         "embedding_pq": sql_embedding_pq(),

@@ -114,3 +114,25 @@ def _prev_file_source(prev_structs: DataFrame) -> DataFrame:
         prev_structs.filter(F.col("kind") == extract.FILE_ROW_KIND)
         .select(*FILE_KEY, parts.getItem(2).alias("content_sha256"))
     )
+
+
+def graph_diff(old_triples: DataFrame, new_triples: DataFrame) -> DataFrame:
+    """Triple-level diff of two graph versions: (change, subj, pred,
+    obj) with change ∈ {'added', 'removed'} — the audit artifact an
+    incremental maintenance run publishes next to the new snapshot
+    (what changed, reviewable without replaying the pipeline).
+
+    Two anti-joins on the narrow (subj, pred, obj) key — the same
+    shuffle shape as A3 set-dedup; unchanged triples (the overwhelming
+    majority of a 10^12-row graph under a small delta) are hash-joined
+    away and never materialize in the output."""
+    key = ["subj", "pred", "obj"]
+    added = (
+        new_triples.select(*key)
+        .join(old_triples.select(*key), key, "left_anti")
+        .select(F.lit("added").alias("change"), *key))
+    removed = (
+        old_triples.select(*key)
+        .join(new_triples.select(*key), key, "left_anti")
+        .select(F.lit("removed").alias("change"), *key))
+    return added.unionByName(removed).dropDuplicates()
