@@ -3536,7 +3536,9 @@ def q_kg_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = spark.read.parquet(_kg_oracle_v2_path()).withColumn(
         "content_sha256", F.sha2(F.col("content"), 256))
     _, _, new = _kg_pipeline(v2)
-    return graph_diff(old, new)
+    # each graph feeds BOTH anti-joins: materialize once per version
+    # (production diffs already-written snapshot tables)
+    return graph_diff(old.localCheckpoint(), new.localCheckpoint())
 
 
 def sql_kg_graph_diff() -> str:
