@@ -938,6 +938,39 @@ def sql_split_rebalance_mix() -> str:
     """
 
 
+def q_split_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (ops/split.temperature_mix,
+    alpha=0.3 — the XLM-R/mT5 multilingual sampling shape): head
+    languages downsample toward n^alpha shares, the scarcest keeps 100%;
+    md5 row-key cuts, map-only."""
+    from rdf_tabular_spark.ops.split import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf_dir, "documents"), alpha=0.3
+    ).select("doc_id", "lang")
+
+
+def sql_split_temperature_mix(alpha: float = 0.3) -> str:
+    return f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+               WHERE lang IS NOT NULL GROUP BY lang),
+    w AS (SELECT lang, n, power(n, {alpha}) AS wgt FROM c),
+    z AS (SELECT SUM(wgt) AS z FROM w),
+    f AS (SELECT lang, n, wgt / z.z AS f FROM w, z),
+    t AS (SELECT MIN(n / f) AS t FROM f),
+    cut AS (
+      SELECT f.lang,
+             CAST(floor(least(1.0, f.f * t.t / f.n) * 10000) AS BIGINT)
+               AS cut
+      FROM f, t)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN cut ON d.lang = cut.lang
+    WHERE CAST(('0x' || substr(md5(COALESCE(CAST(d.doc_id AS VARCHAR),
+                                            '__null__') || '|temp'),
+                               1, 8)) AS BIGINT) % 10000 < cut.cut
+    """
+
+
 def sql_split_weighted_sample() -> str:
     return f"""
     WITH q AS MATERIALIZED ({sql_text_quality()})
@@ -4888,6 +4921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_adc": q_embedding_pq_adc,
         "kg_bgp_values": q_kg_bgp_values,
         "kg_graph_diff": q_kg_graph_diff,
+        "split_temperature_mix": q_split_temperature_mix,
         "range_point_join": q_range_point_join,
         "range_overlap_join": q_range_overlap_join,
         "embedding_pq": q_embedding_pq,
@@ -5019,6 +5053,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pq_adc": sql_embedding_pq_adc(),
         "kg_bgp_values": sql_kg_bgp_values(),
         "kg_graph_diff": sql_kg_graph_diff(),
+        "split_temperature_mix": sql_split_temperature_mix(),
         "range_point_join": sql_range_point_join(),
         "range_overlap_join": sql_range_overlap_join(),
         "embedding_pq": sql_embedding_pq(),

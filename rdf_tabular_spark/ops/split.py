@@ -189,3 +189,41 @@ def rebalance_mix(df: DataFrame, target_fracs: dict[str, float],
     cut = F.element_at(F.create_map(*cuts), F.col(source_col))
     bucket = hash_bucket(F.col(key_col), salt)
     return df.filter(cut.isNotNull() & (bucket < cut))
+
+
+def temperature_mix(df: DataFrame, alpha: float = 0.3,
+                    group_col: str = "lang", key_col: str = "doc_id",
+                    salt: str = "temp") -> DataFrame:
+    """Temperature-scaled group rebalancing — the multilingual sampling
+    standard (XLM-R / mT5 shape): target share of group *l* is
+    ``p_l ∝ n_l^alpha``, flattening the head and up-weighting the tail
+    as alpha → 0 (alpha = 1 keeps natural proportions).
+
+    Downsampling-only realization, same construction as
+    :func:`rebalance_mix`: with target fractions ``f_l = n_l^alpha /
+    Σ n^alpha``, the largest reachable output is ``T = min_l(n_l/f_l)``
+    and each group keeps ``p_l = f_l * T / n_l`` of its rows via the
+    md5 row-key cut — deterministic, layout-invariant, no upsampling
+    (repetition policy belongs to the training loader, not the corpus).
+
+    Cost: one map-side-combined count per group (driver-bounded), then
+    a map-only literal-map filter — the corpus never joins or
+    re-shuffles."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+              if r[0] is not None}
+    if not counts:
+        return df.filter(F.lit(False))
+    weights = {g: n ** alpha for g, n in counts.items()}
+    z = sum(weights.values())
+    fracs = {g: w / z for g, w in weights.items()}
+    t = min(counts[g] / f for g, f in fracs.items())
+    cuts = []
+    for g in sorted(counts):
+        p = min(1.0, fracs[g] * t / counts[g])
+        # floor for cross-engine reproducibility (see rebalance_mix)
+        cuts.extend([F.lit(g), F.lit(float(int(p * BUCKETS)))])
+    cut = F.element_at(F.create_map(*cuts), F.col(group_col))
+    bucket = hash_bucket(F.col(key_col), salt)
+    return df.filter(cut.isNotNull() & (bucket < cut))

@@ -173,3 +173,37 @@ def test_rebalance_mix(spark):
     b = sorted(r["doc_id"] for r in rebalance_mix(
         df.repartition(11), {"web": 0.5, "code": 0.5}).collect())
     assert a == b
+
+
+def test_temperature_mix_flattens_head(spark):
+    from rdf_tabular_spark.ops.split import temperature_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    natural = {r.lang: r["count"] for r in
+               docs.groupBy("lang").count().collect() if r.lang}
+    kept = temperature_mix(docs, alpha=0.3)
+    mixed = {r.lang: r["count"] for r in
+             kept.groupBy("lang").count().collect()}
+    # scarcest language keeps everything (T chosen so it is reachable)
+    scarcest = min(natural, key=lambda g: natural[g])
+    assert mixed[scarcest] >= natural[scarcest] * 0.98
+    # head-to-tail ratio strictly flattens vs natural proportions
+    head = max(natural, key=lambda g: natural[g])
+    assert (mixed[head] / mixed[scarcest]
+            < natural[head] / natural[scarcest])
+    # alpha=1 keeps natural proportions (cut = 100% everywhere)
+    assert temperature_mix(docs, alpha=1.0).count() == docs.count()
+
+
+def test_temperature_mix_deterministic_and_validated(spark):
+    import pytest as _pytest
+    from rdf_tabular_spark.ops.split import temperature_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(r.doc_id for r in temperature_mix(
+        docs.repartition(3), 0.5).select("doc_id").collect())
+    b = sorted(r.doc_id for r in temperature_mix(
+        docs.repartition(11), 0.5).select("doc_id").collect())
+    assert a == b
+    with _pytest.raises(ValueError):
+        temperature_mix(docs, alpha=-0.1)
