@@ -4698,6 +4698,50 @@ def sql_kg_clustering() -> str:
     """
 
 
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the co-import graph (kg/graph.kcore, k=3): iterative
+    peel with per-round work proportional to the surviving edge set."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.kcore(triples, k=3, min_files=2)
+
+
+def sql_kg_kcore(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled peel (fixpoint rounds are identity once converged, so a
+    fixed unroll >= the peel depth matches the iterate-to-fixpoint
+    Spark plan — same convention as the components twin)."""
+    steps = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+    d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS degree FROM (
+               SELECT a AS node FROM {prev}
+               UNION ALL SELECT b FROM {prev}) GROUP BY node),
+    low{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE degree < {k}),
+    e{i} AS MATERIALIZED (
+      SELECT a, b FROM {prev}
+      WHERE a NOT IN (SELECT node FROM low{i})
+        AND b NOT IN (SELECT node FROM low{i}))""")
+        prev = f"e{i}"
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    mods AS (
+      SELECT DISTINCT subj AS src, obj AS dst FROM kgq
+      WHERE obj_is_iri AND pred IN ('{_KG}imports', '{_KG}dependsOn')),
+    e0 AS MATERIALIZED (
+      SELECT x.dst AS a, y.dst AS b
+      FROM mods x JOIN mods y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY x.dst, y.dst
+      HAVING COUNT(*) >= 2){"".join(steps)}
+    SELECT node, degree AS core_degree FROM (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+      GROUP BY node)
+    WHERE degree >= {k}
+    """
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components of the dependency graph (kg/graph.py
     components — min-label propagation, component id = min node IRI)."""
@@ -4922,6 +4966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_values": q_kg_bgp_values,
         "kg_graph_diff": q_kg_graph_diff,
         "split_temperature_mix": q_split_temperature_mix,
+        "kg_kcore": q_kg_kcore,
         "range_point_join": q_range_point_join,
         "range_overlap_join": q_range_overlap_join,
         "embedding_pq": q_embedding_pq,
@@ -5054,6 +5099,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_values": sql_kg_bgp_values(),
         "kg_graph_diff": sql_kg_graph_diff(),
         "split_temperature_mix": sql_split_temperature_mix(),
+        "kg_kcore": sql_kg_kcore(),
         "range_point_join": sql_range_point_join(),
         "range_overlap_join": sql_range_overlap_join(),
         "embedding_pq": sql_embedding_pq(),

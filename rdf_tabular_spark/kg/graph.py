@@ -410,3 +410,43 @@ def clustering_coefficient(triples: DataFrame, min_files: int = 2,
                    F.round(2.0 * F.coalesce(F.col("triangles"), F.lit(0))
                            / (d * (d - 1)), 6))
             .otherwise(F.lit(0.0)).alias("clustering")))
+
+
+def kcore(triples: DataFrame, k: int = 2, min_files: int = 2,
+          predicates: tuple[str, ...] = MODULE_PREDICATES,
+          max_iter: int = 20) -> DataFrame:
+    """The k-core of the co-import graph: the maximal subgraph where
+    every module has >= k co-import neighbors — the standard
+    dense-community peel (a module in the 3-core co-occurs with at
+    least 3 others that THEMSELVES survive the same bar).
+
+    Iterative peeling: drop vertices with degree < k, recompute degrees
+    on the induced subgraph, repeat to fixpoint. Work per round is
+    proportional to the SURVIVING edge set (one semi-join + one
+    map-side-combined degree agg); rounds are bounded by the peel depth
+    (degeneracy ordering length), with a driver isEmpty probe per round
+    — the same bounded-probe shape as components/reachability. Output:
+    (node, core_degree) for every k-core member."""
+    _, pairs = coimport_pairs(triples, min_files, predicates)
+    edges = pairs.select("mod_a", "mod_b")
+    for _ in range(max_iter):
+        deg = (
+            edges.select(F.col("mod_a").alias("node"))
+            .unionByName(edges.select(F.col("mod_b").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+        low = deg.filter(F.col("degree") < k).select("node")
+        if low.isEmpty():
+            return deg.select("node", F.col("degree").alias("core_degree"))
+        edges = (
+            edges.join(low.withColumnRenamed("node", "mod_a"),
+                       "mod_a", "left_anti")
+            .join(low.withColumnRenamed("node", "mod_b"),
+                  "mod_b", "left_anti")
+            .localCheckpoint())  # cut the per-round plan growth
+    # ran out of rounds: return the current (possibly non-fixpoint) core
+    deg = (
+        edges.select(F.col("mod_a").alias("node"))
+        .unionByName(edges.select(F.col("mod_b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    return deg.filter(F.col("degree") >= k).select(
+        "node", F.col("degree").alias("core_degree"))

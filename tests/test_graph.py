@@ -284,3 +284,35 @@ def test_clustering_oriented_equals_plain(spark):
     b = sorted(map(tuple, graph.clustering_coefficient(
         triples, orient=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_kcore_peels_tail(spark):
+    from pyspark.sql import functions as F
+    from rdf_tabular_spark.kg import graph
+    from rdf_tabular_spark.kg.annotate import KG, file_iri, module_iri
+
+    # K4 on {a,b,c,d} plus a pendant chain d-e: 2-core = K4 only after
+    # peeling e (deg 1) and then re-checking d
+    # encode each K4 edge as one file importing both endpoints (2 files
+    # per pair so min_files=2 keeps them)
+    rows = []
+    for i, (x, y) in enumerate(
+            [("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
+             ("d","e"), ("d","e")] * 1):
+        for f in (f"f{i}x", f"f{i}y"):
+            rows += [(f, x), (f, y)]
+    df = spark.createDataFrame(rows, "f string, m string").select(
+        file_iri(F.lit("r"), F.col("f")).alias("subj"),
+        F.lit(KG + "imports").alias("pred"),
+        module_iri(F.col("m")).alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    got = {r.node.rsplit("/", 1)[-1]: r.core_degree
+           for r in graph.kcore(df, k=3, min_files=2).collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    assert all(v == 3 for v in got.values())
+    # e survives the 1-core
+    got1 = {r.node.rsplit("/", 1)[-1]
+            for r in graph.kcore(df, k=1, min_files=2).collect()}
+    assert got1 == {"a", "b", "c", "d", "e"}
