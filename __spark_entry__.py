@@ -2140,6 +2140,42 @@ def sql_dedup_embedding_kmeans() -> str:
     """
 
 
+def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (ops/dedup.hard_negative_pairs):
+    same-k-means-cluster pairs in the cosine band [0.1, 0.6), 4 hardest
+    per anchor — blocked candidates, WindowGroupLimit per-anchor top-k.
+    The oracle compares (anchor, negative, rank) — the SELECTION — not
+    the raw score: engine float-summation order shifts a 64-term cosine
+    by ~1e-7, which cannot flip the ranking between distinct pairs but
+    does flip a fixed-point quantization of the score itself (found on
+    this row: one pair sat 1e-7 from the micro-unit boundary)."""
+    from rdf_tabular_spark.ops.dedup import hard_negative_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_pairs(emb, lo=0.1, hi=0.6, per_anchor=4).select(
+        "anchor", "negative", "rank")
+
+
+def sql_similarity_hard_negatives(lo: float = 0.1, hi: float = 0.6,
+                                  per_anchor: int = 4) -> str:
+    cos = ("list_sum(list_transform(generate_series(1, 64),"
+           " i -> x.v[i] * y.v[i]))"
+           " / (sqrt(list_sum(list_transform(x.v, e -> e * e)))"
+           " * sqrt(list_sum(list_transform(y.v, e -> e * e))))")
+    return _sql_kmeans_prelude(dim=64, k=8, iters=2) + f""",
+    band AS (
+      SELECT x.vec_id AS anchor, y.vec_id AS negative, {cos} AS c
+      FROM afinal x JOIN afinal y
+        ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+      WHERE {cos} >= {lo} AND {cos} < {hi})
+    SELECT anchor, negative, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+                ORDER BY c DESC, negative ASC) AS rank
+      FROM band)
+    WHERE rank <= {per_anchor}
+    """
+
+
 def q_similarity_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling (ops/similarity.negative_samples):
     4 md5-derived pseudo-random negatives per anchor over the dense id
@@ -4967,6 +5003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_diff": q_kg_graph_diff,
         "split_temperature_mix": q_split_temperature_mix,
         "kg_kcore": q_kg_kcore,
+        "similarity_hard_negatives": q_similarity_hard_negatives,
         "range_point_join": q_range_point_join,
         "range_overlap_join": q_range_overlap_join,
         "embedding_pq": q_embedding_pq,
@@ -5100,6 +5137,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_diff": sql_kg_graph_diff(),
         "split_temperature_mix": sql_split_temperature_mix(),
         "kg_kcore": sql_kg_kcore(),
+        "similarity_hard_negatives": sql_similarity_hard_negatives(),
         "range_point_join": sql_range_point_join(),
         "range_overlap_join": sql_range_overlap_join(),
         "embedding_pq": sql_embedding_pq(),

@@ -688,3 +688,47 @@ def remove_duplicate_spans(
         F.size(kept).cast("long").alias("n_tokens"),
         (F.size("_t") - F.size(kept)).cast("long").alias("n_removed_tokens"),
     )
+
+
+def hard_negative_pairs(
+    emb: DataFrame, lo: float = 0.2, hi: float = 0.7,
+    n_clusters: int = 8, iters: int = 2, per_anchor: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining: same-cluster pairs whose cosine
+    sits in the band ``[lo, hi)`` — close enough to be informative
+    negatives, below the near-duplicate bar (a pair >= *hi* is a
+    positive/duplicate, not a negative; random pairs are too easy).
+    Keeps the ``per_anchor`` hardest (highest-cosine) negatives per
+    anchor, ties broken by partner id.
+
+    The candidate generator is the same learned-k-means blocking as
+    :func:`embedding_near_pairs_kmeans` — at scale the band query must
+    never go all-pairs; cluster blocking bounds candidates exactly like
+    the dedup path, and the per-anchor top-k is a window keyed by the
+    anchor (WindowGroupLimit: per-partition heap, no full sort of a hot
+    anchor's candidate list)."""
+    from pyspark.sql import Window
+
+    from .similarity import kmeans
+
+    assigned, _ = kmeans(emb, n_clusters, iters, id_col, vec_col)
+    joined = blocked_self_join(assigned, id_col, vec_col, "cluster")
+    # quantize to integer micro-units with EXPLICIT half-up arithmetic
+    # (floor(x*1e6 + 0.5)): pure double ops, bit-identical across
+    # engines — decimal round() is not (engines disagree on ties for the
+    # same double; found on this row's oracle)
+    band = (
+        joined.filter(F.col("a") != F.col("b"))
+        .withColumn("_c", cosine_sim(F.col("va"), F.col("vb")))
+        .filter((F.col("_c") >= lo) & (F.col("_c") < hi))
+        .withColumn("cosine_micro",
+                    F.floor(F.col("_c") * 1e6 + 0.5).cast("long"))
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("_c"), F.asc("b"))
+    return (
+        band.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= per_anchor)
+        .select(F.col("a").alias("anchor"), F.col("b").alias("negative"),
+                "cosine_micro", F.col("_r").alias("rank"))
+    )

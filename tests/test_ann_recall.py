@@ -221,3 +221,20 @@ def test_pq_adc_matches_reconstruction_scoring(spark):
     # descending, ties by id
     scores = [(r.adc_score, r.vec_id) for r in top]
     assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+
+
+def test_hard_negative_band_and_per_anchor(spark):
+    from rdf_tabular_spark.ops.dedup import hard_negative_pairs
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    out = hard_negative_pairs(emb, lo=0.1, hi=0.6, per_anchor=3).collect()
+    assert out, "band should be non-empty on the sf corpus"
+    per_anchor = {}
+    for r in out:
+        assert r.anchor != r.negative
+        assert 0.1 * 1e6 - 1 <= r.cosine_micro < 0.6 * 1e6 + 1
+        per_anchor.setdefault(r.anchor, []).append(r.rank)
+    for ranks in per_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
