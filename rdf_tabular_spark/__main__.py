@@ -30,7 +30,8 @@ def main(argv: list[str] | None = None) -> int:
                     default="minimal")
     ap.add_argument("--json", action="store_true",
                     help="csv2json output instead of RDF")
-    ap.add_argument("--format", choices=["ntriples"], default="ntriples")
+    ap.add_argument("--format", choices=["ntriples", "turtle"],
+                default="ntriples")
     ap.add_argument("-o", "--output",
                     help="output directory (distributed text write); "
                          "default: stdout")
@@ -104,6 +105,19 @@ def _run(spark, args) -> int:
 
     result = to_triples(spark, meta, base=base, url_map=url_map,
                         mode=args.mode)
+    if args.format == "turtle":
+        from .operators.turtle import (DEFAULT_PREFIXES, to_turtle_blocks,
+                                       write_turtle)
+
+        if args.output:
+            write_turtle(result.triples, args.output)
+        else:
+            for k, v in sorted(DEFAULT_PREFIXES.items()):
+                print(f"@prefix {k}: <{v}> .")
+            for r in to_turtle_blocks(result.triples).orderBy(
+                    "subj").collect():
+                print(r["block"])
+        return 0
     from .operators.ntriples import to_ntriples_lines, write_ntriples
 
     if args.output:

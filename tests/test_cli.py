@@ -59,3 +59,22 @@ def test_cli_tsv_inference():
     meta, base = _infer_metadata(args)
     assert meta["dialect"]["delimiter"] == "\t"
     assert base.startswith("file:///")
+
+
+def test_cli_turtle(spark, capsys):
+    args = _Args(input=f"{FIXTURE_DIR}/tree-ops.csv",
+                 metadata=f"{FIXTURE_DIR}/tree-ops.csv-metadata.json",
+                 base="http://example.org/tree-ops.csv",
+                 format="turtle")
+    assert _run(spark, args) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("@prefix csvw:")
+    # one block per subject (2 rows), each terminated with ' .'
+    blocks = [ln for ln in out.splitlines() if ln.endswith(" .")
+              and not ln.startswith("@prefix")]
+    assert len(blocks) == 2
+    # parse the document back through the repo's own TTL parser
+    from tests.ttl import parse_ttl
+
+    parsed = parse_ttl(out)
+    assert len(parsed) == 10
