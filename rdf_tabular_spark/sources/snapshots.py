@@ -84,12 +84,19 @@ class SnapshotTable:
             return json.load(fh)
 
     # -- write -------------------------------------------------------------
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(self, df: DataFrame, mode: str = "append",
+               require_parent: int | None = None) -> int:
         """Write *df* as new immutable data files and publish the next
         snapshot atomically. ``mode='append'`` keeps the previous
         snapshot's files live; ``'overwrite'`` replaces them (the old
-        files stay on disk for time travel). Returns the snapshot id."""
-        if mode not in ("append", "overwrite"):
+        files stay on disk for time travel). ``require_parent`` makes
+        the publish CONDITIONAL: if the current snapshot is no longer
+        that id at publish time, the commit aborts instead of rebasing —
+        the guard a rewrite needs (its data was derived FROM a specific
+        snapshot; rebasing would silently drop a concurrent append's
+        rows, where append/overwrite rebases stay correct because their
+        data is independent of the parent). Returns the snapshot id."""
+        if mode not in ("append", "overwrite", "compact"):
             raise ValueError(f"unknown commit mode {mode!r}")
         token = uuid.uuid4().hex[:12]
         data_dir = f"data-{token}"
@@ -102,7 +109,12 @@ class SnapshotTable:
         try:
             while True:
                 parent = self.current_snapshot_id()
-                live = added if mode == "overwrite" or parent is None else (
+                if require_parent is not None and parent != require_parent:
+                    raise RuntimeError(
+                        f"conditional commit aborted: parent moved from "
+                        f"{require_parent} to {parent} (re-derive and retry)")
+                live = added if mode in ("overwrite", "compact") \
+                    or parent is None else (
                     self.manifest(parent)["files"] + added)
                 sid = (parent or 0) + 1
                 with open(tmp, "w") as fh:
@@ -150,7 +162,12 @@ class SnapshotTable:
         incremental/CDC scan: planning unions the ``added`` lists, so
         the cost is proportional to the delta, never the table."""
         until = self._require(until)
+        # rewrite (compaction) snapshots add FILES but no ROWS — a CDC
+        # scan that counted their files would replay the whole table as
+        # "new"; skip them, exactly like Iceberg's incremental scan
+        # skips REPLACE snapshots
         files = [f for sid in self.history() if since < sid <= until
+                 and self.manifest(sid).get("mode") != "compact"
                  for f in self.manifest(sid)["added"]]
         if not files:
             raise ValueError(
@@ -163,3 +180,26 @@ class SnapshotTable:
         a = set(self.manifest(self._require(old))["files"])
         b = set(self.manifest(self._require(new))["files"])
         return {"added": sorted(b - a), "removed": sorted(a - b)}
+
+    def compact(self, spark: SparkSession, target_files: int = 4) -> int:
+        """Small-file compaction: rewrite the CURRENT live file set into
+        ``target_files`` files and publish the result as a ``compact``
+        snapshot — same rows, fewer files (the 100 TB maintenance job:
+        streaming appends leave thousands of small files per partition,
+        and a parquet row group is the unit of scan parallelism, so
+        read amplification compounds until a rewrite).
+
+        Semantics, matching Iceberg's REPLACE operations:
+        - time travel to pre-compaction snapshots still plans from their
+          manifests over the immutable old files (nothing is deleted);
+        - the incremental scan (:meth:`read_appended`) SKIPS compact
+          snapshots — they add files but no rows, and a CDC consumer
+          must not replay the table;
+        - concurrent commits win: the publish is CONDITIONAL on the
+          snapshot the rewrite was derived from still being current
+          (``require_parent``) — a rebase would silently drop a
+          concurrent append's rows, so compaction ABORTS instead and the
+          caller re-runs it (rewriting is idempotent)."""
+        base = self._require(None)
+        df = self.read(spark, base).repartition(target_files)
+        return self.commit(df, mode="compact", require_parent=base)

@@ -150,3 +150,50 @@ def test_commit_sequence_matches_model(spark, tmp_path):
         assert _rows(t.read(spark)) == sorted(live)
     for sid, want in model.items():
         assert _rows(t.read(spark, sid)) == sorted(want), sid
+
+
+def test_compaction_same_rows_fewer_files(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    for lo in (0, 250, 500, 750):
+        t.commit(df.filter((F.col("k") >= lo) & (F.col("k") < lo + 250))
+                 .repartition(8), mode="append")
+    pre = t.current_snapshot_id()
+    n_files_pre = len(t.manifest(pre)["files"])
+    sid = t.compact(spark, target_files=2)
+    assert sid == pre + 1
+    assert len(t.manifest(sid)["files"]) <= 2 < n_files_pre
+    # identical rows
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(1000))
+    # time travel to the pre-compaction snapshot unaffected
+    assert t.read(spark, pre).count() == 1000
+
+
+def test_incremental_scan_skips_compaction(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    s1 = t.commit(df, mode="append")
+    t.compact(spark, target_files=1)
+    s3 = t.commit(spark.range(100, 150).withColumnRenamed("id", "k"),
+                  mode="append")
+    # CDC over (s1, s3]: only the 50 genuinely-new rows — the rewrite
+    # added files but must not replay the table
+    got = sorted(r.k for r in t.read_appended(spark, s1, s3).collect())
+    assert got == list(range(100, 150))
+
+
+def test_compaction_conditional_commit_aborts_on_race(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    s1 = t.commit(df, mode="append")
+    # a concurrent append lands after the rewrite derived its data
+    t.commit(spark.range(100, 110).withColumnRenamed("id", "k"),
+             mode="append")
+    with pytest.raises(RuntimeError, match="parent moved"):
+        t.commit(t.read(spark, s1).repartition(1), mode="compact",
+                 require_parent=s1)
+    # nothing was lost: the table still holds all 110 rows
+    assert t.read(spark).count() == 110
+    # a fresh compact (re-derived from the new current) succeeds
+    t.compact(spark, target_files=1)
+    assert t.read(spark).count() == 110
