@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import warnings
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -317,7 +318,17 @@ def _compile_table(
     schema = obj.get("tableSchema") or {}
     if isinstance(schema, str):  # schema-by-URL (roles.json style)
         schema_url = _resolve_url(schema, base)
-        schema = _load_json_ref(schema_url)
+        try:
+            schema = _load_json_ref(schema_url)
+        except (OSError, ValueError) as e:
+            # An unresolvable (or unparsable) schema reference acts as if
+            # tableSchema were unset, like every other invalid property
+            # value (metadata.rb set_property warn-and-ignore): the module
+            # contract is that error-free sanitized docs always compile.
+            warnings.warn(
+                f"tableSchema reference {schema_url!r} could not be "
+                f"loaded ({e}); acting as if unset")
+            schema = {}
     dialect = Dialect.from_json(obj.get("dialect") or group_dialect)
     inherit = _Inherit(schema, obj, *group_inherit.levels)
     skip = dialect.skipColumns
@@ -752,8 +763,12 @@ def validate_document(doc: dict, base: str | None = None) -> tuple[list[str], li
         ts = tdoc.get("tableSchema")
         if isinstance(ts, str):
             try:
-                return _load_json_ref(ts)
-            except Exception:
+                return _load_json_ref(_resolve_url(ts, base) or ts)
+            except Exception as e:
+                # same warn-and-act-as-if-unset contract as _compile_table
+                warnings.append(
+                    f"tableSchema reference {ts!r} could not be loaded "
+                    f"({e}); acting as if unset")
                 return {}
         return ts or {}
 
