@@ -113,11 +113,31 @@ def tbox_closure(ontology: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def _as_triples(df: DataFrame) -> DataFrame:
+    """IRI-object triple shape — valid ONLY for rows whose objects are
+    IRIs by construction (rdf:type triples, TBox rows). Derived EDGES
+    carry their asserted row's metadata instead (see rdfs_materialize)."""
     return df.select(
         "subj", "pred", "obj",
         F.lit(True).alias("obj_is_iri"),
         F.lit(None).cast("string").alias("obj_datatype"),
         F.lit(None).cast("string").alias("obj_lang"),
+    )
+
+
+def _dedup_triples(df: DataFrame) -> DataFrame:
+    """Deterministic set-dedup on (subj, pred, obj): when metadata
+    variants collide (possible for a derived edge reached through two
+    asserted rows that disagree on datatype/lang), the winner is the
+    MIN of the metadata struct — stable across runs and engines, unlike
+    dropDuplicates' partition-order pick."""
+    return (
+        df.groupBy("subj", "pred", "obj")
+        .agg(F.min(F.struct("obj_is_iri", "obj_datatype", "obj_lang"))
+             .alias("_m"))
+        .select("subj", "pred", "obj",
+                F.col("_m.obj_is_iri").alias("obj_is_iri"),
+                F.col("_m.obj_datatype").alias("obj_datatype"),
+                F.col("_m.obj_lang").alias("obj_lang"))
     )
 
 
@@ -185,16 +205,26 @@ def rdfs_materialize(triples: DataFrame, ontology: DataFrame,
         .select("subj", F.lit(RDF_TYPE).alias("pred"), "obj")
     )
 
-    inferred = _as_triples(
-        new_types.unionByName(
-            derived_edges.select("subj", "pred", "obj"))
-        .distinct())
-    out = asserted.unionByName(inferred).dropDuplicates(
-        ["subj", "pred", "obj"])
+    # Inferred set: type triples are IRI-shaped by construction; derived
+    # EDGES keep the asserted row's obj_is_iri/datatype/lang (a literal-
+    # valued subproperty must not be relabeled an IRI). Dedup runs on the
+    # inferred side only — deterministic min-struct winner.
+    inferred = _as_triples(new_types).unionByName(derived_edges)
     if include_tbox:
-        out = out.unionByName(_as_triples(closed)).dropDuplicates(
-            ["subj", "pred", "obj"])
-    return out
+        inferred = inferred.unionByName(_as_triples(closed))
+    inferred = _dedup_triples(inferred)
+
+    # Asserted rows win on (s,p,o) collision, via anti-join — NOT
+    # dropDuplicates over the union, which would (a) pick a
+    # nondeterministic metadata winner and (b) shuffle the full-width
+    # asserted graph. Here the asserted stream flows to the output with
+    # no Exchange; the anti-join probes only its narrow (s,p,o)
+    # projection (column-pruned at the scan). Requires asserted to be
+    # set-deduplicated already — kg/assemble.py guarantees that.
+    new_rows = inferred.join(
+        asserted.select("subj", "pred", "obj"),
+        ["subj", "pred", "obj"], "left_anti")
+    return asserted.unionByName(new_rows)
 
 
 def inferred_only(triples: DataFrame, ontology: DataFrame) -> DataFrame:

@@ -84,10 +84,12 @@ def test_rdfs9_asserted_types(spark, onto):
 
 
 def test_materialize_idempotent_and_set(spark, onto):
+    # contract: asserted input is a SET (kg/assemble.py set-dedups it) —
+    # materialize then never shuffles the asserted stream, and output is
+    # a set again, so materialize is idempotent
     t = _triples(spark, [
         ("f1", KG + "imports", "m1", True),
         ("f1", RDF_TYPE, KG + "File", True),
-        ("f1", KG + "imports", "m1", True),  # duplicate in
     ])
     once = infer.rdfs_materialize(t, onto)
     twice = infer.rdfs_materialize(once, onto)
@@ -95,6 +97,79 @@ def test_materialize_idempotent_and_set(spark, onto):
     rows2 = [tuple(r) for r in twice.collect()]
     assert len(rows1) == len(set(rows1))  # set semantics out
     assert set(rows1) == set(rows2) and len(rows2) == len(rows1)
+
+
+def test_rdfs7_preserves_literal_object_metadata(spark):
+    # a literal-valued subproperty edge must keep its literal shape when
+    # propagated to the superproperty — not be relabeled an IRI
+    onto2 = infer.ontology_df(
+        spark, [(KG + "path", infer.SUBPROP, KG + "label")])
+    t = spark.createDataFrame(
+        [("f1", KG + "path", "a/b.py", False, "xs:string", None)],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+    rows = {(r.subj, r.pred, r.obj): (r.obj_is_iri, r.obj_datatype,
+                                      r.obj_lang)
+            for r in infer.rdfs_materialize(
+                t, onto2, include_tbox=False).collect()}
+    assert rows[("f1", KG + "label", "a/b.py")] == (False, "xs:string", None)
+    assert rows[("f1", KG + "path", "a/b.py")] == (False, "xs:string", None)
+
+
+def test_asserted_row_wins_on_collision(spark):
+    # an inferred (s,p,o) that collides with an asserted row must not
+    # clobber the asserted metadata (anti-join priority, not a
+    # nondeterministic dropDuplicates winner)
+    onto2 = infer.ontology_df(
+        spark, [(KG + "path", infer.SUBPROP, KG + "label")])
+    t = spark.createDataFrame(
+        [("f1", KG + "path", "a/b.py", False, "xs:string", None),
+         # asserted row at the derived coordinate, different metadata
+         ("f1", KG + "label", "a/b.py", False, None, "en")],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+    out = infer.rdfs_materialize(t, onto2, include_tbox=False).collect()
+    hits = [r for r in out
+            if (r.subj, r.pred, r.obj) == ("f1", KG + "label", "a/b.py")]
+    assert len(hits) == 1
+    assert (hits[0].obj_is_iri, hits[0].obj_datatype,
+            hits[0].obj_lang) == (False, None, "en")
+
+
+def test_asserted_stream_has_no_exchange(spark, onto, tmp_path):
+    # VERDICT r3 item 3: the full-width asserted graph must flow to the
+    # output union with NO Exchange — only its narrow (s,p,o) projection
+    # participates in the anti-join, and only the inferred side is
+    # aggregated. Walk the pre-adaptive physical plan: the Union child
+    # that contains the full-width scan must be Exchange-free.
+    t = _triples(spark, [("f1", KG + "imports", "m1", True),
+                         ("s1", RDF_TYPE, KG + "Class", True)])
+    path = str(tmp_path / "asserted")
+    t.write.parquet(path)
+    asserted = spark.read.parquet(path)
+    out = infer.rdfs_materialize(asserted, onto)
+    plan = out._jdf.queryExecution().sparkPlan()
+
+    def walk(node):
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    union = next(n for n in walk(plan) if n.nodeName() == "Union")
+    branches = [union.children().apply(i)
+                for i in range(union.children().size())]
+    full_width = [
+        b for b in branches
+        if any("FileScan" in n.nodeName() or "Scan parquet" in n.nodeName()
+               or "ColumnarToRow" in n.nodeName() for n in walk(b))
+        and "obj_datatype" in b.output().toString()]
+    assert full_width, "asserted scan branch not found under Union"
+    for b in full_width:
+        names = [n.nodeName() for n in walk(b)]
+        assert not any("Exchange" in nm for nm in names), names
+    # and the anti-join probe side is column-pruned to (subj, pred, obj)
+    text = out._jdf.queryExecution().toString()
+    assert "struct<subj:string,pred:string,obj:string>" in text, text[-2000:]
 
 
 def test_inferred_only_excludes_asserted(spark, onto):
@@ -113,10 +188,13 @@ def test_inferred_only_excludes_asserted(spark, onto):
 def test_instance_side_broadcast_plan(spark, onto):
     t = _triples(spark, [("f1", KG + "imports", "m1", True)])
     plan = infer.rdfs_materialize(t, onto)._jdf.queryExecution().executedPlan().toString()
-    # every TBox join must broadcast the ontology side; the instance
-    # stream must never sort-merge against it
+    # every TBox RULE join must broadcast the ontology side; the only
+    # join allowed to sort-merge is the final inferred-vs-asserted
+    # LeftAnti dedup (narrow (s,p,o) keys; AQE broadcast-converts it when
+    # the asserted side is small)
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    smj_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert all("LeftAnti" in ln for ln in smj_lines), smj_lines
 
 
 def test_incremental_equals_full_recompute(spark, onto):
