@@ -340,9 +340,11 @@ def solution_modifiers(df: DataFrame, order_by: list[str] | None = None,
     ORDER BY entries are SQL sort expressions (``"n DESC"``, ``"r"``).
     ORDER BY + LIMIT compiles to TakeOrderedAndProject — a per-partition
     top-k heap plus a single k-row merge on the driver, never a global
-    sort of the solution set. OFFSET (rarely sane at scale) is applied
-    after the ordered limit via a window-free local slice when a limit
-    is present, else through a global sort (documented cost)."""
+    sort of the solution set. OFFSET is native (``DataFrame.offset``,
+    Spark ≥3.4): with ORDER BY + LIMIT it folds into the same
+    TakeOrderedAndProject heap (offset+limit rows per partition, head
+    dropped at the merge); without a limit it is an executor-side global
+    skip — never a driver-side collect of the solution set."""
     def _sort_expr(e: str):
         # F.expr("n DESC") silently drops the direction (parses as `n`);
         # peel the ASC/DESC suffix explicitly
@@ -355,15 +357,7 @@ def solution_modifiers(df: DataFrame, order_by: list[str] | None = None,
     if order_by:
         df = df.orderBy(*[_sort_expr(e) for e in order_by])
     if offset:
-        # SPARQL OFFSET needs the first offset+limit rows; keep the
-        # top-(offset+limit) heap shape, then drop the head locally
-        take = (offset + limit) if limit is not None else None
-        rows = df.limit(take) if take is not None else df
-        spark = df.sparkSession
-        head = rows.collect()[offset:]
-        out = spark.createDataFrame(head, df.schema) if head else \
-            spark.createDataFrame([], df.schema)
-        return out
+        df = df.offset(offset)
     if limit is not None:
         df = df.limit(limit)
     return df

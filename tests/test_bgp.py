@@ -270,6 +270,27 @@ def test_aggregate_bgp_and_modifiers(spark):
     assert [r["r"] for r in hav.collect()] == ["r1"]
 
 
+def test_offset_without_limit_is_native(spark):
+    """OFFSET with no LIMIT must stay a distributed plan (DataFrame
+    .offset, Spark >=3.4) — the old path collected the WHOLE solution
+    set to the driver. Multi-partition input, both ordered and not."""
+    from rdf_tabular_spark.kg.query import solution_modifiers
+
+    df = spark.range(0, 1000, 1, 16).selectExpr("id AS n")
+    ordered = solution_modifiers(df, order_by=["n"], offset=990)
+    assert [r["n"] for r in ordered.collect()] == list(range(990, 1000))
+    unordered = solution_modifiers(df, offset=995)
+    assert unordered.count() == 5
+    # the plan is a physical offset, not a driver-side re-parallelize
+    for out in (ordered, unordered):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # TakeOrderedAndProject(..., offset=n) / CollectLimit -1, n /
+        # GlobalLimit with offset — whichever Spark picks, it's native
+        assert ("offset=" in plan or "Offset" in plan
+                or "CollectLimit" in plan), plan
+        assert "Scan ExistingRDD" not in plan  # no collect+createDataFrame
+
+
 def test_zero_or_one_path(spark):
     """imports? = the single-hop edges plus a zero-length row per node."""
     got = {(r["s"], r["o"]) for r in match_bgp(
