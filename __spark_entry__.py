@@ -154,18 +154,22 @@ def q_csvw_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_csvw_describe() -> str:
     csvw = "http://www.w3.org/ns/csvw#"
-    # bnode-object closure unrolled (depth 2 suffices for the envelope:
-    # table bnode -> row bnodes -> named IRIs; one spare level)
-    hop = ("SELECT subj FROM {prev} UNION "
-           "SELECT g.obj FROM g JOIN {prev} p ON g.subj = p.subj "
-           "WHERE g.obj_is_iri AND substr(g.obj, 1, 2) = '_:'")
+    # bnode-object closure to the TRUE fixpoint via WITH RECURSIVE (in a
+    # subquery — DuckDB rejects an outer RECURSIVE list when a nested
+    # subquery carries its own WITH), matching Spark describe()'s
+    # iterate-to-convergence rather than a fixed unroll depth
     return f"""
     WITH g AS MATERIALIZED ({sql_csvw_triples_standard()}),
     s0 AS (SELECT DISTINCT subj FROM g WHERE pred = '{csvw}row'),
-    s1 AS ({hop.format(prev='s0')}),
-    s2 AS ({hop.format(prev='s1')}),
-    s3 AS ({hop.format(prev='s2')})
-    SELECT DISTINCT g.* FROM g JOIN s3 ON g.subj = s3.subj
+    closure AS (
+      SELECT subj FROM (
+        WITH RECURSIVE r(subj) AS (
+          SELECT subj FROM s0
+          UNION
+          SELECT g.obj FROM g JOIN r ON g.subj = r.subj
+          WHERE g.obj_is_iri AND substr(g.obj, 1, 2) = '_:'
+        ) SELECT subj FROM r))
+    SELECT DISTINCT g.* FROM g JOIN closure ON g.subj = closure.subj
     """
 
 
@@ -955,14 +959,20 @@ def sql_split_temperature_mix(alpha: float = 0.3) -> str:
     WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
                WHERE lang IS NOT NULL GROUP BY lang),
     w AS (SELECT lang, n, power(n, {alpha}) AS wgt FROM c),
-    z AS (SELECT SUM(wgt) AS z FROM w),
+    -- fixed summation order (ORDER BY lang) to match the engine's
+    -- sorted-order z: float addition is not associative
+    z AS (SELECT SUM(wgt ORDER BY lang) AS z FROM w),
     f AS (SELECT lang, n, wgt / z.z AS f FROM w, z),
-    t AS (SELECT MIN(n / f) AS t FROM f),
+    -- limiting group = argmin of n/f, ties on lang; its keep
+    -- probability is exactly 1.0 (same rule as ops/split.py)
+    lim AS (SELECT lang, n / f AS t FROM f ORDER BY n / f ASC, lang ASC
+            LIMIT 1),
     cut AS (
       SELECT f.lang,
-             CAST(floor(least(1.0, f.f * t.t / f.n) * 10000) AS BIGINT)
-               AS cut
-      FROM f, t)
+             CAST(CASE WHEN f.lang = lim.lang THEN 10000
+                  ELSE floor(least(1.0, f.f * lim.t / f.n) * 10000)
+                  END AS BIGINT) AS cut
+      FROM f, lim)
     SELECT d.doc_id, d.lang
     FROM documents d JOIN cut ON d.lang = cut.lang
     WHERE CAST(('0x' || substr(md5(COALESCE(CAST(d.doc_id AS VARCHAR),
@@ -2164,15 +2174,21 @@ def sql_similarity_hard_negatives(lo: float = 0.1, hi: float = 0.6,
            " i -> x.v[i] * y.v[i]))"
            " / (sqrt(list_sum(list_transform(x.v, e -> e * e)))"
            " * sqrt(list_sum(list_transform(y.v, e -> e * e))))")
+    # band membership + ranking on the SAME half-up micro quantization
+    # as ops/dedup.hard_negative_pairs (integer bounds computed here in
+    # Python so both engines compare against identical literals)
+    lo_micro, hi_micro = int(round(lo * 1e6)), int(round(hi * 1e6))
     return _sql_kmeans_prelude(dim=64, k=8, iters=2) + f""",
     band AS (
-      SELECT x.vec_id AS anchor, y.vec_id AS negative, {cos} AS c
-      FROM afinal x JOIN afinal y
-        ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
-      WHERE {cos} >= {lo} AND {cos} < {hi})
+      SELECT anchor, negative, cm FROM (
+        SELECT x.vec_id AS anchor, y.vec_id AS negative,
+               CAST(floor(({cos}) * 1e6 + 0.5) AS BIGINT) AS cm
+        FROM afinal x JOIN afinal y
+          ON x.cluster = y.cluster AND x.vec_id <> y.vec_id)
+      WHERE cm >= {lo_micro} AND cm < {hi_micro})
     SELECT anchor, negative, CAST(rank AS INT) AS rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
-                ORDER BY c DESC, negative ASC) AS rank
+                ORDER BY cm DESC, negative ASC) AS rank
       FROM band)
     WHERE rank <= {per_anchor}
     """
@@ -4746,10 +4762,13 @@ def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore(triples, k=3, min_files=2)
 
 
-def sql_kg_kcore(k: int = 3, rounds: int = 10) -> str:
+def sql_kg_kcore(k: int = 3, rounds: int = 20) -> str:
     """Unrolled peel (fixpoint rounds are identity once converged, so a
     fixed unroll >= the peel depth matches the iterate-to-fixpoint
-    Spark plan — same convention as the components twin)."""
+    Spark plan — same convention as the components twin). rounds matches
+    kg/graph.kcore's max_iter=20 so neither engine can silently stop
+    short of the other on a deep peel; the Spark side additionally warns
+    when it exits without converging."""
     steps = []
     prev = "e0"
     for i in range(1, rounds + 1):

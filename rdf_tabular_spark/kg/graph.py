@@ -443,7 +443,15 @@ def kcore(triples: DataFrame, k: int = 2, min_files: int = 2,
             .join(low.withColumnRenamed("node", "mod_b"),
                   "mod_b", "left_anti")
             .localCheckpoint())  # cut the per-round plan growth
-    # ran out of rounds: return the current (possibly non-fixpoint) core
+    # ran out of rounds: the edge set is NOT a fixpoint — the degree>=k
+    # filter below is an upper bound on the true k-core, so say so
+    # loudly instead of silently returning it
+    import warnings
+
+    warnings.warn(
+        f"kcore: peel did not converge within max_iter={max_iter} "
+        f"rounds; result is a non-fixpoint superset of the true "
+        f"{k}-core — raise max_iter")
     deg = (
         edges.select(F.col("mod_a").alias("node"))
         .unionByName(edges.select(F.col("mod_b").alias("node")))

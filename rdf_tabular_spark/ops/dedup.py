@@ -717,15 +717,21 @@ def hard_negative_pairs(
     # quantize to integer micro-units with EXPLICIT half-up arithmetic
     # (floor(x*1e6 + 0.5)): pure double ops, bit-identical across
     # engines — decimal round() is not (engines disagree on ties for the
-    # same double; found on this row's oracle)
+    # same double; found on this row's oracle). Band membership AND the
+    # per-anchor ranking are decided on the quantized integer (ADVICE
+    # r3): near-equal cosines (engine summation order shifts a 64-term
+    # dot product by ~1e-7) collapse to the same micro value and the
+    # partner-id tiebreak resolves them identically on every engine.
+    lo_micro, hi_micro = int(round(lo * 1e6)), int(round(hi * 1e6))
     band = (
         joined.filter(F.col("a") != F.col("b"))
         .withColumn("_c", cosine_sim(F.col("va"), F.col("vb")))
-        .filter((F.col("_c") >= lo) & (F.col("_c") < hi))
         .withColumn("cosine_micro",
                     F.floor(F.col("_c") * 1e6 + 0.5).cast("long"))
+        .filter((F.col("cosine_micro") >= lo_micro)
+                & (F.col("cosine_micro") < hi_micro))
     )
-    w = Window.partitionBy("a").orderBy(F.desc("_c"), F.asc("b"))
+    w = Window.partitionBy("a").orderBy(F.desc("cosine_micro"), F.asc("b"))
     return (
         band.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= per_anchor)

@@ -216,12 +216,20 @@ def temperature_mix(df: DataFrame, alpha: float = 0.3,
     if not counts:
         return df.filter(F.lit(False))
     weights = {g: n ** alpha for g, n in counts.items()}
-    z = sum(weights.values())
+    # fixed summation order: float addition is not associative, and dict
+    # insertion order follows the nondeterministic collect() row order —
+    # a one-ULP shift in z could flip an integer bucket cut
+    z = sum(weights[g] for g in sorted(weights))
     fracs = {g: w / z for g, w in weights.items()}
-    t = min(counts[g] / f for g, f in fracs.items())
+    # the limiting group (argmin of n/f, ties broken on the sorted group
+    # name) keeps EXACTLY everything — assign p = 1.0 rather than a
+    # ratio that lands one ULP under it (the SQL twin applies the same
+    # rule with the same tie-break)
+    g_lim = min(sorted(counts), key=lambda g: counts[g] / fracs[g])
+    t = counts[g_lim] / fracs[g_lim]
     cuts = []
     for g in sorted(counts):
-        p = min(1.0, fracs[g] * t / counts[g])
+        p = 1.0 if g == g_lim else min(1.0, fracs[g] * t / counts[g])
         # floor for cross-engine reproducibility (see rebalance_mix)
         cuts.extend([F.lit(g), F.lit(float(int(p * BUCKETS)))])
     cut = F.element_at(F.create_map(*cuts), F.col(group_col))
