@@ -467,6 +467,98 @@ def sql_csvw_dialect_scan() -> str:
     """
 
 
+_FRAME_FILES = 6
+_FRAME_RECS = 400
+
+
+def _frame_source_dir() -> str:
+    """Stage 6 deterministic multiline CSV files (quoted cells embedding
+    LF / CRLF / doubled quotes / delimiters; CRLF record terminators) for
+    the distributed-framing oracle row. Content derives from the record
+    index only — rebuildable bit-for-bit anywhere; no external data."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"rdf_tabular_spark_frame_src_{_FRAME_FILES}x{_FRAME_RECS}")
+    marker = os.path.join(d, "_STAGED")
+    if os.path.exists(marker):
+        return d
+    tmp = f"{d}.{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    for fno in range(_FRAME_FILES):
+        with open(os.path.join(tmp, f"part-{fno}.csv"), "w",
+                  newline="") as fh:
+            for i in range(_FRAME_RECS):
+                rid = fno * 100000 + i
+                note = f"line1\nline2 {rid}"
+                if rid % 3 == 0:
+                    note += "\r\nmore"
+                if rid % 5 == 0:
+                    note += ' said "hi"'
+                if rid % 7 == 0:
+                    note += ", comma"
+                quoted = note.replace('"', '""')
+                fh.write(f'{rid},"{quoted}",tag{rid % 4}\r\n')
+    with open(os.path.join(tmp, "_STAGED"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, d)
+    except OSError:  # concurrent stager won
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def q_csvw_multiline_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed record framing (sources/framing.py; VERDICT r3 item 5):
+    each staged file frames across ~35 4 KiB chunks executor-side — a
+    quote-parity prefix pass gives every chunk its starting in-quote
+    state, interior records never shuffle, and only the 2-per-chunk
+    boundary fragments stitch — then records parse JVM-side with
+    from_csv. The DuckDB twin re-frames the SAME bytes with its own
+    independent CSV reader: two framers, one answer. read_table routes
+    multiline files through this same module (sources/csv_source.py),
+    replacing the round-3 driver splitter / single-task JVM multiLine
+    reader (reference: Ruby CSV sequential framing, metadata.rb:860-880)."""
+    import os
+
+    from rdf_tabular_spark.sources.framing import frame_records
+
+    src = _frame_source_dir()
+    parts = []
+    for fno in range(_FRAME_FILES):
+        recs = frame_records(
+            spark, os.path.join(src, f"part-{fno}.csv"),
+            ["\r\n", "\n"], '"', "utf-8", chunk_bytes=4096)
+        parts.append(recs.withColumn("file_id", F.lit(fno).cast("long")))
+    allrecs = parts[0]
+    for p in parts[1:]:
+        allrecs = allrecs.unionByName(p)
+    opts = {"sep": ",", "quote": '"', "escape": '"', "mode": "PERMISSIVE"}
+    r = F.from_csv(F.col("value"),
+                   "id bigint, note string, tag string", opts)
+    return allrecs.select(
+        "file_id", F.col("_sourceRow").alias("rec_no"),
+        r.getField("id").alias("id"), r.getField("note").alias("note"),
+        r.getField("tag").alias("tag"))
+
+
+def sql_csvw_multiline_frame() -> str:
+    src = _frame_source_dir()
+    return f"""
+    SELECT regexp_extract(filename, 'part-(\\d+)', 1)::BIGINT AS file_id,
+           row_number() OVER (PARTITION BY filename ORDER BY id) AS rec_no,
+           id, note, tag
+    FROM read_csv('{src}/*.csv',
+                  columns={{'id': 'BIGINT', 'note': 'VARCHAR',
+                            'tag': 'VARCHAR'}},
+                  header=false, quote='"', escape='"', filename=true)
+    """
+
+
 def q_csvw_list_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: separator list split + per-item handling → one triple per item
     (metadata.rb:2073-2089 / reader.rb:327-329 multi-value emission)."""
@@ -5010,6 +5102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r2-proven rows (oldest records, they refresh inside the window),
     # and last (4) the 44 rows CORRECTNESS_r03 proved hash-exact.
     return {
+        # -- (0) new this round: no driver record yet --------------------
+        "csvw_multiline_frame": q_csvw_multiline_frame,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5144,6 +5238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

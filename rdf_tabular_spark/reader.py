@@ -410,9 +410,21 @@ def validate(
         with open(doc, encoding="utf-8") as f:
             doc = _json.load(f)
     if isinstance(doc, dict):
+        from .csvw import metadata as metadata_mod
         from .csvw.metadata import validate_document
 
-        md_errors, md_warnings = validate_document(doc, base=base)
+        # document validation resolves schema-by-URL references exactly
+        # like compilation does: with the effective search_dir on the
+        # _JSON_REF_BASE stack, a resolvable reference loads (and its
+        # contents validate) instead of surfacing a spurious
+        # could-not-load warning
+        if search_dir is not None:
+            metadata_mod._JSON_REF_BASE.append(search_dir)
+        try:
+            md_errors, md_warnings = validate_document(doc, base=base)
+        finally:
+            if search_dir is not None:
+                metadata_mod._JSON_REF_BASE.pop()
         md_rows = (
             [("metadata_error", None, None, None, None, e) for e in md_errors]
             + [("metadata_warning", None, None, None, None, w)

@@ -107,7 +107,43 @@ def _read_table_multiline(
     # precisely what the dialect declares
     jvm_line_sep = (len(customs) == 1 and len(customs[0]) == 1
                     and set(terms) == {customs[0]})
-    if customs and not jvm_line_sep:
+    # SPLITTABLE framing first (sources/framing.py): chunked byte ranges +
+    # a quote-parity prefix pass frame the records executor-side, so a
+    # 100 TB multiline file parallelizes instead of running on the driver
+    # (exotic terminators) or in ONE JVM task (multiLine). The framing
+    # quote matches the driver splitter's balance rule (quoteChar or '"').
+    from .framing import can_frame_distributed, frame_records
+
+    fq = d.quoteChar or '"'
+    if os.path.isfile(path) and can_frame_distributed(
+            terms, fq, d.encoding, d.doubleQuote):
+        recs_df = frame_records(spark, path, terms, fq, d.encoding)
+        probe_ddl = ", ".join(
+            f"`_x{i}` string" for i in range(n_cols)) + ", `_overflow` string"
+        opts = {"sep": d.delimiter, "quote": fq,
+                "escape": d.escape_char, "mode": "PERMISSIVE"}
+        parsed = recs_df.select(
+            "_sourceRow",
+            F.from_csv(F.col("value"), probe_ddl, opts).alias("r"))
+        # _x columns FIRST, _sourceRow last — downstream head/comment
+        # extraction slices rows positionally (tuple(r)[:n_cols])
+        df = parsed.select(
+            *[F.col(f"r._x{i}").alias(f"_x{i}") for i in range(n_cols)],
+            F.col("r._overflow").alias("_overflow"),
+            "_sourceRow")
+        # raggedness is a DATA-row problem, same contract as the JVM branch
+        ragged_probe = df.filter(F.col("_overflow").isNotNull()).filter(
+            F.col("_sourceRow") > skip + header_n)
+        if d.commentPrefix:
+            ragged_probe = ragged_probe.filter(
+                ~F.coalesce(F.col("_x0"), F.lit(""))
+                .startswith(d.commentPrefix))
+        problems.extend(
+            f"ragged row {r['_sourceRow']}: wider than the "
+            f"{n_cols}-column schema"
+            for r in ragged_probe.select("_sourceRow").collect())
+        df = df.drop("_overflow")
+    elif customs and not jvm_line_sep:
         # multi-char terminator, or several terminators (CSVW: ANY listed
         # terminator ends a row): split records on the driver — segments
         # with an unbalanced quote count are re-joined (a quoted cell may
