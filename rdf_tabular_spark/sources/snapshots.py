@@ -203,3 +203,102 @@ class SnapshotTable:
         base = self._require(None)
         df = self.read(spark, base).repartition(target_files)
         return self.commit(df, mode="compact", require_parent=base)
+
+    # -- maintenance ---------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1,
+                         orphan_grace_sec: float = 86400.0) -> dict:
+        """Retention GC (Iceberg ``expireSnapshots`` + ``removeOrphanFiles``
+        in one pass): drop all but the newest *keep_last* manifests, then
+        delete every data file no retained manifest references. That
+        sweep also collects ORPHANS — data files a failed commit wrote
+        whose manifest never published (invisible to readers, but they
+        leak disk forever otherwise). Files referenced by no manifest at
+        all are only deleted once older than *orphan_grace_sec*: an
+        in-flight concurrent commit has written its ``data-<token>/``
+        but not yet linked its manifest, and must survive until publish
+        (Iceberg's remove_orphan_files has the same age guard).
+
+        Time travel within retention keeps working — every retained
+        manifest's full file list survives. Expired snapshot ids raise
+        on read, as after Iceberg expiry. Returns
+        ``{"expired_snapshots": [...], "deleted_files": [...]}``."""
+        import time
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current "
+                             "snapshot is never expirable)")
+        ids = self.history()
+        retained, expired = ids[-keep_last:], ids[:-keep_last]
+        referenced = {f for sid in retained
+                      for f in self.manifest(sid)["files"]}
+        ever_manifested = {f for sid in ids
+                           for f in self.manifest(sid)["files"]}
+        now = time.time()
+        deleted: list[str] = []
+        for entry in sorted(os.listdir(self.path)):
+            d = os.path.join(self.path, entry)
+            if not (entry.startswith("data-") and os.path.isdir(d)):
+                continue
+            parts = sorted(os.listdir(d))
+            data_parts = [p for p in parts
+                          if p.startswith("part-") and p.endswith(".parquet")]
+            kept = False
+            for part in data_parts:
+                rel = f"{entry}/{part}"
+                p = os.path.join(d, part)
+                if rel in referenced:
+                    kept = True
+                    continue
+                if rel not in ever_manifested:
+                    # never published: a failed/in-flight commit's file —
+                    # age-gate it so a concurrent committer's data
+                    # survives until its manifest links
+                    try:
+                        if now - os.path.getmtime(p) < orphan_grace_sec:
+                            kept = True
+                            continue
+                    except OSError:
+                        continue  # vanished under us (concurrent GC)
+                # referenced only by expired manifests, or an aged orphan
+                try:
+                    os.unlink(p)
+                    deleted.append(rel)
+                except OSError:
+                    pass
+            if kept:
+                continue
+            # no live data remains: sweep write markers (_SUCCESS, .crc)
+            # and the directory itself; a dir with no data files yet
+            # (a commit mid-write) is only swept once aged
+            try:
+                if not data_parts and \
+                        now - os.path.getmtime(d) < orphan_grace_sec:
+                    continue
+            except OSError:
+                continue
+            for part in parts:
+                if part in data_parts:
+                    continue
+                import contextlib
+
+                with contextlib.suppress(OSError):
+                    os.unlink(os.path.join(d, part))
+            try:
+                os.rmdir(d)  # only succeeds once empty
+            except OSError:
+                pass
+        for sid in expired:
+            try:
+                os.unlink(self._snap_file(sid))
+            except OSError:
+                pass
+        # stale staged manifests a crashed committer left behind
+        for f in os.listdir(self._snap_dir()):
+            if f.startswith(".tmp-") and f.endswith(".json"):
+                p = os.path.join(self._snap_dir(), f)
+                try:
+                    if now - os.path.getmtime(p) >= orphan_grace_sec:
+                        os.unlink(p)
+                except OSError:
+                    pass
+        return {"expired_snapshots": expired, "deleted_files": deleted}

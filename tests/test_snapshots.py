@@ -197,3 +197,63 @@ def test_compaction_conditional_commit_aborts_on_race(spark, tmp_path):
     # a fresh compact (re-derived from the new current) succeeds
     t.compact(spark, target_files=1)
     assert t.read(spark).count() == 110
+
+
+def _disk_data_files(root):
+    return sorted(
+        f"{d}/{f}"
+        for d in os.listdir(root)
+        if d.startswith("data-") and os.path.isdir(os.path.join(root, d))
+        for f in os.listdir(os.path.join(root, d))
+        if f.startswith("part-") and f.endswith(".parquet"))
+
+
+def test_expire_collects_failed_commit_orphans(spark, tmp_path, monkeypatch):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_batch(spark, 0, 5))
+    # a commit whose publish fails leaves data files behind, invisible to
+    # readers but leaking disk
+    real_link = os.link
+
+    def boom(src, dst):
+        raise OSError("simulated publish failure")
+
+    monkeypatch.setattr(os, "link", boom)
+    with pytest.raises(OSError, match="simulated"):
+        t.commit(_batch(spark, 5, 9))
+    monkeypatch.setattr(os, "link", real_link)
+    live = set(t.manifest(1)["files"])
+    orphans = set(_disk_data_files(t.path)) - live
+    assert orphans, "the failed commit should have left data files"
+    # within the grace window the orphans SURVIVE (an in-flight commit's
+    # files look identical to a failed one's)
+    res = t.expire_snapshots(keep_last=1, orphan_grace_sec=3600)
+    assert res["deleted_files"] == [] and res["expired_snapshots"] == []
+    assert set(_disk_data_files(t.path)) == live | orphans
+    # past the grace window they are collected; live data is untouched
+    res = t.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+    assert sorted(orphans) == sorted(res["deleted_files"])
+    assert set(_disk_data_files(t.path)) == live
+    assert _rows(t.read(spark)) == _rows(_batch(spark, 0, 5))
+
+
+def test_expire_retention_keeps_time_travel_within_window(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_batch(spark, 0, 5))                      # s1
+    t.commit(_batch(spark, 5, 8))                      # s2
+    t.commit(_batch(spark, 100, 103), mode="overwrite")  # s3
+    t.commit(_batch(spark, 103, 105))                  # s4
+    s1_only = set(t.manifest(1)["files"])
+    res = t.expire_snapshots(keep_last=2, orphan_grace_sec=3600)
+    assert res["expired_snapshots"] == [1, 2]
+    # s1/s2's files (dropped by the s3 overwrite) are gone from disk
+    assert not (set(_disk_data_files(t.path)) & s1_only)
+    assert t.history() == [3, 4]
+    # time travel WITHIN retention still works
+    assert _rows(t.read(spark, 3)) == _rows(_batch(spark, 100, 103))
+    assert _rows(t.read(spark)) == _rows(_batch(spark, 100, 105))
+    # expired ids raise, like after Iceberg expiry
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read(spark, 2)
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
