@@ -514,6 +514,13 @@ def build_cells(df: DataFrame, table: CompiledTable) -> DataFrame:
 
     Expects physical columns ``_c0.._cN`` (post-skipColumns raw strings) plus
     ``_row`` / ``_sourceRow``; virtual columns need no physical input."""
+    names = [c.name for c in table.columns]
+    if len(set(names)) != len(names):
+        # the reference errors on this at validate! time (metadata.rb:599
+        # 'must have unique names'); here it would surface as an opaque
+        # Catalyst AMBIGUOUS_REFERENCE several operators later
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"column names are not unique: {dupes}")
     cells = []
     for col in table.columns:
         if col.virtual:

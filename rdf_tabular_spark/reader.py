@@ -429,6 +429,12 @@ def validate(
             [("metadata_error", None, None, None, None, e) for e in md_errors]
             + [("metadata_warning", None, None, None, None, w)
                for w in md_warnings])
+        if md_errors:
+            # an ERROR-invalid document never reaches the cell pipeline —
+            # the reference's validate! raises before any row processing
+            # (metadata.rb:611-770); e.g. duplicate column names would
+            # make the per-column cell attachment ambiguous
+            return spark.createDataFrame(md_rows, out_schema)
         if md_rows:
             parts.append(spark.createDataFrame(md_rows, out_schema))
     cells_by_url: dict[str, DataFrame] = {}
