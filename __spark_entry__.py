@@ -4003,6 +4003,61 @@ def sql_kg_bgp_values() -> str:
     """
 
 
+def q_kg_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK (kg/query.ask): existence probes as 1-row boolean
+    results — limit(1) short-circuits the scan, nothing materializes.
+    One positive and one negative probe, labeled."""
+    from rdf_tabular_spark.kg.query import ask
+
+    _, _, triples = _kg_oracle_run(spark)
+    pos = ask(triples, [("?f", _KG + "imports", _KGI + "mod/os")]) \
+        .select(F.lit("imports-os").alias("probe"), "ask")
+    neg = ask(
+        triples,
+        [("?f", _KG + "imports", _KGI + "mod/no-such-module")]) \
+        .select(F.lit("imports-missing").alias("probe"), "ask")
+    return pos.unionByName(neg)
+
+
+def sql_kg_bgp_ask() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT 'imports-os' AS probe,
+           EXISTS(SELECT 1 FROM kgq WHERE pred = '{_KG}imports'
+                  AND obj = '{_KGI}mod/os') AS ask
+    UNION ALL
+    SELECT 'imports-missing' AS probe,
+           EXISTS(SELECT 1 FROM kgq WHERE pred = '{_KG}imports'
+                  AND obj = '{_KGI}mod/no-such-module') AS ask
+    """
+
+
+def q_kg_bgp_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property set (SPARQL 1.1 §9.1 ``!(p1|...|pn)``,
+    kg/query._compile_pattern): one filtered triple scan — the NOT IN
+    predicate filter pushes into the scan, no join, no closure."""
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    banned = "|".join([_KG + "imports", _KG + "dependsOn", _KG + "defines",
+                       _RDF_TYPE, _KG + "path", _KG + "lang",
+                       _KG + "commit", _KG + "sha256"])
+    return match_bgp(triples, [("?f", f"!({banned})", "?o")],
+                     project=["f", "o"])
+
+
+def sql_kg_bgp_negated() -> str:
+    banned = ",".join(
+        f"'{p}'" for p in
+        (_KG + "imports", _KG + "dependsOn", _KG + "defines", _RDF_TYPE,
+         _KG + "path", _KG + "lang", _KG + "commit", _KG + "sha256"))
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT DISTINCT subj AS f, obj AS o
+    FROM kgq WHERE pred NOT IN ({banned})
+    """
+
+
 def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with OPTIONAL (kg/query.py): dependency edges with the
     module's version spec left-joined — modules without one keep NULL."""
@@ -5104,6 +5159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (0) new this round: no driver record yet --------------------
         "csvw_multiline_frame": q_csvw_multiline_frame,
+        "kg_bgp_ask": q_kg_bgp_ask,
+        "kg_bgp_negated": q_kg_bgp_negated,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5239,6 +5296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
+        "kg_bgp_ask": sql_kg_bgp_ask(),
+        "kg_bgp_negated": sql_kg_bgp_negated(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

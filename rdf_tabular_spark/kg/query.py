@@ -135,6 +135,39 @@ def _compile_pattern(triples: DataFrame, pattern: tuple,
         keep = [c for c in df.columns if not c.startswith("__seq")]
         return df.select(*keep).distinct()
     if isinstance(pred, str) and not _is_var(pred):
+        if pred.startswith("!"):
+            # negated property set !(p1|p2) / !p (SPARQL 1.1 §9.1
+            # PathNegatedPropertySet, forward members only): a single
+            # filtered triple scan — NOT IN on the predicate column, so
+            # Catalyst pushes it into the scan like any constant filter
+            body = pred[1:]
+            if body.startswith("(") and body.endswith(")"):
+                body = body[1:-1]
+            banned = [b.strip() for b in body.split("|") if b.strip()]
+            if not banned:
+                raise ValueError(f"empty negated property set: {pred!r}")
+            if any(b.startswith("^") for b in banned):
+                raise ValueError(
+                    "inverse members in a negated property set are not "
+                    "supported; rewrite with ^ on the whole pattern")
+            df = triples.filter(~F.col("pred").isin(banned))
+            var_cols: dict[str, str] = {}
+            for pos, term in zip(("subj", "obj"),
+                                 (pattern[0], pattern[2])):
+                if _is_var(term):
+                    name = term[1:]
+                    if not name:
+                        raise ValueError(
+                            f"empty variable name in {pattern!r}")
+                    if name in var_cols:
+                        df = df.filter(F.col(var_cols[name]) == F.col(pos))
+                    else:
+                        var_cols[name] = pos
+                else:
+                    df = df.filter(F.col(pos) == term)
+            return df.select(
+                *[F.col(pos).alias(name)
+                  for name, pos in var_cols.items()])
         if pred.startswith("^"):
             # inverse path: swap subject/object and recurse (composes
             # with +/*/| since the remainder re-dispatches)
@@ -330,6 +363,20 @@ def aggregate_bgp(triples: DataFrame, patterns: list[tuple],
     for expr in having or []:
         out = out.filter(F.expr(expr))
     return out
+
+
+def ask(triples: DataFrame, patterns: list[tuple],
+        filters: list[str] | None = None,
+        path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
+    """SPARQL ASK: one row ``(ask boolean)`` — true iff the pattern has
+    at least one solution. ``limit(1)`` bounds the probe (CollectLimit
+    short-circuits the scan after the first match; the solution set is
+    never materialized or shuffled), so an ASK over 10^12 triples costs
+    one early-exit pass at worst and usually far less."""
+    sol = match_bgp(triples, patterns, filters=filters, distinct=False,
+                    allow_cartesian=True, path_max_hops=path_max_hops)
+    return sol.limit(1).agg(
+        (F.count(F.lit(1)) > 0).alias("ask"))
 
 
 def solution_modifiers(df: DataFrame, order_by: list[str] | None = None,

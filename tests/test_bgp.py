@@ -505,3 +505,37 @@ def test_values_validation(spark):
     with pytest.raises(ValueError, match="not bound"):
         values_bgp(_triples(spark), [("?f", "imports", "?m")],
                    values=[{"nope": "1"}])
+
+
+def test_ask_true_and_false(spark):
+    from rdf_tabular_spark.kg.query import ask
+
+    t = _triples(spark)
+    assert ask(t, [("?f", "imports", "m:x")]).collect()[0]["ask"] is True
+    assert ask(t, [("?f", "imports", "m:zzz")]).collect()[0]["ask"] is False
+    # conjunction + filter participate like any BGP
+    assert ask(t, [("?f", "imports", "?m"), ("?f", "inRepo", "r:2")],
+               filters=["m = 'm:x'"]).collect()[0]["ask"] is True
+    assert ask(t, [("?f", "imports", "?m"), ("?f", "inRepo", "r:2")],
+               filters=["m = 'm:y'"]).collect()[0]["ask"] is False
+
+
+def test_negated_property_set(spark):
+    t = _triples(spark)
+    got = {(r["f"], r["o"]) for r in match_bgp(
+        t, [("?f", "!(imports|type)", "?o")]).collect()}
+    assert got == {("f:a", "r:1"), ("f:b", "r:2"), ("f:c", "r:1")}
+    # single-member form without parens
+    got1 = {r["o"] for r in match_bgp(
+        t, [("f:a", "!imports", "?o")]).collect()}
+    assert got1 == {"r:1"}
+    # bans everything that matches -> empty, not an error
+    assert match_bgp(t, [("f:a", "!(imports|inRepo)", "?o")]).count() == 0
+
+
+def test_negated_property_set_rejects_bad_forms(spark):
+    t = _triples(spark)
+    with pytest.raises(ValueError, match="empty negated"):
+        match_bgp(t, [("?f", "!()", "?o")])
+    with pytest.raises(ValueError, match="inverse members"):
+        match_bgp(t, [("?f", "!(imports|^type)", "?o")])
