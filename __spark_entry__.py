@@ -3848,6 +3848,103 @@ def sql_kg_bgp_aggregate() -> str:
     """
 
 
+def q_kg_bgp_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BIND (kg/query.match_bgp bind= — r4): bind the module's
+    local name (the IRI tail after ``kg:mod/``) and its length as new
+    variables, then FILTER on the bound value — the classic
+    BIND-then-FILTER shape. Pure per-row projections: no shuffle, the
+    expressions stay inside whole-stage codegen."""
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    start = len(_KGI + "mod/") + 1  # 1-based substring start of the tail
+    return match_bgp(triples, [
+        ("?f", _KG + "imports", "?m"),
+    ], bind={"local": f"substring(m, {start})",
+             "local_len": f"cast(length(substring(m, {start})) as bigint)"},
+        filters=["local_len >= 4"],
+        project=["f", "m", "local", "local_len"])
+
+
+def sql_kg_bgp_bind() -> str:
+    start = len(_KGI + "mod/") + 1
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT DISTINCT subj AS f, obj AS m,
+           substring(obj, {start}) AS local,
+           CAST(length(substring(obj, {start})) AS BIGINT) AS local_len
+    FROM kgq
+    WHERE pred = '{_KG}imports'
+      AND length(substring(obj, {start})) >= 4
+    """
+
+
+def q_kg_bgp_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 sub-SELECT (kg/query.subquery_bgp — r4): the inner
+    query aggregates distinct imported modules per file, the outer BGP
+    attaches each file's repo, and the composition filters to files
+    importing >= 3 modules. SPARQL evaluates the subquery bottom-up and
+    joins on the projected shared variable (?f) — here the aggregated
+    inner set is small next to the outer solution multiset, so AQE
+    broadcasts it and the outer stream never shuffles."""
+    from rdf_tabular_spark.kg.query import aggregate_bgp, subquery_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    inner = aggregate_bgp(triples, [
+        ("?f", _KG + "imports", "?m"),
+    ], group_by=["f"], aggs={"n_imports": "cast(count(distinct m) as bigint)"})
+    return subquery_bgp(triples, [
+        ("?f", _KG + "inRepo", "?r"),
+    ], sub=inner, filters=["n_imports >= 3"],
+        project=["r", "f", "n_imports"])
+
+
+def sql_kg_bgp_subquery() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT DISTINCT r.obj AS r, r.subj AS f, sub.n_imports
+    FROM kgq r
+    JOIN (
+      SELECT subj AS f, CAST(count(DISTINCT obj) AS BIGINT) AS n_imports
+      FROM kgq WHERE pred = '{_KG}imports' GROUP BY subj
+    ) sub ON sub.f = r.subj
+    WHERE r.pred = '{_KG}inRepo' AND sub.n_imports >= 3
+    """
+
+
+def q_kg_bgp_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT + SAMPLE aggregates (kg/query.aggregate_bgp —
+    the agg layer takes any SQL aggregate): per file, the sorted
+    ';'-joined list of imported modules and a deterministic SAMPLE
+    (min — SPARQL leaves SAMPLE implementation-defined; min is the
+    reproducible choice). Sorting inside the aggregate
+    (sort_array(collect_list(...))) makes the concatenation
+    order-insensitive to partitioning — the only way GROUP_CONCAT is
+    deterministic on a distributed engine."""
+    from rdf_tabular_spark.kg.query import aggregate_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    return aggregate_bgp(triples, [
+        ("?f", _KG + "imports", "?m"),
+    ], group_by=["f"], aggs={
+        "mods": "array_join(sort_array(collect_set(m)), ';')",
+        "sample_mod": "min(m)",
+        "n": "cast(count(distinct m) as bigint)",
+    })
+
+
+def sql_kg_bgp_group_concat() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT subj AS f,
+           string_agg(DISTINCT obj, ';' ORDER BY obj) AS mods,
+           min(obj) AS sample_mod,
+           CAST(count(DISTINCT obj) AS BIGINT) AS n
+    FROM kgq WHERE pred = '{_KG}imports'
+    GROUP BY subj
+    """
+
+
 def q_kg_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UNION (kg/query.union_bgp): every file->module relationship
     regardless of edge kind (imports UNION dependsOn), set semantics."""
@@ -5161,6 +5258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
         "kg_bgp_negated": q_kg_bgp_negated,
+        "kg_bgp_bind": q_kg_bgp_bind,
+        "kg_bgp_subquery": q_kg_bgp_subquery,
+        "kg_bgp_group_concat": q_kg_bgp_group_concat,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5298,6 +5398,9 @@ def oracle_sql() -> dict[str, str]:
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),
+        "kg_bgp_bind": sql_kg_bgp_bind(),
+        "kg_bgp_subquery": sql_kg_bgp_subquery(),
+        "kg_bgp_group_concat": sql_kg_bgp_group_concat(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

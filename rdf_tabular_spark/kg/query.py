@@ -204,6 +204,7 @@ def _compile_pattern(triples: DataFrame, pattern: tuple,
 def match_bgp(triples: DataFrame, patterns: list[tuple],
               project: list[str] | None = None,
               optional: list[tuple] | None = None,
+              bind: dict[str, str] | None = None,
               filters: list[str] | None = None,
               distinct: bool = True,
               allow_cartesian: bool = False,
@@ -214,6 +215,12 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
       (SPARQL OPTIONAL) — unmatched rows keep NULL for the pattern's new
       variables. Each must share at least one variable with the required
       part.
+    - *bind*: SPARQL BIND — new variable -> SQL expression over the
+      already-bound columns (``{"local": "substring(m, 38)"}``), applied
+      after the joins and before *filters* so filters can reference bound
+      variables. Pure per-row projections: no shuffle, stays inside
+      whole-stage codegen. Rebinding an existing variable raises (SPARQL
+      forbids BIND onto an in-scope variable).
     - *filters*: SQL boolean expressions over the variable columns
       (SPARQL FILTER), e.g. ``"r LIKE '%monorepo%'"``. Applied before
       projection; Catalyst pushes them as far down the join tree as
@@ -266,6 +273,44 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
                 f"optional pattern {pattern!r} shares no variable with "
                 "the required patterns")
         acc = acc.join(nxt, shared, "left")
+    for name, expr in (bind or {}).items():
+        if name in acc.columns:
+            raise ValueError(
+                f"BIND target ?{name} is already bound (SPARQL forbids "
+                "rebinding an in-scope variable)")
+        acc = acc.withColumn(name, F.expr(expr))
+    for expr in filters or []:
+        acc = acc.filter(F.expr(expr))
+    if project is not None:
+        missing = [v for v in project if v not in acc.columns]
+        if missing:
+            raise ValueError(f"projected variables not bound: {missing}")
+        acc = acc.select(*project)
+    return acc.distinct() if distinct else acc
+
+
+def subquery_bgp(triples: DataFrame, patterns: list[tuple],
+                 sub: DataFrame, project: list[str] | None = None,
+                 filters: list[str] | None = None,
+                 distinct: bool = True,
+                 path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
+    """SPARQL 1.1 sub-SELECT: *sub* is the inner query's already-evaluated
+    solution set (typically :func:`aggregate_bgp` output — SPARQL evaluates
+    the subquery first, bottom-up) joined into the outer BGP on the
+    variables the subquery PROJECTS (solution compatibility is by variable
+    name, exactly our column-name join). The inner set is usually
+    aggregated and therefore small next to the outer solution multiset, so
+    AQE picks a broadcast join — the 10^12-row outer stream never shuffles
+    for it. A subquery projecting no outer variable is rejected loudly:
+    SPARQL would make it a cartesian multiplier, never intended here."""
+    outer = match_bgp(triples, patterns, distinct=False,
+                      path_max_hops=path_max_hops)
+    shared = [c for c in sub.columns if c in outer.columns]
+    if not shared:
+        raise ValueError(
+            "subquery projects no variable shared with the outer patterns "
+            "— the join would be cartesian")
+    acc = outer.join(sub, shared, "inner")
     for expr in filters or []:
         acc = acc.filter(F.expr(expr))
     if project is not None:

@@ -539,3 +539,37 @@ def test_negated_property_set_rejects_bad_forms(spark):
         match_bgp(t, [("?f", "!()", "?o")])
     with pytest.raises(ValueError, match="inverse members"):
         match_bgp(t, [("?f", "!(imports|^type)", "?o")])
+
+
+def test_bind_expression(spark):
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    t = _triples(spark)
+    rows = match_bgp(t, [("?f", "imports", "?m")],
+                     bind={"local": "substring(m, 3)"},
+                     filters=["local != 'loop'"],
+                     project=["f", "m", "local"]).collect()
+    got = {(r["f"], r["local"]) for r in rows}
+    assert got == {("f:a", "x"), ("f:b", "x"), ("f:c", "y")}
+    # rebinding an in-scope variable is a loud error (SPARQL §10.1)
+    with pytest.raises(ValueError, match="already bound"):
+        match_bgp(t, [("?f", "imports", "?m")], bind={"m": "upper(m)"})
+
+
+def test_subquery_joins_on_shared_vars(spark):
+    from rdf_tabular_spark.kg.query import aggregate_bgp, subquery_bgp
+
+    t = _triples(spark)
+    inner = aggregate_bgp(t, [("?m", "imports|type", "?x")],
+                          group_by=["m"], aggs={"n": "count(*)"})
+    # outer: files importing ?m, annotated with the subquery's count
+    rows = subquery_bgp(t, [("?f", "imports", "?m")], sub=inner,
+                        project=["f", "m", "n"]).collect()
+    by_fm = {(r["f"], r["m"]): r["n"] for r in rows}
+    assert by_fm[("f:a", "m:x")] == 1  # m:x has one outgoing (type) triple
+    assert by_fm[("f:loop", "f:loop")] == 1  # the self-loop's own imports
+    # a subquery sharing no variable is rejected (would be cartesian)
+    disjoint = aggregate_bgp(t, [("?z", "type", "Module")],
+                             group_by=["z"], aggs={"k": "count(*)"})
+    with pytest.raises(ValueError, match="cartesian"):
+        subquery_bgp(t, [("?f", "inRepo", "?r")], sub=disjoint)
