@@ -4349,6 +4349,47 @@ def sql_graph_reachability(max_hops: int = 4) -> str:
     """
 
 
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances (kg/graph.sssp_hops — r4): the
+    frontier starts at ONE node, so the work is proportional to the
+    source's neighborhood, never the all-pairs closure (the per-pair
+    sibling is graph_reachability). Same deterministic diamond graph:
+    n -> floor(n/2) plus n -> n-1 for n <= 60; seeded at the deepest
+    node, so the min-hops rule is exercised through both the tree parent
+    and the chain shortcuts."""
+    from rdf_tabular_spark.kg.graph import sssp_hops
+
+    n = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("n"))
+    tree = n.filter(F.col("n") >= 2).select(
+        F.col("n").alias("src"),
+        F.floor(F.col("n") / 2).cast("long").alias("dst"))
+    chain = n.filter((F.col("n") >= 2) & (F.col("n") <= 60)).select(
+        F.col("n").alias("src"), (F.col("n") - 1).alias("dst"))
+    seed = n.agg(F.max("n")).collect()[0][0]  # deepest tree node
+    return sssp_hops(tree.unionByName(chain), str(seed), max_hops=20) \
+        .select("node", F.col("hops").cast("bigint").alias("hops"))
+
+
+def sql_graph_sssp(max_hops: int = 20) -> str:
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS src,
+             CAST(CAST(floor(c_custkey / 2) AS BIGINT) AS VARCHAR) AS dst
+      FROM customer WHERE c_custkey >= 2
+      UNION
+      SELECT CAST(c_custkey AS VARCHAR), CAST(c_custkey - 1 AS VARCHAR)
+      FROM customer WHERE c_custkey BETWEEN 2 AND 60),
+    seed AS (SELECT CAST(max(c_custkey) AS VARCHAR) AS node FROM customer),
+    r(node, hops) AS (
+      SELECT node, 0 FROM seed
+      UNION
+      SELECT e.dst, r.hops + 1
+      FROM r JOIN e ON r.node = e.src WHERE r.hops < {max_hops})
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM r GROUP BY node
+    """
+
+
 def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair list -> dedup clusters -> canonical election
     (ops/dedup.dedup_clusters over the embedding-cosine pairs): one row
@@ -5261,6 +5302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_bind": q_kg_bgp_bind,
         "kg_bgp_subquery": q_kg_bgp_subquery,
         "kg_bgp_group_concat": q_kg_bgp_group_concat,
+        "graph_sssp": q_graph_sssp,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5401,6 +5443,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_bind": sql_kg_bgp_bind(),
         "kg_bgp_subquery": sql_kg_bgp_subquery(),
         "kg_bgp_group_concat": sql_kg_bgp_group_concat(),
+        "graph_sssp": sql_graph_sssp(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

@@ -284,6 +284,53 @@ def reachability(edges: DataFrame, max_hops: int = 6) -> DataFrame:
     return _cache(result)
 
 
+def sssp_hops(edges: DataFrame, source: str,
+              max_hops: int = 20) -> DataFrame:
+    """Single-source shortest paths by hop count: (node, hops) for every
+    node reachable from *source* within *max_hops* edges, hops = the
+    MINIMUM edge count (the source itself is hops 0).
+
+    Same semi-naive frontier iteration as :func:`reachability`, but the
+    state is per-NODE, not per-pair: the frontier starts at one node and
+    each round joins only last round's newly-discovered nodes against the
+    edge list, anti-joining the visited set. Work per round is
+    proportional to the frontier's out-edges — on a 10^12-edge graph a
+    6-hop neighborhood query touches the neighborhood, never the closure
+    (reachability's all-pairs state is |V|² worst-case; this is |V|).
+    Early exit when the frontier drains (cycles terminate for free: a
+    revisited node is dropped by the anti-join). Node ids compare as
+    strings (type-agnostic, same convention as ops/dedup.dedup_clusters).
+
+    Each round's frontier is ``localCheckpoint``-ed (kcore's pattern, not
+    reachability's persist): at 20 rounds the anti-join re-references the
+    whole visited union every round, and without a plan cut the logical
+    plan grows superlinearly — deep-graph runs OOMed the DRIVER building
+    plan strings before any executor did real work. After the cut,
+    ``visited`` is a flat union of materialized leaves."""
+    spark = edges.sparkSession
+    base = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst")).distinct().persist()
+    visited = spark.createDataFrame(
+        [(source, 0)], "node string, hops int").localCheckpoint()
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        grown = (
+            frontier.join(base, frontier["node"] == base["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), ["node"], "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()  # eager: materializes + cuts the plan
+        )
+        if grown.isEmpty():
+            break
+        visited = visited.union(grown)
+        frontier = grown
+    base.unpersist()
+    return visited
+
+
 def orient_by_degree(pairs: DataFrame,
                      a_col: str = "mod_a", b_col: str = "mod_b"
                      ) -> DataFrame:

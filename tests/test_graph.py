@@ -316,3 +316,21 @@ def test_kcore_peels_tail(spark):
     got1 = {r.node.rsplit("/", 1)[-1]
             for r in graph.kcore(df, k=1, min_files=2).collect()}
     assert got1 == {"a", "b", "c", "d", "e"}
+
+
+def test_sssp_hops_min_distance_and_scope(spark):
+    from rdf_tabular_spark.kg.graph import sssp_hops
+
+    # diamond (a->d direct and via b->c) + a node unreachable from a
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"),
+                       ("z", "a")])
+    got = {r.node: r.hops for r in sssp_hops(e, "a", max_hops=6).collect()}
+    assert got == {"a": 0, "b": 1, "d": 1, "c": 2}  # z not reachable FROM a
+
+
+def test_sssp_hops_cycle_and_bound(spark):
+    from rdf_tabular_spark.kg.graph import sssp_hops
+
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d")])
+    got = {r.node: r.hops for r in sssp_hops(e, "a", max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # d is 3 hops, outside the bound
