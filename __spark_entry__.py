@@ -5094,6 +5094,49 @@ def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.components(triples)
 
 
+def q_kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (kg/graph.label_propagation — r4): synchronous
+    LPA over the dependency graph, 5 fixed rounds, most-frequent-neighbor
+    label with smallest-label tiebreak. The synchronous update + total
+    tie order make the labels a pure function of (graph, rounds), so the
+    DuckDB twin replays the identical rule round for round."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.label_propagation(graph.edge_list(triples), iterations=5)
+
+
+def sql_kg_label_propagation(iterations: int = 5) -> str:
+    """Unrolled synchronous LPA: per round, neighbor-label counts then
+    the (cnt DESC, label ASC) argmin via ROW_NUMBER — the same
+    max-count/min-label rule as the Spark struct-min."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    c{i} AS (
+      SELECT u.x AS node, l.label, COUNT(*) AS cnt
+      FROM und u JOIN {prev} l ON u.y = l.node
+      GROUP BY u.x, l.label),
+    l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c{i}) WHERE rn = 1)""")
+        prev = f"l{i}"
+    return f"""
+    WITH {_sql_kg_edges()},
+    und AS MATERIALIZED (
+      SELECT DISTINCT x, y FROM (
+        SELECT src AS x, dst AS y FROM gedges
+        UNION ALL SELECT dst, src FROM gedges)),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM gnodes),
+    {",".join(steps)}
+    SELECT node, label FROM {prev}
+    """
+
+
 def q_kg_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Module co-import affinity (kg/graph.py module_affinity): pairs of
     modules pulled in by >= 2 common files, with Jaccard affinity."""
@@ -5303,6 +5346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_subquery": q_kg_bgp_subquery,
         "kg_bgp_group_concat": q_kg_bgp_group_concat,
         "graph_sssp": q_graph_sssp,
+        "kg_label_propagation": q_kg_label_propagation,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5444,6 +5488,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_subquery": sql_kg_bgp_subquery(),
         "kg_bgp_group_concat": sql_kg_bgp_group_concat(),
         "graph_sssp": sql_graph_sssp(),
+        "kg_label_propagation": sql_kg_label_propagation(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

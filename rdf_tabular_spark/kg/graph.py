@@ -331,6 +331,54 @@ def sssp_hops(edges: DataFrame, source: str,
     return visited
 
 
+def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, the near-linear-time LPA): labels init to the node id; each
+    round EVERY node simultaneously adopts the most frequent label among
+    its neighbors (undirected view), ties broken by the lexicographically
+    SMALLEST label. Returns (node, label) after *iterations* rounds.
+
+    Determinism: the classic sequential LPA is order-dependent; the
+    synchronous all-at-once update with a total tie order makes the result
+    a pure function of (graph, iterations) — reproducible across runs,
+    partitionings, and engines (the DuckDB twin replays the same rule).
+    Synchronous LPA can oscillate on bipartite structures, which is why
+    the round count is a parameter rather than a convergence loop.
+
+    Scale shape per round: one shuffle join of the (node, label) table
+    against the undirected adjacency, one (node, label) count aggregation
+    (map-side combined), one arg-min-by-(-count, label) struct
+    aggregation — no windows over unbounded groups, no global sorts.
+    Per-round localCheckpoint cuts the plan chain. Hot nodes (a label
+    counted across 10^6 neighbors) partial-aggregate before the shuffle."""
+    und = (
+        edges.select(F.col("src").cast("string").alias("x"),
+                     F.col("dst").cast("string").alias("y"))
+        .unionByName(edges.select(
+            F.col("dst").cast("string").alias("x"),
+            F.col("src").cast("string").alias("y")))
+        .distinct()
+        .persist()
+    )
+    labels = und.select(F.col("x").alias("node")).distinct() \
+        .withColumn("label", F.col("node")).localCheckpoint()
+    for _ in range(iterations):
+        neigh = und.join(labels, und["y"] == labels["node"]).select(
+            F.col("x").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        # arg-min over (-cnt, label): max count, then smallest label
+        labels = (
+            counts.groupBy("node")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                F.col("label").alias("l"))).alias("b"))
+            .select("node", F.col("b.l").alias("label"))
+            .localCheckpoint()
+        )
+    und.unpersist()
+    return labels
+
+
 def orient_by_degree(pairs: DataFrame,
                      a_col: str = "mod_a", b_col: str = "mod_b"
                      ) -> DataFrame:

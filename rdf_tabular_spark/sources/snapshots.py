@@ -32,14 +32,20 @@ Commit protocol — atomic + optimistic, no locks:
    conflict (append/overwrite commute with everything except another
    overwrite, exactly Iceberg's optimistic model).
 
-Scale notes (10^12 files): manifests here are single JSON documents,
-fine up to ~10^6 data files per table; beyond that a real catalog
-shards manifests into a tree (Iceberg's manifest-list -> manifest ->
-data-file levels) — the read/plan seam below would not change. Commits
-move zero existing bytes (append and overwrite both only WRITE new
-files), and the incremental scan reads ONLY the files added after a
-snapshot — the input shape kg/delta.py's re-extraction wants, without
-even a diff join for append-only sources.
+Scale notes (10^12 files): a snapshot whose live-file list exceeds
+``shard_size`` stores it SHARDED — the manifest holds shard-file names
+(``file_shards``) and each immutable ``shard-*.json`` under
+``snapshots/`` holds one slice, exactly Iceberg's manifest-list ->
+manifest -> data-file tree flattened one level. The root manifest
+stays O(live/shard_size) no matter the table size, an append rewrites
+only the TAIL shard (earlier shards are reused byte-identical from the
+parent — the commit cost of a 10^9-file table's append is one shard,
+not the list), and planning streams shard-by-shard. ``added`` stays
+inline (delta-sized by definition). Commits move zero existing bytes
+(append and overwrite both only WRITE new files), and the incremental
+scan reads ONLY the files added after a snapshot — the input shape
+kg/delta.py's re-extraction wants, without even a diff join for
+append-only sources.
 
 The reference has no storage layer (rdf-tabular reads files and HTTP,
 reader.rb); this module is engine infrastructure for the KG pipeline's
@@ -56,10 +62,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotTable:
-    """A directory-backed snapshot table (see module docstring)."""
+    """A directory-backed snapshot table (see module docstring).
 
-    def __init__(self, path: str):
+    *shard_size*: live-file lists are kept as FULL immutable shard files
+    of exactly this many entries plus one inline partial tail in the
+    manifest — a child snapshot reuses its parent's full shards by name,
+    so append commit cost and root-manifest size are independent of the
+    table's total file count. The default keeps single-manifest behavior
+    for every table below ~10^5 files."""
+
+    def __init__(self, path: str, shard_size: int = 100_000):
+        if shard_size < 1:
+            raise ValueError("shard_size must be >= 1")
         self.path = path
+        self.shard_size = shard_size
         os.makedirs(self._snap_dir(), exist_ok=True)
 
     # -- manifest plumbing ------------------------------------------------
@@ -82,6 +98,38 @@ class SnapshotTable:
     def manifest(self, sid: int) -> dict:
         with open(self._snap_file(sid)) as fh:
             return json.load(fh)
+
+    def _files(self, m: dict) -> list[str]:
+        """A manifest's full live-file list: the contents of its full
+        shards (in order) plus the inline partial tail. Manifests written
+        before sharding existed have no ``file_shards`` key — their
+        ``files`` IS the whole list, which this concat reproduces."""
+        out: list[str] = []
+        for name in m.get("file_shards", []):
+            with open(os.path.join(self._snap_dir(), name)) as fh:
+                out.extend(json.load(fh))
+        return out + m["files"]
+
+    def _shard_out(self, shards: list[str], tail: list[str],
+                   added: list[str], token: str, attempt: int
+                   ) -> tuple[list[str], list[str]]:
+        """Extend (full shards, inline tail) with *added*: overflowed
+        slices become NEW immutable shard files named by this commit's
+        token+attempt (a lost publish race orphans them; expire_snapshots
+        age-sweeps unreferenced shards). Parent shards pass through by
+        NAME — an append to a 10^9-file table writes O(added/shard_size)
+        shards, never the whole list."""
+        shards = list(shards)
+        tail = tail + added
+        i = 0
+        while len(tail) >= self.shard_size:
+            chunk, tail = tail[:self.shard_size], tail[self.shard_size:]
+            name = f"shard-{token}-{attempt}-{i:06d}.json"
+            with open(os.path.join(self._snap_dir(), name), "w") as fh:
+                json.dump(chunk, fh)
+            shards.append(name)
+            i += 1
+        return shards, tail
 
     # -- write -------------------------------------------------------------
     def commit(self, df: DataFrame, mode: str = "append",
@@ -107,25 +155,38 @@ class SnapshotTable:
             if f.startswith("part-") and f.endswith(".parquet"))
         tmp = os.path.join(self._snap_dir(), f".tmp-{token}.json")
         try:
+            attempt = 0
             while True:
                 parent = self.current_snapshot_id()
                 if require_parent is not None and parent != require_parent:
                     raise RuntimeError(
                         f"conditional commit aborted: parent moved from "
                         f"{require_parent} to {parent} (re-derive and retry)")
-                live = added if mode in ("overwrite", "compact") \
-                    or parent is None else (
-                    self.manifest(parent)["files"] + added)
+                if mode in ("overwrite", "compact") or parent is None:
+                    base_shards: list[str] = []
+                    base_tail: list[str] = []
+                else:
+                    pm = self.manifest(parent)
+                    base_shards = pm.get("file_shards", [])
+                    base_tail = pm["files"]
+                shards, tail = self._shard_out(
+                    base_shards, base_tail, added, token, attempt)
+                attempt += 1
                 sid = (parent or 0) + 1
                 with open(tmp, "w") as fh:
                     json.dump({"snapshot_id": sid, "parent": parent,
-                               "mode": mode, "files": live,
+                               "mode": mode, "files": tail,
+                               "file_shards": shards,
                                "added": added}, fh)
                 try:
                     os.link(tmp, self._snap_file(sid))
                     return sid
                 except FileExistsError:
-                    continue  # lost the race: rebase on the new current
+                    # lost the race: rebase on the new current; this
+                    # attempt's freshly-written shards are orphaned and
+                    # age-swept by expire_snapshots
+                    os.unlink(tmp)
+                    continue
         finally:
             # tmp may not exist yet if the failure preceded its first
             # write (e.g. a corrupt parent manifest) — don't mask that
@@ -154,7 +215,7 @@ class SnapshotTable:
         """The table as of *snapshot_id* (default: current) — time
         travel is just planning from an older manifest."""
         sid = self._require(snapshot_id)
-        return self._read_files(spark, self.manifest(sid)["files"])
+        return self._read_files(spark, self._files(self.manifest(sid)))
 
     def read_appended(self, spark: SparkSession, since: int,
                       until: int | None = None) -> DataFrame:
@@ -177,8 +238,8 @@ class SnapshotTable:
     def diff(self, old: int, new: int) -> dict[str, list[str]]:
         """Data files added/removed between two snapshots (metadata-only;
         no data is read)."""
-        a = set(self.manifest(self._require(old))["files"])
-        b = set(self.manifest(self._require(new))["files"])
+        a = set(self._files(self.manifest(self._require(old))))
+        b = set(self._files(self.manifest(self._require(new))))
         return {"added": sorted(b - a), "removed": sorted(a - b)}
 
     def compact(self, spark: SparkSession, target_files: int = 4) -> int:
@@ -230,9 +291,15 @@ class SnapshotTable:
         ids = self.history()
         retained, expired = ids[-keep_last:], ids[:-keep_last]
         referenced = {f for sid in retained
-                      for f in self.manifest(sid)["files"]}
+                      for f in self._files(self.manifest(sid))}
         ever_manifested = {f for sid in ids
-                           for f in self.manifest(sid)["files"]}
+                           for f in self._files(self.manifest(sid))}
+        # shard files referenced by any RETAINED manifest must survive;
+        # shards are shared across snapshots (a child reuses its parent's
+        # full shards by name), so deletion is by reference against the
+        # retained set, never per-owning-snapshot
+        retained_shards = {s for sid in retained
+                           for s in self.manifest(sid).get("file_shards", [])}
         now = time.time()
         deleted: list[str] = []
         for entry in sorted(os.listdir(self.path)):
@@ -287,9 +354,29 @@ class SnapshotTable:
                 os.rmdir(d)  # only succeeds once empty
             except OSError:
                 pass
+        expired_shards = {
+            s for sid in expired
+            for s in self.manifest(sid).get("file_shards", [])
+        } - retained_shards
         for sid in expired:
             try:
                 os.unlink(self._snap_file(sid))
+            except OSError:
+                pass
+        # shard files: expired manifests' shards go now (their owners are
+        # gone and no retained manifest shares them); any OTHER
+        # unreferenced shard is a lost-race/in-flight commit's write and
+        # is only swept once aged, like data-file orphans
+        for f in os.listdir(self._snap_dir()):
+            if not (f.startswith("shard-") and f.endswith(".json")):
+                continue
+            if f in retained_shards:
+                continue
+            p = os.path.join(self._snap_dir(), f)
+            try:
+                if f in expired_shards or \
+                        now - os.path.getmtime(p) >= orphan_grace_sec:
+                    os.unlink(p)
             except OSError:
                 pass
         # stale staged manifests a crashed committer left behind

@@ -334,3 +334,31 @@ def test_sssp_hops_cycle_and_bound(spark):
     e = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d")])
     got = {r.node: r.hops for r in sssp_hops(e, "a", max_hops=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}  # d is 3 hops, outside the bound
+
+
+def test_label_propagation_two_cliques(spark):
+    from rdf_tabular_spark.kg.graph import label_propagation
+
+    # two triangles joined by one bridge edge c-d; hand-replayed 5
+    # synchronous rounds: {a,b,c} stabilizes on label 'a', {d,e,f} on 'c'
+    # (the label is an id, not a member — 'c' migrated over the bridge
+    # in round 1 and won the d-side majority)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                       ("d", "e"), ("e", "f"), ("d", "f"),
+                       ("c", "d")])
+    got = {r.node: r.label for r in label_propagation(e, iterations=5).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "c", "e": "c", "f": "c"}
+
+
+def test_label_propagation_partition_invariance(spark):
+    from rdf_tabular_spark.kg.graph import label_propagation
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                       ("d", "e"), ("e", "f"), ("d", "f"),
+                       ("c", "d")])
+    one = {(r.node, r.label)
+           for r in label_propagation(e.coalesce(1), iterations=3).collect()}
+    many = {(r.node, r.label)
+            for r in label_propagation(e.repartition(7), iterations=3).collect()}
+    assert one == many

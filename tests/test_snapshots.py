@@ -257,3 +257,53 @@ def test_expire_retention_keeps_time_travel_within_window(spark, tmp_path):
         t.read(spark, 2)
     with pytest.raises(ValueError):
         t.expire_snapshots(keep_last=0)
+
+
+def _shard_files(t):
+    return sorted(f for f in os.listdir(os.path.join(t.path, "snapshots"))
+                  if f.startswith("shard-") and f.endswith(".json"))
+
+
+def test_sharded_manifest_roundtrip_and_reuse(spark, tmp_path):
+    # shard_size 3 forces the tree layout on a tiny table: reads, time
+    # travel and CDC must be byte-identical to the inline layout
+    t = SnapshotTable(str(tmp_path / "t"), shard_size=3)
+    t.commit(_batch(spark, 0, 5).repartition(4))   # ~4 files -> 1 shard + tail
+    s2 = t.commit(_batch(spark, 5, 9).repartition(4))
+    assert _rows(t.read(spark)) == _rows(_batch(spark, 0, 9))
+    assert _rows(t.read(spark, 1)) == _rows(_batch(spark, 0, 5))
+    assert _rows(t.read_appended(spark, since=1)) == _rows(_batch(spark, 5, 9))
+    m1, m2 = t.manifest(1), t.manifest(s2)
+    # root manifests stay bounded: inline tail < shard_size
+    assert len(m1["files"]) < 3 and len(m2["files"]) < 3
+    assert m1["file_shards"] and m2["file_shards"]
+    # the child REUSES the parent's full shards by name (append cost is
+    # the tail, not the table)
+    assert m2["file_shards"][:len(m1["file_shards"])] == m1["file_shards"]
+    # diff sees through the shards (added-count = what the commit
+    # actually wrote, which can be < 4 if a repartition slot was empty)
+    d = t.diff(1, s2)
+    assert d["added"] == sorted(m2["added"]) and not d["removed"]
+
+
+def test_sharded_expire_keeps_shared_shards(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), shard_size=2)
+    t.commit(_batch(spark, 0, 4).repartition(4))
+    t.commit(_batch(spark, 4, 8).repartition(4))
+    t.commit(_batch(spark, 8, 10).repartition(2))
+    before = _shard_files(t)
+    assert before
+    out = t.expire_snapshots(keep_last=2, orphan_grace_sec=0.0)
+    assert out["expired_snapshots"] == [1]
+    # snapshot 2 and 3 still read exactly; s1's shards survive because
+    # s2/s3 REUSE them (shared-shard refcount against retained manifests)
+    assert _rows(t.read(spark, 2)) == _rows(_batch(spark, 0, 8))
+    assert _rows(t.read(spark)) == _rows(_batch(spark, 0, 10))
+    with pytest.raises(ValueError):
+        t.read(spark, 1)
+    # an overwrite then aggressive expiry drops every old shard
+    t.commit(_batch(spark, 100, 102).repartition(2), mode="overwrite")
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    kept = set(_shard_files(t))
+    assert kept == set(t.manifest(t.current_snapshot_id())["file_shards"])
+    assert _rows(t.read(spark)) == _rows(_batch(spark, 100, 102))
