@@ -5137,6 +5137,52 @@ def sql_kg_label_propagation(iterations: int = 5) -> str:
     """
 
 
+#: graph assignment for the dataset view of the KG: file/sym/repo
+#: subjects belong to their repository's NAMED graph, shared module
+#: metadata stays in the DEFAULT graph (same SQL dialect in Spark and
+#: DuckDB — CASE + regexp_extract group 1)
+_GRAPH_EXPR = (
+    f"CASE WHEN subj LIKE '{_KGI}repo/%' THEN subj "
+    f"WHEN regexp_extract(subj, '{_KGI}(?:file|sym)/([^/]+)', 1) <> '' "
+    f"THEN concat('{_KGI}repo/', "
+    f"regexp_extract(subj, '{_KGI}(?:file|sym)/([^/]+)', 1)) "
+    "ELSE NULL END"
+)
+
+
+def q_kg_named_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL dataset semantics (kg/dataset.py — r4): the triple table
+    becomes a quad table (one NAMED graph per repository via with_graph,
+    module metadata in the DEFAULT graph), then
+
+        GRAPH ?g { ?f kg:imports ?m } . ?m kg:versionSpec ?v
+
+    — a GRAPH-scoped pattern binding the graph IRI, joined against a
+    default-graph pattern on the shared module variable. The graph term
+    is one more equi-join column; a quad table written partitioned by
+    graph prunes constant-graph queries to one repo's partition."""
+    from rdf_tabular_spark.kg import dataset
+
+    _, _, triples = _kg_oracle_run(spark)
+    quads = dataset.with_graph(triples, _GRAPH_EXPR)
+    return dataset.match_quads(quads, [
+        ("?g", "?f", _KG + "imports", "?m"),
+        (None, "?m", _KG + "versionSpec", "?v"),
+    ], project=["g", "f", "m", "v"])
+
+
+def sql_kg_named_graphs() -> str:
+    return f"""
+    WITH t AS ({sql_kg_triples()}),
+    quads AS (SELECT {_GRAPH_EXPR} AS graph, subj, pred, obj FROM t),
+    imp AS (SELECT graph AS g, subj AS f, obj AS m FROM quads
+            WHERE graph IS NOT NULL AND pred = '{_KG}imports'),
+    ver AS (SELECT subj AS m, obj AS v FROM quads
+            WHERE graph IS NULL AND pred = '{_KG}versionSpec')
+    SELECT DISTINCT g, f, m, v FROM imp JOIN ver USING (m)
+    """
+
+
 def q_kg_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Module co-import affinity (kg/graph.py module_affinity): pairs of
     modules pulled in by >= 2 common files, with Jaccard affinity."""
@@ -5347,6 +5393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_group_concat": q_kg_bgp_group_concat,
         "graph_sssp": q_graph_sssp,
         "kg_label_propagation": q_kg_label_propagation,
+        "kg_named_graphs": q_kg_named_graphs,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5489,6 +5536,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_group_concat": sql_kg_bgp_group_concat(),
         "graph_sssp": sql_graph_sssp(),
         "kg_label_propagation": sql_kg_label_propagation(),
+        "kg_named_graphs": sql_kg_named_graphs(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

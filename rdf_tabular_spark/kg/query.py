@@ -233,11 +233,29 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
       SELECT DISTINCT) — with ``project`` narrowing columns, duplicates
       are the norm, and the dedup runs on the narrow projection.
     """
+    return _match_patterns(
+        lambda pat: _compile_pattern(triples, pat, path_max_hops),
+        patterns, project=project, optional=optional, bind=bind,
+        filters=filters, distinct=distinct, allow_cartesian=allow_cartesian)
+
+
+def _match_patterns(compile_fn, patterns: list[tuple],
+                    project: list[str] | None = None,
+                    optional: list[tuple] | None = None,
+                    bind: dict[str, str] | None = None,
+                    filters: list[str] | None = None,
+                    distinct: bool = True,
+                    allow_cartesian: bool = False) -> DataFrame:
+    """The pattern-accumulation core shared by match_bgp and
+    kg/dataset.match_quads: *compile_fn* maps one pattern tuple to its
+    filtered projection; everything else (join-on-shared-vars, OPTIONAL,
+    BIND, FILTER, projection, set semantics) is identical for triples
+    and quads."""
     if not patterns:
         raise ValueError("empty pattern list")
     acc = None
     for pattern in patterns:
-        nxt = _compile_pattern(triples, pattern, path_max_hops)
+        nxt = compile_fn(pattern)
         if not nxt.columns:
             # fully-constant pattern = SPARQL existence constraint: keep
             # the accumulated rows iff at least one triple matches. limit(1)
@@ -266,7 +284,7 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
                 f"pattern {pattern!r} shares no variable with the "
                 "preceding patterns (pass allow_cartesian=True to force)")
     for pattern in optional or []:
-        nxt = _compile_pattern(triples, pattern, path_max_hops)
+        nxt = compile_fn(pattern)
         shared = [c for c in nxt.columns if c in acc.columns]
         if not shared:
             raise ValueError(
