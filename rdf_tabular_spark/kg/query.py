@@ -201,6 +201,70 @@ def _compile_pattern(triples: DataFrame, pattern: tuple,
         *[F.col(pos).alias(name) for name, pos in var_cols.items()])
 
 
+#: selectivity rank of a triple-pattern shape, most selective first —
+#: the variable-counting heuristic of Stocker et al. 2008 ("SPARQL
+#: basic graph pattern optimization using selectivity estimation",
+#: WWW'08): constants bind harder than variables, and a bound subject
+#: narrows more than a bound object, which narrows more than a bound
+#: predicate alone. Zero statistics needed, so ordering is a pure
+#: function of the query — deterministic across engines and data.
+_SHAPE_RANK = {
+    (True, True, True): 0,   # s p o
+    (True, False, True): 1,  # s ? o
+    (True, True, False): 2,  # s p ?
+    (False, True, True): 3,  # ? p o
+    (True, False, False): 4,  # s ? ?
+    (False, False, True): 5,  # ? ? o
+    (False, True, False): 6,  # ? p ?
+    (False, False, False): 7,  # ? ? ?
+}
+
+
+def _pattern_rank(pattern: tuple) -> int:
+    def bound(term) -> bool:
+        return not (isinstance(term, str) and _is_var(term))
+
+    pred = pattern[1]
+    # property paths (closures, alternations, sequences, negated sets)
+    # expand beyond one scan: rank them with the predicate unbound, +1
+    # so a plain pattern of the same shape always goes first
+    is_path = isinstance(pred, tuple) or (
+        isinstance(pred, str) and not _is_var(pred)
+        and (pred.startswith(("!", "^")) or "|" in pred
+             or pred.endswith(("+", "*", "?"))))
+    shape = (bound(pattern[0]),
+             False if is_path else bound(pred),
+             bound(pattern[2]))
+    return _SHAPE_RANK[shape] * 2 + (1 if is_path else 0)
+
+
+def reorder_patterns(patterns: list[tuple]) -> list[tuple]:
+    """Greedy selectivity ordering of a BGP without statistics: start
+    from the most selective pattern (see _SHAPE_RANK), then repeatedly
+    take the most selective pattern CONNECTED to the already-chosen set
+    (sharing a variable), falling back to the most selective remaining
+    one only when nothing connects — the join tree a SPARQL engine's
+    heuristic optimizer would build, here feeding Catalyst join order.
+    Ties resolve by written position, so the result is deterministic
+    and a pre-ordered query is left alone. Inner joins commute, so the
+    solution set is identical for any order (pinned by test)."""
+    def vars_of(pattern) -> set:
+        return {t for t in pattern
+                if isinstance(t, str) and _is_var(t)}
+
+    remaining = list(enumerate(patterns))
+    remaining.sort(key=lambda ip: (_pattern_rank(ip[1]), ip[0]))
+    out = [remaining.pop(0)[1]]
+    bound = vars_of(out[0])
+    while remaining:
+        connected = [ip for ip in remaining if vars_of(ip[1]) & bound]
+        pick = (connected or remaining)[0]
+        remaining.remove(pick)
+        out.append(pick[1])
+        bound |= vars_of(pick[1])
+    return out
+
+
 def match_bgp(triples: DataFrame, patterns: list[tuple],
               project: list[str] | None = None,
               optional: list[tuple] | None = None,
@@ -208,8 +272,14 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
               filters: list[str] | None = None,
               distinct: bool = True,
               allow_cartesian: bool = False,
+              reorder: bool = False,
               path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
     """Match a conjunction of triple patterns; columns = variable names.
+
+    - *reorder*: apply the stats-free selectivity heuristic
+      (reorder_patterns) before joining instead of following written
+      order — same solution set (inner joins commute), smaller
+      intermediates when the query author didn't hand-order.
 
     - *optional*: patterns LEFT-joined after the required conjunction
       (SPARQL OPTIONAL) — unmatched rows keep NULL for the pattern's new
@@ -233,6 +303,8 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
       SELECT DISTINCT) — with ``project`` narrowing columns, duplicates
       are the norm, and the dedup runs on the narrow projection.
     """
+    if reorder:
+        patterns = reorder_patterns(patterns)
     return _match_patterns(
         lambda pat: _compile_pattern(triples, pat, path_max_hops),
         patterns, project=project, optional=optional, bind=bind,

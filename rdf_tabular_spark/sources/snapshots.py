@@ -16,9 +16,13 @@ Layout (one directory per table):
 
 A manifest lists EVERY live data file of its snapshot (the flattened
 form of Iceberg's manifest list) plus the files its commit ADDED, its
-parent id and commit mode. Readers plan from one manifest read; no
-directory listing of data ever happens, so stale files from failed
-commits are invisible (and garbage-collectable).
+parent id, commit mode, and the table SCHEMA as of that snapshot
+(evolved union-by-name at commit: appends may add columns, never
+change a column's type — see _evolve_schema). Readers plan from one
+manifest read and declare the manifest schema on the scan, so old
+files read NULL for later-added columns with ZERO parquet footer
+reads; no directory listing of data ever happens, so stale files from
+failed commits are invisible (and garbage-collectable).
 
 Commit protocol — atomic + optimistic, no locks:
 
@@ -59,6 +63,29 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _evolve_schema(parent: dict, incoming: dict) -> dict:
+    """Union-by-name schema evolution (Iceberg's add-column rule):
+    parent columns keep their position and type, columns new in
+    *incoming* append in their written order. A same-named column with
+    a DIFFERENT type raises — type promotion needs an explicit
+    overwrite, silently reading an int column as string corrupts every
+    old row. Dropping a column is a non-event: old files simply stop
+    being read for it only when an overwrite resets the schema;
+    until then readers see NULL for files written without it."""
+    by_name = {f["name"]: f for f in parent["fields"]}
+    out = list(parent["fields"])
+    for f in incoming["fields"]:
+        prev = by_name.get(f["name"])
+        if prev is None:
+            out.append(f)
+        elif prev["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution cannot change column {f['name']!r} "
+                f"from {prev['type']!r} to {f['type']!r}; use "
+                "mode='overwrite' to reset the schema")
+    return {"type": "struct", "fields": out}
 
 
 class SnapshotTable:
@@ -146,6 +173,7 @@ class SnapshotTable:
         data is independent of the parent). Returns the snapshot id."""
         if mode not in ("append", "overwrite", "compact"):
             raise ValueError(f"unknown commit mode {mode!r}")
+        df_schema = json.loads(df.schema.json())
         token = uuid.uuid4().hex[:12]
         data_dir = f"data-{token}"
         df.write.parquet(os.path.join(self.path, data_dir))
@@ -165,10 +193,14 @@ class SnapshotTable:
                 if mode in ("overwrite", "compact") or parent is None:
                     base_shards: list[str] = []
                     base_tail: list[str] = []
+                    schema = df_schema if mode != "compact" or parent is None \
+                        else self.manifest(parent).get("schema", df_schema)
                 else:
                     pm = self.manifest(parent)
                     base_shards = pm.get("file_shards", [])
                     base_tail = pm["files"]
+                    schema = _evolve_schema(
+                        pm.get("schema", df_schema), df_schema)
                 shards, tail = self._shard_out(
                     base_shards, base_tail, added, token, attempt)
                 attempt += 1
@@ -176,7 +208,7 @@ class SnapshotTable:
                 with open(tmp, "w") as fh:
                     json.dump({"snapshot_id": sid, "parent": parent,
                                "mode": mode, "files": tail,
-                               "file_shards": shards,
+                               "file_shards": shards, "schema": schema,
                                "added": added}, fh)
                 try:
                     os.link(tmp, self._snap_file(sid))
@@ -206,16 +238,31 @@ class SnapshotTable:
             raise ValueError(f"unknown snapshot {sid} in {self.path}")
         return sid
 
-    def _read_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
-        return spark.read.parquet(*[os.path.join(self.path, f)
-                                    for f in files])
+    def _read_files(self, spark: SparkSession, files: list[str],
+                    schema: dict | None = None) -> DataFrame:
+        """Plan a scan of *files*. With a manifest *schema* (stored at
+        commit time, evolved union-by-name), the scan is declared with
+        it — files written before a column existed read NULL for it,
+        and planning needs ZERO parquet footer reads (mergeSchema would
+        stat every file; at 10^9 files the schema must come from
+        metadata, which is exactly Iceberg's design)."""
+        reader = spark.read
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(schema))
+        return reader.parquet(*[os.path.join(self.path, f)
+                                for f in files])
 
     def read(self, spark: SparkSession,
              snapshot_id: int | None = None) -> DataFrame:
         """The table as of *snapshot_id* (default: current) — time
-        travel is just planning from an older manifest."""
+        travel is just planning from an older manifest, INCLUDING its
+        schema: a snapshot from before a column was added reads without
+        that column."""
         sid = self._require(snapshot_id)
-        return self._read_files(spark, self._files(self.manifest(sid)))
+        m = self.manifest(sid)
+        return self._read_files(spark, self._files(m), m.get("schema"))
 
     def read_appended(self, spark: SparkSession, since: int,
                       until: int | None = None) -> DataFrame:
@@ -233,7 +280,10 @@ class SnapshotTable:
         if not files:
             raise ValueError(
                 f"no files added in ({since}, {until}] of {self.path}")
-        return self._read_files(spark, files)
+        # the window's newest manifest has the widest schema any file in
+        # the window was written with
+        return self._read_files(
+            spark, files, self.manifest(until).get("schema"))
 
     def diff(self, old: int, new: int) -> dict[str, list[str]]:
         """Data files added/removed between two snapshots (metadata-only;

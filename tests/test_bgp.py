@@ -573,3 +573,48 @@ def test_subquery_joins_on_shared_vars(spark):
                              group_by=["z"], aggs={"k": "count(*)"})
     with pytest.raises(ValueError, match="cartesian"):
         subquery_bgp(t, [("?f", "inRepo", "?r")], sub=disjoint)
+
+
+def test_reorder_patterns_selectivity_and_connectivity():
+    from rdf_tabular_spark.kg.query import reorder_patterns
+
+    # written: open scan first, fully-bound last — the heuristic inverts
+    # it and keeps the chain connected at every step
+    pats = [
+        ("?f", "?p", "?o"),            # ? ? ?  (least selective)
+        ("?f", "imports", "?m"),       # ? p ?
+        ("?m", "type", "Module"),      # ? p o
+        ("f:a", "inRepo", "r:1"),      # s p o  (most selective)
+    ]
+    got = reorder_patterns(pats)
+    assert got[0] == ("f:a", "inRepo", "r:1")
+    # nothing connects to the constant pattern; next best overall is the
+    # (? p o) pattern, then its connected (? p ?), then the open scan
+    assert got[1] == ("?m", "type", "Module")
+    assert got[2] == ("?f", "imports", "?m")
+    assert got[3] == ("?f", "?p", "?o")
+
+
+def test_reorder_prefers_plain_over_path_and_is_stable():
+    from rdf_tabular_spark.kg.query import reorder_patterns
+
+    pats = [("?x", "dep+", "?y"), ("?x", "imports", "?y")]
+    assert reorder_patterns(pats)[0] == ("?x", "imports", "?y")
+    # equal-rank patterns keep written order
+    same = [("?a", "p1", "?b"), ("?b", "p2", "?c")]
+    assert reorder_patterns(same) == same
+
+
+def test_reorder_same_solution_set(spark):
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    pats = [
+        ("?f", "?p", "?m"),
+        ("?m", "type", "Module"),
+        ("?f", "inRepo", "r:1"),
+    ]
+    plain = {tuple(sorted(r.asDict().items())) for r in match_bgp(
+        _triples(spark), pats).collect()}
+    opt = {tuple(sorted(r.asDict().items())) for r in match_bgp(
+        _triples(spark), pats, reorder=True).collect()}
+    assert plain == opt and plain

@@ -307,3 +307,40 @@ def test_sharded_expire_keeps_shared_shards(spark, tmp_path):
     kept = set(_shard_files(t))
     assert kept == set(t.manifest(t.current_snapshot_id())["file_shards"])
     assert _rows(t.read(spark)) == _rows(_batch(spark, 100, 102))
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_batch(spark, 0, 3))
+    s2 = t.commit(_batch(spark, 3, 5).withColumn("score", F.lit(7)))
+    # current read: old files surface NULL for the added column, no
+    # footer scans (schema comes from the manifest)
+    cur = t.read(spark)
+    assert cur.columns == ["id", "val", "score"]
+    got = {(r.id, r.score) for r in cur.collect()}
+    assert got == {(0, None), (1, None), (2, None), (3, 7), (4, 7)}
+    # time travel to BEFORE the add: the column does not exist there
+    assert t.read(spark, 1).columns == ["id", "val"]
+    # CDC over the widened window uses the window's newest schema
+    assert t.read_appended(spark, since=1, until=s2).columns == [
+        "id", "val", "score"]
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_batch(spark, 0, 3))
+    bad = spark.createDataFrame([("5", "v5")], "id string, val string")
+    with pytest.raises(ValueError, match="cannot change column 'id'"):
+        t.commit(bad)
+    # an explicit overwrite resets the schema instead
+    t.commit(bad, mode="overwrite")
+    assert t.read(spark).schema["id"].dataType.simpleString() == "string"
+
+
+def test_schema_evolution_survives_compaction(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_batch(spark, 0, 3))
+    t.commit(_batch(spark, 3, 5).withColumn("score", F.lit(7)))
+    t.compact(spark, target_files=1)
+    got = {(r.id, r.score) for r in t.read(spark).collect()}
+    assert got == {(0, None), (1, None), (2, None), (3, 7), (4, 7)}
