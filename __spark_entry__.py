@@ -5183,6 +5183,56 @@ def sql_kg_named_graphs() -> str:
     """
 
 
+def q_kg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update (kg/update.py — r4): DELETE { ?f kg:lang ?l }
+    INSERT { ?f kg:language ?l . ?f rdf:type kg:Document } WHERE
+    { ?f kg:lang ?l } applied to the assembled graph — WHERE evaluated
+    once against the PRE-state (spec §3.1.3), delete = broadcast
+    anti-join of the graph against the delta, insert = set-union with
+    existing rows winning on (s,p,o). Returns the updated graph."""
+    from rdf_tabular_spark.kg import update
+
+    _, _, triples = _kg_oracle_run(spark)
+    return update.delete_insert(
+        triples,
+        where=[("?f", _KG + "lang", "?l")],
+        delete_templates=[("?f", _KG + "lang", "?l")],
+        insert_templates=[("?f", _KG + "language", "?l", False),
+                          ("?f", _RDF_TYPE, _KGI + "class/Document", True)],
+    )
+
+
+def sql_kg_update() -> str:
+    """Twin replays the same pre-state rule: solutions from the
+    original graph, kept = graph minus instantiated deletes, inserts
+    merged set-wise with kept rows winning on the (s,p,o) key."""
+    return f"""
+    WITH t AS ({sql_kg_triples()}),
+    sols AS (SELECT subj AS f, obj AS l FROM t
+             WHERE pred = '{_KG}lang'),
+    kept AS (
+      SELECT t.* FROM t
+      LEFT JOIN sols d ON t.subj = d.f AND t.pred = '{_KG}lang'
+                       AND t.obj = d.l
+      WHERE d.f IS NULL),
+    ins AS (
+      SELECT DISTINCT f AS subj, '{_KG}language' AS pred, l AS obj,
+             FALSE AS obj_is_iri, CAST(NULL AS VARCHAR) AS obj_datatype,
+             CAST(NULL AS VARCHAR) AS obj_lang
+      FROM sols
+      UNION
+      SELECT DISTINCT f, '{_RDF_TYPE}', '{_KGI}class/Document',
+             TRUE, NULL, NULL
+      FROM sols),
+    fresh AS (
+      SELECT i.* FROM ins i
+      LEFT JOIN kept k ON i.subj = k.subj AND i.pred = k.pred
+                       AND i.obj = k.obj
+      WHERE k.subj IS NULL)
+    SELECT * FROM kept UNION ALL SELECT * FROM fresh
+    """
+
+
 def q_kg_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Module co-import affinity (kg/graph.py module_affinity): pairs of
     modules pulled in by >= 2 common files, with Jaccard affinity."""
@@ -5394,6 +5444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "kg_label_propagation": q_kg_label_propagation,
         "kg_named_graphs": q_kg_named_graphs,
+        "kg_update": q_kg_update,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5537,6 +5588,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": sql_graph_sssp(),
         "kg_label_propagation": sql_kg_label_propagation(),
         "kg_named_graphs": sql_kg_named_graphs(),
+        "kg_update": sql_kg_update(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

@@ -1,0 +1,116 @@
+"""SPARQL 1.1 Update (kg/update.py): INSERT/DELETE DATA, DELETE-INSERT
+WHERE pre-state semantics, transactional snapshot application."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_tabular_spark.kg.update import (
+    delete_data,
+    delete_insert,
+    insert_data,
+    transactional_update,
+)
+
+T = [
+    ("f:a", "p", "o1", False, "xsd:string", None),
+    ("f:a", "q", "o1", True, None, None),
+    ("f:b", "p", "o2", False, None, "en"),
+    ("m:x", "type", "Module", True, None, None),
+]
+
+SCHEMA = ("subj string, pred string, obj string, obj_is_iri boolean, "
+          "obj_datatype string, obj_lang string")
+
+
+def _g(spark, rows=None):
+    return spark.createDataFrame(rows or T, SCHEMA)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_insert_data_set_semantics_existing_wins(spark):
+    new = _g(spark, [
+        ("f:c", "p", "o3", False, None, None),
+        # same (s,p,o) as an asserted row but different metadata: the
+        # asserted row's datatype must survive
+        ("f:a", "p", "o1", True, None, None),
+    ])
+    out = insert_data(_g(spark), new)
+    assert out.count() == len(T) + 1
+    kept = out.filter("subj = 'f:a' and pred = 'p'").collect()[0]
+    assert kept.obj_datatype == "xsd:string" and kept.obj_is_iri is False
+
+
+def test_delete_data_by_key_absent_is_noop(spark):
+    gone = _g(spark, [
+        ("f:a", "p", "o1", True, None, None),      # metadata ignored
+        ("f:z", "p", "zzz", False, None, None),    # absent: no-op
+    ])
+    out = delete_data(_g(spark), gone)
+    assert _rows(out) == _rows(_g(spark, [r for r in T
+                                          if r[:3] != ("f:a", "p", "o1")]))
+
+
+def test_delete_insert_where_pre_state_rename(spark):
+    # rename p -> q; f:a ALREADY has a q triple with the same object:
+    # set semantics merge them, and the pre-existing q row's metadata
+    # wins over the inserted one
+    out = delete_insert(
+        _g(spark),
+        where=[("?s", "p", "?o")],
+        delete_templates=[("?s", "p", "?o")],
+        insert_templates=[("?s", "q", "?o", False)],
+    )
+    got = _rows(out.select("subj", "pred", "obj"))
+    assert got == sorted([
+        ("f:a", "q", "o1"), ("f:b", "q", "o2"), ("m:x", "type", "Module")])
+    merged = out.filter("subj = 'f:a' and pred = 'q'").collect()
+    assert len(merged) == 1 and merged[0].obj_is_iri is True
+
+
+def test_delete_insert_requires_a_template(spark):
+    with pytest.raises(ValueError, match="at least one template"):
+        delete_insert(_g(spark), where=[("?s", "p", "?o")])
+
+
+def test_delete_only_and_insert_only(spark):
+    only_del = delete_insert(_g(spark), [("?s", "p", "?o")],
+                             delete_templates=[("?s", "p", "?o")])
+    assert only_del.filter("pred = 'p'").count() == 0
+    only_ins = delete_insert(_g(spark), [("?s", "p", "?o")],
+                             insert_templates=[("?s", "seen", "true", False)])
+    assert only_ins.count() == len(T) + 2
+
+
+def test_transactional_update_snapshot_roundtrip(spark, tmp_path):
+    from rdf_tabular_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "g"))
+    t.commit(_g(spark), mode="overwrite")
+    sid = transactional_update(
+        t, spark,
+        lambda g: delete_insert(g, [("?s", "p", "?o")],
+                                delete_templates=[("?s", "p", "?o")],
+                                insert_templates=[("?s", "q", "?o", False)]))
+    assert sid == 2
+    assert t.read(spark).filter("pred = 'p'").count() == 0
+    # the pre-update graph is still time-travelable
+    assert t.read(spark, 1).filter("pred = 'p'").count() == 2
+
+
+def test_transactional_update_aborts_on_concurrent_commit(spark, tmp_path):
+    from rdf_tabular_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "g"))
+    t.commit(_g(spark), mode="overwrite")
+
+    def racing_fn(g):
+        # a concurrent writer lands between our read and our publish
+        t.commit(_g(spark, [("f:new", "p", "x", False, None, None)]))
+        return delete_data(g, _g(spark))
+
+    with pytest.raises(RuntimeError, match="parent moved"):
+        transactional_update(t, spark, racing_fn)
