@@ -5233,6 +5233,52 @@ def sql_kg_update() -> str:
     """
 
 
+def q_kg_graph_management(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update graph management (kg/update.py — r4): over the
+    repository-partitioned quad table (same dataset view as
+    kg_named_graphs), ``ADD DEFAULT TO g1`` then ``MOVE g1 TO g2`` —
+    g2's contents are replaced by g1's merged-with-default data and g1
+    is dropped. g1/g2 are the two lexicographically-smallest named
+    graphs (tiny driver probe: one IRI per repository, not per row).
+    Returns the final default-graph + g2 quads. Scale: every selector
+    is one predicate on the graph column (partition-pruned on a
+    graph-partitioned table); the merge anti-join probes ONE graph."""
+    from rdf_tabular_spark.kg import dataset, update
+
+    _, _, triples = _kg_oracle_run(spark)
+    quads = dataset.with_graph(triples, _GRAPH_EXPR)
+    g1, g2 = [r.graph for r in dataset.named_graphs(quads)
+              .orderBy("graph").limit(2).collect()]
+    out = update.move_graph(update.add_graph(quads, None, g1), g1, g2)
+    return (out.filter(F.col("graph").isNull() | (F.col("graph") == g2))
+            .select("graph", "subj", "pred", "obj"))
+
+
+def sql_kg_graph_management() -> str:
+    """Twin replays ADD-then-MOVE as set algebra: g2' = g1 rows union
+    (default rows anti-keyed against g1), default graph unchanged."""
+    return f"""
+    WITH t AS ({sql_kg_triples()}),
+    quads AS (SELECT {_GRAPH_EXPR} AS graph, subj, pred, obj FROM t),
+    gs AS (SELECT graph FROM quads WHERE graph IS NOT NULL
+           GROUP BY graph ORDER BY graph LIMIT 2),
+    dg AS (SELECT subj, pred, obj FROM quads WHERE graph IS NULL),
+    g1r AS (SELECT subj, pred, obj FROM quads
+            WHERE graph = (SELECT MIN(graph) FROM gs)),
+    merged AS (
+      SELECT * FROM g1r
+      UNION ALL
+      SELECT d.* FROM dg d
+      WHERE NOT EXISTS (SELECT 1 FROM g1r r
+                        WHERE r.subj = d.subj AND r.pred = d.pred
+                          AND r.obj = d.obj))
+    SELECT (SELECT MAX(graph) FROM gs) AS graph, subj, pred, obj
+    FROM merged
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), subj, pred, obj FROM dg
+    """
+
+
 def q_kg_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Module co-import affinity (kg/graph.py module_affinity): pairs of
     modules pulled in by >= 2 common files, with Jaccard affinity."""
@@ -5445,6 +5491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_label_propagation": q_kg_label_propagation,
         "kg_named_graphs": q_kg_named_graphs,
         "kg_update": q_kg_update,
+        "kg_graph_management": q_kg_graph_management,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5589,6 +5636,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_label_propagation": sql_kg_label_propagation(),
         "kg_named_graphs": sql_kg_named_graphs(),
         "kg_update": sql_kg_update(),
+        "kg_graph_management": sql_kg_graph_management(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

@@ -1,6 +1,7 @@
 """SPARQL 1.1 Update over the triple table (W3C sparql11-update):
-INSERT DATA / DELETE DATA / DELETE-INSERT WHERE, plus transactional
-application through the snapshot-table seam.
+INSERT DATA / DELETE DATA / DELETE-INSERT WHERE, graph management
+(CLEAR / DROP / ADD / COPY / MOVE over the quad table), plus
+transactional application through the snapshot-table seam.
 
 The reference emits a graph and stops (rdf-tabular writes RDF,
 reader.rb); a living KG needs mutation with SPARQL's semantics. All
@@ -83,6 +84,82 @@ def delete_insert(graph: DataFrame, where: list[tuple],
     if ins is not None:
         out = _merge_new(out, ins)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Graph management (spec §3.2) over the QUAD table (kg/dataset.py layout:
+# `graph` column, NULL = default graph). This engine does not track empty
+# graphs — a graph exists iff it holds at least one quad — so CLEAR and
+# DROP coincide (explicitly allowed by §3.2.2/§3.2.5: "stores that do not
+# record empty graphs"), and CREATE is a no-op. All operations are pure
+# quad -> quad transforms with SET semantics on (graph, s, p, o).
+#
+# Scale shape: every selector below is a single predicate on the `graph`
+# column — on a graph-partitioned quad table (the dataset module's write
+# recommendation) CLEAR/DROP prune to the target partition and the
+# 10^12-quad remainder is untouched metadata-only; ADD/COPY/MOVE retag a
+# one-graph stream (map-only projection) and merge it with one anti-join
+# whose probe side is the single destination graph, never the full table.
+
+def _graph_pred(graph: str | None):
+    """Selector for one graph term: None = the default graph. Null-safe
+    (``<=>``) so negating it keeps the default graph's NULL rows instead
+    of three-valued-logic-dropping them."""
+    return F.col("graph").eqNullSafe(F.lit(graph).cast("string"))
+
+
+def clear_graph(quads: DataFrame, target: str | None = "ALL") -> DataFrame:
+    """SPARQL ``CLEAR`` (§3.2.2): remove all quads of the target —
+    a graph IRI, ``None`` (DEFAULT), ``"NAMED"`` (every named graph) or
+    ``"ALL"``. Equals DROP here (no empty-graph bookkeeping)."""
+    if target == "ALL":
+        return quads.filter(F.lit(False))
+    if target == "NAMED":
+        return quads.filter(F.col("graph").isNull())
+    return quads.filter(~_graph_pred(target))
+
+
+def drop_graph(quads: DataFrame, target: str | None = "ALL") -> DataFrame:
+    """SPARQL ``DROP`` (§3.2.5) — identical to CLEAR in this store."""
+    return clear_graph(quads, target)
+
+
+def _retag(quads: DataFrame, src: str | None, dst: str | None) -> DataFrame:
+    """The quads of *src* retagged into *dst* (pure projection)."""
+    return quads.filter(_graph_pred(src)).withColumn(
+        "graph", F.lit(dst).cast("string"))
+
+
+def add_graph(quads: DataFrame, src: str | None,
+              dst: str | None) -> DataFrame:
+    """SPARQL ``ADD src TO dst`` (§3.2.7): insert all data from the
+    source graph into the destination; source unchanged, destination
+    rows win (s,p,o) collisions so their metadata columns survive —
+    the same merge rule as insert_data."""
+    if src == dst:
+        return quads  # spec: ADD onto itself is a no-op
+    dst_keys = quads.filter(_graph_pred(dst)).select(
+        "subj", "pred", "obj")  # graph constant within dst: key on (s,p,o)
+    fresh = _retag(quads, src, dst).join(
+        dst_keys, ["subj", "pred", "obj"], "left_anti")
+    return quads.unionByName(fresh)
+
+
+def copy_graph(quads: DataFrame, src: str | None,
+               dst: str | None) -> DataFrame:
+    """SPARQL ``COPY src TO dst`` (§3.2.6): destination data dropped,
+    then replaced with the source's; source unchanged."""
+    if src == dst:
+        return quads
+    return quads.filter(~_graph_pred(dst)).unionByName(_retag(quads, src, dst))
+
+
+def move_graph(quads: DataFrame, src: str | None,
+               dst: str | None) -> DataFrame:
+    """SPARQL ``MOVE src TO dst`` (§3.2.8): COPY, then DROP the source."""
+    if src == dst:
+        return quads
+    return drop_graph(copy_graph(quads, src, dst), src)
 
 
 def transactional_update(table, spark, update_fn) -> int:

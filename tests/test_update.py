@@ -114,3 +114,95 @@ def test_transactional_update_aborts_on_concurrent_commit(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="parent moved"):
         transactional_update(t, spark, racing_fn)
+
+
+# --- graph management (CLEAR / DROP / ADD / COPY / MOVE, spec §3.2) ------
+
+QSCHEMA = "graph string, " + SCHEMA
+
+Q = [
+    (None, "d:s", "p", "shared", False, None, None),
+    (None, "d:s", "q", "shared2", True, None, None),
+    ("g:1", "f:a", "p", "o1", False, "xsd:string", None),
+    ("g:1", "f:a", "q", "o2", True, None, None),
+    ("g:2", "f:a", "p", "o1", True, None, None),   # same (s,p,o) as g:1's
+    ("g:2", "f:b", "p", "o3", False, None, "en"),
+]
+
+
+def _q(spark, rows=None):
+    return spark.createDataFrame(rows or Q, QSCHEMA)
+
+
+def _qrows(df):
+    return sorted((tuple("\0" if v is None else v for v in r), tuple(r))
+                  for r in df.collect())
+
+
+def test_clear_named_graph_keeps_default_nulls(spark):
+    from rdf_tabular_spark.kg.update import clear_graph
+
+    out = clear_graph(_q(spark), "g:1")
+    # the default graph's NULL rows must survive the negated selector
+    assert _qrows(out) == _qrows(_q(spark, [r for r in Q if r[0] != "g:1"]))
+
+
+def test_clear_default_named_all(spark):
+    from rdf_tabular_spark.kg.update import clear_graph
+
+    assert _qrows(clear_graph(_q(spark), None)) == \
+        _qrows(_q(spark, [r for r in Q if r[0] is not None]))
+    assert _qrows(clear_graph(_q(spark), "NAMED")) == \
+        _qrows(_q(spark, [r for r in Q if r[0] is None]))
+    assert clear_graph(_q(spark), "ALL").count() == 0
+
+
+def test_add_existing_destination_rows_win(spark):
+    from rdf_tabular_spark.kg.update import add_graph
+
+    out = add_graph(_q(spark), "g:1", "g:2")
+    g2 = {(r.subj, r.pred, r.obj): r
+          for r in out.filter("graph = 'g:2'").collect()}
+    # g:2 already held (f:a, p, o1) with obj_is_iri=True — it wins
+    assert g2[("f:a", "p", "o1")].obj_is_iri is True
+    # g:1's other row arrives with its metadata
+    assert g2[("f:a", "q", "o2")].obj_is_iri is True
+    assert len(g2) == 3
+    # source unchanged
+    assert out.filter("graph = 'g:1'").count() == 2
+
+
+def test_add_from_default_to_named_null_key_merge(spark):
+    from rdf_tabular_spark.kg.update import add_graph
+
+    # also exercises the reverse: ADD DEFAULT TO g:1 twice is idempotent
+    once = add_graph(_q(spark), None, "g:1")
+    twice = add_graph(once, None, "g:1")
+    assert _qrows(once) == _qrows(twice)
+    assert once.filter("graph = 'g:1'").count() == 4
+
+
+def test_copy_replaces_destination(spark):
+    from rdf_tabular_spark.kg.update import copy_graph
+
+    out = copy_graph(_q(spark), "g:1", "g:2")
+    assert _qrows(out.filter("graph = 'g:2'").drop("graph")) == \
+        _qrows(_q(spark).filter("graph = 'g:1'").drop("graph"))
+    assert out.filter("graph = 'g:1'").count() == 2
+
+
+def test_move_drops_source(spark):
+    from rdf_tabular_spark.kg.update import move_graph
+
+    out = move_graph(_q(spark), "g:2", None)
+    assert out.filter("graph = 'g:2'").count() == 0
+    # destination (default graph) now holds exactly g:2's old data
+    assert _qrows(out.filter("graph is null").drop("graph")) == \
+        _qrows(_q(spark).filter("graph = 'g:2'").drop("graph"))
+
+
+def test_self_add_copy_move_are_noops(spark):
+    from rdf_tabular_spark.kg.update import add_graph, copy_graph, move_graph
+
+    for fn in (add_graph, copy_graph, move_graph):
+        assert _qrows(fn(_q(spark), "g:1", "g:1")) == _qrows(_q(spark))
