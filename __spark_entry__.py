@@ -3685,6 +3685,109 @@ def sql_kg_pagerank(damping: float = 0.85, iterations: int = 8) -> str:
     """
 
 
+def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (kg/graph.pagerank(sources=...) — r4):
+    teleport mass concentrated on the two lexicographically-smallest
+    graph nodes (a driver-sized seed probe, mirrored by the twin's
+    ORDER BY ... LIMIT 2 subquery); ranks measure dependency-proximity
+    to the seeds. Same loop shape and cost as global PageRank — the
+    seed set is a literal isin predicate, no extra join."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    edges = graph.edge_list(triples)
+    seeds = [r.node for r in
+             edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().orderBy("node").limit(2).collect()]
+    return graph.pagerank(triples, iterations=6, sources=seeds).select(
+        "node", F.round("rank", 6).alias("rank"))
+
+
+def sql_kg_ppr(damping: float = 0.85, iterations: int = 6) -> str:
+    """Unrolled personalized power iteration: CASE-selected teleport
+    base over the seed subquery, otherwise identical to sql_kg_pagerank."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    r{i} AS MATERIALIZED (
+      SELECT n.node,
+             (CASE WHEN n.node IN (SELECT node FROM seeds)
+                   THEN (1 - {damping}) / (SELECT COUNT(*) FROM seeds)
+                   ELSE 0 END) + COALESCE(c.contrib, 0) AS rank
+      FROM gnodes n
+      LEFT JOIN (
+        SELECT w.dst, SUM({prev}.rank * w.w) AS contrib
+        FROM w JOIN {prev} ON w.src = {prev}.node
+        GROUP BY w.dst) c
+      ON n.node = c.dst)""")
+        prev = f"r{i}"
+    return f"""
+    WITH {_sql_kg_edges()},
+    seeds AS MATERIALIZED (SELECT node FROM gnodes ORDER BY node LIMIT 2),
+    outd AS (SELECT src, COUNT(*) AS od FROM gedges GROUP BY src),
+    w AS MATERIALIZED (SELECT e.src, e.dst, {damping} / outd.od AS w
+          FROM gedges e JOIN outd ON e.src = outd.src),
+    r0 AS MATERIALIZED (
+      SELECT node, CASE WHEN node IN (SELECT node FROM seeds)
+                        THEN 1.0 / (SELECT COUNT(*) FROM seeds)
+                        ELSE 0 END AS rank
+      FROM gnodes),
+    {",".join(steps)}
+    SELECT node, round(rank, 6) AS rank FROM {prev}
+    """
+
+
+def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (kg/graph.hits — r4): unnormalized
+    integer-exact rounds (hub_0 = 1, so every intermediate sum is an
+    integer in doubles — bit-identical across engines and partitionings),
+    L1-normalized ONCE at the end; rounded to 6 decimals only to
+    canonicalize the final exact division's print format."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.hits(triples, iterations=3).select(
+        "node", F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"))
+
+
+def sql_kg_hits(iterations: int = 3) -> str:
+    """Unrolled HITS rounds (one auth + one hub CTE per round), same
+    integer-exact formulation; normalize + round at the end."""
+    steps = []
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT n.node, COALESCE(s.s, 0) AS auth
+      FROM gnodes n LEFT JOIN (
+        SELECT e.dst, SUM({prev_h}.hub) AS s
+        FROM gedges e JOIN {prev_h} ON e.src = {prev_h}.node
+        GROUP BY e.dst) s
+      ON n.node = s.dst)""")
+        steps.append(f"""
+    h{i} AS MATERIALIZED (
+      SELECT n.node, COALESCE(s.s, 0) AS hub
+      FROM gnodes n LEFT JOIN (
+        SELECT e.src, SUM(a{i}.auth) AS s
+        FROM gedges e JOIN a{i} ON e.dst = a{i}.node
+        GROUP BY e.src) s
+      ON n.node = s.src)""")
+        prev_h = f"h{i}"
+    last = iterations
+    return f"""
+    WITH {_sql_kg_edges()},
+    h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM gnodes),
+    {",".join(steps)}
+    SELECT h.node,
+           round(h.hub / (SELECT SUM(hub) FROM h{last}), 6) AS hub,
+           round(a.auth / (SELECT SUM(auth) FROM a{last}), 6) AS auth
+    FROM h{last} h JOIN a{last} a ON h.node = a.node
+    """
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental path (kg/delta.py): extraction of snapshot v1 + delta
     re-extraction of only the added/changed v2 files -> full v2 graph.
@@ -5492,6 +5595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_named_graphs": q_kg_named_graphs,
         "kg_update": q_kg_update,
         "kg_graph_management": q_kg_graph_management,
+        "kg_hits": q_kg_hits,
+        "kg_ppr": q_kg_ppr,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5637,6 +5742,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_named_graphs": sql_kg_named_graphs(),
         "kg_update": sql_kg_update(),
         "kg_graph_management": sql_kg_graph_management(),
+        "kg_hits": sql_kg_hits(),
+        "kg_ppr": sql_kg_ppr(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

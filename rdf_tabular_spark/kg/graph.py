@@ -158,10 +158,19 @@ def module_affinity(triples: DataFrame, min_files: int = 2,
 
 def pagerank(triples: DataFrame, damping: float = 0.85,
              iterations: int = 8,
-             predicates: tuple[str, ...] = EDGE_PREDICATES) -> DataFrame:
+             predicates: tuple[str, ...] = EDGE_PREDICATES,
+             sources: list[str] | None = None) -> DataFrame:
     """Fixed-iteration PageRank over the dependency edge list.
 
     rank_{t+1}(n) = (1-d)/N + d * sum_{m -> n} rank_t(m) / out_deg(m)
+
+    With *sources* (personalized PageRank, Page et al. 1999 §6 /
+    Jeh & Widom 2003): the teleport vector concentrates on the seed set
+    instead of being uniform — base = (1-d)/|S| on seeds, 0 elsewhere,
+    initial rank likewise — so ranks measure proximity TO the seeds
+    along dependency edges. The seed list is driver-sized (a handful of
+    IRIs), applied as a literal ``isin`` predicate: no extra join, the
+    loop's shape and cost are identical to the global variant.
 
     Deterministic given the input (modulo float summation order, which
     callers canonicalize away by rounding — see the contract query).
@@ -199,8 +208,19 @@ def pagerank(triples: DataFrame, damping: float = 0.85,
         .repartition("src")
         .localCheckpoint()
     )
-    base = (1.0 - damping) / n_nodes
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).persist()
+    if sources is None:
+        base_col = F.lit((1.0 - damping) / n_nodes)
+        init_col = F.lit(1.0 / n_nodes)
+    else:
+        if not sources:
+            raise ValueError("personalized pagerank needs >= 1 source")
+        seeds = sorted(set(sources))
+        base_col = F.when(F.col("node").isin(seeds),
+                          F.lit((1.0 - damping) / len(seeds))) \
+            .otherwise(F.lit(0.0))
+        init_col = F.when(F.col("node").isin(seeds),
+                          F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
+    ranks = nodes.select("node", init_col.alias("rank")).persist()
     for _ in range(iterations):
         contribs = (
             weighted.join(ranks, weighted.src == ranks.node)
@@ -211,7 +231,7 @@ def pagerank(triples: DataFrame, damping: float = 0.85,
             nodes.join(contribs, nodes.node == contribs.dst, "left")
             .select(
                 "node",
-                (F.lit(base) + F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+                (base_col + F.coalesce("contrib", F.lit(0.0))).alias("rank"),
             )
             .persist()
         )
@@ -224,6 +244,85 @@ def pagerank(triples: DataFrame, damping: float = 0.85,
     from ..caching import cache_bounded as _cache
 
     return _cache(ranks)
+
+
+def hits(triples: DataFrame, iterations: int = 3,
+         predicates: tuple[str, ...] = EDGE_PREDICATES) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the dependency
+    edge list: per round auth(n) = Σ_{m→n} hub(m), then
+    hub(n) = Σ_{n→m} auth(n→m's new value).
+
+    Deliberately UNNORMALIZED inside the loop, L1-normalized once at
+    the end: with hub_0 = 1 every intermediate score is integer-valued,
+    so the sums are EXACT in doubles (below 2^53) regardless of
+    partitioning or summation order — bit-identical across runs,
+    engines, and cluster sizes, unlike per-round float normalization
+    which compounds rounding differently per engine. The classic
+    per-round norm only matters for convergence reading; with a fixed
+    round count the end-normalized vector is identical up to one exact
+    scalar division. Raises if any pre-normalization score leaves the
+    exact-integer range (deepen with care: scores grow ~deg^(2T)).
+
+    Scale shape: per round two shuffle joins + two map-side-combined
+    aggs over the EDGE list (same as pagerank's one); the edge base is
+    localCheckpoint-ed once and reused; per-round persist/unpersist
+    keeps the plan flat. The final normalization is one scalar agg.
+    """
+    edges = edge_list(triples, predicates).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if iterations < 1:
+        raise ValueError("hits needs at least one iteration")
+    if nodes.isEmpty():
+        return triples.sparkSession.createDataFrame(
+            [], "node string, hub double, auth double")
+    hub = nodes.select("node", F.lit(1.0).alias("hub")).persist()
+    auth = None
+    for _ in range(iterations):
+        new_auth = (
+            nodes.join(
+                edges.join(hub, edges.src == hub.node)
+                .groupBy("dst").agg(F.sum("hub").alias("s")),
+                nodes.node == F.col("dst"), "left")
+            .select("node", F.coalesce("s", F.lit(0.0)).alias("auth"))
+            .persist()
+        )
+        new_auth.count()
+        new_hub = (
+            nodes.join(
+                edges.join(new_auth, edges.dst == new_auth.node)
+                .groupBy("src").agg(F.sum("auth").alias("s")),
+                nodes.node == F.col("src"), "left")
+            .select("node", F.coalesce("s", F.lit(0.0)).alias("hub"))
+            .persist()
+        )
+        new_hub.count()
+        hub.unpersist()
+        if auth is not None:
+            auth.unpersist()
+        hub, auth = new_hub, new_auth
+    scores = hub.join(auth, "node").localCheckpoint()
+    sums = scores.agg(
+        F.sum("hub").alias("hs"), F.sum("auth").alias("as_"),
+        F.max(F.greatest("hub", "auth")).alias("mx")).collect()[0]
+    if sums.mx is not None and sums.mx >= 2.0 ** 53:
+        raise ValueError(
+            f"HITS scores left the exact-integer double range ({sums.mx!r});"
+            " reduce iterations")
+    hs = sums.hs or 1.0
+    austotal = sums.as_ or 1.0
+    hub.unpersist()
+    auth.unpersist()
+    out = scores.select(
+        "node", (F.col("hub") / F.lit(hs)).alias("hub"),
+        (F.col("auth") / F.lit(austotal)).alias("auth"))
+    from ..caching import cache_bounded as _cache
+
+    return _cache(out.persist())
 
 
 def reachability(edges: DataFrame, max_hops: int = 6) -> DataFrame:

@@ -362,3 +362,72 @@ def test_label_propagation_partition_invariance(spark):
     many = {(r.node, r.label)
             for r in label_propagation(e.repartition(7), iterations=3).collect()}
     assert one == many
+
+
+def test_hits_hand_computed(spark):
+    # EDGES as a graph (defines counts too): a->x, a->y, b->x, c->c1,
+    # c1->y over 6 nodes {a, b, c, c1, x, y}; hub_0 = 1 everywhere.
+    # round 1: auth(x)=hub(a)+hub(b)=2, auth(y)=hub(a)+hub(c1)=2,
+    #          auth(c1)=hub(c)=1, others 0;
+    #          hub(a)=auth(x)+auth(y)=4, hub(b)=auth(x)=2,
+    #          hub(c)=auth(c1)=1, hub(c1)=auth(y)=2.
+    out = {r.node: (r.hub, r.auth)
+           for r in graph.hits(_triples(spark, EDGES), iterations=1)
+           .collect()}
+    hubs_raw = {"f:a": 4.0, "f:b": 2.0, "f:c": 1.0, "s:c1": 2.0,
+                "m:x": 0.0, "m:y": 0.0}
+    auth_raw = {"f:a": 0.0, "f:b": 0.0, "f:c": 0.0, "s:c1": 1.0,
+                "m:x": 2.0, "m:y": 2.0}
+    hs, as_ = sum(hubs_raw.values()), sum(auth_raw.values())
+    for n in hubs_raw:
+        assert out[n] == (hubs_raw[n] / hs, auth_raw[n] / as_)
+
+
+def test_hits_partition_invariance(spark):
+    t = _triples(spark, EDGES)
+    a = sorted(map(tuple, graph.hits(t, iterations=3).collect()))
+    b = sorted(map(tuple, graph.hits(t.repartition(7), iterations=3)
+                   .collect()))
+    assert a == b
+
+
+def test_hits_rejects_zero_iterations(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        graph.hits(_triples(spark, EDGES), iterations=0)
+
+
+def _py_ppr(edges, damping, iterations, seeds):
+    nodes = sorted({n for e in edges for n in e})
+    out_deg = {}
+    for s, d in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    seeds = sorted(set(seeds))
+    rank = {m: (1.0 / len(seeds) if m in seeds else 0.0) for m in nodes}
+    for _ in range(iterations):
+        contrib = {m: 0.0 for m in nodes}
+        for s, d in edges:
+            contrib[d] += damping * rank[s] / out_deg[s]
+        rank = {m: ((1.0 - damping) / len(seeds) if m in seeds else 0.0)
+                + contrib[m] for m in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("iterations", [1, 5])
+def test_personalized_pagerank_matches_reference(spark, iterations):
+    t = _triples(spark, EDGES)
+    seeds = ["f:a", "f:c"]
+    got = {r["node"]: r["rank"]
+           for r in graph.pagerank(t, iterations=iterations,
+                                   sources=seeds).collect()}
+    want = _py_ppr([(s, o) for s, _, o in EDGES], 0.85, iterations, seeds)
+    assert set(got) == set(want)
+    for node, rk in want.items():
+        assert got[node] == pytest.approx(rk, abs=1e-12), node
+    # mass concentrates near the seeds: a non-seed with no path from a
+    # seed holds rank 0 exactly
+    assert got["f:b"] == 0.0
+
+
+def test_personalized_pagerank_empty_seeds_rejected(spark):
+    with pytest.raises(ValueError, match="source"):
+        graph.pagerank(_triples(spark, EDGES), sources=[])
