@@ -5382,6 +5382,80 @@ def sql_kg_graph_management() -> str:
     """
 
 
+def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf mention rescoring (kg/link.py — r4, the north rule's
+    'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
+    from shared-shingle blocking (engine-portable, exact recall at the
+    blocking bar, hot-shingle df cap) scored by idf-weighted Jaccard of
+    the shingle sets in integer micro-nats — shared rare shingles count,
+    shared stop-shingles barely do. Both Σ are exact BIGINT sums and the
+    final ratio quantizes in pure integer arithmetic, so the scores are
+    bit-identical across engines and partitionings."""
+    from rdf_tabular_spark.kg import extract, link
+
+    src = spark.read.parquet(_kg_oracle_source_path())
+    ext = extract.extract_structures(src, layout="source", carry_sha=False)
+    # ALL extracted names — module mentions AND defined symbols (the
+    # north rule canonicalizes "repo/path/symbol entities")
+    mentions = ext.select(F.col("name").alias("mention"))
+    pairs = link.shingle_blocked_pairs(mentions, min_shared=2)
+    return link.tfidf_rescore(mentions, pairs).filter(
+        F.col("tfidf_micro") >= 150000)
+
+
+def sql_kg_link_tfidf() -> str:
+    """Twin replays blocking + idf-weighted Jaccard from the `mentions`
+    CTE: same normalize, same 3-gram shingles, same df cap, same
+    micro-nat idf quantization and integer ratio quantization."""
+    return _sql_kg_base() + """,
+    amentions AS (SELECT DISTINCT name AS mention FROM ext),
+    mnorm AS (
+      SELECT mention,
+             '^' || regexp_replace(regexp_replace(lower(mention),
+                     '^\\./', ''), '[/._-]+', '.', 'g') || '$' AS padded
+      FROM amentions),
+    msh AS (
+      SELECT mention,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(length(padded) - 2, 1)),
+               i -> substring(padded, CAST(i AS INT), 3)))) AS t
+      FROM mnorm),
+    sdf AS (SELECT t, COUNT(*) AS df FROM msh GROUP BY t),
+    live AS (SELECT m.mention, m.t FROM msh m JOIN sdf USING (t)
+             WHERE sdf.df <= 256),
+    cand AS (
+      SELECT a.mention AS a, b.mention AS b
+      FROM live a JOIN live b USING (t)
+      WHERE a.mention < b.mention
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    nn AS (SELECT COUNT(*) AS n FROM amentions),
+    idf AS (
+      SELECT t, CAST(round(ln(((SELECT n FROM nn) + 1)::DOUBLE
+                              / (df + 1)) * 1e6) AS BIGINT) AS idf_micro
+      FROM sdf),
+    un AS (
+      SELECT DISTINCT a, b, t FROM (
+        SELECT c.a, c.b, s.t FROM cand c JOIN msh s ON s.mention = c.a
+        UNION ALL
+        SELECT c.a, c.b, s.t FROM cand c JOIN msh s ON s.mention = c.b)),
+    fl AS (
+      SELECT u.a, u.b, u.t,
+             (sa.mention IS NOT NULL AND sb.mention IS NOT NULL) AS probe
+      FROM un u
+      LEFT JOIN msh sa ON sa.mention = u.a AND sa.t = u.t
+      LEFT JOIN msh sb ON sb.mention = u.b AND sb.t = u.t),
+    scored AS (
+      SELECT a, b,
+             SUM(CASE WHEN probe THEN i.idf_micro ELSE 0 END) AS num,
+             SUM(i.idf_micro) AS den
+      FROM fl JOIN idf i USING (t) GROUP BY a, b)
+    SELECT a, b,
+           CAST((2 * 1000000 * num + den) // (2 * den) AS BIGINT)
+             AS tfidf_micro
+    FROM scored WHERE (2 * 1000000 * num + den) // (2 * den) >= 150000
+    """
+
+
 def q_kg_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Module co-import affinity (kg/graph.py module_affinity): pairs of
     modules pulled in by >= 2 common files, with Jaccard affinity."""
@@ -5597,6 +5671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_management": q_kg_graph_management,
         "kg_hits": q_kg_hits,
         "kg_ppr": q_kg_ppr,
+        "kg_link_tfidf": q_kg_link_tfidf,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5744,6 +5819,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_management": sql_kg_graph_management(),
         "kg_hits": sql_kg_hits(),
         "kg_ppr": sql_kg_ppr(),
+        "kg_link_tfidf": sql_kg_link_tfidf(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

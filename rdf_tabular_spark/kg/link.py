@@ -200,6 +200,110 @@ def candidate_pairs(mentions: DataFrame, jaccard_threshold: float = 0.55) -> Dat
     return pairs
 
 
+#: hot-shingle guard for the blocked candidate generator: shingles in
+#: more than this many distinct mentions are stop-shingles (".py", "lib")
+#: and generate quadratic candidates without discriminating anything
+MAX_SHINGLE_DF = 256
+
+
+def shingle_blocked_pairs(mentions: DataFrame,
+                          min_shared: int = 2,
+                          max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Candidate mention pairs by shared-shingle blocking: (a, b, shared)
+    for a < b sharing >= *min_shared* non-stop shingles. The PPJoin-style
+    alternative to minhash-LSH blocking — exact recall at the blocking
+    bar (LSH banding is probabilistic), fully engine-portable (no hash
+    function in the plan), at the cost of touching every co-shingle pair
+    once. The df cap bounds the per-shingle join fan-out to max_df², and
+    the agg is map-side combined; the mention VOCABULARY (distinct
+    names, not the 10^12-row mention stream) is the join input."""
+    from pyspark.sql import Window
+
+    m = (
+        mentions.select("mention").distinct()
+        .withColumn("norm", normalize_mention(F.col("mention")))
+        .select("mention", F.explode(shingles(F.col("norm"))).alias("t"))
+    )
+    live = (
+        m.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("t")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    a = live.select(F.col("t"), F.col("mention").alias("a"))
+    b = live.select(F.col("t"), F.col("mention").alias("b"))
+    return (
+        a.join(b, "t")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def tfidf_rescore(mentions: DataFrame, pairs: DataFrame) -> DataFrame:
+    """tf-idf rescoring of candidate pairs (the north rule's second
+    linking stage after blocking): score(a, b) = idf-weighted Jaccard
+    of the shingle sets,
+
+        Σ_{t ∈ a∩b} idf(t)  /  Σ_{t ∈ a∪b} idf(t)
+
+    with smoothed idf(t) = ln((N+1)/(df(t)+1)) over the distinct-mention
+    vocabulary of size N — shared rare shingles count, shared
+    stop-shingles barely do. Returns (a, b, tfidf_micro).
+
+    Determinism: idf is quantized to integer micro-nats up front
+    (``round(ln · 1e6)`` — the ops/text.ngram_lm_score convention), so
+    both Σ are exact BIGINT sums under any partitioning, and the final
+    ratio is quantized with pure integer arithmetic
+    ``(2·10⁶·num + den) div (2·den)`` — floor(x·10⁶ + ½) without ever
+    leaving integers, bit-identical across engines.
+
+    Shape: the idf table is shingle-vocabulary-sized (broadcast); the
+    pair scoring is one explode over each pair's union set + one
+    broadcast join + one integer agg — candidates in, scores out,
+    nothing rescans the corpus."""
+    m = (
+        mentions.select("mention").distinct()
+        .withColumn("norm", normalize_mention(F.col("mention")))
+        .withColumn("sh", shingles(F.col("norm")))
+        .localCheckpoint(eager=False)
+    )
+    n = m.count()
+    idf = (
+        m.select(F.explode("sh").alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "t",
+            F.round(F.log((F.lit(float(n + 1))) / (F.col("df") + 1)) * 1e6)
+            .cast("long").alias("idf_micro"))
+    )
+    pa = (
+        pairs.select("a", "b")
+        .join(m.select(F.col("mention").alias("a"),
+                       F.col("sh").alias("sh_a")), "a")
+        .join(m.select(F.col("mention").alias("b"),
+                       F.col("sh").alias("sh_b")), "b")
+        .select("a", "b", "sh_a", "sh_b",
+                F.explode(F.array_union("sh_a", "sh_b")).alias("t"))
+        .select("a", "b", "t",
+                (F.array_contains("sh_a", F.col("t"))
+                 & F.array_contains("sh_b", F.col("t"))).alias("_probe"))
+    )
+    scored = (
+        pa.join(F.broadcast(idf), "t")
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.when(F.col("_probe"), F.col("idf_micro"))
+                  .otherwise(F.lit(0))).alias("num"),
+            F.sum("idf_micro").alias("den"))
+        .select(
+            "a", "b",
+            F.expr("(2 * 1000000 * num + den) div (2 * den)")
+            .alias("tfidf_micro"))
+    )
+    return scored
+
+
 def connected_components(
     mentions: DataFrame, pairs: DataFrame, max_iter: int = 10
 ) -> DataFrame:

@@ -245,3 +245,58 @@ def test_materialize_graph_partition_pruning(spark, tmp_path):
     assert lines["a"] == {"@id": "a", "defines": ['f"1'],
                           "imports": ["b", "x"]}
     assert lines["b"] == {"@id": "b", "imports": ["x"]}
+
+
+def test_shingle_blocked_pairs_shared_and_cap(spark):
+    from rdf_tabular_spark.kg.link import shingle_blocked_pairs
+
+    m = spark.createDataFrame(
+        [("numpy",), ("numpi",), ("flask",)], "mention string")
+    got = {(r.a, r.b): r.shared
+           for r in shingle_blocked_pairs(m, min_shared=2).collect()}
+    # numpy/numpi share ^nu, num, ump (not the tails); flask pairs with
+    # nobody at min_shared=2
+    assert ("numpi", "numpy") in got and got[("numpi", "numpy")] >= 2
+    assert all("flask" not in pair for pair in got)
+    # a df cap of 1 makes every shingle a stop-shingle: no candidates
+    assert shingle_blocked_pairs(m, min_shared=1, max_df=1).count() == 0
+
+
+def test_tfidf_rescore_hand_computed(spark):
+    import math
+
+    from rdf_tabular_spark.kg.link import (
+        _shingles_py, tfidf_rescore)
+
+    names = ["numpy", "numpi", "flask"]
+    m = spark.createDataFrame([(n,) for n in names], "mention string")
+    pairs = spark.createDataFrame(
+        [("numpi", "numpy"), ("flask", "numpy")], "a string, b string")
+    got = {(r.a, r.b): r.tfidf_micro for r in
+           tfidf_rescore(m, pairs).collect()}
+
+    sh = {n: _shingles_py(n) for n in names}
+    df = {}
+    for s in sh.values():
+        for t in s:
+            df[t] = df.get(t, 0) + 1
+    idf = {t: round(math.log(4 / (c + 1)) * 1e6) for t, c in df.items()}
+    for a, b in [("numpi", "numpy"), ("flask", "numpy")]:
+        num = sum(idf[t] for t in sh[a] & sh[b])
+        den = sum(idf[t] for t in sh[a] | sh[b])
+        assert got[(a, b)] == (2 * 1000000 * num + den) // (2 * den)
+    # the near-duplicate outranks the unrelated pair
+    assert got[("numpi", "numpy")] > got[("flask", "numpy")]
+
+
+def test_tfidf_rescore_partition_invariance(spark):
+    from rdf_tabular_spark.kg.link import shingle_blocked_pairs, tfidf_rescore
+
+    m = spark.createDataFrame(
+        [(w,) for w in ["requests", "request", "reqwests", "numpy",
+                        "pandas", "pandass"]], "mention string")
+    p = shingle_blocked_pairs(m, min_shared=2)
+    a = sorted(map(tuple, tfidf_rescore(m, p).collect()))
+    b = sorted(map(tuple, tfidf_rescore(m.repartition(5),
+                                        p.repartition(3)).collect()))
+    assert a == b
