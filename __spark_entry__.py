@@ -5382,6 +5382,30 @@ def sql_kg_graph_management() -> str:
     """
 
 
+def q_kg_bgp_term_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL term-metadata builtins (kg/query.match_bgp(term_meta=...)
+    — r4): DATATYPE(?v) / isLiteral(?v) as plain column references —
+    SELECT ?s ?p ?v (DATATYPE(?v) AS ?dt) WHERE { ?s ?p ?v
+    FILTER(isLiteral(?v) && DATATYPE(?v) != '') }. The metadata rides
+    the same scan projection as the term itself: no join, no UDF."""
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    return match_bgp(
+        triples, [("?s", "?p", "?v")], term_meta=["v"],
+        filters=["NOT v__isiri", "v__datatype IS NOT NULL"],
+        bind={"dt": "v__datatype"},
+        project=["s", "p", "v", "dt"])
+
+
+def sql_kg_bgp_term_meta() -> str:
+    return f"""
+    WITH t AS ({sql_kg_triples()})
+    SELECT DISTINCT subj AS s, pred AS p, obj AS v, obj_datatype AS dt
+    FROM t WHERE NOT obj_is_iri AND obj_datatype IS NOT NULL
+    """
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -5672,6 +5696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_ppr": q_kg_ppr,
         "kg_link_tfidf": q_kg_link_tfidf,
+        "kg_bgp_term_meta": q_kg_bgp_term_meta,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5820,6 +5845,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": sql_kg_hits(),
         "kg_ppr": sql_kg_ppr(),
         "kg_link_tfidf": sql_kg_link_tfidf(),
+        "kg_bgp_term_meta": sql_kg_bgp_term_meta(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

@@ -107,8 +107,16 @@ _SEQ_IDS = __import__("itertools").count()
 
 
 def _compile_pattern(triples: DataFrame, pattern: tuple,
-                     path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
-    """One triple pattern -> filtered projection with variable columns."""
+                     path_max_hops: int = DEFAULT_PATH_MAX_HOPS,
+                     meta_vars: frozenset = frozenset()) -> DataFrame:
+    """One triple pattern -> filtered projection with variable columns.
+
+    For object-position variables named in *meta_vars* the projection
+    additionally binds the term's metadata as ``{var}__isiri`` /
+    ``{var}__datatype`` / ``{var}__lang`` — SPARQL's isIRI/isLiteral,
+    DATATYPE() and LANG() builtins become plain column references in
+    FILTER/BIND expressions. Plain patterns only (path closures carry no
+    single term's metadata)."""
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o): {pattern!r}")
     pred = pattern[1]
@@ -197,8 +205,13 @@ def _compile_pattern(triples: DataFrame, pattern: tuple,
                 var_cols[name] = pos
         else:
             df = df.filter(F.col(pos) == term)
-    return df.select(
-        *[F.col(pos).alias(name) for name, pos in var_cols.items()])
+    cols = [F.col(pos).alias(name) for name, pos in var_cols.items()]
+    for name, pos in var_cols.items():
+        if pos == "obj" and name in meta_vars:
+            cols += [F.col("obj_is_iri").alias(f"{name}__isiri"),
+                     F.col("obj_datatype").alias(f"{name}__datatype"),
+                     F.col("obj_lang").alias(f"{name}__lang")]
+    return df.select(*cols)
 
 
 #: selectivity rank of a triple-pattern shape, most selective first —
@@ -273,8 +286,18 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
               distinct: bool = True,
               allow_cartesian: bool = False,
               reorder: bool = False,
+              term_meta: list[str] | None = None,
               path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
     """Match a conjunction of triple patterns; columns = variable names.
+
+    - *term_meta*: variable names whose TERM METADATA should also be
+      bound as ``{var}__isiri`` / ``{var}__datatype`` / ``{var}__lang``
+      columns — SPARQL's isIRI/isLiteral, DATATYPE() and LANG() builtins
+      as plain column references in *filters*/*bind*/*project*. Each
+      listed variable must appear in the object position of at least one
+      plain required pattern; the FIRST such pattern (in evaluation
+      order) binds the metadata, so the columns never become NULLable
+      equi-join keys between patterns.
 
     - *reorder*: apply the stats-free selectivity heuristic
       (reorder_patterns) before joining instead of following written
@@ -305,10 +328,38 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
     """
     if reorder:
         patterns = reorder_patterns(patterns)
-    return _match_patterns(
-        lambda pat: _compile_pattern(triples, pat, path_max_hops),
+    pending = set(term_meta or ())
+
+    def _plain_obj_var(pat) -> str | None:
+        """The object variable of a PLAIN pattern (no path syntax)."""
+        if len(pat) != 3 or isinstance(pat[1], tuple):
+            return None
+        p, o = pat[1], pat[2]
+        if isinstance(p, str) and not _is_var(p) and (
+                p.startswith(("!", "^")) or "|" in p
+                or p.endswith(("+", "*", "?"))):
+            return None
+        if isinstance(o, str) and _is_var(o) and len(o) > 1:
+            return o[1:]
+        return None
+
+    def compile_one(pat):
+        take: frozenset = frozenset()
+        ov = _plain_obj_var(pat)
+        if ov is not None and ov in pending:
+            take = frozenset([ov])
+            pending.discard(ov)
+        return _compile_pattern(triples, pat, path_max_hops, meta_vars=take)
+
+    out = _match_patterns(
+        compile_one,
         patterns, project=project, optional=optional, bind=bind,
         filters=filters, distinct=distinct, allow_cartesian=allow_cartesian)
+    if pending:
+        raise ValueError(
+            f"term_meta variables never bound in an object position of a "
+            f"plain required pattern: {sorted(pending)}")
+    return out
 
 
 def _match_patterns(compile_fn, patterns: list[tuple],

@@ -618,3 +618,56 @@ def test_reorder_same_solution_set(spark):
     opt = {tuple(sorted(r.asDict().items())) for r in match_bgp(
         _triples(spark), pats, reorder=True).collect()}
     assert plain == opt and plain
+
+
+# -------------------------------------------------- term metadata (r4)
+
+def _meta_triples(spark):
+    rows = [
+        ("f:a", "label", "hello", False, None, "en"),
+        ("f:a", "label", "bonjour", False, None, "fr"),
+        ("f:a", "size", "42", False, "xsd:integer", None),
+        ("f:a", "name", "plain", False, None, None),
+        ("f:a", "link", "m:x", True, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+
+
+def test_term_meta_lang_filter(spark):
+    got = match_bgp(
+        _meta_triples(spark), [("?s", "label", "?v")],
+        term_meta=["v"], filters=["v__lang = 'en'"]).collect()
+    assert [(r.s, r.v) for r in got] == [("f:a", "hello")]
+
+
+def test_term_meta_datatype_and_isiri(spark):
+    t = _meta_triples(spark)
+    typed = match_bgp(t, [("?s", "?p", "?v")], term_meta=["v"],
+                      filters=["v__datatype = 'xsd:integer'"],
+                      project=["p", "v"]).collect()
+    assert [(r.p, r.v) for r in typed] == [("size", "42")]
+    iris = match_bgp(t, [("?s", "?p", "?v")], term_meta=["v"],
+                     filters=["v__isiri"], project=["v"]).collect()
+    assert [r.v for r in iris] == ["m:x"]
+
+
+def test_term_meta_first_binder_not_a_join_key(spark):
+    # ?v is an object in TWO patterns; only the first binds metadata, so
+    # the join stays on the term value and NULL metadata can't drop rows
+    t = _meta_triples(spark).union(spark.createDataFrame(
+        [("f:b", "alias", "hello", False, None, None)],
+        _meta_triples(spark).schema))
+    got = match_bgp(t, [("?s", "label", "?v"), ("?s2", "alias", "?v")],
+                    term_meta=["v"],
+                    project=["s", "s2", "v", "v__lang"]).collect()
+    assert [(r.s, r.s2, r.v, r.v__lang) for r in got] == [
+        ("f:a", "f:b", "hello", "en")]
+
+
+def test_term_meta_unbound_raises(spark):
+    with pytest.raises(ValueError, match="never bound"):
+        match_bgp(_meta_triples(spark), [("?s", "label", "?v")],
+                  term_meta=["s"]).collect()
