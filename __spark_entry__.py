@@ -5406,6 +5406,66 @@ def sql_kg_bgp_term_meta() -> str:
     """
 
 
+def q_kg_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL text front-end (kg/sparql.py — r4): the query arrives as a
+    SPARQL STRING and compiles onto the same BGP/OPTIONAL/FILTER plans
+    the programmatic rows use — UNION of two edge predicates, a join on
+    the shared subject, and a regex FILTER on the hot-repo IRI."""
+    from rdf_tabular_spark.kg.sparql import sparql
+
+    _, _, triples = _kg_oracle_run(spark)
+    return sparql(triples, f"""
+        PREFIX kg: <{_KG}>
+        SELECT ?f ?x WHERE {{
+            {{ ?f kg:imports ?x }} UNION {{ ?f kg:dependsOn ?x }}
+            ?f kg:inRepo ?r
+            FILTER(CONTAINS(?r, "monorepo"))
+        }}
+    """)
+
+
+def sql_kg_sparql_select() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT DISTINCT e.subj AS f, e.obj AS x
+    FROM kgq e
+    JOIN kgq r ON r.subj = e.subj AND r.pred = '{_KG}inRepo'
+    WHERE e.pred IN ('{_KG}imports', '{_KG}dependsOn')
+      AND r.obj LIKE '%monorepo%'
+    """
+
+
+def q_kg_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL text front-end, aggregate form (kg/sparql.py — r4):
+    GROUP BY + COUNT + HAVING parsed from query text; HAVING compiles
+    to a hidden boolean aggregate inside the same hash aggregation (no
+    second pass over the solution multiset)."""
+    from rdf_tabular_spark.kg.sparql import sparql
+
+    _, _, triples = _kg_oracle_run(spark)
+    out = sparql(triples, f"""
+        PREFIX kg: <{_KG}>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?m (COUNT(?f) AS ?n_importers) WHERE {{
+            ?f kg:imports ?m . ?m rdf:type kg:Module
+        }} GROUP BY ?m HAVING (COUNT(?f) >= 3)
+    """)
+    return out.withColumn("n_importers",
+                          F.col("n_importers").cast("long"))
+
+
+def sql_kg_sparql_aggregate() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT i.obj AS m, CAST(COUNT(i.subj) AS BIGINT) AS n_importers
+    FROM kgq i
+    JOIN kgq t ON t.subj = i.obj
+              AND t.pred = '{_RDF_TYPE}' AND t.obj = '{_KG}Module'
+    WHERE i.pred = '{_KG}imports'
+    GROUP BY i.obj HAVING COUNT(i.subj) >= 3
+    """
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -5697,6 +5757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": q_kg_ppr,
         "kg_link_tfidf": q_kg_link_tfidf,
         "kg_bgp_term_meta": q_kg_bgp_term_meta,
+        "kg_sparql_select": q_kg_sparql_select,
+        "kg_sparql_aggregate": q_kg_sparql_aggregate,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5846,6 +5908,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": sql_kg_ppr(),
         "kg_link_tfidf": sql_kg_link_tfidf(),
         "kg_bgp_term_meta": sql_kg_bgp_term_meta(),
+        "kg_sparql_select": sql_kg_sparql_select(),
+        "kg_sparql_aggregate": sql_kg_sparql_aggregate(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

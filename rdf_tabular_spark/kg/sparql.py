@@ -1,0 +1,1269 @@
+"""SPARQL text front-end: parse a query string, execute on the triple
+table through the existing BGP layer.
+
+The reference emits RDF *for* downstream SPARQL engines (README.md's
+"use a SPARQL engine on the emitted graph" workflow); kg/query.py gives
+that workflow a Spark-native home as a programmatic API. This module
+closes the loop: a user can hand the engine the SPARQL **string** they
+would have run elsewhere, and it compiles onto the same DataFrame plans
+— every operator here is one of kg/query.py's already-audited shapes
+(filtered scans joined on shared variables, left joins for OPTIONAL,
+anti/semi joins for MINUS/EXISTS, hash aggregation for GROUP BY,
+TakeOrderedAndProject for ORDER+LIMIT). Nothing in this file touches
+data: parsing is driver-side string work; execution is Catalyst's.
+
+Supported surface (SPARQL 1.1 Query, pragmatic subset)
+------------------------------------------------------
+* ``PREFIX`` / ``BASE`` prologue; prefixed names expand to full IRIs.
+  An *undeclared* prefix is kept verbatim — the engine's triple tables
+  (and this repo's code-KG) store compact ``kg:dep``-style terms, so
+  ``?m kg:dep ?x`` with no prologue matches them directly.
+* ``SELECT [DISTINCT|REDUCED] (?v | (expr AS ?v) | *) WHERE { … }``
+  with ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` / ``LIMIT`` / ``OFFSET``.
+* ``ASK { … }``, ``CONSTRUCT { template } WHERE { … }``,
+  ``DESCRIBE <iri>… [WHERE { … }]`` (CBD, kg/query.describe).
+* Group graph patterns: triple blocks with ``;`` / ``,`` / ``a``,
+  ``FILTER`` (expression or ``[NOT] EXISTS { … }``), ``OPTIONAL { … }``,
+  ``{ … } UNION { … }``, ``MINUS { … }``, ``BIND(expr AS ?v)``,
+  ``VALUES`` (single- and multi-variable forms), nested groups and
+  sub-``SELECT``.
+* Property paths: ``^p``, ``p|q``, ``p/q``, ``p+``, ``p*``, ``p?``,
+  ``!(p|q)`` — straight onto kg/query.py's path forms (sequence =
+  tuple, others = string affixes). A *modifier on a parenthesized
+  sequence/alternation* (``(p/q)+``) exceeds the engine's path algebra
+  and raises a clear error.
+* FILTER/BIND expressions compile to Spark SQL: comparisons,
+  arithmetic, ``&&``/``||``/``!``, ``IN``, and the builtins BOUND,
+  REGEX, STR, LANG, LANGMATCHES, DATATYPE, isIRI/isURI, isLITERAL,
+  isBLANK, STRSTARTS, STRENDS, CONTAINS, STRLEN, STRBEFORE, STRAFTER,
+  UCASE, LCASE, SUBSTR, CONCAT, REPLACE, ABS, CEIL, FLOOR, ROUND, IF,
+  COALESCE, sameTerm. Term-metadata builtins (LANG/DATATYPE/is*) ride
+  the ``term_meta`` columns of kg/query.match_bgp — plain projections
+  of the scan, no join, no UDF. Aggregates: COUNT(*) / COUNT([DISTINCT]
+  ?v), SUM, AVG, MIN, MAX, SAMPLE, GROUP_CONCAT(?v; SEPARATOR "s").
+
+Documented divergences (all deterministic, all narrowing):
+* Literal constants in triple patterns match by lexical form (the
+  engine's term model stores one text column + metadata; use FILTER
+  with LANG()/DATATYPE() to discriminate typed/tagged literals).
+* ``SAMPLE`` returns ``min`` and ``GROUP_CONCAT`` sorts its inputs —
+  SPARQL leaves both nondeterministic; a distributed engine must not.
+* ``REDUCED`` is treated as ``DISTINCT`` (permitted by the spec).
+* Blank-node labels in queries, collections ``( … )`` in term
+  position, and ``[ … ]`` property lists are rejected loudly.
+
+Scale: identical to the programmatic API — the parser only *selects*
+among kg/query.py's plans. Pattern-join order follows the written
+query; pass ``reorder=True`` to apply the stats-free selectivity
+heuristic (kg/query.reorder_patterns) to each triple block.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .query import (DEFAULT_PATH_MAX_HOPS, describe, match_bgp,
+                    solution_modifiers)
+
+# --------------------------------------------------------------- lexer
+
+_TOKEN_RE = re.compile(r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
+  | (?P<BNODE>_:[A-Za-z_0-9]+)
+  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.\-]*:[A-Za-z_0-9.\-%]*)
+  | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<KW>[A-Za-z][A-Za-z_0-9]*)
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.=<>!+\-*/?^|])
+""", re.VERBOSE)
+
+#: keywords recognised case-insensitively (everything else alphabetic
+#: in a term position is an error — SPARQL terms are IRIs/vars/literals)
+_KEYWORDS = {
+    "PREFIX", "BASE", "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "WHERE",
+    "DISTINCT", "REDUCED", "FILTER", "OPTIONAL", "UNION", "MINUS",
+    "BIND", "VALUES", "AS", "GROUP", "BY", "HAVING", "ORDER", "ASC",
+    "DESC", "LIMIT", "OFFSET", "EXISTS", "NOT", "IN", "TRUE", "FALSE",
+    "UNDEF", "A",
+}
+
+
+@dataclass
+class _Tok:
+    kind: str  # IRIREF VAR PNAME STRING LANGTAG NUMBER KW OP BNODE EOF
+    text: str
+    pos: int
+
+
+def _lex(src: str) -> list[_Tok]:
+    toks, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise SparqlSyntaxError(
+                f"cannot tokenize at offset {i}: {src[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        text = m.group()
+        if kind == "KW" and text.upper() not in _KEYWORDS:
+            # bare word that is not a keyword: SPARQL has none outside
+            # prefixed names — flag it where it is used
+            pass
+        toks.append(_Tok(kind, text, m.start()))
+    toks.append(_Tok("EOF", "", len(src)))
+    return toks
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+class SparqlUnsupportedError(ValueError):
+    """Grammar the engine's execution algebra cannot express."""
+
+
+# ----------------------------------------------------------------- AST
+# Group elements are small tagged tuples:
+#   ("triples", [pattern, ...])        kg/query pattern tuples
+#   ("filter", sql_text)               translated expression
+#   ("exists", negate, group)          FILTER [NOT] EXISTS
+#   ("optional", group)
+#   ("union", [group, ...])
+#   ("minus", group)
+#   ("bind", var, sql_text)
+#   ("values", [ {var: text} ... ])
+#   ("group", group)                   nested { … }
+#   ("subselect", SelectQuery)
+
+
+@dataclass
+class _Select:
+    items: list  # [("var", name) | ("expr", sql, name) | ("agg", sql, name)]
+    star: bool
+    distinct: bool
+    group: list  # group elements
+    group_by: list[str]
+    having: list[str]
+    order_by: list[str]
+    limit: int | None
+    offset: int | None
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _lex(src)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        #: variables whose term metadata the translated expressions
+        #: reference (LANG/DATATYPE/isIRI/…) — filled by _expr
+        self.meta_vars: set[str] = set()
+
+    # -- token plumbing ----------------------------------------------
+    def peek(self, ahead: int = 0) -> _Tok:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "KW" and t.text.upper() in words
+
+    def eat_kw(self, word: str) -> None:
+        if not self.at_kw(word):
+            raise SparqlSyntaxError(
+                f"expected {word} at offset {self.peek().pos}, "
+                f"got {self.peek().text!r}")
+        self.next()
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t.kind == "OP" and t.text in ops
+
+    def eat_op(self, op: str) -> None:
+        if not self.at_op(op):
+            raise SparqlSyntaxError(
+                f"expected {op!r} at offset {self.peek().pos}, "
+                f"got {self.peek().text!r}")
+        self.next()
+
+    # -- prologue ------------------------------------------------------
+    def parse_prologue(self) -> None:
+        while True:
+            if self.at_kw("PREFIX"):
+                self.next()
+                pn = self.next()
+                if pn.kind != "PNAME" or not pn.text.endswith(":"):
+                    raise SparqlSyntaxError(
+                        f"PREFIX needs 'pfx:' at offset {pn.pos}")
+                iri = self.next()
+                if iri.kind != "IRIREF":
+                    raise SparqlSyntaxError(
+                        f"PREFIX needs <iri> at offset {iri.pos}")
+                self.prefixes[pn.text[:-1]] = iri.text[1:-1]
+            elif self.at_kw("BASE"):
+                self.next()
+                iri = self.next()
+                if iri.kind != "IRIREF":
+                    raise SparqlSyntaxError(
+                        f"BASE needs <iri> at offset {iri.pos}")
+                self.base = iri.text[1:-1]
+            else:
+                return
+
+    # -- terms ---------------------------------------------------------
+    def _iri_text(self, tok: _Tok) -> str:
+        if tok.kind == "IRIREF":
+            body = tok.text[1:-1]
+            if self.base and "://" not in body and not body.startswith(
+                    ("urn:", "mailto:", "file:")):
+                return self.base + body
+            return body
+        if tok.kind == "PNAME":
+            pfx, _, local = tok.text.partition(":")
+            if pfx in self.prefixes:
+                return self.prefixes[pfx] + local
+            return tok.text  # compact-term table (module docstring)
+        raise SparqlSyntaxError(f"expected IRI at offset {tok.pos}")
+
+    def parse_term(self, position: str):
+        """One RDF term in a triple pattern -> engine text.
+
+        Returns (text, is_literal, datatype, lang) — metadata is used by
+        CONSTRUCT templates; pattern matching uses only the text."""
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return ("?" + t.text[1:], False, None, None)
+        if t.kind in ("IRIREF", "PNAME"):
+            self.next()
+            return (self._iri_text(t), False, None, None)
+        if t.kind == "KW" and t.text.upper() == "A" and position == "pred":
+            self.next()
+            return ("rdf:type" if "rdf" not in self.prefixes
+                    else self.prefixes["rdf"] + "type",
+                    False, None, None)
+        if t.kind == "STRING":
+            self.next()
+            text = _unquote(t.text)
+            lang = dt = None
+            if self.peek().kind == "LANGTAG":
+                lang = self.next().text[1:]
+            elif self.at_op("^^"):
+                self.next()
+                dt = self._iri_text(self.next())
+            return (text, True, dt, lang)
+        if t.kind == "NUMBER":
+            self.next()
+            dt = ("xsd:integer" if re.fullmatch(r"[+-]?\d+", t.text)
+                  else "xsd:decimal")
+            return (t.text, True, dt, None)
+        if t.kind == "KW" and t.text.upper() in ("TRUE", "FALSE"):
+            self.next()
+            return (t.text.lower(), True, "xsd:boolean", None)
+        if t.kind == "BNODE":
+            raise SparqlUnsupportedError(
+                "blank-node labels in query patterns are not supported "
+                "(the emitters skolemize; match the _:-prefixed text)")
+        if t.kind == "OP" and t.text in ("[", "("):
+            raise SparqlUnsupportedError(
+                "blank-node property lists and RDF collections in term "
+                "position are not supported; name the node explicitly")
+        raise SparqlSyntaxError(
+            f"expected RDF term at offset {t.pos}, got {t.text!r}")
+
+    # -- property paths -------------------------------------------------
+    def parse_path(self):
+        """Path -> engine form: str (possibly with ^/!/|/+/*/? affixes)
+        or ("/", step, …) tuple, or "?var"."""
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return "?" + t.text[1:]
+        alts = [self._path_sequence()]
+        while self.at_op("|"):
+            self.next()
+            alts.append(self._path_sequence())
+        if len(alts) == 1:
+            return alts[0]
+        if any(isinstance(a, tuple) for a in alts):
+            raise SparqlUnsupportedError(
+                "alternation over sequence paths ((p/q)|r) is not "
+                "supported; split into a UNION of patterns")
+        return "|".join(alts)
+
+    def _path_sequence(self):
+        steps = [self._path_elt()]
+        while self.at_op("/"):
+            self.next()
+            steps.append(self._path_elt())
+        if len(steps) == 1:
+            return steps[0]
+        if any(isinstance(s, tuple) for s in steps):
+            # nested sequence tuples flatten (a/(b/c) == a/b/c)
+            flat = []
+            for s in steps:
+                flat.extend(s[1:] if isinstance(s, tuple) else [s])
+            return ("/", *flat)
+        return ("/", *steps)
+
+    def _path_elt(self):
+        inverse = False
+        if self.at_op("^"):
+            self.next()
+            inverse = True
+        prim = self._path_primary()
+        if self.at_op("+", "*", "?"):
+            mod = self.next().text
+            if isinstance(prim, tuple) or "|" in str(prim):
+                raise SparqlUnsupportedError(
+                    f"path modifier {mod!r} on a compound path is not "
+                    "supported; apply it to a single predicate")
+            prim = prim + mod
+        if inverse:
+            if isinstance(prim, tuple):
+                # ^(a/b) == ^b/^a
+                return ("/", *["^" + s if not s.startswith("^") else s[1:]
+                               for s in reversed(prim[1:])])
+            return "^" + prim
+        return prim
+
+    def _path_primary(self):
+        t = self.peek()
+        if t.kind in ("IRIREF", "PNAME"):
+            self.next()
+            return self._iri_text(t)
+        if t.kind == "KW" and t.text.upper() == "A":
+            self.next()
+            return ("rdf:type" if "rdf" not in self.prefixes
+                    else self.prefixes["rdf"] + "type")
+        if self.at_op("!"):
+            self.next()
+            if self.at_op("("):
+                self.next()
+                banned = [self._path_primary()]
+                while self.at_op("|"):
+                    self.next()
+                    banned.append(self._path_primary())
+                self.eat_op(")")
+            else:
+                banned = [self._path_primary()]
+            if any(isinstance(b, tuple) or str(b).startswith(("^", "!"))
+                   for b in banned):
+                raise SparqlUnsupportedError(
+                    "negated property sets support forward IRIs only")
+            return "!(" + "|".join(banned) + ")"
+        if self.at_op("("):
+            self.next()
+            inner = self.parse_path()
+            self.eat_op(")")
+            return inner
+        raise SparqlSyntaxError(
+            f"expected property path at offset {t.pos}, got {t.text!r}")
+
+    # -- group graph pattern ---------------------------------------------
+    def parse_group(self) -> list:
+        """``{ … }`` -> list of tagged elements (module AST comment)."""
+        self.eat_op("{")
+        elems: list = []
+        while not self.at_op("}"):
+            if self.at_kw("FILTER"):
+                self.next()
+                if self.at_kw("EXISTS"):
+                    self.next()
+                    elems.append(("exists", False, self.parse_group()))
+                elif self.at_kw("NOT"):
+                    self.next()
+                    self.eat_kw("EXISTS")
+                    elems.append(("exists", True, self.parse_group()))
+                else:
+                    elems.append(("filter", self._bracketed_expr()))
+            elif self.at_kw("OPTIONAL"):
+                self.next()
+                elems.append(("optional", self.parse_group()))
+            elif self.at_kw("MINUS"):
+                self.next()
+                elems.append(("minus", self.parse_group()))
+            elif self.at_kw("BIND"):
+                self.next()
+                self.eat_op("(")
+                sql = self._expr()
+                self.eat_kw("AS")
+                v = self.next()
+                if v.kind != "VAR":
+                    raise SparqlSyntaxError(
+                        f"BIND needs ?var at offset {v.pos}")
+                self.eat_op(")")
+                elems.append(("bind", v.text[1:], sql))
+            elif self.at_kw("VALUES"):
+                self.next()
+                elems.append(("values", self._values_rows()))
+            elif self.at_op("{"):
+                # nested group, UNION chain, or sub-SELECT
+                if (self.peek(1).kind == "KW"
+                        and self.peek(1).text.upper() == "SELECT"):
+                    self.next()
+                    sub = self.parse_select(sub=True)
+                    self.eat_op("}")
+                    elems.append(("subselect", sub))
+                else:
+                    first = self.parse_group()
+                    if self.at_kw("UNION"):
+                        branches = [first]
+                        while self.at_kw("UNION"):
+                            self.next()
+                            branches.append(self.parse_group())
+                        elems.append(("union", branches))
+                    else:
+                        elems.append(("group", first))
+            else:
+                elems.append(("triples", self._triples_block()))
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        return elems
+
+    def _triples_block(self) -> list[tuple]:
+        """subject predicateObjectList with ``;`` and ``,``."""
+        pats: list[tuple] = []
+        while True:
+            s, s_lit, _, _ = self.parse_term("subj")
+            if s_lit:
+                raise SparqlSyntaxError("literal in subject position")
+            while True:
+                p = self.parse_path()
+                while True:
+                    o, _, _, _ = self.parse_term("obj")
+                    pats.append((s, p, o))
+                    if self.at_op(","):
+                        self.next()
+                        continue
+                    break
+                if self.at_op(";"):
+                    self.next()
+                    if self.at_op(".", ";", "}"):  # trailing ;
+                        break
+                    continue
+                break
+            if self.at_op("."):
+                # consume and continue only if another triple follows
+                nxt = self.peek(1)
+                if nxt.kind in ("VAR", "IRIREF", "PNAME", "STRING",
+                                "NUMBER"):
+                    self.next()
+                    continue
+            break
+        return pats
+
+    def _values_rows(self) -> list[dict]:
+        single = None
+        if self.peek().kind == "VAR":
+            single = self.next().text[1:]
+            cols = [single]
+        else:
+            self.eat_op("(")
+            cols = []
+            while self.peek().kind == "VAR":
+                cols.append(self.next().text[1:])
+            self.eat_op(")")
+        self.eat_op("{")
+        rows: list[dict] = []
+        while not self.at_op("}"):
+            if single is not None:
+                if self.at_kw("UNDEF"):
+                    raise SparqlUnsupportedError(
+                        "UNDEF in VALUES is not supported; bind fewer "
+                        "variables instead")
+                text, _, _, _ = self.parse_term("obj")
+                rows.append({single: text})
+            else:
+                self.eat_op("(")
+                row = {}
+                for c in cols:
+                    if self.at_kw("UNDEF"):
+                        raise SparqlUnsupportedError(
+                            "UNDEF in VALUES is not supported; bind "
+                            "fewer variables instead")
+                    text, _, _, _ = self.parse_term("obj")
+                    row[c] = text
+                self.eat_op(")")
+                rows.append(row)
+        self.eat_op("}")
+        return rows
+
+    # -- expressions -> Spark SQL -----------------------------------------
+    def _bracketed_expr(self) -> str:
+        self.eat_op("(")
+        sql = self._expr()
+        self.eat_op(")")
+        return sql
+
+    def _expr(self) -> str:
+        return self._or_expr()
+
+    def _or_expr(self) -> str:
+        left = self._and_expr()
+        while self.at_op("||"):
+            self.next()
+            left = f"({left} OR {self._and_expr()})"
+        return left
+
+    def _and_expr(self) -> str:
+        left = self._rel_expr()
+        while self.at_op("&&"):
+            self.next()
+            left = f"({left} AND {self._rel_expr()})"
+        return left
+
+    def _rel_expr(self) -> str:
+        left = self._add_expr()
+        if self.at_op("=", "!=", "<", ">", "<=", ">="):
+            op = self.next().text
+            right = self._add_expr()
+            return f"({left} {op} {right})"
+        if self.at_kw("IN"):
+            self.next()
+            return f"({left} IN {self._expr_list_sql()})"
+        if self.at_kw("NOT"):
+            self.next()
+            self.eat_kw("IN")
+            return f"({left} NOT IN {self._expr_list_sql()})"
+        return left
+
+    def _expr_list_sql(self) -> str:
+        self.eat_op("(")
+        items = [self._expr()]
+        while self.at_op(","):
+            self.next()
+            items.append(self._expr())
+        self.eat_op(")")
+        return "(" + ", ".join(items) + ")"
+
+    def _add_expr(self) -> str:
+        left = self._mul_expr()
+        while self.at_op("+", "-"):
+            op = self.next().text
+            left = f"({left} {op} {self._mul_expr()})"
+        return left
+
+    def _mul_expr(self) -> str:
+        left = self._unary_expr()
+        while self.at_op("*", "/"):
+            op = self.next().text
+            left = f"({left} {op} {self._unary_expr()})"
+        return left
+
+    def _unary_expr(self) -> str:
+        if self.at_op("!"):
+            self.next()
+            return f"(NOT {self._unary_expr()})"
+        if self.at_op("-"):
+            self.next()
+            return f"(- {self._unary_expr()})"
+        if self.at_op("+"):
+            self.next()
+            return self._unary_expr()
+        return self._primary_expr()
+
+    def _primary_expr(self) -> str:
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            return self._bracketed_expr()
+        if t.kind == "VAR":
+            self.next()
+            return t.text[1:]
+        if t.kind == "NUMBER":
+            self.next()
+            return t.text
+        if t.kind == "STRING":
+            self.next()
+            text = _unquote(t.text)
+            if self.peek().kind == "LANGTAG":
+                self.next()  # tag compared via LANG(); lexical form here
+            elif self.at_op("^^"):
+                self.next()
+                dt = self._iri_text(self.next())
+                return _typed_literal_sql(text, dt)
+            return _sql_str(text)
+        if t.kind == "IRIREF" or t.kind == "PNAME":
+            # IRI used as a value (e.g. ?x = <iri>): compare by text —
+            # but a PNAME followed by "(" would be a cast we don't do
+            self.next()
+            return _sql_str(self._iri_text(t))
+        if t.kind == "KW":
+            if t.text.upper() in self._AGGS:
+                return self._agg_call()  # aggregates inside HAVING etc.
+            return self._call_expr()
+        raise SparqlSyntaxError(
+            f"expected expression at offset {t.pos}, got {t.text!r}")
+
+    def _call_expr(self) -> str:
+        name = self.next().text.upper()
+        if name in ("TRUE", "FALSE"):
+            return name.lower()
+
+        def args(minn, maxn) -> list[str]:
+            self.eat_op("(")
+            out = []
+            if not self.at_op(")"):
+                out.append(self._expr())
+                while self.at_op(","):
+                    self.next()
+                    out.append(self._expr())
+            self.eat_op(")")
+            if not (minn <= len(out) <= maxn):
+                raise SparqlSyntaxError(
+                    f"{name} takes {minn}..{maxn} args, got {len(out)}")
+            return out
+
+        def meta(var_sql: str, suffix: str) -> str:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", var_sql):
+                raise SparqlUnsupportedError(
+                    f"{name} applies to a variable, got {var_sql!r}")
+            self.meta_vars.add(var_sql)
+            return f"{var_sql}__{suffix}"
+
+        if name == "BOUND":
+            (a,) = args(1, 1)
+            return f"({a} IS NOT NULL)"
+        if name == "REGEX":
+            a = args(2, 3)
+            pat = a[1]
+            if len(a) == 3:
+                flags = a[2].strip("'")
+                if flags == "i":
+                    pat = (f"'(?i)' || {a[1]}" if not _is_sql_str(a[1])
+                           else _sql_str("(?i)" + a[1][1:-1]))
+                elif flags:
+                    raise SparqlUnsupportedError(
+                        f"REGEX flags {flags!r} not supported (only 'i')")
+            return f"({a[0]} RLIKE {pat})"
+        if name == "STR":
+            (a,) = args(1, 1)
+            return f"CAST({a} AS STRING)"
+        if name == "LANG":
+            (a,) = args(1, 1)
+            return f"coalesce({meta(a, 'lang')}, '')"
+        if name == "DATATYPE":
+            (a,) = args(1, 1)
+            return meta(a, "datatype")
+        if name == "LANGMATCHES":
+            a, b = args(2, 2)
+            if _is_sql_str(b) and b[1:-1] == "*":
+                return f"({a} <> '')"
+            return (f"(lower({a}) = lower({b}) OR "
+                    f"startswith(lower({a}), lower({b}) || '-'))")
+        if name in ("ISIRI", "ISURI"):
+            (a,) = args(1, 1)
+            return (f"({meta(a, 'isiri')} AND NOT "
+                    f"startswith({a}, '_:'))")
+        if name == "ISLITERAL":
+            (a,) = args(1, 1)
+            return f"(NOT {meta(a, 'isiri')})"
+        if name == "ISBLANK":
+            (a,) = args(1, 1)
+            return f"({meta(a, 'isiri')} AND startswith({a}, '_:'))"
+        if name == "SAMETERM":
+            a, b = args(2, 2)
+            return f"({a} = {b})"
+        if name == "STRSTARTS":
+            a, b = args(2, 2)
+            return f"startswith({a}, {b})"
+        if name == "STRENDS":
+            a, b = args(2, 2)
+            return f"endswith({a}, {b})"
+        if name == "CONTAINS":
+            a, b = args(2, 2)
+            return f"contains({a}, {b})"
+        if name == "STRLEN":
+            (a,) = args(1, 1)
+            return f"length({a})"
+        if name == "STRBEFORE":
+            a, b = args(2, 2)
+            return (f"(CASE WHEN instr({a}, {b}) > 0 THEN "
+                    f"substring({a}, 1, instr({a}, {b}) - 1) "
+                    f"ELSE '' END)")
+        if name == "STRAFTER":
+            a, b = args(2, 2)
+            return (f"(CASE WHEN instr({a}, {b}) > 0 THEN "
+                    f"substring({a}, instr({a}, {b}) + length({b})) "
+                    f"ELSE '' END)")
+        if name == "UCASE":
+            (a,) = args(1, 1)
+            return f"upper({a})"
+        if name == "LCASE":
+            (a,) = args(1, 1)
+            return f"lower({a})"
+        if name == "SUBSTR":
+            a = args(2, 3)
+            return f"substring({', '.join(a)})"
+        if name == "CONCAT":
+            a = args(1, 99)
+            return f"concat({', '.join(a)})"
+        if name == "REPLACE":
+            a = args(3, 3)
+            return f"regexp_replace({a[0]}, {a[1]}, {a[2]})"
+        if name in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            (a,) = args(1, 1)
+            return f"{name.lower()}({a})"
+        if name == "IF":
+            a = args(3, 3)
+            return f"if({a[0]}, {a[1]}, {a[2]})"
+        if name == "COALESCE":
+            a = args(1, 99)
+            return f"coalesce({', '.join(a)})"
+        raise SparqlUnsupportedError(f"builtin {name} not supported")
+
+    # -- SELECT ------------------------------------------------------------
+    def parse_select(self, sub: bool = False) -> _Select:
+        self.eat_kw("SELECT")
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.next()
+            distinct = True
+        elif self.at_kw("REDUCED"):
+            self.next()
+            distinct = True  # documented: REDUCED treated as DISTINCT
+        items, star = [], False
+        if self.at_op("*"):
+            self.next()
+            star = True
+        else:
+            while True:
+                if self.peek().kind == "VAR":
+                    items.append(("var", self.next().text[1:]))
+                elif self.at_op("("):
+                    self.next()
+                    kind, sql = self._select_expr()
+                    self.eat_kw("AS")
+                    v = self.next()
+                    if v.kind != "VAR":
+                        raise SparqlSyntaxError(
+                            f"(expr AS ?var) at offset {v.pos}")
+                    self.eat_op(")")
+                    items.append((kind, sql, v.text[1:]))
+                else:
+                    break
+            if not items:
+                raise SparqlSyntaxError("empty SELECT clause")
+        if self.at_kw("WHERE"):
+            self.next()
+        group = self.parse_group()
+        group_by: list[str] = []
+        having: list[str] = []
+        order_by: list[str] = []
+        limit = offset = None
+        while True:
+            if self.at_kw("GROUP"):
+                self.next()
+                self.eat_kw("BY")
+                while self.peek().kind == "VAR":
+                    group_by.append(self.next().text[1:])
+                if not group_by:
+                    raise SparqlSyntaxError("GROUP BY needs ?vars")
+            elif self.at_kw("HAVING"):
+                self.next()
+                having.append(self._agg_or_expr())
+            elif self.at_kw("ORDER"):
+                self.next()
+                self.eat_kw("BY")
+                while True:
+                    if self.at_kw("ASC") or self.at_kw("DESC"):
+                        d = self.next().text.upper()
+                        e = self._bracketed_expr()
+                        order_by.append(f"{e} {d}")
+                    elif self.peek().kind == "VAR":
+                        order_by.append(self.next().text[1:])
+                    elif self.at_op("("):
+                        order_by.append(self._bracketed_expr())
+                    else:
+                        break
+                if not order_by:
+                    raise SparqlSyntaxError("ORDER BY needs sort keys")
+            elif self.at_kw("LIMIT"):
+                self.next()
+                limit = int(self.next().text)
+            elif self.at_kw("OFFSET"):
+                self.next()
+                offset = int(self.next().text)
+            else:
+                break
+        return _Select(items, star, distinct, group, group_by, having,
+                       order_by, limit, offset)
+
+    _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
+             "GROUP_CONCAT"}
+
+    def _select_expr(self):
+        """Inside (… AS ?v): aggregate call or plain expression."""
+        t = self.peek()
+        if t.kind == "KW" and t.text.upper() in self._AGGS:
+            return ("agg", self._agg_call())
+        return ("expr", self._expr())
+
+    def _agg_or_expr(self) -> str:
+        t = self.peek()
+        if t.kind == "KW" and t.text.upper() in self._AGGS:
+            return self._agg_call()
+        return self._expr()
+
+    def _agg_call(self) -> str:
+        name = self.next().text.upper()
+        self.eat_op("(")
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.next()
+            distinct = True
+        if name == "COUNT" and self.at_op("*"):
+            self.next()
+            self.eat_op(")")
+            return "count(1)" if not distinct else "count(distinct 1)"
+        inner = self._expr()
+        if name == "GROUP_CONCAT":
+            sep = " "
+            if self.at_op(";"):
+                self.next()
+                kw = self.next()
+                if kw.text.upper() != "SEPARATOR":
+                    raise SparqlSyntaxError(
+                        f"expected SEPARATOR at offset {kw.pos}")
+                if self.at_op("="):
+                    self.next()
+                s = self.next()
+                if s.kind != "STRING":
+                    raise SparqlSyntaxError("SEPARATOR needs a string")
+                sep = _unquote(s.text)
+            self.eat_op(")")
+            coll = ("collect_set" if distinct else "collect_list")
+            # sorted for determinism (module docstring divergence)
+            return (f"array_join(sort_array({coll}({inner})), "
+                    f"{_sql_str(sep)})")
+        self.eat_op(")")
+        d = "distinct " if distinct else ""
+        if name == "SAMPLE":
+            return f"min({inner})"  # deterministic sample (docstring)
+        return f"{name.lower()}({d}{inner})"
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return (body.replace("\\\\", "\0").replace("\\\"", "\"")
+            .replace("\\'", "'").replace("\\n", "\n").replace("\\t", "\t")
+            .replace("\\r", "\r").replace("\0", "\\"))
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _is_sql_str(sql: str) -> bool:
+    return sql.startswith("'") and sql.endswith("'")
+
+
+_NUMERIC_DT = {
+    "integer": "BIGINT", "int": "INT", "long": "BIGINT",
+    "short": "SMALLINT", "byte": "TINYINT", "decimal": "DECIMAL(38,9)",
+    "double": "DOUBLE", "float": "FLOAT", "boolean": "BOOLEAN",
+    "nonNegativeInteger": "BIGINT", "positiveInteger": "BIGINT",
+    "negativeInteger": "BIGINT", "nonPositiveInteger": "BIGINT",
+    "unsignedLong": "BIGINT", "unsignedInt": "BIGINT",
+    "date": "DATE", "dateTime": "TIMESTAMP",
+}
+
+
+def _typed_literal_sql(text: str, dt: str) -> str:
+    local = dt.rsplit("#", 1)[-1].rsplit(":", 1)[-1].rsplit("/", 1)[-1]
+    sql_t = _NUMERIC_DT.get(local)
+    if sql_t is None:
+        return _sql_str(text)
+    return f"CAST({_sql_str(text)} AS {sql_t})"
+
+
+# ------------------------------------------------------------ evaluator
+
+class _Evaluator:
+    """Execute a parsed group element list against the triple table.
+
+    Solution sets are DataFrames with one column per variable; elements
+    combine by the SPARQL join-on-shared-variables rule, which is
+    exactly a column-name equi-join (the same machinery as
+    kg/query._match_patterns, generalized to non-pattern operands)."""
+
+    def __init__(self, triples: DataFrame, meta_vars: set[str],
+                 reorder: bool, allow_cartesian: bool,
+                 path_max_hops: int):
+        self.triples = triples
+        self.pending_meta = set(meta_vars)
+        self.reorder = reorder
+        self.allow_cartesian = allow_cartesian
+        self.hops = path_max_hops
+
+    # join a new solution set into the accumulator
+    def _combine(self, acc, nxt: DataFrame, how: str = "inner"):
+        if acc is None:
+            if how != "inner":
+                raise SparqlSyntaxError(
+                    f"{how} element cannot start a group")
+            return nxt
+        shared = [c for c in nxt.columns if c in acc.columns]
+        if shared:
+            return acc.join(nxt, shared, how)
+        if how == "left":
+            raise SparqlSyntaxError(
+                "OPTIONAL group shares no variable with the "
+                "preceding patterns")
+        if self.allow_cartesian:
+            return acc.crossJoin(nxt)
+        raise SparqlSyntaxError(
+            "pattern group shares no variable with the preceding "
+            "patterns (pass allow_cartesian=True to force)")
+
+    def _block(self, pats: list[tuple]) -> DataFrame:
+        """One triple block -> match_bgp with term-metadata binding for
+        the still-pending metadata variables this block can bind."""
+        take = []
+        for pat in pats:
+            if len(pat) != 3 or isinstance(pat[1], tuple):
+                continue  # sequence paths carry no single term metadata
+            p, o = pat[1], pat[2]
+            plain = isinstance(p, str) and (
+                p.startswith("?")  # variable predicate: plain pattern
+                or (not p.startswith(("!", "^")) and "|" not in p
+                    and not p.endswith(("+", "*", "?"))))
+            if plain and isinstance(o, str) and o.startswith("?"):
+                v = o[1:]
+                if v in self.pending_meta and v not in take:
+                    take.append(v)
+        self.pending_meta -= set(take)
+        return match_bgp(self.triples, pats, distinct=False,
+                         reorder=self.reorder, term_meta=take or None,
+                         allow_cartesian=self.allow_cartesian,
+                         path_max_hops=self.hops)
+
+    def eval_group(self, elems: list) -> DataFrame:
+        acc = None
+        filters: list[str] = []
+        exists: list[tuple] = []
+        for el in elems:
+            tag = el[0]
+            if tag == "triples":
+                acc = self._combine(acc, self._block(el[1]))
+            elif tag == "filter":
+                filters.append(el[1])
+            elif tag == "exists":
+                exists.append((el[1], el[2]))
+            elif tag == "optional":
+                acc = self._combine(acc, self.eval_group(el[2] if len(el) > 2
+                                                         else el[1]), "left")
+            elif tag == "minus":
+                right = self.eval_group(el[1])
+                shared = [c for c in right.columns if c in acc.columns]
+                if not shared:
+                    continue  # SPARQL: disjoint MINUS removes nothing
+                acc = acc.join(right.select(*shared).distinct(),
+                               shared, "left_anti")
+            elif tag == "union":
+                branches = [self.eval_group(g) for g in el[1]]
+                all_cols = sorted({c for b in branches for c in b.columns})
+                parts = [
+                    b.select(*[
+                        F.col(c) if c in b.columns
+                        else F.lit(None).cast("string").alias(c)
+                        for c in all_cols])
+                    for b in branches]
+                u = parts[0]
+                for p in parts[1:]:
+                    u = u.unionByName(p)
+                acc = self._combine(acc, u)
+            elif tag == "bind":
+                _, var, sql = el
+                if acc is None:
+                    raise SparqlSyntaxError(
+                        "BIND cannot start a group")
+                if var in acc.columns:
+                    raise SparqlSyntaxError(
+                        f"BIND target ?{var} is already bound")
+                acc = acc.withColumn(var, F.expr(sql))
+            elif tag == "values":
+                rows = el[1]
+                cols = sorted(rows[0])
+                if any(sorted(r) != cols for r in rows):
+                    raise SparqlSyntaxError(
+                        "every VALUES row must bind the same variables")
+                vals = self.triples.sparkSession.createDataFrame(
+                    [tuple(r[c] for c in cols) for r in rows],
+                    ", ".join(f"{c} string" for c in cols)).distinct()
+                acc = (F.broadcast(vals) if acc is None
+                       else self._combine(acc, F.broadcast(vals)))
+            elif tag == "group":
+                acc = self._combine(acc, self.eval_group(el[1]))
+            elif tag == "subselect":
+                acc = self._combine(acc, _run_select(
+                    self.triples, el[1], self, distinct_outer=False))
+            else:  # pragma: no cover - parser emits only the above
+                raise AssertionError(tag)
+        if acc is None:
+            raise SparqlSyntaxError("empty group graph pattern")
+        for negate, group in exists:
+            right = self.eval_group(group)
+            shared = [c for c in right.columns if c in acc.columns]
+            if shared:
+                acc = acc.join(right.select(*shared).distinct(), shared,
+                               "left_anti" if negate else "leftsemi")
+            else:
+                probe = right.limit(1).select(F.lit(True).alias("__e__"))
+                if negate:
+                    acc = acc.join(probe, F.lit(True), "left_anti")
+                else:
+                    acc = acc.crossJoin(probe).drop("__e__")
+        for sql in filters:
+            acc = acc.filter(F.expr(sql))
+        return acc
+
+
+def _run_select(triples: DataFrame, sel: _Select, ev: _Evaluator,
+                distinct_outer: bool = True) -> DataFrame:
+    sols = ev.eval_group(sel.group)
+    has_agg = any(it[0] == "agg" for it in sel.items)
+    if sel.group_by or has_agg:
+        aggs = {}
+        keep_vars = []
+        for it in sel.items:
+            if it[0] == "var":
+                keep_vars.append(it[1])
+            elif it[0] == "agg":
+                aggs[it[2]] = it[1]
+            else:  # plain expr over group keys
+                aggs[it[2]] = it[1]
+        group_by = sel.group_by or []
+        bad = [v for v in keep_vars if v not in group_by]
+        if bad:
+            raise SparqlSyntaxError(
+                f"non-aggregated SELECT variables {bad} must appear in "
+                "GROUP BY")
+        # HAVING references the pre-aggregation solution variables
+        # (HAVING (COUNT(?f) > 1)) — compute each as a hidden boolean
+        # aggregate in the same hash aggregation, filter, drop
+        hidden = {f"__h{i}": h for i, h in enumerate(sel.having)}
+        agg_exprs = ([F.expr(e).alias(n) for n, e in aggs.items()]
+                     + [F.expr(e).alias(n) for n, e in hidden.items()])
+        if not group_by:
+            out = sols.agg(*agg_exprs)
+        else:
+            out = sols.groupBy(*group_by).agg(*agg_exprs)
+        for n in hidden:
+            out = out.filter(F.col(n))
+        if sel.items and not sel.star:
+            out = out.select(*[it[1] if it[0] == "var" else it[2]
+                               for it in sel.items])
+        else:
+            out = out.drop(*hidden)
+    else:
+        out = sols
+        names = []
+        for it in sel.items:
+            if it[0] == "var":
+                names.append(it[1])
+            else:
+                _, sql, name = it
+                if name in out.columns:
+                    raise SparqlSyntaxError(
+                        f"SELECT expression rebinds in-scope ?{name}")
+                out = out.withColumn(name, F.expr(sql))
+                names.append(name)
+        if not sel.star:
+            missing = [n for n in names if n not in out.columns]
+            if missing:
+                raise SparqlSyntaxError(
+                    f"projected variables not bound: {missing}")
+            out = out.select(*names)
+        else:
+            # drop internal term-metadata columns from * projections
+            out = out.select(*[c for c in out.columns if "__" not in c])
+    if sel.distinct and distinct_outer:
+        out = out.distinct()
+    if sel.order_by or sel.limit is not None or sel.offset is not None:
+        out = solution_modifiers(out, order_by=sel.order_by or None,
+                                 limit=sel.limit, offset=sel.offset)
+    return out
+
+
+# ------------------------------------------------------------ public API
+
+def sparql(triples: DataFrame, query: str, *,
+           reorder: bool = False, allow_cartesian: bool = False,
+           path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
+    """Parse and execute a SPARQL query string over the triple table.
+
+    Returns a DataFrame: one column per projected variable (SELECT),
+    one boolean ``ask`` row (ASK), or the standard six-column triple
+    schema (CONSTRUCT / DESCRIBE). *reorder* applies the stats-free
+    selectivity heuristic to each triple block; *allow_cartesian*
+    permits variable-disjoint pattern groups (off by default — an
+    accidental cross join over 10^12 triples should be an error)."""
+    p = _Parser(query)
+    p.parse_prologue()
+    if p.at_kw("SELECT"):
+        sel = p.parse_select()
+        _expect_eof(p)
+        ev = _Evaluator(triples, p.meta_vars, reorder, allow_cartesian,
+                        path_max_hops)
+        return _run_select(triples, sel, ev)
+    if p.at_kw("ASK"):
+        p.next()
+        if p.at_kw("WHERE"):
+            p.next()
+        group = p.parse_group()
+        _expect_eof(p)
+        ev = _Evaluator(triples, p.meta_vars, reorder, allow_cartesian,
+                        path_max_hops)
+        sol = ev.eval_group(group)
+        return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+    if p.at_kw("CONSTRUCT"):
+        p.next()
+        template = _parse_template(p)
+        p.eat_kw("WHERE")
+        group = p.parse_group()
+        sel = _Select([], True, False, group, [], [],
+                      _parse_tail_modifiers(p), None, None)
+        sel.order_by, sel.limit, sel.offset = [], None, None
+        _expect_eof(p)
+        ev = _Evaluator(triples, p.meta_vars, reorder, allow_cartesian,
+                        path_max_hops)
+        sols = ev.eval_group(group)
+        return _instantiate(sols, template)
+    if p.at_kw("DESCRIBE"):
+        p.next()
+        iris, dvars = [], []
+        while True:
+            t = p.peek()
+            if t.kind == "VAR":
+                p.next()
+                dvars.append(t.text[1:])
+            elif t.kind in ("IRIREF", "PNAME"):
+                p.next()
+                iris.append(p._iri_text(t))
+            else:
+                break
+        spark = triples.sparkSession
+        if p.at_kw("WHERE") or p.at_op("{"):
+            if p.at_kw("WHERE"):
+                p.next()
+            group = p.parse_group()
+            _expect_eof(p)
+            ev = _Evaluator(triples, p.meta_vars, reorder,
+                            allow_cartesian, path_max_hops)
+            sols = ev.eval_group(group)
+            if not dvars:
+                raise SparqlSyntaxError(
+                    "DESCRIBE … WHERE needs at least one ?var")
+            parts = [sols.select(F.col(v).alias("subj")) for v in dvars]
+            subs = parts[0]
+            for q in parts[1:]:
+                subs = subs.unionByName(q)
+        else:
+            _expect_eof(p)
+            if not iris:
+                raise SparqlSyntaxError("DESCRIBE needs IRIs or ?vars")
+            subs = spark.createDataFrame([(i,) for i in iris],
+                                         "subj string")
+        if iris and dvars:
+            subs = subs.unionByName(spark.createDataFrame(
+                [(i,) for i in iris], "subj string"))
+        return describe(triples, subs.distinct())
+    raise SparqlSyntaxError(
+        f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got "
+        f"{p.peek().text!r} (SPARQL Update strings go through "
+        f"kg/update.py)")
+
+
+def _expect_eof(p: _Parser) -> None:
+    if p.peek().kind != "EOF":
+        raise SparqlSyntaxError(
+            f"unexpected trailing input at offset {p.peek().pos}: "
+            f"{p.peek().text!r}")
+
+
+def _parse_tail_modifiers(p: _Parser):  # CONSTRUCT has no ORDER BY here
+    return []
+
+
+def _parse_template(p: _Parser) -> list[tuple]:
+    """CONSTRUCT template -> [(s, p, o, obj_is_iri, datatype, lang)]."""
+    p.eat_op("{")
+    out = []
+    while not p.at_op("}"):
+        s, s_lit, _, _ = p.parse_term("subj")
+        if s_lit:
+            raise SparqlSyntaxError("literal subject in template")
+        while True:
+            pr = p.peek()
+            if pr.kind == "VAR":
+                p.next()
+                pred = "?" + pr.text[1:]
+            elif pr.kind == "KW" and pr.text.upper() == "A":
+                p.next()
+                pred = "rdf:type"
+            else:
+                pred = p._iri_text(p.next())
+            while True:
+                o, o_lit, dt, lang = p.parse_term("obj")
+                out.append((s, pred, o, not o_lit, dt, lang))
+                if p.at_op(","):
+                    p.next()
+                    continue
+                break
+            if p.at_op(";"):
+                p.next()
+                if p.at_op(".", "}"):
+                    break
+                continue
+            break
+        if p.at_op("."):
+            p.next()
+    p.eat_op("}")
+    if not out:
+        raise SparqlSyntaxError("empty CONSTRUCT template")
+    return out
+
+
+def _instantiate(sols: DataFrame, template: list[tuple]) -> DataFrame:
+    """Template instantiation in the standard triple schema — the same
+    projection-per-template-union-dedup shape as kg/query.construct,
+    but literal objects carry the datatype/lang the query text spells."""
+    def term_col(term: str):
+        if term.startswith("?"):
+            return F.col(term[1:])
+        return F.lit(term)
+
+    outs = []
+    for s, pred, o, is_iri, dt, lang in template:
+        for t in (s, pred, o):
+            if t.startswith("?") and t[1:] not in sols.columns:
+                raise SparqlSyntaxError(
+                    f"template variable {t!r} not bound")
+        outs.append(sols.select(
+            term_col(s).cast("string").alias("subj"),
+            term_col(pred).cast("string").alias("pred"),
+            term_col(o).cast("string").alias("obj"),
+            F.lit(bool(is_iri)).alias("obj_is_iri"),
+            F.lit(dt).cast("string").alias("obj_datatype"),
+            F.lit(lang).cast("string").alias("obj_lang"),
+        ).filter(F.col("subj").isNotNull() & F.col("pred").isNotNull()
+                 & F.col("obj").isNotNull()))
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out.dropDuplicates(["subj", "pred", "obj"])

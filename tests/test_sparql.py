@@ -1,0 +1,374 @@
+"""SPARQL text front-end (kg/sparql.py): every parsed form must agree
+with the programmatic kg/query.py API it compiles onto."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_tabular_spark.kg.query import match_bgp
+from rdf_tabular_spark.kg.sparql import (SparqlSyntaxError,
+                                         SparqlUnsupportedError, sparql)
+
+T = [
+    ("f:a", "k:imports", "m:x", True, None, None),
+    ("f:a", "k:inRepo", "r:1", True, None, None),
+    ("f:a", "k:label", "hello", False, None, "en"),
+    ("f:a", "k:label", "bonjour", False, None, "fr"),
+    ("f:a", "k:size", "42", False, "xsd:integer", None),
+    ("f:b", "k:imports", "m:x", True, None, None),
+    ("f:b", "k:inRepo", "r:2", True, None, None),
+    ("f:b", "k:size", "7", False, "xsd:integer", None),
+    ("f:c", "k:imports", "m:y", True, None, None),
+    ("f:c", "k:inRepo", "r:1", True, None, None),
+    ("m:x", "k:type", "k:Module", True, None, None),
+    ("m:y", "k:type", "k:Module", True, None, None),
+    ("m:x", "k:dep", "m:y", True, None, None),
+    ("m:y", "k:dep", "m:z", True, None, None),
+    ("r:1", "k:name", "monorepo", False, None, None),
+]
+
+
+def _t(spark):
+    return spark.createDataFrame(
+        T, "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+
+
+def rows(df, *cols):
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t))
+
+
+# ----------------------------------------------------------- SELECT core
+
+def test_select_basic(spark):
+    got = sparql(_t(spark), """
+        SELECT ?f ?m WHERE { ?f k:imports ?m . ?m k:type k:Module }
+    """)
+    assert rows(got, "f", "m") == [
+        ("f:a", "m:x"), ("f:b", "m:x"), ("f:c", "m:y")]
+
+
+def test_select_star_and_semicolon_comma(spark):
+    got = sparql(_t(spark), """
+        SELECT * WHERE { ?f k:imports ?m ; k:inRepo r:1 . }
+    """)
+    assert set(got.columns) == {"f", "m"}
+    assert rows(got, "f", "m") == [("f:a", "m:x"), ("f:c", "m:y")]
+
+
+def test_prefix_expansion(spark):
+    t = spark.createDataFrame(
+        [("http://e.org/s", "http://e.org/p", "o", True, None, None)],
+        _t(spark).schema)
+    got = sparql(t, """
+        PREFIX ex: <http://e.org/>
+        SELECT ?s WHERE { ?s ex:p ?o }
+    """)
+    assert rows(got, "s") == [("http://e.org/s",)]
+
+
+def test_undeclared_prefix_matches_compact_terms(spark):
+    got = sparql(_t(spark), "SELECT ?f WHERE { ?f k:inRepo r:1 }")
+    assert rows(got, "f") == [("f:a",), ("f:c",)]
+
+
+def test_filter_regex_and_comparison(spark):
+    got = sparql(_t(spark), """
+        SELECT ?r ?n WHERE { ?r k:name ?n FILTER(REGEX(?n, "mono")) }
+    """)
+    assert rows(got, "r", "n") == [("r:1", "monorepo")]
+
+
+def test_filter_numeric_typed_literal(spark):
+    got = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:size ?s
+            FILTER(CAST(?s AS INT) > "10"^^xsd:integer) }
+    """) if False else sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:size ?s FILTER(?s > "10"^^xsd:integer) }
+    """)
+    # string-vs-int comparison casts the column in Spark SQL
+    assert rows(got, "f") == [("f:a",)]
+
+
+def test_optional_keeps_unmatched(spark):
+    got = sparql(_t(spark), """
+        SELECT ?m ?d WHERE { ?m k:type k:Module OPTIONAL { ?m k:dep ?d } }
+    """)
+    assert rows(got, "m", "d") == [("m:x", "m:y"), ("m:y", "m:z")]
+    got2 = sparql(_t(spark), """
+        SELECT ?f ?s WHERE { ?f k:imports ?m OPTIONAL { ?f k:size ?s } }
+    """)
+    assert rows(got2, "f", "s") == [
+        ("f:a", "42"), ("f:b", "7"), ("f:c", None)]
+
+
+def test_union_null_pads_disjoint_vars(spark):
+    got = sparql(_t(spark), """
+        SELECT ?f ?r ?s WHERE {
+            { ?f k:inRepo ?r } UNION { ?f k:size ?s }
+        }
+    """)
+    assert (None, "r:1", None) not in rows(got, "f", "r", "s")
+    assert ("f:a", "r:1", None) in rows(got, "f", "r", "s")
+    assert ("f:a", None, "42") in rows(got, "f", "r", "s")
+
+
+def test_minus(spark):
+    got = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:imports ?m MINUS { ?f k:inRepo r:1 } }
+    """)
+    assert rows(got, "f") == [("f:b",)]
+
+
+def test_minus_disjoint_removes_nothing(spark):
+    got = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:inRepo r:1 MINUS { ?x k:name ?n } }
+    """)
+    assert rows(got, "f") == [("f:a",), ("f:c",)]
+
+
+def test_not_exists_and_exists(spark):
+    got = sparql(_t(spark), """
+        SELECT ?m WHERE { ?m k:type k:Module
+            FILTER NOT EXISTS { ?m k:dep m:z } }
+    """)
+    assert rows(got, "m") == [("m:x",)]
+    got2 = sparql(_t(spark), """
+        SELECT ?m WHERE { ?m k:type k:Module
+            FILTER EXISTS { ?m k:dep ?d } }
+    """)
+    assert rows(got2, "m") == [("m:x",), ("m:y",)]
+
+
+def test_bind(spark):
+    got = sparql(_t(spark), """
+        SELECT ?f ?local WHERE {
+            ?f k:imports ?m BIND(SUBSTR(?m, 3) AS ?local)
+            FILTER(?local = "x")
+        }
+    """)
+    assert rows(got, "f", "local") == [("f:a", "x"), ("f:b", "x")]
+
+
+def test_values_single_and_multi(spark):
+    got = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:inRepo ?r VALUES ?r { r:1 } }
+    """)
+    assert rows(got, "f") == [("f:a",), ("f:c",)]
+    got2 = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:inRepo ?r
+            VALUES (?f ?r) { (f:a r:1) (f:b r:2) } }
+    """)
+    assert rows(got2, "f") == [("f:a",), ("f:b",)]
+
+
+def test_subselect(spark):
+    got = sparql(_t(spark), """
+        SELECT ?f ?n WHERE {
+            ?f k:imports ?m
+            { SELECT ?m (COUNT(?f2) AS ?n) WHERE { ?f2 k:imports ?m }
+              GROUP BY ?m }
+        }
+    """)
+    assert rows(got, "f", "n") == [
+        ("f:a", 2), ("f:b", 2), ("f:c", 1)]
+
+
+# ----------------------------------------------------- paths / modifiers
+
+def test_property_path_plus_and_inverse(spark):
+    got = sparql(_t(spark), "SELECT ?x WHERE { m:x k:dep+ ?x }")
+    assert rows(got, "x") == [("m:y",), ("m:z",)]
+    inv = sparql(_t(spark), "SELECT ?x WHERE { ?x ^k:imports f:a }")
+    assert rows(inv, "x") == [("m:x",)]
+
+
+def test_property_path_sequence_and_alternation(spark):
+    got = sparql(_t(spark), "SELECT ?f ?d WHERE { ?f k:imports/k:dep ?d }")
+    assert rows(got, "f", "d") == [
+        ("f:a", "m:y"), ("f:b", "m:y"), ("f:c", "m:z")]
+    alt = sparql(_t(spark), "SELECT ?o WHERE { f:a k:imports|k:inRepo ?o }")
+    assert rows(alt, "o") == [("m:x",), ("r:1",)]
+
+
+def test_negated_property_set(spark):
+    got = sparql(_t(spark),
+                 "SELECT ?p ?o WHERE { f:a !(k:label|k:size) ?o . f:a ?p ?o }")
+    assert rows(got, "p", "o") == [("k:imports", "m:x"), ("k:inRepo", "r:1")]
+
+
+def test_unsupported_path_combo_raises(spark):
+    with pytest.raises(SparqlUnsupportedError, match="modifier"):
+        sparql(_t(spark), "SELECT ?x WHERE { m:x (k:dep/k:dep)+ ?x }")
+
+
+def test_order_limit_offset(spark):
+    got = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:imports ?m } ORDER BY ?f LIMIT 2 OFFSET 1
+    """)
+    assert [r.f for r in got.collect()] == ["f:b", "f:c"]
+    desc = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:imports ?m } ORDER BY DESC(?f) LIMIT 1
+    """)
+    assert [r.f for r in desc.collect()] == ["f:c"]
+
+
+# ------------------------------------------------------------ aggregates
+
+def test_group_by_count_having(spark):
+    got = sparql(_t(spark), """
+        SELECT ?m (COUNT(?f) AS ?n) WHERE { ?f k:imports ?m }
+        GROUP BY ?m HAVING (COUNT(?f) > 1)
+    """)
+    assert rows(got, "m", "n") == [("m:x", 2)]
+
+
+def test_count_distinct_and_star(spark):
+    got = sparql(_t(spark), """
+        SELECT (COUNT(*) AS ?rows) (COUNT(DISTINCT ?m) AS ?mods)
+        WHERE { ?f k:imports ?m }
+    """)
+    r = got.collect()[0]
+    assert (r["rows"], r["mods"]) == (3, 2)
+
+
+def test_group_concat_sorted(spark):
+    got = sparql(_t(spark), """
+        SELECT ?m (GROUP_CONCAT(?f; SEPARATOR ",") AS ?fs)
+        WHERE { ?f k:imports ?m } GROUP BY ?m
+    """)
+    assert rows(got, "m", "fs") == [
+        ("m:x", "f:a,f:b"), ("m:y", "f:c")]
+
+
+def test_sum_min_max_over_typed(spark):
+    got = sparql(_t(spark), """
+        SELECT (SUM(?s) AS ?tot) (MIN(?s + 0) AS ?lo)
+        WHERE { ?f k:size ?s }
+    """)
+    r = got.collect()[0]
+    assert (float(r["tot"]), float(r["lo"])) == (49.0, 7.0)
+
+
+# ----------------------------------------------- term metadata builtins
+
+def test_lang_filter_via_text(spark):
+    got = sparql(_t(spark), """
+        SELECT ?v WHERE { f:a k:label ?v FILTER(LANG(?v) = "en") }
+    """)
+    assert rows(got, "v") == [("hello",)]
+
+
+def test_langmatches_and_isliteral(spark):
+    got = sparql(_t(spark), """
+        SELECT ?v WHERE { ?s k:label ?v FILTER(LANGMATCHES(LANG(?v), "fr")) }
+    """)
+    assert rows(got, "v") == [("bonjour",)]
+    lits = sparql(_t(spark), """
+        SELECT ?v WHERE { f:a ?p ?v FILTER(isLiteral(?v)) }
+    """)
+    assert rows(lits, "v") == [("42",), ("bonjour",), ("hello",)]
+
+
+def test_datatype_builtin(spark):
+    got = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f ?p ?v FILTER(DATATYPE(?v) = "xsd:integer") }
+    """)
+    assert rows(got, "f") == [("f:a",), ("f:b",)]
+
+
+def test_isiri_excludes_blank(spark):
+    t = _t(spark).union(spark.createDataFrame(
+        [("f:a", "k:part", "_:b0", True, None, None)], _t(spark).schema))
+    got = sparql(t, "SELECT ?v WHERE { f:a ?p ?v FILTER(isIRI(?v)) }")
+    assert rows(got, "v") == [("m:x",), ("r:1",)]
+    blank = sparql(t, "SELECT ?v WHERE { f:a ?p ?v FILTER(isBlank(?v)) }")
+    assert rows(blank, "v") == [("_:b0",)]
+
+
+def test_bound_over_optional(spark):
+    got = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:imports ?m
+            OPTIONAL { ?f k:size ?s } FILTER(!BOUND(?s)) }
+    """)
+    assert rows(got, "f") == [("f:c",)]
+
+
+# ---------------------------------------------- ASK / CONSTRUCT / DESCRIBE
+
+def test_ask(spark):
+    assert sparql(_t(spark), "ASK { f:a k:imports m:x }").collect()[0].ask
+    assert not sparql(_t(spark), "ASK { f:a k:imports m:y }").collect()[0].ask
+
+
+def test_construct(spark):
+    got = sparql(_t(spark), """
+        CONSTRUCT { ?m k:usedBy ?f . ?m a k:Used }
+        WHERE { ?f k:imports ?m }
+    """)
+    out = {(r.subj, r.pred, r.obj, r.obj_is_iri) for r in got.collect()}
+    assert ("m:x", "k:usedBy", "f:a", True) in out
+    assert ("m:x", "rdf:type", "k:Used", True) in out
+    assert len(out) == 5  # 3 k:usedBy + 2 k:type
+
+
+def test_construct_literal_object_metadata(spark):
+    got = sparql(_t(spark), """
+        CONSTRUCT { ?f k:note "seen"@en } WHERE { ?f k:inRepo r:1 }
+    """)
+    r = {(x.subj, x.obj, x.obj_is_iri, x.obj_lang) for x in got.collect()}
+    assert r == {("f:a", "seen", False, "en"), ("f:c", "seen", False, "en")}
+
+
+def test_describe_iri_and_where(spark):
+    got = sparql(_t(spark), "DESCRIBE f:a")
+    assert got.count() == 5  # every triple with subj f:a
+    via = sparql(_t(spark), "DESCRIBE ?m WHERE { ?m k:type k:Module }")
+    assert {r.subj for r in via.collect()} == {"m:x", "m:y"}
+
+
+# --------------------------------------------------------------- errors
+
+def test_agreement_with_programmatic_api(spark):
+    t = _t(spark)
+    a = sparql(t, """SELECT ?f ?m WHERE {
+        ?f k:imports ?m . ?m k:type k:Module . ?f k:inRepo r:1 }""")
+    b = match_bgp(t, [("?f", "k:imports", "?m"), ("?m", "k:type", "k:Module"),
+                      ("?f", "k:inRepo", "r:1")], project=["f", "m"])
+    assert rows(a, "f", "m") == rows(b, "f", "m")
+
+
+def test_syntax_errors(spark):
+    with pytest.raises(SparqlSyntaxError):
+        sparql(_t(spark), "SELECT ?f WHERE { ?f k:imports }")
+    with pytest.raises(SparqlSyntaxError, match="trailing"):
+        sparql(_t(spark), "SELECT ?f WHERE { ?f k:imports ?m } garbage")
+    with pytest.raises(SparqlSyntaxError, match="SELECT/ASK"):
+        sparql(_t(spark), "INSERT DATA { f:a p o }")
+
+
+def test_unsupported_forms_raise(spark):
+    with pytest.raises(SparqlUnsupportedError, match="blank-node"):
+        sparql(_t(spark), "SELECT ?f WHERE { ?f k:imports _:b }")
+    with pytest.raises(SparqlUnsupportedError, match="UNDEF"):
+        sparql(_t(spark),
+               "SELECT ?f WHERE { ?f k:inRepo ?r VALUES ?r { UNDEF } }")
+
+
+def test_cartesian_rejected_by_default(spark):
+    with pytest.raises(ValueError, match="cartesian"):
+        sparql(_t(spark),
+               "SELECT ?f ?m WHERE { ?f k:inRepo r:1 . ?m k:type k:Module }")
+    got = sparql(_t(spark),
+                 "SELECT ?f ?m WHERE { ?f k:inRepo r:1 . ?m k:type k:Module }",
+                 allow_cartesian=True)
+    assert got.count() == 4
+
+
+def test_reorder_same_solutions(spark):
+    q = """SELECT ?f ?m WHERE {
+        ?f k:imports ?m . ?m k:type k:Module . ?f k:inRepo r:1 }"""
+    assert rows(sparql(_t(spark), q), "f", "m") == \
+        rows(sparql(_t(spark), q, reorder=True), "f", "m")
