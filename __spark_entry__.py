@@ -5466,6 +5466,39 @@ def sql_kg_sparql_aggregate() -> str:
     """
 
 
+def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL Update text front-end (kg/sparql.sparql_update — r4): a
+    predicate rename arrives as an Update STRING; the variable insert
+    template carries the bound term's metadata (mention objects are
+    literals and stay literals), deletes/inserts apply with the
+    kg/update.py pre-state + existing-wins semantics."""
+    from rdf_tabular_spark.kg.sparql import sparql_update
+
+    _, _, triples = _kg_oracle_run(spark)
+    return sparql_update(triples, f"""
+        PREFIX kg: <{_KG}>
+        DELETE {{ ?m kg:mention ?x }} INSERT {{ ?m kg:alias ?x }}
+        WHERE {{ ?m kg:mention ?x }}
+    """)
+
+
+def sql_kg_sparql_update() -> str:
+    return f"""
+    WITH t AS MATERIALIZED ({sql_kg_triples()}),
+    kept AS (SELECT * FROM t WHERE pred <> '{_KG}mention'),
+    ins AS (
+      SELECT DISTINCT subj, '{_KG}alias' AS pred, obj,
+             obj_is_iri, obj_datatype, obj_lang
+      FROM t WHERE pred = '{_KG}mention')
+    SELECT * FROM kept
+    UNION ALL
+    SELECT i.* FROM ins i
+    LEFT JOIN kept k ON i.subj = k.subj AND i.pred = k.pred
+                    AND i.obj = k.obj
+    WHERE k.subj IS NULL
+    """
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -5759,6 +5792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_term_meta": q_kg_bgp_term_meta,
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_aggregate": q_kg_sparql_aggregate,
+        "kg_sparql_update": q_kg_sparql_update,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5910,6 +5944,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_term_meta": sql_kg_bgp_term_meta(),
         "kg_sparql_select": sql_kg_sparql_select(),
         "kg_sparql_aggregate": sql_kg_sparql_aggregate(),
+        "kg_sparql_update": sql_kg_sparql_update(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

@@ -1136,12 +1136,10 @@ def sparql(triples: DataFrame, query: str, *,
         template = _parse_template(p)
         p.eat_kw("WHERE")
         group = p.parse_group()
-        sel = _Select([], True, False, group, [], [],
-                      _parse_tail_modifiers(p), None, None)
-        sel.order_by, sel.limit, sel.offset = [], None, None
         _expect_eof(p)
-        ev = _Evaluator(triples, p.meta_vars, reorder, allow_cartesian,
-                        path_max_hops)
+        ev = _Evaluator(triples,
+                        set(p.meta_vars) | _tmpl_obj_vars(template),
+                        reorder, allow_cartesian, path_max_hops)
         sols = ev.eval_group(group)
         return _instantiate(sols, template)
     if p.at_kw("DESCRIBE"):
@@ -1189,15 +1187,184 @@ def sparql(triples: DataFrame, query: str, *,
         f"kg/update.py)")
 
 
+def sparql_update(graph: DataFrame, update: str, *,
+                  path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
+    """Parse and apply a SPARQL 1.1 Update string to the triple table;
+    returns the updated graph (pure — kg/update.py semantics, including
+    existing-rows-win metadata preservation and the §3.1.3 evaluate-
+    against-pre-state rule for DELETE/INSERT WHERE).
+
+    Forms: ``INSERT DATA { … }``, ``DELETE DATA { … }``,
+    ``DELETE { t } INSERT { t } WHERE { g }`` (either template optional),
+    ``INSERT { t } WHERE { g }``, ``DELETE WHERE { g }`` (shorthand:
+    the pattern is its own delete template — plain quad patterns only,
+    per spec §3.1.3.1), and ``;``-separated sequences applied left to
+    right — each statement sees its predecessor's output, matching the
+    spec's sequential semantics. The WHERE group takes the full SELECT
+    group grammar (OPTIONAL/UNION/FILTER/…). Insert-template objects
+    that are variables carry the bound term's metadata
+    (is_iri/datatype/lang) when the WHERE binds it in an object
+    position — the term_meta scan projection, no extra join.
+    Graph-management statements (CLEAR/DROP/ADD/COPY/MOVE) operate on
+    the QUAD table — use :func:`sparql_graph_update`."""
+    from . import update as upd
+
+    def apply_where(current, dels6, ins6, group, extra_meta):
+        ev = _Evaluator(current, set(p.meta_vars) | extra_meta,
+                        False, False, path_max_hops)
+        sols = ev.eval_group(group)
+        out = current
+        if dels6:
+            out = upd.delete_data(out, _instantiate(sols, dels6))
+        if ins6:
+            out = upd._merge_new(
+                out, _instantiate(sols, ins6).dropDuplicates(
+                    ["subj", "pred", "obj"]))
+        return out
+
+    p = _Parser(update)
+    p.parse_prologue()
+    out = graph
+    while p.peek().kind != "EOF":
+        if p.at_kw("INSERT"):
+            p.next()
+            if p.at_kw("DATA"):
+                p.next()
+                out = upd.insert_data(out, _ground_df(graph, p))
+            else:
+                ins = _parse_template(p)
+                p.eat_kw("WHERE")
+                out = apply_where(out, None, ins, p.parse_group(),
+                                  _tmpl_obj_vars(ins))
+        elif p.at_kw("DELETE"):
+            p.next()
+            if p.at_kw("DATA"):
+                p.next()
+                out = upd.delete_data(out, _ground_df(graph, p))
+            elif p.at_kw("WHERE"):
+                p.next()
+                group = p.parse_group()
+                pats = [pat for el in group if el[0] == "triples"
+                        for pat in el[1]]
+                if not pats or any(el[0] != "triples" for el in group):
+                    raise SparqlUnsupportedError(
+                        "DELETE WHERE takes plain quad patterns only "
+                        "(spec §3.1.3.1)")
+                for _, pr, _ in pats:
+                    if isinstance(pr, tuple) or (
+                            not pr.startswith("?") and (
+                                pr.startswith(("!", "^")) or "|" in pr
+                                or pr.endswith(("+", "*", "?")))):
+                        raise SparqlUnsupportedError(
+                            "DELETE WHERE patterns must be plain quad "
+                            "patterns (spec §3.1.3.1), not property "
+                            "paths")
+                dels6 = [(s, pr, o, True, None, None)
+                         for s, pr, o in pats]
+                out = apply_where(out, dels6, None, group, set())
+            else:
+                dels = _parse_template(p)
+                ins = None
+                if p.at_kw("INSERT"):
+                    p.next()
+                    ins = _parse_template(p)
+                p.eat_kw("WHERE")
+                out = apply_where(out, dels, ins, p.parse_group(),
+                                  _tmpl_obj_vars(ins or []))
+        else:
+            raise SparqlSyntaxError(
+                f"expected INSERT/DELETE at offset {p.peek().pos}, got "
+                f"{p.peek().text!r} (CLEAR/DROP/ADD/COPY/MOVE go "
+                "through sparql_graph_update)")
+        if p.at_op(";"):
+            p.next()
+    return out
+
+
+def sparql_graph_update(quads: DataFrame, update: str) -> DataFrame:
+    """Graph-management Update strings (spec §3.2) over the QUAD table
+    (kg/dataset.py layout): ``CLEAR/DROP [SILENT] (GRAPH <g> | DEFAULT |
+    ALL)`` and ``ADD/COPY/MOVE [SILENT] (GRAPH <g> | DEFAULT) TO
+    (GRAPH <g> | DEFAULT)``; ``;``-separated sequences compose."""
+    from . import update as upd
+
+    p = _Parser(update)
+    p.parse_prologue()
+
+    def graph_ref():
+        if p.at_kw("DEFAULT"):
+            p.next()
+            return None
+        if p.at_kw("GRAPH"):
+            p.next()
+        return p._iri_text(p.next())
+
+    out = quads
+    while p.peek().kind != "EOF":
+        word = p.next()
+        op = word.text.upper()
+        if word.kind != "KW" or op not in (
+                "CLEAR", "DROP", "ADD", "COPY", "MOVE", "CREATE"):
+            raise SparqlSyntaxError(
+                f"expected graph-management op at offset {word.pos}, "
+                f"got {word.text!r}")
+        if p.at_kw("SILENT"):
+            p.next()
+        if op == "CREATE":
+            graph_ref()  # store does not record empty graphs: no-op
+        elif op in ("CLEAR", "DROP"):
+            if p.at_kw("ALL"):
+                p.next()
+                target = "ALL"
+            elif p.at_kw("NAMED"):
+                raise SparqlUnsupportedError(
+                    "CLEAR/DROP NAMED is not supported; enumerate the "
+                    "graphs or use ALL")
+            else:
+                target = graph_ref()
+            out = (upd.clear_graph if op == "CLEAR"
+                   else upd.drop_graph)(out, target)
+        else:
+            src = graph_ref()
+            to = p.next()
+            if to.text.upper() != "TO":
+                raise SparqlSyntaxError(
+                    f"expected TO at offset {to.pos}")
+            dst = graph_ref()
+            fn = {"ADD": upd.add_graph, "COPY": upd.copy_graph,
+                  "MOVE": upd.move_graph}[op]
+            out = fn(out, src, dst)
+        if p.at_op(";"):
+            p.next()
+    return out
+
+
+def _tmpl_obj_vars(tmpl: list[tuple]) -> set[str]:
+    """Variables in template OBJECT position — their term metadata
+    should ride the WHERE solutions so instantiation is faithful."""
+    return {o[1:] for _, _, o, _, _, _ in tmpl if o.startswith("?")}
+
+
+def _ground_df(graph: DataFrame, p: _Parser) -> DataFrame:
+    """INSERT/DELETE DATA block -> ground-triple DataFrame (vars are a
+    syntax error per spec §3.1.1)."""
+    tmpl = _parse_template(p)
+    rows = []
+    for s, pr, o, is_iri, dt, lang in tmpl:
+        if any(t.startswith("?") for t in (s, pr, o)):
+            raise SparqlSyntaxError(
+                "INSERT/DELETE DATA takes ground triples only")
+        rows.append((s, pr, o, bool(is_iri), dt, lang))
+    return graph.sparkSession.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+
+
 def _expect_eof(p: _Parser) -> None:
     if p.peek().kind != "EOF":
         raise SparqlSyntaxError(
             f"unexpected trailing input at offset {p.peek().pos}: "
             f"{p.peek().text!r}")
-
-
-def _parse_tail_modifiers(p: _Parser):  # CONSTRUCT has no ORDER BY here
-    return []
 
 
 def _parse_template(p: _Parser) -> list[tuple]:
@@ -1242,7 +1409,13 @@ def _parse_template(p: _Parser) -> list[tuple]:
 def _instantiate(sols: DataFrame, template: list[tuple]) -> DataFrame:
     """Template instantiation in the standard triple schema — the same
     projection-per-template-union-dedup shape as kg/query.construct,
-    but literal objects carry the datatype/lang the query text spells."""
+    with two refinements: literal objects carry the datatype/lang the
+    query text spells, and a VARIABLE object whose term metadata rides
+    the solutions (``{var}__isiri`` columns) instantiates with the
+    bound term's kind instead of the constant default. The final dedup
+    is a deterministic min-struct winner per (s, p, o) — solutions can
+    instantiate one key with different carried metadata, and an
+    arbitrary dropDuplicates winner would vary between engines."""
     def term_col(term: str):
         if term.startswith("?"):
             return F.col(term[1:])
@@ -1254,16 +1427,30 @@ def _instantiate(sols: DataFrame, template: list[tuple]) -> DataFrame:
             if t.startswith("?") and t[1:] not in sols.columns:
                 raise SparqlSyntaxError(
                     f"template variable {t!r} not bound")
+        if o.startswith("?") and f"{o[1:]}__isiri" in sols.columns:
+            v = o[1:]
+            meta = (F.coalesce(F.col(f"{v}__isiri"), F.lit(True)),
+                    F.col(f"{v}__datatype"), F.col(f"{v}__lang"))
+        else:
+            meta = (F.lit(bool(is_iri)), F.lit(dt).cast("string"),
+                    F.lit(lang).cast("string"))
         outs.append(sols.select(
             term_col(s).cast("string").alias("subj"),
             term_col(pred).cast("string").alias("pred"),
             term_col(o).cast("string").alias("obj"),
-            F.lit(bool(is_iri)).alias("obj_is_iri"),
-            F.lit(dt).cast("string").alias("obj_datatype"),
-            F.lit(lang).cast("string").alias("obj_lang"),
+            meta[0].alias("obj_is_iri"),
+            meta[1].cast("string").alias("obj_datatype"),
+            meta[2].cast("string").alias("obj_lang"),
         ).filter(F.col("subj").isNotNull() & F.col("pred").isNotNull()
                  & F.col("obj").isNotNull()))
     out = outs[0]
     for nxt in outs[1:]:
         out = out.unionByName(nxt)
-    return out.dropDuplicates(["subj", "pred", "obj"])
+    return (
+        out.groupBy("subj", "pred", "obj")
+        .agg(F.min(F.struct("obj_is_iri", "obj_datatype",
+                            "obj_lang")).alias("_m"))
+        .select("subj", "pred", "obj",
+                F.col("_m.obj_is_iri").alias("obj_is_iri"),
+                F.col("_m.obj_datatype").alias("obj_datatype"),
+                F.col("_m.obj_lang").alias("obj_lang")))

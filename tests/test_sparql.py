@@ -372,3 +372,134 @@ def test_reorder_same_solutions(spark):
         ?f k:imports ?m . ?m k:type k:Module . ?f k:inRepo r:1 }"""
     assert rows(sparql(_t(spark), q), "f", "m") == \
         rows(sparql(_t(spark), q, reorder=True), "f", "m")
+
+
+# ------------------------------------------------------- Update strings
+
+def _rows6(df):
+    return sorted(
+        (tuple("\0" if v is None else v for v in r) for r in df.collect()))
+
+
+def test_update_insert_data_existing_wins(spark):
+    from rdf_tabular_spark.kg.sparql import sparql_update
+    g = _t(spark)
+    out = sparql_update(g, """
+        INSERT DATA { f:a k:note "fresh"@en . f:a k:size "42" }
+    """)
+    got = {(r.subj, r.pred, r.obj, r.obj_is_iri, r.obj_datatype,
+            r.obj_lang) for r in out.collect()}
+    # new triple lands with its literal metadata
+    assert ("f:a", "k:note", "fresh", False, None, "en") in got
+    # existing (f:a, k:size, 42) keeps its xsd:integer datatype
+    assert ("f:a", "k:size", "42", False, "xsd:integer", None) in got
+    assert out.count() == len(T) + 1
+
+
+def test_update_delete_data(spark):
+    from rdf_tabular_spark.kg.sparql import sparql_update
+    out = sparql_update(_t(spark), """
+        DELETE DATA { f:a k:imports m:x . f:z k:absent m:q }
+    """)
+    assert out.count() == len(T) - 1
+    assert not [r for r in out.collect()
+                if r.subj == "f:a" and r.pred == "k:imports"]
+
+
+def test_update_delete_insert_where_rename(spark):
+    from rdf_tabular_spark.kg.sparql import sparql_update
+    out = sparql_update(_t(spark), """
+        DELETE { ?f k:imports ?m } INSERT { ?f k:uses ?m }
+        WHERE { ?f k:imports ?m }
+    """)
+    preds = {r.pred for r in out.collect()}
+    assert "k:imports" not in preds and "k:uses" in preds
+    assert out.filter("pred = 'k:uses'").count() == 3
+
+
+def test_update_insert_where_with_filter(spark):
+    from rdf_tabular_spark.kg.sparql import sparql_update
+    out = sparql_update(_t(spark), """
+        INSERT { ?f k:hot "1" } WHERE {
+            ?f k:inRepo ?r FILTER(CONTAINS(?r, "1")) }
+    """)
+    hot = {r.subj for r in out.filter("pred = 'k:hot'").collect()}
+    assert hot == {"f:a", "f:c"}
+    # template literal objects are literals, not IRIs
+    assert all(not r.obj_is_iri
+               for r in out.filter("pred = 'k:hot'").collect())
+
+
+def test_update_delete_where_shorthand_and_sequence(spark):
+    from rdf_tabular_spark.kg.sparql import sparql_update
+    out = sparql_update(_t(spark), """
+        DELETE WHERE { ?f k:label ?v } ;
+        INSERT DATA { f:a k:label "only" }
+    """)
+    labels = [(r.subj, r.obj) for r in
+              out.filter("pred = 'k:label'").collect()]
+    assert labels == [("f:a", "only")]
+
+
+def test_update_ground_data_rejects_vars(spark):
+    from rdf_tabular_spark.kg.sparql import sparql_update
+    with pytest.raises(SparqlSyntaxError, match="ground"):
+        sparql_update(_t(spark), "INSERT DATA { ?f k:p o:1 }")
+
+
+def test_update_where_full_group_grammar(spark):
+    # the Update WHERE accepts the full group grammar: OPTIONAL + BOUND
+    from rdf_tabular_spark.kg.sparql import sparql_update
+    out = sparql_update(_t(spark), """
+        INSERT { ?f k:sized "1" } WHERE {
+            ?f k:inRepo ?r OPTIONAL { ?f k:size ?s }
+            FILTER(BOUND(?s)) }
+    """)
+    assert {r.subj for r in out.filter("pred = 'k:sized'").collect()} \
+        == {"f:a", "f:b"}
+
+
+def test_update_insert_carries_term_metadata(spark):
+    # variable template object: the inserted triple keeps the bound
+    # term's literal kind, datatype and language tag
+    from rdf_tabular_spark.kg.sparql import sparql_update
+    out = sparql_update(_t(spark), """
+        DELETE { ?f k:label ?v } INSERT { ?f k:caption ?v }
+        WHERE { ?f k:label ?v }
+    """)
+    caps = {(r.obj, r.obj_is_iri, r.obj_lang) for r in
+            out.filter("pred = 'k:caption'").collect()}
+    assert caps == {("hello", False, "en"), ("bonjour", False, "fr")}
+    assert out.filter("pred = 'k:label'").count() == 0
+
+
+def test_construct_carries_term_metadata(spark):
+    got = sparql(_t(spark), """
+        CONSTRUCT { ?f k:caption ?v } WHERE { ?f k:label ?v }
+    """)
+    caps = {(r.obj, r.obj_is_iri, r.obj_lang) for r in got.collect()}
+    assert caps == {("hello", False, "en"), ("bonjour", False, "fr")}
+
+def test_update_delete_where_rejects_rich_groups(spark):
+    from rdf_tabular_spark.kg.sparql import sparql_update
+    with pytest.raises(SparqlUnsupportedError, match="quad patterns"):
+        sparql_update(_t(spark), """
+            DELETE WHERE { ?f k:inRepo ?r OPTIONAL { ?f k:size ?s } }
+        """)
+
+
+def test_graph_update_clear_and_move(spark):
+    from rdf_tabular_spark.kg.sparql import sparql_graph_update
+    q = spark.createDataFrame(
+        [("g:1", "s1", "p", "o", True, None, None),
+         ("g:2", "s2", "p", "o", True, None, None),
+         (None, "s0", "p", "o", True, None, None)],
+        "graph string, subj string, pred string, obj string, "
+        "obj_is_iri boolean, obj_datatype string, obj_lang string")
+    out = sparql_graph_update(q, "CLEAR GRAPH g:1")
+    assert {r.graph for r in out.collect()} == {"g:2", None}
+    moved = sparql_graph_update(q, "MOVE GRAPH g:2 TO DEFAULT")
+    got = {(r.graph, r.subj) for r in moved.collect()}
+    assert got == {("g:1", "s1"), (None, "s2")}
+    seq = sparql_graph_update(q, "CLEAR GRAPH g:1 ; CLEAR GRAPH g:2")
+    assert {r.graph for r in seq.collect()} == {None}
