@@ -5499,6 +5499,69 @@ def sql_kg_sparql_update() -> str:
     """
 
 
+def q_kg_ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples SOURCE (operators/ntriples.py parse path — r4, the
+    inverse of the S11 sink; reference reader.rb:644-649 round-trips
+    through rdf.rb's reader registry): Spark serializes the full KG to
+    N-Triples text and re-parses it through the distributed map-only
+    line parser (native framing regex + escape decode; \\u lines route
+    through the Arrow detour). The DuckDB twin computes the triples
+    directly — equality proves parse∘format == identity cross-engine
+    over every real literal in the corpus (newlines, quotes, unicode,
+    datatypes, langs, bnodes)."""
+    from rdf_tabular_spark.operators.ntriples import (parse_ntriples_lines,
+                                                      to_ntriples_lines)
+
+    _, _, triples = _kg_oracle_run(spark)
+    return parse_ntriples_lines(to_ntriples_lines(triples))
+
+
+def sql_kg_ntriples_roundtrip() -> str:
+    return sql_kg_triples()
+
+
+def q_kg_smush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs smushing (kg/smush.py — r4, the north rule's
+    'canonicalizes ... symbol entities into stable IRIs'): symbols
+    sharing a kg:name literal across repos are linked sameAs via
+    key-collision blocking, the general iterative closure elects the
+    lexicographic-min canonical, and the graph is rewritten so every
+    triple speaks about the canonical (term-identity set semantics;
+    untouched stream never shuffles). The twin computes the star
+    mapping closed-form — each symbol has exactly ONE name (the IRI
+    embeds it), so classes are star-shaped and the iterative engine
+    must land on the same fixpoint."""
+    from rdf_tabular_spark.kg.annotate import KG
+    from rdf_tabular_spark.kg.smush import sameas_from_shared_key, smush
+
+    _, _, triples = _kg_oracle_run(spark)
+    return smush(triples, pairs=sameas_from_shared_key(triples, KG + "name"))
+
+
+def sql_kg_smush() -> str:
+    return f"""
+    WITH t AS MATERIALIZED ({sql_kg_triples()}),
+    vals AS (
+      SELECT subj, obj FROM t
+      WHERE pred = '{_KG}name' AND NOT obj_is_iri),
+    canon AS (
+      SELECT obj, MIN(subj) AS canonical FROM vals GROUP BY obj),
+    mapping AS (
+      SELECT DISTINCT v.subj AS iri, c.canonical
+      FROM vals v JOIN canon c ON v.obj = c.obj),
+    smushed AS (
+      SELECT COALESCE(ms.canonical, t.subj) AS subj, t.pred,
+             CASE WHEN t.obj_is_iri THEN COALESCE(mo.canonical, t.obj)
+                  ELSE t.obj END AS obj,
+             t.obj_is_iri, t.obj_datatype, t.obj_lang
+      FROM t
+      LEFT JOIN mapping ms ON t.subj = ms.iri
+      LEFT JOIN mapping mo ON t.obj = mo.iri AND t.obj_is_iri)
+    SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
+    FROM smushed
+    """
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -5793,6 +5856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_aggregate": q_kg_sparql_aggregate,
         "kg_sparql_update": q_kg_sparql_update,
+        "kg_ntriples_roundtrip": q_kg_ntriples_roundtrip,
+        "kg_smush": q_kg_smush,
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
@@ -5945,6 +6010,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_select": sql_kg_sparql_select(),
         "kg_sparql_aggregate": sql_kg_sparql_aggregate(),
         "kg_sparql_update": sql_kg_sparql_update(),
+        "kg_ntriples_roundtrip": sql_kg_ntriples_roundtrip(),
+        "kg_smush": sql_kg_smush(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),
