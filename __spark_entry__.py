@@ -5853,7 +5853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": q_kg_ppr,
         "kg_link_tfidf": q_kg_link_tfidf,
         "kg_bgp_term_meta": q_kg_bgp_term_meta,
-        "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_aggregate": q_kg_sparql_aggregate,
         "kg_sparql_update": q_kg_sparql_update,
         "kg_ntriples_roundtrip": q_kg_ntriples_roundtrip,
@@ -5891,6 +5890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_resample": q_importance_resample,
         "corpus_stats": q_corpus_stats,
         "corpus_stats_incremental": q_corpus_stats_incremental,
+        # -- (2b) r4 rows past the 50-row window (builder-green; rotate
+        #    into the window next round) ----------------------------------
+        "kg_sparql_select": q_kg_sparql_select,
         # -- (3) r2-hash-proven (oldest records; fill the window) ---------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
