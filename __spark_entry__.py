@@ -5562,6 +5562,32 @@ def sql_kg_smush() -> str:
     """
 
 
+def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH patterns in the SPARQL text front-end (kg/sparql.py — r4,
+    dataset semantics over the quad table): the same query shape as
+    kg_named_graphs arrives as a STRING — a GRAPH ?g scope binding the
+    repo graph IRI joined against a default-graph pattern. Bare
+    patterns over a quad table see the default graph only; the graph
+    term compiles to one more equi-join column (kg/dataset.match_quads
+    underneath)."""
+    from rdf_tabular_spark.kg import dataset
+    from rdf_tabular_spark.kg.sparql import sparql
+
+    _, _, triples = _kg_oracle_run(spark)
+    quads = dataset.with_graph(triples, _GRAPH_EXPR)
+    return sparql(quads, f"""
+        PREFIX kg: <{_KG}>
+        SELECT ?g ?f ?m ?v WHERE {{
+          GRAPH ?g {{ ?f kg:imports ?m }}
+          ?m kg:versionSpec ?v
+        }}
+    """)
+
+
+def sql_kg_sparql_graph() -> str:
+    return sql_kg_named_graphs()
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -5893,6 +5919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (2b) r4 rows past the 50-row window (builder-green; rotate
         #    into the window next round) ----------------------------------
         "kg_sparql_select": q_kg_sparql_select,
+        "kg_sparql_graph": q_kg_sparql_graph,
         # -- (3) r2-hash-proven (oldest records; fill the window) ---------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -6014,6 +6041,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_update": sql_kg_sparql_update(),
         "kg_ntriples_roundtrip": sql_kg_ntriples_roundtrip(),
         "kg_smush": sql_kg_smush(),
+        "kg_sparql_graph": sql_kg_sparql_graph(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

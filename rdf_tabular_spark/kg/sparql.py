@@ -143,6 +143,7 @@ class SparqlUnsupportedError(ValueError):
 #   ("values", [ {var: text} ... ])
 #   ("group", group)                   nested { … }
 #   ("subselect", SelectQuery)
+#   ("graphpat", term, group)          GRAPH ?g|<iri> { … }
 
 
 @dataclass
@@ -396,6 +397,20 @@ class _Parser:
             elif self.at_kw("MINUS"):
                 self.next()
                 elems.append(("minus", self.parse_group()))
+            elif self.at_kw("GRAPH"):
+                self.next()
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    term = "?" + t.text[1:]
+                elif t.kind in ("IRIREF", "PNAME"):
+                    self.next()
+                    term = self._iri_text(t)
+                else:
+                    raise SparqlSyntaxError(
+                        f"GRAPH needs ?var or IRI at offset {t.pos}, "
+                        f"got {t.text!r}")
+                elems.append(("graphpat", term, self.parse_group()))
             elif self.at_kw("BIND"):
                 self.next()
                 self.eat_op("(")
@@ -903,12 +918,32 @@ class _Evaluator:
 
     def __init__(self, triples: DataFrame, meta_vars: set[str],
                  reorder: bool, allow_cartesian: bool,
-                 path_max_hops: int):
-        self.triples = triples
+                 path_max_hops: int, graph_var: str | None = None):
+        # a `graph` column switches on SPARQL dataset semantics: bare
+        # patterns match the DEFAULT graph (graph IS NULL) only; GRAPH
+        # clauses range over the named graphs (kg/dataset.py model)
+        if "graph" in triples.columns:
+            self.quads = triples
+            self.triples = triples.filter(
+                F.col("graph").isNull()).drop("graph")
+        else:
+            self.quads = None
+            self.triples = triples
+        self.graph_var = graph_var  # inside GRAPH ?g: blocks bind ?g
         self.pending_meta = set(meta_vars)
         self.reorder = reorder
         self.allow_cartesian = allow_cartesian
         self.hops = path_max_hops
+
+    def _child(self, table: DataFrame, graph_var: str | None = None):
+        """Evaluator over a re-scoped pattern table, sharing the
+        pending-metadata state (a set object, mutated as blocks bind)."""
+        ev = _Evaluator(table, set(), self.reorder, self.allow_cartesian,
+                        self.hops, graph_var)
+        ev.pending_meta = self.pending_meta
+        if self.quads is not None and "graph" not in table.columns:
+            ev.quads = self.quads  # nested GRAPH re-scopes to the dataset
+        return ev
 
     # join a new solution set into the accumulator
     def _combine(self, acc, nxt: DataFrame, how: str = "inner"):
@@ -932,7 +967,25 @@ class _Evaluator:
 
     def _block(self, pats: list[tuple]) -> DataFrame:
         """One triple block -> match_bgp with term-metadata binding for
-        the still-pending metadata variables this block can bind."""
+        the still-pending metadata variables this block can bind.
+        Inside ``GRAPH ?g`` the block compiles to quad patterns binding
+        the graph variable (kg/dataset.match_quads) instead."""
+        if self.graph_var is not None:
+            from . import dataset
+            for pat in pats:
+                if len(pat) == 3 and isinstance(pat[2], str) \
+                        and pat[2].startswith("?") \
+                        and pat[2][1:] in self.pending_meta:
+                    raise SparqlUnsupportedError(
+                        "term-metadata builtins (LANG/DATATYPE/is*) on a "
+                        "variable bound inside GRAPH ?var are not "
+                        "supported; bind it in a constant-graph or "
+                        "default-graph pattern")
+            return dataset.match_quads(
+                self.quads.filter(F.col("graph").isNotNull()),
+                [("?" + self.graph_var, s, p, o) for s, p, o in pats],
+                distinct=False, allow_cartesian=self.allow_cartesian,
+                path_max_hops=self.hops)
         take = []
         for pat in pats:
             if len(pat) != 3 or isinstance(pat[1], tuple):
@@ -1009,6 +1062,22 @@ class _Evaluator:
                        else self._combine(acc, F.broadcast(vals)))
             elif tag == "group":
                 acc = self._combine(acc, self.eval_group(el[1]))
+            elif tag == "graphpat":
+                _, term, group = el
+                if self.quads is None:
+                    raise SparqlUnsupportedError(
+                        "GRAPH needs a quad table (a `graph` column — "
+                        "kg/dataset.with_graph); this input is a plain "
+                        "triple table")
+                if term.startswith("?"):
+                    child = self._child(self.quads, graph_var=term[1:])
+                else:
+                    # constant graph: a scan filter — full pattern
+                    # algebra (paths, term metadata) inside the scope
+                    child = self._child(
+                        self.quads.filter(F.col("graph") == term)
+                        .drop("graph"))
+                acc = self._combine(acc, child.eval_group(group))
             elif tag == "subselect":
                 acc = self._combine(acc, _run_select(
                     self.triples, el[1], self, distinct_outer=False))

@@ -503,3 +503,93 @@ def test_graph_update_clear_and_move(spark):
     assert got == {("g:1", "s1"), (None, "s2")}
     seq = sparql_graph_update(q, "CLEAR GRAPH g:1 ; CLEAR GRAPH g:2")
     assert {r.graph for r in seq.collect()} == {None}
+
+
+# ------------------------------------------------------- GRAPH / dataset
+
+def _quads(spark):
+    """T with file-scoped triples in per-repo named graphs, the module/
+    repo metadata in the default graph (the kg/dataset.py model)."""
+    from rdf_tabular_spark.kg.dataset import with_graph
+
+    return with_graph(_t(spark), """
+        CASE WHEN subj LIKE 'f:%' THEN
+          CASE WHEN subj = 'f:b' THEN 'g:r2' ELSE 'g:r1' END
+        ELSE NULL END""")
+
+
+def test_graph_variable_binds_and_joins_default(spark):
+    got = sparql(_quads(spark), """
+        SELECT ?g ?f ?m WHERE {
+          GRAPH ?g { ?f k:imports ?m }
+          ?m k:type k:Module
+        }""")
+    assert rows(got, "g", "f", "m") == [
+        ("g:r1", "f:a", "m:x"), ("g:r1", "f:c", "m:y"),
+        ("g:r2", "f:b", "m:x")]
+
+
+def test_graph_constant_scopes_patterns(spark):
+    got = sparql(_quads(spark), """
+        SELECT ?f ?m WHERE { GRAPH <g:r2> { ?f k:imports ?m } }""")
+    assert rows(got, "f", "m") == [("f:b", "m:x")]
+
+
+def test_graph_variable_scoping_within_group(spark):
+    # both patterns inside one GRAPH ?g must match in the SAME graph:
+    # imports and inRepo are graph-scoped together, so only same-graph
+    # combinations survive
+    got = sparql(_quads(spark), """
+        SELECT ?g ?f ?r WHERE {
+          GRAPH ?g { ?f k:imports ?m . ?f k:inRepo ?r }
+        }""")
+    assert rows(got, "g", "f", "r") == [
+        ("g:r1", "f:a", "r:1"), ("g:r1", "f:c", "r:1"),
+        ("g:r2", "f:b", "r:2")]
+
+
+def test_default_graph_excludes_named(spark):
+    # bare patterns over a quad table see the DEFAULT graph only
+    got = sparql(_quads(spark), "SELECT ?s WHERE { ?s k:imports ?m }")
+    assert got.count() == 0
+    got = sparql(_quads(spark), "SELECT ?m WHERE { ?m k:type k:Module }")
+    assert rows(got, "m") == [("m:x",), ("m:y",)]
+
+
+def test_graph_constant_allows_paths_and_meta(spark):
+    # constant scope = filtered triple table: full algebra inside
+    got = sparql(_quads(spark), """
+        SELECT ?f ?r WHERE { GRAPH <g:r1> { ?f k:inRepo ?r .
+                             FILTER(STRSTARTS(STR(?r), "r:")) } }""")
+    assert rows(got, "f", "r") == [("f:a", "r:1"), ("f:c", "r:1")]
+
+
+def test_graph_filter_inside_variable_scope(spark):
+    got = sparql(_quads(spark), """
+        SELECT ?g ?f WHERE {
+          GRAPH ?g { ?f k:imports ?m . FILTER(?m = "m:x") }
+        }""")
+    assert rows(got, "g", "f") == [("g:r1", "f:a"), ("g:r2", "f:b")]
+
+
+def test_graph_over_triple_table_raises(spark):
+    with pytest.raises(SparqlUnsupportedError, match="quad table"):
+        sparql(_t(spark), "SELECT ?f WHERE { GRAPH ?g { ?f k:imports ?m } }")
+
+
+def test_graph_meta_inside_variable_scope_raises(spark):
+    with pytest.raises(SparqlUnsupportedError, match="term-metadata"):
+        sparql(_quads(spark), """
+            SELECT ?g ?f WHERE {
+              GRAPH ?g { ?f k:label ?l . FILTER(LANG(?l) = "en") }
+            }""")
+
+
+def test_graph_same_var_across_clauses(spark):
+    # the same ?g in two GRAPH clauses forces the same graph
+    got = sparql(_quads(spark), """
+        SELECT ?g ?f1 ?f2 WHERE {
+          GRAPH ?g { ?f1 k:imports m:x }
+          GRAPH ?g { ?f2 k:imports m:y }
+        }""")
+    assert rows(got, "g", "f1", "f2") == [("g:r1", "f:a", "f:c")]
