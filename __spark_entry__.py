@@ -5588,6 +5588,29 @@ def sql_kg_sparql_graph() -> str:
     return sql_kg_named_graphs()
 
 
+def q_csvw_skolemize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF 1.1 §3.5 skolemization (operators/skolem.py — r4): the
+    standard-mode CSVW envelope's deterministic blank nodes become
+    well-known genid IRIs — one regexp projection per position,
+    map-only. The twin applies the same prefix rewrite in SQL over the
+    independently-recomputed envelope."""
+    from rdf_tabular_spark.operators.skolem import skolemize
+
+    return skolemize(q_csvw_triples_standard(spark, sf_dir), EX.rstrip("/"))
+
+
+def sql_csvw_skolemize() -> str:
+    gen = EX.rstrip("/") + "/.well-known/genid/"
+    return f"""
+    WITH t AS ({sql_csvw_triples_standard()})
+    SELECT regexp_replace(subj, '^_:', '{gen}') AS subj, pred,
+           CASE WHEN obj_is_iri THEN regexp_replace(obj, '^_:', '{gen}')
+                ELSE obj END AS obj,
+           obj_is_iri, obj_datatype, obj_lang
+    FROM t
+    """
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -5920,6 +5943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    into the window next round) ----------------------------------
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_graph": q_kg_sparql_graph,
+        "csvw_skolemize": q_csvw_skolemize,
         # -- (3) r2-hash-proven (oldest records; fill the window) ---------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -6042,6 +6066,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ntriples_roundtrip": sql_kg_ntriples_roundtrip(),
         "kg_smush": sql_kg_smush(),
         "kg_sparql_graph": sql_kg_sparql_graph(),
+        "csvw_skolemize": sql_csvw_skolemize(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),
