@@ -5611,6 +5611,29 @@ def sql_csvw_skolemize() -> str:
     """
 
 
+def q_kg_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle SOURCE (sources/turtle_source.py — r4, inverse of the
+    subject-grouped Turtle sink): the full KG serializes to prefix-
+    compacted Turtle blocks (one hash agg) and parses back through the
+    Arrow-batched block parser (pname expansion, escape decode,
+    datatype/lang recovery). The twin computes the triples directly —
+    parse∘format == identity cross-engine through BOTH RDF text
+    formats' grammars (the N-Triples twin covers the other)."""
+    from rdf_tabular_spark.operators.turtle import (DEFAULT_PREFIXES,
+                                                    to_turtle_blocks)
+    from rdf_tabular_spark.sources.turtle_source import parse_turtle_blocks
+
+    _, _, triples = _kg_oracle_run(spark)
+    prefixes = dict(DEFAULT_PREFIXES)
+    prefixes["kg"] = _KG
+    return parse_turtle_blocks(to_turtle_blocks(triples, prefixes),
+                               prefixes)
+
+
+def sql_kg_turtle_roundtrip() -> str:
+    return sql_kg_triples()
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -5944,6 +5967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_graph": q_kg_sparql_graph,
         "csvw_skolemize": q_csvw_skolemize,
+        "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         # -- (3) r2-hash-proven (oldest records; fill the window) ---------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -6067,6 +6091,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_smush": sql_kg_smush(),
         "kg_sparql_graph": sql_kg_sparql_graph(),
         "csvw_skolemize": sql_csvw_skolemize(),
+        "kg_turtle_roundtrip": sql_kg_turtle_roundtrip(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),
