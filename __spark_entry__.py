@@ -5634,6 +5634,53 @@ def sql_kg_turtle_roundtrip() -> str:
     return sql_kg_triples()
 
 
+def q_kg_sparql_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM / FROM NAMED dataset clauses (kg/sparql.py — r4, SPARQL
+    §13.2): the clause REPLACES the dataset — FROM <g1> becomes the
+    default graph, FROM NAMED <g2> the only named graph; the query
+    joins a default-graph pattern against a GRAPH ?g pattern on the
+    shared module, yielding cross-repo shared-module pairs between the
+    two biggest repo graphs. Graph selection is a bounded 2-row driver
+    probe (count-ordered, graph tiebreak) on both engines."""
+    from rdf_tabular_spark.kg import dataset
+    from rdf_tabular_spark.kg.sparql import sparql
+
+    _, _, triples = _kg_oracle_run(spark)
+    quads = dataset.with_graph(triples, _GRAPH_EXPR)
+    top = (quads.filter(F.col("graph").isNotNull())
+           .groupBy("graph").count()
+           .orderBy(F.desc("count"), "graph").limit(2).collect())
+    g1, g2 = top[0]["graph"], top[-1]["graph"]
+    return sparql(quads, f"""
+        PREFIX kg: <{_KG}>
+        SELECT ?f ?m ?f2 FROM <{g1}> FROM NAMED <{g2}> WHERE {{
+          ?f kg:imports ?m .
+          GRAPH ?g {{ ?f2 kg:imports ?m }}
+        }}
+    """)
+
+
+def sql_kg_sparql_from() -> str:
+    return f"""
+    WITH t AS MATERIALIZED ({sql_kg_triples()}),
+    quads AS (SELECT {_GRAPH_EXPR} AS graph, subj, pred, obj FROM t),
+    top2 AS (
+      SELECT graph, row_number() OVER (ORDER BY cnt DESC, graph) AS rk
+      FROM (SELECT graph, count(*) AS cnt FROM quads
+            WHERE graph IS NOT NULL
+            GROUP BY graph ORDER BY cnt DESC, graph LIMIT 2)),
+    imp1 AS (
+      SELECT q.subj AS f, q.obj AS m FROM quads q
+      JOIN top2 ON q.graph = top2.graph AND top2.rk = 1
+      WHERE q.pred = '{_KG}imports'),
+    imp2 AS (
+      SELECT q.subj AS f2, q.obj AS m FROM quads q
+      JOIN top2 ON q.graph = top2.graph AND top2.rk = 2
+      WHERE q.pred = '{_KG}imports')
+    SELECT DISTINCT f, m, f2 FROM imp1 JOIN imp2 USING (m)
+    """
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -5968,6 +6015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_graph": q_kg_sparql_graph,
         "csvw_skolemize": q_csvw_skolemize,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
+        "kg_sparql_from": q_kg_sparql_from,
         # -- (3) r2-hash-proven (oldest records; fill the window) ---------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -6092,6 +6140,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_graph": sql_kg_sparql_graph(),
         "csvw_skolemize": sql_csvw_skolemize(),
         "kg_turtle_roundtrip": sql_kg_turtle_roundtrip(),
+        "kg_sparql_from": sql_kg_sparql_from(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

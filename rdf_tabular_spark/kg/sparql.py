@@ -168,6 +168,9 @@ class _Parser:
         #: variables whose term metadata the translated expressions
         #: reference (LANG/DATATYPE/isIRI/…) — filled by _expr
         self.meta_vars: set[str] = set()
+        #: FROM / FROM NAMED dataset clause (filled by the query forms)
+        self.from_graphs: list[str] = []
+        self.from_named: list[str] = []
 
     # -- token plumbing ----------------------------------------------
     def peek(self, ahead: int = 0) -> _Tok:
@@ -225,6 +228,24 @@ class _Parser:
                 return
 
     # -- terms ---------------------------------------------------------
+    def parse_dataset_clause(self) -> tuple[list[str], list[str]]:
+        """``(FROM <iri> | FROM NAMED <iri>)*`` -> (default-graph merge
+        list, named-graph list)."""
+        frm: list[str] = []
+        named: list[str] = []
+        while self.at_kw("FROM"):
+            self.next()
+            target = frm
+            if self.at_kw("NAMED"):
+                self.next()
+                target = named
+            t = self.next()
+            if t.kind not in ("IRIREF", "PNAME"):
+                raise SparqlSyntaxError(
+                    f"FROM needs an IRI at offset {t.pos}, got {t.text!r}")
+            target.append(self._iri_text(t))
+        return frm, named
+
     def _iri_text(self, tok: _Tok) -> str:
         if tok.kind == "IRIREF":
             body = tok.text[1:-1]
@@ -773,6 +794,11 @@ class _Parser:
                     break
             if not items:
                 raise SparqlSyntaxError("empty SELECT clause")
+        frm, named = self.parse_dataset_clause()
+        if sub and (frm or named):
+            raise SparqlSyntaxError(
+                "FROM / FROM NAMED are not allowed in a sub-SELECT")
+        self.from_graphs, self.from_named = frm, named
         if self.at_kw("WHERE"):
             self.next()
         group = self.parse_group()
@@ -1171,6 +1197,31 @@ def _run_select(triples: DataFrame, sel: _Select, ev: _Evaluator,
 
 # ------------------------------------------------------------ public API
 
+def _apply_dataset_clause(table: DataFrame, frm: list[str],
+                          named: list[str]) -> DataFrame:
+    """SPARQL §13.2: a dataset clause REPLACES the dataset — the new
+    default graph is the set-merge of the FROM graphs (empty without
+    FROM), the named graphs are exactly the FROM NAMED set (empty
+    without FROM NAMED). Both selectors are isin predicates on the
+    graph column (partition-pruned on a graph-partitioned quad table);
+    the merge dedups only when several graphs actually merge."""
+    if not frm and not named:
+        return table
+    if "graph" not in table.columns:
+        raise SparqlUnsupportedError(
+            "FROM / FROM NAMED need a quad table (a `graph` column — "
+            "kg/dataset.with_graph); this input is a plain triple table")
+    cols = [c for c in table.columns if c != "graph"]
+    default = table.filter(F.col("graph").isin(frm)).select(*cols)
+    if len(frm) > 1:  # graph MERGE is a set union
+        default = default.dropDuplicates(cols)
+    default = default.withColumn("graph", F.lit(None).cast("string"))
+    named_part = table.filter(F.col("graph").isin(named)) if named \
+        else table.filter(F.lit(False))
+    return default.select(*table.columns).unionByName(
+        named_part.select(*table.columns))
+
+
 def sparql(triples: DataFrame, query: str, *,
            reorder: bool = False, allow_cartesian: bool = False,
            path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
@@ -1187,26 +1238,31 @@ def sparql(triples: DataFrame, query: str, *,
     if p.at_kw("SELECT"):
         sel = p.parse_select()
         _expect_eof(p)
-        ev = _Evaluator(triples, p.meta_vars, reorder, allow_cartesian,
+        eff = _apply_dataset_clause(triples, p.from_graphs, p.from_named)
+        ev = _Evaluator(eff, p.meta_vars, reorder, allow_cartesian,
                         path_max_hops)
-        return _run_select(triples, sel, ev)
+        return _run_select(eff, sel, ev)
     if p.at_kw("ASK"):
         p.next()
+        frm, named = p.parse_dataset_clause()
+        eff = _apply_dataset_clause(triples, frm, named)
         if p.at_kw("WHERE"):
             p.next()
         group = p.parse_group()
         _expect_eof(p)
-        ev = _Evaluator(triples, p.meta_vars, reorder, allow_cartesian,
+        ev = _Evaluator(eff, p.meta_vars, reorder, allow_cartesian,
                         path_max_hops)
         sol = ev.eval_group(group)
         return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
     if p.at_kw("CONSTRUCT"):
         p.next()
         template = _parse_template(p)
+        frm, named = p.parse_dataset_clause()
+        eff = _apply_dataset_clause(triples, frm, named)
         p.eat_kw("WHERE")
         group = p.parse_group()
         _expect_eof(p)
-        ev = _Evaluator(triples,
+        ev = _Evaluator(eff,
                         set(p.meta_vars) | _tmpl_obj_vars(template),
                         reorder, allow_cartesian, path_max_hops)
         sols = ev.eval_group(group)

@@ -593,3 +593,52 @@ def test_graph_same_var_across_clauses(spark):
           GRAPH ?g { ?f2 k:imports m:y }
         }""")
     assert rows(got, "g", "f1", "f2") == [("g:r1", "f:a", "f:c")]
+
+
+def test_from_replaces_default_graph(spark):
+    # FROM <g:r2>: the named graph becomes THE default graph; bare
+    # patterns now see it, and the old default (module metadata) is gone
+    got = sparql(_quads(spark), """
+        SELECT ?f ?m FROM <g:r2> WHERE { ?f k:imports ?m }""")
+    assert rows(got, "f", "m") == [("f:b", "m:x")]
+    got = sparql(_quads(spark), """
+        SELECT ?m FROM <g:r2> WHERE { ?m k:type k:Module }""")
+    assert got.count() == 0
+
+
+def test_from_merges_multiple_graphs(spark):
+    got = sparql(_quads(spark), """
+        SELECT ?f FROM <g:r1> FROM <g:r2> WHERE { ?f k:imports ?m }""")
+    assert rows(got, "f") == [("f:a",), ("f:b",), ("f:c",)]
+
+
+def test_from_named_restricts_graph_clause(spark):
+    got = sparql(_quads(spark), """
+        SELECT ?g ?f FROM NAMED <g:r1> WHERE {
+          GRAPH ?g { ?f k:imports ?m } }""")
+    assert rows(got, "g", "f") == [("g:r1", "f:a"), ("g:r1", "f:c")]
+    # without FROM NAMED in the clause set, GRAPH ranges over nothing
+    got = sparql(_quads(spark), """
+        SELECT ?g ?f FROM <g:r1> WHERE {
+          GRAPH ?g { ?f k:imports ?m } }""")
+    assert got.count() == 0
+
+
+def test_from_ask_and_construct(spark):
+    got = sparql(_quads(spark), "ASK FROM <g:r2> { f:b k:imports m:x }")
+    assert got.collect()[0]["ask"] is True
+    got = sparql(_quads(spark), """
+        CONSTRUCT { ?f k:in ?m } FROM <g:r1> WHERE { ?f k:imports ?m }""")
+    assert rows(got, "subj", "obj") == [("f:a", "m:x"), ("f:c", "m:y")]
+
+
+def test_from_on_triple_table_raises(spark):
+    with pytest.raises(SparqlUnsupportedError, match="quad table"):
+        sparql(_t(spark), "SELECT ?f FROM <g:r1> WHERE { ?f k:imports ?m }")
+
+
+def test_from_in_subselect_raises(spark):
+    with pytest.raises(SparqlSyntaxError, match="sub-SELECT"):
+        sparql(_quads(spark), """
+            SELECT ?f WHERE {
+              { SELECT ?f FROM <g:r1> WHERE { ?f k:imports ?m } } }""")
