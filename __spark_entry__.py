@@ -5681,6 +5681,31 @@ def sql_kg_sparql_from() -> str:
     """
 
 
+def q_kg_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Quads sink+source (operators/ntriples.py — r4): the dataset
+    (per-repo named graphs + default-graph metadata, kg/dataset model)
+    serializes to N-Quads text (default-graph rows as plain triple
+    lines per spec) and parses back through the same native-framing /
+    Arrow-detour route as N-Triples. Twin computes the quads directly —
+    parse∘format identity for the QUAD table."""
+    from rdf_tabular_spark.kg.dataset import with_graph
+    from rdf_tabular_spark.operators.ntriples import (parse_nquads_lines,
+                                                      to_nquads_lines)
+
+    _, _, triples = _kg_oracle_run(spark)
+    quads = with_graph(triples, _GRAPH_EXPR)
+    return parse_nquads_lines(to_nquads_lines(quads))
+
+
+def sql_kg_nquads_roundtrip() -> str:
+    return f"""
+    WITH t AS ({sql_kg_triples()})
+    SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang,
+           {_GRAPH_EXPR} AS graph
+    FROM t
+    """
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -6016,6 +6041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csvw_skolemize": q_csvw_skolemize,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_sparql_from": q_kg_sparql_from,
+        "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         # -- (3) r2-hash-proven (oldest records; fill the window) ---------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -6141,6 +6167,7 @@ def oracle_sql() -> dict[str, str]:
         "csvw_skolemize": sql_csvw_skolemize(),
         "kg_turtle_roundtrip": sql_kg_turtle_roundtrip(),
         "kg_sparql_from": sql_kg_sparql_from(),
+        "kg_nquads_roundtrip": sql_kg_nquads_roundtrip(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

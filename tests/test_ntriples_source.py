@@ -147,3 +147,64 @@ def test_grammar_rejects(spark, bad):
     df = _lines(spark, bad)
     assert parse_ntriples_lines(df).count() == 0
     assert ntriples_parse_problems(df).count() == 1
+
+
+# ------------------------------------------------------------- N-Quads
+
+QSCHEMA = SCHEMA + ", graph string"
+
+QROWS = [
+    ("http://e/s", "http://e/p", "http://e/o", True, None, None, "http://g/1"),
+    ("http://e/s", "http://e/p", "dflt", False, None, None, None),
+    ("_:b0", "http://e/p", "x\ny", False, None, "en", "_:gb"),
+    ("http://e/s", "http://e/n", "42", False,
+     "http://www.w3.org/2001/XMLSchema#int", None, "http://g/2"),
+]
+
+
+def test_nquads_roundtrip(spark):
+    from rdf_tabular_spark.operators.ntriples import (parse_nquads_lines,
+                                                      to_nquads_lines)
+
+    quads = spark.createDataFrame(QROWS, QSCHEMA)
+    back = parse_nquads_lines(to_nquads_lines(quads))
+    assert _rows(back) == _rows(quads)
+
+
+def test_nquads_default_graph_is_plain_triple_line(spark):
+    from rdf_tabular_spark.operators.ntriples import to_nquads_lines
+
+    quads = spark.createDataFrame(QROWS[1:2], QSCHEMA)
+    [r] = to_nquads_lines(quads).collect()
+    assert r["line"] == '<http://e/s> <http://e/p> "dflt" .'
+
+
+def test_nquads_accepts_triple_lines_as_default(spark):
+    from rdf_tabular_spark.operators.ntriples import parse_nquads_lines
+
+    df = _lines(spark, "<http://e/s> <http://e/p> <http://e/o> .")
+    [r] = parse_nquads_lines(df).collect()
+    assert r["graph"] is None
+
+
+def test_nquads_numeric_escape_path(spark):
+    from rdf_tabular_spark.operators.ntriples import parse_nquads_lines
+
+    df = _lines(
+        spark, '<http://e/s> <http://e/p> "caf\\u00e9" <http://g/\\u0031> .')
+    [r] = parse_nquads_lines(df).collect()
+    assert (r["obj"], r["graph"]) == ("café", "http://g/1")
+
+
+def test_nquads_problems(spark):
+    from rdf_tabular_spark.operators.ntriples import (nquads_parse_problems,
+                                                      parse_nquads_lines)
+
+    df = _lines(
+        spark,
+        '<http://e/s> <http://e/p> "v" <http://g/1> .',
+        '<http://e/s> <http://e/p> "v" "litgraph" .',   # literal graph: bad
+        "# comment",
+    )
+    assert parse_nquads_lines(df).count() == 1
+    assert nquads_parse_problems(df).count() == 1
