@@ -5706,6 +5706,54 @@ def sql_kg_nquads_roundtrip() -> str:
     """
 
 
+def q_kg_owl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-RL-lite property rules (kg/owl.py — r4): kg:importedBy /
+    kg:definedIn arrive as owl:inverseOf axioms, and the chain
+    ``definedIn ∘ inRepo ⊑ inRepo`` gives every symbol repo membership
+    THROUGH the rule pipeline's own inverse output — the semi-naive
+    fixpoint engine must land on the closed form the twin computes
+    (this ontology's rule graph is acyclic, fixpoint = 2 rounds)."""
+    from rdf_tabular_spark.kg.owl import owl_property_materialize
+
+    _, _, triples = _kg_oracle_run(spark)
+    return owl_property_materialize(
+        triples,
+        inverse=[(_KG + "imports", _KG + "importedBy"),
+                 (_KG + "defines", _KG + "definedIn")],
+        chains=[(_KG + "definedIn", _KG + "inRepo", _KG + "inRepo")])
+
+
+def sql_kg_owl_closure() -> str:
+    return f"""
+    WITH t AS MATERIALIZED ({sql_kg_triples()}),
+    imp_inv AS (
+      SELECT DISTINCT obj AS subj, '{_KG}importedBy' AS pred,
+             subj AS obj
+      FROM t WHERE pred = '{_KG}imports' AND obj_is_iri),
+    def_inv AS (
+      SELECT DISTINCT obj AS subj, '{_KG}definedIn' AS pred,
+             subj AS obj
+      FROM t WHERE pred = '{_KG}defines' AND obj_is_iri),
+    chain AS (
+      SELECT DISTINCT d.subj, '{_KG}inRepo' AS pred, r.obj
+      FROM def_inv d
+      JOIN (SELECT subj, obj FROM t
+            WHERE pred = '{_KG}inRepo' AND obj_is_iri) r
+        ON d.obj = r.subj),
+    inferred AS (
+      SELECT * FROM imp_inv UNION SELECT * FROM def_inv
+      UNION SELECT * FROM chain)
+    SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang FROM t
+    UNION ALL
+    SELECT i.subj, i.pred, i.obj, TRUE AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM inferred i
+    LEFT JOIN t ON i.subj = t.subj AND i.pred = t.pred AND i.obj = t.obj
+    WHERE t.subj IS NULL
+    """
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -6042,6 +6090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_sparql_from": q_kg_sparql_from,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
+        "kg_owl_closure": q_kg_owl_closure,
         # -- (3) r2-hash-proven (oldest records; fill the window) ---------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -6168,6 +6217,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_turtle_roundtrip": sql_kg_turtle_roundtrip(),
         "kg_sparql_from": sql_kg_sparql_from(),
         "kg_nquads_roundtrip": sql_kg_nquads_roundtrip(),
+        "kg_owl_closure": sql_kg_owl_closure(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),
