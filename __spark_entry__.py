@@ -5754,6 +5754,39 @@ def sql_kg_owl_closure() -> str:
     """
 
 
+def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (kg/graph.predict_links — r4): common-neighbor
+    count + Resource-Allocation index per co-imported module pair; the
+    per-file weight is the integer (10^12 + deg div 2) div deg so the
+    pair score is an exact BIGINT sum — no float-ln or accumulation-
+    order drift between engines. File-keyed self-join, fan-out bounded
+    by imports-per-file²."""
+    from rdf_tabular_spark.kg.graph import predict_links
+
+    _, _, triples = _kg_oracle_run(spark)
+    return predict_links(triples, min_common=2)
+
+
+def sql_kg_link_prediction() -> str:
+    return f"""
+    WITH t AS MATERIALIZED ({sql_kg_triples()}),
+    mods AS (
+      SELECT DISTINCT subj AS src, obj AS dst FROM t
+      WHERE pred IN ('{_KG}imports', '{_KG}dependsOn') AND obj_is_iri),
+    deg AS (SELECT src, COUNT(*) AS d FROM mods GROUP BY src),
+    w AS (
+      SELECT m.src, m.dst,
+             (1000000000000 + deg.d // 2) // deg.d AS wgt
+      FROM mods m JOIN deg ON m.src = deg.src)
+    SELECT a.dst AS mod_a, b.dst AS mod_b,
+           CAST(COUNT(*) AS BIGINT) AS common,
+           CAST(SUM(a.wgt) AS BIGINT) AS ra_micro
+    FROM w a JOIN w b ON a.src = b.src AND a.dst < b.dst
+    GROUP BY a.dst, b.dst
+    HAVING COUNT(*) >= 2
+    """
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -6091,6 +6124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_from": q_kg_sparql_from,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_owl_closure": q_kg_owl_closure,
+        "kg_link_prediction": q_kg_link_prediction,
         # -- (3) r2-hash-proven (oldest records; fill the window) ---------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -6218,6 +6252,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_from": sql_kg_sparql_from(),
         "kg_nquads_roundtrip": sql_kg_nquads_roundtrip(),
         "kg_owl_closure": sql_kg_owl_closure(),
+        "kg_link_prediction": sql_kg_link_prediction(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

@@ -431,3 +431,43 @@ def test_personalized_pagerank_matches_reference(spark, iterations):
 def test_personalized_pagerank_empty_seeds_rejected(spark):
     with pytest.raises(ValueError, match="source"):
         graph.pagerank(_triples(spark, EDGES), sources=[])
+
+
+# ----------------------------------------------------- link prediction
+
+def test_predict_links_hand_computed(spark):
+    """f1 imports {m1,m2,m3} (deg 3), f2 imports {m1,m2} (deg 2):
+    RA(m1,m2) = 1/3 + 1/2, RA(m1,m3) = RA(m2,m3) = 1/3."""
+    from rdf_tabular_spark.kg.annotate import KG
+    from rdf_tabular_spark.kg.graph import predict_links
+
+    rows = [("e:f1", KG + "imports", m, True, None, None)
+            for m in ("m:1", "m:2", "m:3")]
+    rows += [("e:f2", KG + "imports", m, True, None, None)
+             for m in ("m:1", "m:2")]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+    got = {(r["mod_a"], r["mod_b"]): (r["common"], r["ra_micro"])
+           for r in predict_links(t).collect()}
+    third = (10**12 + 1) // 3  # integer round-half-up of 1e12/3
+    half = 10**12 // 2
+    assert got == {
+        ("m:1", "m:2"): (2, third + half),
+        ("m:1", "m:3"): (1, third),
+        ("m:2", "m:3"): (1, third),
+    }
+
+
+def test_predict_links_partition_invariant(spark):
+    from rdf_tabular_spark.kg.annotate import KG
+    from rdf_tabular_spark.kg.graph import predict_links
+
+    rows = [(f"e:f{i}", KG + "imports", f"m:{j}", True, None, None)
+            for i in range(20) for j in range(i % 5 + 1)]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+    one = sorted(map(tuple, predict_links(t).collect()))
+    many = sorted(map(tuple, predict_links(t.repartition(13)).collect()))
+    assert one == many and one
