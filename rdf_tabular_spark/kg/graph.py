@@ -175,11 +175,17 @@ def predict_links(triples: DataFrame, min_common: int = 1,
     combined hash aggregation."""
     from ..caching import cache_bounded as _cache
 
-    mods = _cache(edge_list(triples, predicates).distinct())
+    # ONE exchange keys the whole front half: hash(src) satisfies the
+    # clustering requirement of the (src,dst) dedup, the deg agg, the
+    # deg join AND both self-join sides, so none of them re-shuffle;
+    # caching `weighted` makes the two self-join aliases read the same
+    # materialization instead of recomputing the lineage per side.
+    edges = edge_list(triples, predicates).repartition("src")
+    mods = edges.dropDuplicates(["src", "dst"])
     deg = mods.groupBy("src").agg(F.count("*").alias("_d"))
-    weighted = mods.join(deg, "src").select(
+    weighted = _cache(mods.join(deg, "src").select(
         "src", "dst",
-        F.expr("(1000000000000L + _d div 2) div _d").alias("_w"))
+        F.expr("(1000000000000L + _d div 2) div _d").alias("_w")))
     a, b = weighted.alias("a"), weighted.alias("b")
     return (
         a.join(b, (F.col("a.src") == F.col("b.src"))
