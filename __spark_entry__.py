@@ -5787,6 +5787,55 @@ def sql_kg_link_prediction() -> str:
     """
 
 
+def q_kg_shacl_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite r4 constraints (kg/shacl.py sh:pattern / sh:in /
+    sh:minInclusive+maxInclusive): language allowlist, path-extension
+    regex, and a numeric range on symbol indices — each a map-only
+    filter on one predicate slice after the target semi-join; every
+    shape produces real violations on this corpus (150 langs, 75
+    paths, range hits on deep definition indices)."""
+    from rdf_tabular_spark.kg.shacl import validate_shapes
+
+    _, _, triples = _kg_oracle_run(spark)
+    return validate_shapes(triples, [
+        {"name": "LangAllowed", "target_class": _KG + "File",
+         "property": _KG + "lang", "in": ["python", "ruby"]},
+        {"name": "ScriptPath", "target_class": _KG + "File",
+         "property": _KG + "path", "pattern": r"\.(py|rb|js)$"},
+        {"name": "IdxRange", "target_class": _KG + "Function",
+         "property": _KG + "atIndex",
+         "min_inclusive": 0, "max_inclusive": 5},
+    ])
+
+
+def sql_kg_shacl_extended() -> str:
+    return f"""
+    WITH kgt AS MATERIALIZED ({sql_kg_triples()}),
+    types AS (SELECT subj, obj FROM kgt WHERE pred = '{_RDF_TYPE}'),
+    files AS (SELECT DISTINCT subj AS focus FROM types
+              WHERE obj = '{_KG}File'),
+    funcs AS (SELECT DISTINCT subj AS focus FROM types
+              WHERE obj = '{_KG}Function')
+    SELECT DISTINCT * FROM (
+      SELECT v.subj AS focus, 'LangAllowed' AS shape, 'in' AS constraint,
+             v.obj AS detail
+      FROM kgt v JOIN files f ON v.subj = f.focus
+      WHERE v.pred = '{_KG}lang' AND v.obj NOT IN ('python', 'ruby')
+      UNION ALL
+      SELECT v.subj, 'ScriptPath', 'pattern', v.obj
+      FROM kgt v JOIN files f ON v.subj = f.focus
+      WHERE v.pred = '{_KG}path' AND NOT v.obj_is_iri
+        AND NOT regexp_matches(v.obj, '\\.(py|rb|js)$')
+      UNION ALL
+      SELECT v.subj, 'IdxRange', 'range', v.obj
+      FROM kgt v JOIN funcs f ON v.subj = f.focus
+      WHERE v.pred = '{_KG}atIndex' AND NOT v.obj_is_iri
+        AND (TRY_CAST(v.obj AS DECIMAL(38,12)) IS NULL
+             OR TRY_CAST(v.obj AS DECIMAL(38,12)) < 0
+             OR TRY_CAST(v.obj AS DECIMAL(38,12)) > 5))
+    """
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -6125,6 +6174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_owl_closure": q_kg_owl_closure,
         "kg_link_prediction": q_kg_link_prediction,
+        "kg_shacl_extended": q_kg_shacl_extended,
         # -- (3) r2-hash-proven (oldest records; fill the window) ---------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -6253,6 +6303,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nquads_roundtrip": sql_kg_nquads_roundtrip(),
         "kg_owl_closure": sql_kg_owl_closure(),
         "kg_link_prediction": sql_kg_link_prediction(),
+        "kg_shacl_extended": sql_kg_shacl_extended(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

@@ -9,6 +9,11 @@ subset that covers most real deployments:
 - ``class``: every value of property p on a target must be typed c
 - ``nodeKind``: IRI vs Literal
 - ``datatype``: literal values must carry the given datatype IRI
+- ``pattern`` (sh:pattern): literal values must match the regex (r4)
+- ``in`` (sh:in): closed value enumeration (r4)
+- ``min_inclusive`` / ``max_inclusive`` (sh:minInclusive /
+  sh:maxInclusive): numeric range on literal values; a non-numeric
+  literal under a range constraint is itself a violation (r4)
 
 Shapes are declared as plain dicts (the compiled form a Turtle shapes
 graph would parse to). The validator emits a VIOLATIONS table —
@@ -113,6 +118,39 @@ def validate_shapes(triples: DataFrame, shapes: list[dict]) -> DataFrame:
             parts.append(bad.select(*_violation(
                 F.col("subj"), name, "datatype",
                 F.coalesce(F.col("obj_datatype"), F.lit("plain")))))
+
+        if "pattern" in sh:  # sh:pattern — literal values must rlike it
+            vals = values.join(
+                targets, values["subj"] == targets["focus"], "leftsemi")
+            bad = vals.filter(
+                ~F.col("obj_is_iri")
+                & ~F.col("obj").rlike(sh["pattern"]))
+            parts.append(bad.select(*_violation(
+                F.col("subj"), name, "pattern", F.col("obj"))))
+
+        if "in" in sh:  # sh:in — closed value enumeration
+            allowed = [str(v) for v in sh["in"]]
+            vals = values.join(
+                targets, values["subj"] == targets["focus"], "leftsemi")
+            bad = vals.filter(~F.col("obj").isin(allowed))
+            parts.append(bad.select(*_violation(
+                F.col("subj"), name, "in", F.col("obj"))))
+
+        if "min_inclusive" in sh or "max_inclusive" in sh:
+            # sh:minInclusive / sh:maxInclusive — numeric comparison on
+            # literal values; non-numeric literals violate (cast NULL)
+            vals = values.join(
+                targets, values["subj"] == targets["focus"], "leftsemi")
+            num = F.expr("try_cast(obj AS decimal(38,12))")
+            lo = sh.get("min_inclusive")
+            hi = sh.get("max_inclusive")
+            bad = vals.filter(
+                ~F.col("obj_is_iri")
+                & (num.isNull()
+                   | (num < lo if lo is not None else F.lit(False))
+                   | (num > hi if hi is not None else F.lit(False))))
+            parts.append(bad.select(*_violation(
+                F.col("subj"), name, "range", F.col("obj"))))
 
         for p in parts:
             out = p if out is None else out.unionByName(p)

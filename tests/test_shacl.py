@@ -79,3 +79,51 @@ def test_conformant_graph_empty_report(spark):
 def test_no_shapes_raises(spark):
     with pytest.raises(ValueError):
         shacl.validate_shapes(_g(spark), [])
+
+
+def test_pattern_constraint(spark):
+    g = _triples(spark, [
+        ("f1", RDF_TYPE, "File", True, None),
+        ("f1", "path", "src/ok.py", False, None),
+        ("f2", RDF_TYPE, "File", True, None),
+        ("f2", "path", "weird.txt", False, None),
+        ("f2", "ref", "src/iri-not-checked", True, None),
+    ])
+    out = shacl.validate_shapes(g, [
+        {"name": "P", "target_class": "File", "property": "path",
+         "pattern": r"\.py$"},
+        {"name": "P2", "target_class": "File", "property": "ref",
+         "pattern": r"^never"}])  # IRI values: pattern doesn't apply
+    assert [(r.focus, r.constraint, r.detail) for r in out.collect()] == [
+        ("f2", "pattern", "weird.txt")]
+
+
+def test_in_constraint(spark):
+    g = _triples(spark, [
+        ("f1", RDF_TYPE, "File", True, None),
+        ("f1", "lang", "python", False, None),
+        ("f2", RDF_TYPE, "File", True, None),
+        ("f2", "lang", "cobol", False, None),
+    ])
+    out = shacl.validate_shapes(g, [
+        {"name": "L", "target_class": "File", "property": "lang",
+         "in": ["python", "ruby"]}])
+    assert [(r.focus, r.detail) for r in out.collect()] == [("f2", "cobol")]
+
+
+def test_range_constraint(spark):
+    g = _triples(spark, [
+        ("s1", RDF_TYPE, "Sym", True, None),
+        ("s1", "idx", "2", False, None),
+        ("s2", RDF_TYPE, "Sym", True, None),
+        ("s2", "idx", "7", False, None),      # above max
+        ("s3", RDF_TYPE, "Sym", True, None),
+        ("s3", "idx", "-1", False, None),     # below min
+        ("s4", RDF_TYPE, "Sym", True, None),
+        ("s4", "idx", "NaNish", False, None), # non-numeric literal
+    ])
+    out = shacl.validate_shapes(g, [
+        {"name": "R", "target_class": "Sym", "property": "idx",
+         "min_inclusive": 0, "max_inclusive": 5}])
+    assert sorted((r.focus, r.detail) for r in out.collect()) == [
+        ("s2", "7"), ("s3", "-1"), ("s4", "NaNish")]
