@@ -23,7 +23,8 @@ def _lines(spark, *lines):
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    return sorted((tuple(r) for r in df.collect()),
+                  key=lambda t: tuple((v is None, v) for v in t))
 
 
 TRICKY = [
@@ -208,3 +209,46 @@ def test_nquads_problems(spark):
     )
     assert parse_nquads_lines(df).count() == 1
     assert nquads_parse_problems(df).count() == 1
+
+
+# ---------------------------------------------- property-based roundtrip
+
+def test_roundtrip_property(spark):
+    """Hypothesis-generated adversarial literals (quotes, backslashes,
+    control chars, unicode, lang/datatype soup) must survive
+    format→parse bit-exactly — one batched Spark job over all examples
+    (per-example jobs would be 100× slower)."""
+    from hypothesis import given, settings, strategies as st
+
+    text = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),  # no lone surrogates
+        ), min_size=0, max_size=40)
+    lang = st.one_of(st.none(), st.sampled_from(["en", "en-GB", "es-419"]))
+    dt = st.one_of(st.none(), st.sampled_from(
+        ["http://www.w3.org/2001/XMLSchema#string", "http://e/dt"]))
+
+    collected = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(obj=text, lang=lang, dt=dt)
+    def gather(obj, lang, dt):
+        if lang is not None:
+            dt = None
+        collected.append(
+            ("http://e/s", "http://e/p", obj, False, dt, lang))
+
+    gather()
+    rows = sorted(set(collected),
+                  key=lambda r: tuple((v is None, v) for v in r))
+    triples = spark.createDataFrame(rows, SCHEMA)
+    back = parse_ntriples_lines(to_ntriples_lines(triples))
+    assert _rows(back) == _rows(triples)
+
+    # same corpus through the quad grammar
+    from rdf_tabular_spark.operators.ntriples import (parse_nquads_lines,
+                                                      to_nquads_lines)
+    quads = spark.createDataFrame(
+        [r + ("http://g/1",) for r in rows], QSCHEMA)
+    qback = parse_nquads_lines(to_nquads_lines(quads))
+    assert _rows(qback) == _rows(quads)
