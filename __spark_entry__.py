@@ -5836,6 +5836,34 @@ def sql_kg_shacl_extended() -> str:
     """
 
 
+def q_kg_owl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OWL maintenance (kg/owl.owl_incremental — r4): the
+    corpus splits 90/10 by an md5 row bucket, Spark closes the 90%
+    base then maintains it under the 10% delta (semi-naive from the
+    delta frontier — the closed graph never re-derives); the twin
+    recomputes the FULL closure from scratch. A green row IS the
+    incremental == full-recompute invariant, cross-engine (the same
+    proof shape as kg_rdfs_incremental)."""
+    from rdf_tabular_spark.kg.owl import (owl_incremental,
+                                          owl_property_materialize)
+
+    _, _, triples = _kg_oracle_run(spark)
+    rules = dict(
+        inverse=[(_KG + "imports", _KG + "importedBy"),
+                 (_KG + "defines", _KG + "definedIn")],
+        chains=[(_KG + "definedIn", _KG + "inRepo", _KG + "inRepo")])
+    bucket = F.conv(F.substring(F.md5(F.concat_ws(
+        "\x00", "subj", "pred", "obj")), 1, 8), 16, 10).cast("long") % 10
+    base = triples.filter(bucket != 0)
+    delta = triples.filter(bucket == 0)
+    return owl_incremental(owl_property_materialize(base, **rules),
+                           delta, **rules)
+
+
+def sql_kg_owl_incremental() -> str:
+    return sql_kg_owl_closure()
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -6175,6 +6203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_owl_closure": q_kg_owl_closure,
         "kg_link_prediction": q_kg_link_prediction,
         "kg_shacl_extended": q_kg_shacl_extended,
+        "kg_owl_incremental": q_kg_owl_incremental,
         # -- (3) r2-hash-proven (oldest records; fill the window) ---------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -6304,6 +6333,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_owl_closure": sql_kg_owl_closure(),
         "kg_link_prediction": sql_kg_link_prediction(),
         "kg_shacl_extended": sql_kg_shacl_extended(),
+        "kg_owl_incremental": sql_kg_owl_incremental(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

@@ -67,22 +67,7 @@ def parse_axioms(ontology: DataFrame) -> dict:
             "functional": func, "inverse_functional": ifunc}
 
 
-def owl_property_materialize(
-        triples: DataFrame, *,
-        inverse: list[tuple[str, str]] | None = None,
-        symmetric: list[str] | None = None,
-        transitive: list[str] | None = None,
-        chains: list[tuple[str, str, str]] | None = None,
-        ontology: DataFrame | None = None,
-        max_rounds: int = 12) -> DataFrame:
-    """Asserted graph + the property-rule closure.
-
-    *inverse* is [(p, q)] (both directions applied), *symmetric* [p],
-    *transitive* [p], *chains* [(p1, p2, q)] meaning ``p1 ∘ p2 ⊑ q``;
-    an *ontology* triple table contributes its owl axioms on top
-    (chains still come in via the parameter — RDF-list encoding is a
-    storage question, not a rule question). Warns loudly if the
-    fixpoint is not reached within *max_rounds*."""
+def _compile_rules(inverse, symmetric, transitive, chains, ontology):
     inverse = list(inverse or [])
     symmetric = list(symmetric or [])
     transitive = list(transitive or [])
@@ -92,23 +77,22 @@ def owl_property_materialize(
         inverse += ax["inverse"]
         symmetric += ax["symmetric"]
         transitive += ax["transitive"]
-
     # unify: symmetric = self-inverse, transitive = self-chain
     swap_pairs = sorted(set(
         [(p, q) for p, q in inverse] + [(q, p) for p, q in inverse]
         + [(p, p) for p in symmetric]))
     chain_rules = sorted(set(chains) | {(p, p, p) for p in transitive})
-
-    spark = triples.sparkSession
     vocab = sorted({t for pair in swap_pairs for t in pair}
                    | {t for c in chain_rules for t in c})
-    if not vocab:
-        return triples
+    return swap_pairs, chain_rules, vocab
 
-    asserted = triples.select(*TRIPLE_COLUMNS)
-    # the only pass over the full stream: pushed-down predicate filter
-    in_vocab = asserted.filter(F.col("pred").isin(vocab))
 
+def _closure_loop(spark, all_edges: DataFrame, frontier: DataFrame,
+                  swap_pairs, chain_rules, max_rounds: int,
+                  caller: str) -> DataFrame:
+    """Semi-naive fixpoint shared by full and incremental closure:
+    each round applies every rule with the new edges from the previous
+    round on at least one premise. Returns the closed edge set."""
     swaps = F.broadcast(spark.createDataFrame(
         swap_pairs or [("", "")], "p string, q string").filter(
         F.col("p") != ""))
@@ -142,17 +126,27 @@ def owl_property_materialize(
                         F.col("_z").alias("obj"),
                         "obj_is_iri", "obj_datatype", "obj_lang"))
 
-    all_edges = in_vocab
-    frontier = in_vocab
+    def dedup_det(df: DataFrame) -> DataFrame:
+        # deterministic metadata winner per (s,p,o): a conclusion can
+        # arise via several paths with different carried metadata and
+        # dropDuplicates would pick by partition order
+        return (df.groupBy("subj", "pred", "obj")
+                .agg(F.min(F.struct("obj_is_iri", "obj_datatype",
+                                    "obj_lang")).alias("_m"))
+                .select("subj", "pred", "obj",
+                        F.col("_m.obj_is_iri").alias("obj_is_iri"),
+                        F.col("_m.obj_datatype").alias("obj_datatype"),
+                        F.col("_m.obj_lang").alias("obj_lang")))
+
     converged = False
     for _ in range(max_rounds):
         new = apply_swap(frontier)
         if chain_rules:
             new = new.unionByName(apply_chain(frontier, all_edges))
             new = new.unionByName(apply_chain(all_edges, frontier))
-        new = (new.dropDuplicates(["subj", "pred", "obj"])
-               .join(all_edges.select("subj", "pred", "obj"),
-                     ["subj", "pred", "obj"], "left_anti"))
+        new = dedup_det(new).join(
+            all_edges.select("subj", "pred", "obj"),
+            ["subj", "pred", "obj"], "left_anti")
         new = new.localCheckpoint(eager=True)
         if new.isEmpty():
             converged = True
@@ -161,9 +155,39 @@ def owl_property_materialize(
         frontier = new
     if not converged:
         warnings.warn(
-            f"owl_property_materialize exited after {max_rounds} rounds "
-            "without reaching the fixpoint; the returned closure is "
-            "truncated — raise max_rounds", stacklevel=2)
+            f"{caller} exited after {max_rounds} rounds without "
+            "reaching the fixpoint; the returned closure is truncated "
+            "— raise max_rounds", stacklevel=3)
+    return all_edges
+
+
+def owl_property_materialize(
+        triples: DataFrame, *,
+        inverse: list[tuple[str, str]] | None = None,
+        symmetric: list[str] | None = None,
+        transitive: list[str] | None = None,
+        chains: list[tuple[str, str, str]] | None = None,
+        ontology: DataFrame | None = None,
+        max_rounds: int = 12) -> DataFrame:
+    """Asserted graph + the property-rule closure.
+
+    *inverse* is [(p, q)] (both directions applied), *symmetric* [p],
+    *transitive* [p], *chains* [(p1, p2, q)] meaning ``p1 ∘ p2 ⊑ q``;
+    an *ontology* triple table contributes its owl axioms on top
+    (chains still come in via the parameter — RDF-list encoding is a
+    storage question, not a rule question). Warns loudly if the
+    fixpoint is not reached within *max_rounds*."""
+    swap_pairs, chain_rules, vocab = _compile_rules(
+        inverse, symmetric, transitive, chains, ontology)
+    if not vocab:
+        return triples
+
+    asserted = triples.select(*TRIPLE_COLUMNS)
+    # the only pass over the full stream: pushed-down predicate filter
+    in_vocab = asserted.filter(F.col("pred").isin(vocab))
+    all_edges = _closure_loop(
+        triples.sparkSession, in_vocab, in_vocab, swap_pairs,
+        chain_rules, max_rounds, "owl_property_materialize")
 
     inferred = all_edges.join(
         in_vocab.select("subj", "pred", "obj"),
@@ -174,6 +198,46 @@ def owl_property_materialize(
         asserted.select("subj", "pred", "obj"),
         ["subj", "pred", "obj"], "left_anti")
     return asserted.unionByName(new_rows)
+
+
+def owl_incremental(
+        materialized: DataFrame, delta: DataFrame, *,
+        inverse: list[tuple[str, str]] | None = None,
+        symmetric: list[str] | None = None,
+        transitive: list[str] | None = None,
+        chains: list[tuple[str, str, str]] | None = None,
+        ontology: DataFrame | None = None,
+        max_rounds: int = 12) -> DataFrame:
+    """Maintain an owl-closed graph under INSERTIONS: given
+    *materialized* = ``owl_property_materialize(asserted)`` and a
+    *delta* of new triples, returns the closure of asserted ∪ delta —
+    without re-deriving anything: the semi-naive loop starts from the
+    delta frontier, so every rule application touches at least one new
+    fact and work is proportional to the delta's consequences (the
+    standard semi-naive completeness argument: a derivation using only
+    old facts is already in *materialized*). Same broadcast-rule /
+    vocabulary-pruned shapes as the full closure; the 10^12-row closed
+    graph streams to the output with no shuffle."""
+    swap_pairs, chain_rules, vocab = _compile_rules(
+        inverse, symmetric, transitive, chains, ontology)
+    base = materialized.select(*TRIPLE_COLUMNS)
+    new_delta = (delta.select(*TRIPLE_COLUMNS)
+                 .dropDuplicates(["subj", "pred", "obj"])
+                 .join(base.select("subj", "pred", "obj"),
+                       ["subj", "pred", "obj"], "left_anti"))
+    if not vocab:
+        return base.unionByName(new_delta)
+    mat_vocab = base.filter(F.col("pred").isin(vocab))
+    frontier = new_delta.filter(F.col("pred").isin(vocab))
+    all_edges = _closure_loop(
+        materialized.sparkSession,
+        mat_vocab.unionByName(frontier), frontier, swap_pairs,
+        chain_rules, max_rounds, "owl_incremental")
+    # net-new closure rows: not in the closed base, not in the delta
+    inferred = all_edges.join(
+        mat_vocab.unionByName(frontier).select("subj", "pred", "obj"),
+        ["subj", "pred", "obj"], "left_anti")
+    return base.unionByName(new_delta).unionByName(inferred)
 
 
 def functional_sameas(triples: DataFrame, *,

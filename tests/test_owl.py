@@ -146,3 +146,44 @@ def test_functional_sameas_feeds_smush(spark):
     out = smush(t, pairs=pairs)
     assert ("e:d1", "e:p", "v") in _spo(out)
     assert not any(s == "e:d2" for s, _, _ in _spo(out))
+
+
+def test_incremental_equals_full_recompute(spark):
+    """Close a base graph, add a delta that extends a transitive chain
+    AND triggers the chain rule through an inverse — the incremental
+    path must produce exactly the from-scratch closure of the union."""
+    rules = dict(inverse=[("e:defines", "e:definedIn")],
+                 transitive=["e:dep"],
+                 chains=[("e:definedIn", "e:inRepo", "e:inRepo")])
+    base_rows = [
+        ("e:a", "e:dep", "e:b", True, None, None),
+        ("e:b", "e:dep", "e:c", True, None, None),
+        ("e:f", "e:inRepo", "e:r", True, None, None),
+    ]
+    delta_rows = [
+        ("e:c", "e:dep", "e:d", True, None, None),   # extends the chain
+        ("e:f", "e:defines", "e:s", True, None, None),  # inverse→chain
+    ]
+    base = _t(spark, base_rows)
+    delta = _t(spark, delta_rows)
+    from rdf_tabular_spark.kg.owl import owl_incremental
+
+    mat = owl_property_materialize(base, **rules)
+    inc = owl_incremental(mat, delta, **rules)
+    full = owl_property_materialize(_t(spark, base_rows + delta_rows),
+                                    **rules)
+    assert _spo(inc) == _spo(full)
+    # the delta's consequences really fired
+    assert ("e:a", "e:dep", "e:d") in _spo(inc)
+    assert ("e:s", "e:inRepo", "e:r") in _spo(inc)
+
+
+def test_incremental_noop_delta(spark):
+    rules = dict(transitive=["e:dep"])
+    base = _t(spark, [("e:a", "e:dep", "e:b", True, None, None)])
+    mat = owl_property_materialize(base, **rules)
+    from rdf_tabular_spark.kg.owl import owl_incremental
+
+    # delta already present: nothing changes
+    inc = owl_incremental(mat, base, **rules)
+    assert _spo(inc) == _spo(mat)
