@@ -126,3 +126,39 @@ def test_sink_roundtrip(spark, tmp_path):
     write_turtle(triples, path)
     back = read_turtle_dataset(spark, path)
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_turtle_roundtrip_property(spark):
+    """Hypothesis-generated literals through the prefix-compacted sink
+    and back — one batched Spark job over all examples."""
+    from hypothesis import given, settings, strategies as st
+
+    from rdf_tabular_spark.operators.turtle import (DEFAULT_PREFIXES,
+                                                    to_turtle_blocks)
+    from rdf_tabular_spark.sources.turtle_source import parse_turtle_blocks
+
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0, max_size=40)
+    lang = st.one_of(st.none(), st.sampled_from(["en", "pt-BR"]))
+    dt = st.one_of(st.none(), st.sampled_from(
+        ["http://www.w3.org/2001/XMLSchema#string",   # compacts
+         "http://no-prefix.example/dt"]))             # stays <...>
+
+    collected = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(obj=text, lang=lang, dt=dt)
+    def gather(obj, lang, dt):
+        if lang is not None:
+            dt = None
+        collected.append(("http://e/s", "http://e/p", obj, False, dt, lang))
+
+    gather()
+    rows = sorted(set(collected),
+                  key=lambda r: tuple((v is None, v) for v in r))
+    triples = spark.createDataFrame(rows, SCHEMA)
+    back = parse_turtle_blocks(
+        to_turtle_blocks(triples, DEFAULT_PREFIXES), DEFAULT_PREFIXES)
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted(map(tuple, back.collect()), key=key) == rows
