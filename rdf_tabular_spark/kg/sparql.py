@@ -1281,12 +1281,18 @@ def sparql(triples: DataFrame, query: str, *,
             else:
                 break
         spark = triples.sparkSession
+        frm, named = p.parse_dataset_clause()
+        eff = _apply_dataset_clause(triples, frm, named)
+        # the description itself draws from the DEFAULT graph (quad
+        # input: bare dataset semantics, same as bare patterns)
+        desc_table = (eff.filter(F.col("graph").isNull()).drop("graph")
+                      if "graph" in eff.columns else eff)
         if p.at_kw("WHERE") or p.at_op("{"):
             if p.at_kw("WHERE"):
                 p.next()
             group = p.parse_group()
             _expect_eof(p)
-            ev = _Evaluator(triples, p.meta_vars, reorder,
+            ev = _Evaluator(eff, p.meta_vars, reorder,
                             allow_cartesian, path_max_hops)
             sols = ev.eval_group(group)
             if not dvars:
@@ -1305,7 +1311,7 @@ def sparql(triples: DataFrame, query: str, *,
         if iris and dvars:
             subs = subs.unionByName(spark.createDataFrame(
                 [(i,) for i in iris], "subj string"))
-        return describe(triples, subs.distinct())
+        return describe(desc_table, subs.distinct())
     raise SparqlSyntaxError(
         f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got "
         f"{p.peek().text!r} (SPARQL Update strings go through "

@@ -132,3 +132,20 @@ def test_untouched_stream_has_no_exchange(spark):
     shuffles = [ln for ln in plan.splitlines()
                 if re.search(r"Exchange (hash|range)partitioning", ln)]
     assert len(shuffles) <= 1, plan
+
+
+def test_hot_key_pairs_stay_linear(spark):
+    """Adversarial hot name: 2,000 symbols share one kg:name literal.
+    Key-collision blocking must emit O(n) star pairs (alias->min), not
+    O(n^2) — the scale contract of sameas_from_shared_key."""
+    rows = [(f"e:s{i:05d}", "e:name", "hot", False, None, None)
+            for i in range(2000)]
+    rows += [(f"e:s{i:05d}", "e:p", f"v{i}", False, None, None)
+             for i in range(2000)]
+    t = _t(spark, rows)
+    pairs = sameas_from_shared_key(t, "e:name")
+    assert pairs.count() == 1999  # n-1 star edges, not C(n,2)
+    out = smush(t, pairs=pairs)
+    # all facts collapse onto the min symbol
+    assert out.filter(F.col("subj") == "e:s00000").count() == 2001
+    assert out.count() == 2001

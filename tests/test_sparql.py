@@ -642,3 +642,19 @@ def test_from_in_subselect_raises(spark):
         sparql(_quads(spark), """
             SELECT ?f WHERE {
               { SELECT ?f FROM <g:r1> WHERE { ?f k:imports ?m } } }""")
+
+
+def test_describe_with_from(spark):
+    # DESCRIBE over a quad table: FROM picks the graph whose facts
+    # describe the resource; without it the default graph describes
+    got = sparql(_quads(spark), "DESCRIBE <f:b> FROM <g:r2>")
+    assert rows(got, "subj", "pred", "obj") == [
+        ("f:b", "k:imports", "m:x"), ("f:b", "k:inRepo", "r:2"),
+        ("f:b", "k:size", "7")]
+    # default graph has no f:b facts
+    assert sparql(_quads(spark), "DESCRIBE <f:b>").count() == 0
+    # DESCRIBE ?var WHERE over the dataset: GRAPH scope finds the var,
+    # the description draws from the FROM default graph
+    got = sparql(_quads(spark), """
+        DESCRIBE ?f FROM <g:r1> WHERE { ?f k:inRepo r:1 }""")
+    assert sorted({r["subj"] for r in got.collect()}) == ["f:a", "f:c"]
