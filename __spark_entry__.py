@@ -5864,6 +5864,86 @@ def sql_kg_owl_incremental() -> str:
     return sql_kg_owl_closure()
 
 
+def q_kg_streaming_rdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KG construction WITH reasoning (streaming/incremental.
+    run_streaming_rdfs — r4): the staged source streams in micro-batches;
+    each batch maintains an RDFS-CLOSED sink (first batch materializes,
+    later ones run kg/infer.rdfs_incremental against the closed sink —
+    delta-frontier only). The twin applies the same rdfs2/3/7/9 rules in
+    SQL over the batch streaming-subset triples — the drained sink must
+    equal the from-scratch closure whatever the delivery order."""
+    import os
+    import tempfile
+
+    from rdf_tabular_spark.streaming import run_streaming_rdfs
+
+    work = tempfile.mkdtemp(prefix="rdf_tabular_spark_kg_srdfs_q_")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    q = run_streaming_rdfs(
+        spark, _kg_stream_source_dir(), sink, ckpt,
+        max_files_per_trigger=1)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming RDFS did not drain within 600s — the sink would "
+            "be partial; failing instead of comparing garbage")
+    return spark.read.parquet(sink)
+
+
+def sql_kg_streaming_rdfs() -> str:
+    from rdf_tabular_spark.kg import infer
+
+    return f"""
+    WITH closed AS MATERIALIZED (SELECT * FROM ({sql_kg_rdfs_closure()})),
+    kgt AS MATERIALIZED ({sql_kg_streaming_triples()}),
+    subprop AS (SELECT subj AS p, obj AS q FROM closed
+                WHERE pred = '{infer.SUBPROP}'),
+    subclass AS (SELECT subj AS c, obj AS d FROM closed
+                 WHERE pred = '{infer.SUBCLASS}'),
+    domains AS (SELECT subj AS p, obj AS c FROM closed
+                WHERE pred = '{infer.DOMAIN}'),
+    ranges AS (SELECT subj AS p, obj AS c FROM closed
+               WHERE pred = '{infer.RANGE}'),
+    derived_edges AS (
+      SELECT t.subj, sp.q AS pred, t.obj, t.obj_is_iri
+      FROM kgt t JOIN subprop sp ON t.pred = sp.p),
+    edges_all AS (
+      SELECT subj, pred, obj, obj_is_iri FROM kgt
+      UNION ALL SELECT subj, pred, obj, obj_is_iri FROM derived_edges),
+    dom_types AS (
+      SELECT e.subj, d.c AS obj
+      FROM edges_all e JOIN domains d ON e.pred = d.p),
+    rng_types AS (
+      SELECT e.obj AS subj, r.c AS obj
+      FROM edges_all e JOIN ranges r ON e.pred = r.p WHERE e.obj_is_iri),
+    asserted_types AS (
+      SELECT subj, obj FROM kgt WHERE pred = '{_RDF_TYPE}'),
+    types_all AS (
+      SELECT subj, obj FROM asserted_types
+      UNION ALL SELECT subj, obj FROM dom_types
+      UNION ALL SELECT subj, obj FROM rng_types),
+    super_types AS (
+      SELECT t.subj, sc.d AS obj
+      FROM types_all t JOIN subclass sc ON t.obj = sc.c),
+    inferred AS (
+      SELECT DISTINCT subj, pred, obj FROM (
+        SELECT subj, '{_RDF_TYPE}' AS pred, obj FROM dom_types
+        UNION ALL SELECT subj, '{_RDF_TYPE}', obj FROM rng_types
+        UNION ALL SELECT subj, '{_RDF_TYPE}', obj FROM super_types
+        UNION ALL SELECT subj, pred, obj FROM derived_edges))
+    SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang FROM kgt
+    UNION ALL
+    SELECT i.subj, i.pred, i.obj, TRUE AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM inferred i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM kgt t
+      WHERE t.subj = i.subj AND t.pred = i.pred AND t.obj = i.obj)
+    """
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -6204,6 +6284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_prediction": q_kg_link_prediction,
         "kg_shacl_extended": q_kg_shacl_extended,
         "kg_owl_incremental": q_kg_owl_incremental,
+        "kg_streaming_rdfs": q_kg_streaming_rdfs,
         # -- (3) r2-hash-proven (oldest records; fill the window) ---------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -6334,6 +6415,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_prediction": sql_kg_link_prediction(),
         "kg_shacl_extended": sql_kg_shacl_extended(),
         "kg_owl_incremental": sql_kg_owl_incremental(),
+        "kg_streaming_rdfs": sql_kg_streaming_rdfs(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

@@ -216,3 +216,39 @@ def test_session_window_streaming_matches_batch(spark, tmp_path):
     assert all(want[k] == v for k, v in got.items())
     # and the drained stream should have closed nearly everything
     assert len(got) >= 0.9 * len(want)
+
+
+def test_streaming_rdfs_matches_batch_closure(spark, tmp_path):
+    """Streaming KG construction WITH reasoning: two deliveries maintain
+    an RDFS-closed sink via per-batch incremental closure; the drained
+    sink must equal rdfs_materialize over the batch-path triples of the
+    same files (incremental == full, wired to Structured Streaming)."""
+    from rdf_tabular_spark.kg import annotate, extract
+    from rdf_tabular_spark.kg.infer import ontology_df, rdfs_materialize
+    from rdf_tabular_spark.streaming import run_streaming_rdfs
+
+    src_dir = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, src_dir, 6, 0)
+    q = run_streaming_rdfs(spark, src_dir, sink, ckpt)
+    q.awaitTermination(120)
+    _write_batch(spark, src_dir, 4, 6)
+    q = run_streaming_rdfs(spark, src_dir, sink, ckpt)
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+
+    src = spark.read.parquet(src_dir).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256))
+    asserted = annotate.file_level_triples(src).unionByName(
+        annotate.edge_triples(extract.extract_structures(src))
+    ).dropDuplicates(["subj", "pred", "obj"])
+    want_df = rdfs_materialize(asserted, ontology_df(spark),
+                               include_tbox=False)
+    want = {tuple(r) for r in want_df.collect()}
+    assert got == want
+    # reasoning actually fired: inferred supertypes are in the sink
+    kg = "http://rdf-tabular-spark.dev/kg#"
+    assert any(o == kg + "CodeEntity" for _, _, o, *_ in got)
