@@ -5944,6 +5944,68 @@ def sql_kg_streaming_rdfs() -> str:
     """
 
 
+def q_kg_streaming_owl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OWL maintenance (streaming/incremental.run_streaming_owl
+    — r4): OWL property rules are MULTI-premise (the chain joins a delta
+    fact against the closed sink), the case RDFS's single-premise
+    incremental argument does not cover — kg/owl.owl_incremental's
+    delta-frontier semi-naive loop handles it per micro-batch. The twin
+    computes the closed form over the same staged parquet: drained
+    streamed sink == from-scratch closure, whatever the file order."""
+    import os
+    import tempfile
+
+    from rdf_tabular_spark.streaming import run_streaming_owl
+
+    rules = dict(
+        inverse=[(_KG + "imports", _KG + "importedBy"),
+                 (_KG + "defines", _KG + "definedIn")],
+        chains=[(_KG + "definedIn", _KG + "inRepo", _KG + "inRepo")])
+    work = tempfile.mkdtemp(prefix="rdf_tabular_spark_kg_sowl_q_")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    q = run_streaming_owl(
+        spark, _kg_stream_source_dir(), sink, ckpt, rules,
+        max_files_per_trigger=1)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming OWL did not drain within 600s — the sink would "
+            "be partial; failing instead of comparing garbage")
+    return spark.read.parquet(sink)
+
+
+def sql_kg_streaming_owl() -> str:
+    return f"""
+    WITH t AS MATERIALIZED ({sql_kg_streaming_triples()}),
+    imp_inv AS (
+      SELECT DISTINCT obj AS subj, '{_KG}importedBy' AS pred,
+             subj AS obj
+      FROM t WHERE pred = '{_KG}imports' AND obj_is_iri),
+    def_inv AS (
+      SELECT DISTINCT obj AS subj, '{_KG}definedIn' AS pred,
+             subj AS obj
+      FROM t WHERE pred = '{_KG}defines' AND obj_is_iri),
+    chain AS (
+      SELECT DISTINCT d.subj, '{_KG}inRepo' AS pred, r.obj
+      FROM def_inv d
+      JOIN (SELECT subj, obj FROM t
+            WHERE pred = '{_KG}inRepo' AND obj_is_iri) r
+        ON d.obj = r.subj),
+    inferred AS (
+      SELECT * FROM imp_inv UNION SELECT * FROM def_inv
+      UNION SELECT * FROM chain)
+    SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang FROM t
+    UNION ALL
+    SELECT i.subj, i.pred, i.obj, TRUE AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM inferred i
+    LEFT JOIN t ON i.subj = t.subj AND i.pred = t.pred AND i.obj = t.obj
+    WHERE t.subj IS NULL
+    """
+
+
 def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf mention rescoring (kg/link.py — r4, the north rule's
     'minhash-LSH blocking ... then Jaccard/tf-idf rescoring'): candidates
@@ -6285,6 +6347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_extended": q_kg_shacl_extended,
         "kg_owl_incremental": q_kg_owl_incremental,
         "kg_streaming_rdfs": q_kg_streaming_rdfs,
+        "kg_streaming_owl": q_kg_streaming_owl,
         # -- (3) r2-hash-proven (oldest records; fill the window) ---------
         "kg_triples": q_kg_triples,
         "kg_streaming_triples": q_kg_streaming_triples,
@@ -6416,6 +6479,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_shacl_extended": sql_kg_shacl_extended(),
         "kg_owl_incremental": sql_kg_owl_incremental(),
         "kg_streaming_rdfs": sql_kg_streaming_rdfs(),
+        "kg_streaming_owl": sql_kg_streaming_owl(),
         "kg_rdfs_closure": sql_kg_rdfs_closure(),
         "kg_rdfs_infer": sql_kg_rdfs_infer(),
         "kg_rdfs_incremental": sql_kg_rdfs_incremental(),

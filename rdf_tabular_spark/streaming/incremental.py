@@ -181,6 +181,47 @@ def run_streaming_rdfs(
     )
 
 
+def owl_merge_batch(batch_df: DataFrame, sink_path: str,
+                    rules: dict) -> None:
+    """One micro-batch -> maintain an OWL-property-closed sink. Unlike
+    RDFS (single-premise ABox rules, where incremental == infer(delta)),
+    OWL chains/transitivity join delta facts AGAINST the closed sink —
+    kg/owl.owl_incremental's semi-naive loop does exactly that, so the
+    streamed sink still equals the from-scratch closure whatever the
+    micro-batch boundaries."""
+    from ..kg.owl import owl_incremental, owl_property_materialize
+
+    spark = batch_df.sparkSession
+    fresh = batch_df.dropDuplicates(TRIPLE_COLUMNS)
+    if os.path.isdir(sink_path) and any(
+            f.endswith(".parquet") for f in os.listdir(sink_path)):
+        existing = spark.read.parquet(sink_path)
+        out = owl_incremental(existing, fresh, **rules)
+    else:
+        out = owl_property_materialize(fresh, **rules)
+    out.localCheckpoint().write.mode("overwrite").parquet(sink_path)
+
+
+def run_streaming_owl(
+    spark: SparkSession, source_dir: str, sink_path: str,
+    checkpoint_dir: str, rules: dict,
+    max_files_per_trigger: int = 16,
+):
+    """Streaming KG construction with OWL property reasoning (inverse /
+    symmetric / transitive / chains — kg/owl.py rule dict). Returns the
+    StreamingQuery; resume = same checkpoint_dir."""
+    stream = incremental_triples(
+        stream_source(spark, source_dir, max_files_per_trigger))
+    return (
+        stream.writeStream
+        .foreachBatch(
+            lambda df, _epoch: owl_merge_batch(df, sink_path, rules))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_streaming_dedup(
     spark: SparkSession, source_dir: str, sink_path: str,
     checkpoint_dir: str, schema, id_col: str = "doc_id",

@@ -252,3 +252,42 @@ def test_streaming_rdfs_matches_batch_closure(spark, tmp_path):
     # reasoning actually fired: inferred supertypes are in the sink
     kg = "http://rdf-tabular-spark.dev/kg#"
     assert any(o == kg + "CodeEntity" for _, _, o, *_ in got)
+
+
+def test_streaming_owl_matches_batch_closure(spark, tmp_path):
+    """OWL property rules are MULTI-premise (a chain joins a delta fact
+    against the closed sink), so this pins the harder invariant: the
+    streamed sink equals the from-scratch owl closure of all deliveries
+    regardless of which side of a chain arrived first."""
+    from rdf_tabular_spark.kg import annotate, extract
+    from rdf_tabular_spark.kg.owl import owl_property_materialize
+    from rdf_tabular_spark.streaming import run_streaming_owl
+
+    KG = "http://rdf-tabular-spark.dev/kg#"
+    rules = dict(
+        inverse=[(KG + "imports", KG + "importedBy"),
+                 (KG + "defines", KG + "definedIn")],
+        chains=[(KG + "definedIn", KG + "inRepo", KG + "inRepo")])
+
+    src_dir = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src_dir, 6, 0)
+    q = run_streaming_owl(spark, src_dir, sink, ckpt, rules)
+    q.awaitTermination(120)
+    _write_batch(spark, src_dir, 4, 6)
+    q = run_streaming_owl(spark, src_dir, sink, ckpt, rules)
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+
+    src = spark.read.parquet(src_dir).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256))
+    asserted = annotate.file_level_triples(src).unionByName(
+        annotate.edge_triples(extract.extract_structures(src))
+    ).dropDuplicates(["subj", "pred", "obj"])
+    want = {tuple(r)
+            for r in owl_property_materialize(asserted, **rules).collect()}
+    assert got == want
+    # the chain really fired: symbols got repo membership
+    assert any(p == KG + "inRepo" and "/sym/" in s for s, p, *_ in got)
