@@ -844,6 +844,37 @@ class _Parser:
         return _Select(items, star, distinct, group, group_by, having,
                        order_by, limit, offset)
 
+    def parse_order_limit_offset(self):
+        """``ORDER BY … LIMIT n OFFSET n`` (any order) — the solution
+        modifiers legal on CONSTRUCT/DESCRIBE query forms."""
+        order_by: list[str] = []
+        limit = offset = None
+        while True:
+            if self.at_kw("ORDER"):
+                self.next()
+                self.eat_kw("BY")
+                while True:
+                    if self.at_kw("ASC") or self.at_kw("DESC"):
+                        d = self.next().text.upper()
+                        order_by.append(f"{self._bracketed_expr()} {d}")
+                    elif self.peek().kind == "VAR":
+                        order_by.append(self.next().text[1:])
+                    elif self.at_op("("):
+                        order_by.append(self._bracketed_expr())
+                    else:
+                        break
+                if not order_by:
+                    raise SparqlSyntaxError("ORDER BY needs sort keys")
+            elif self.at_kw("LIMIT"):
+                self.next()
+                limit = int(self.next().text)
+            elif self.at_kw("OFFSET"):
+                self.next()
+                offset = int(self.next().text)
+            else:
+                break
+        return order_by, limit, offset
+
     _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
              "GROUP_CONCAT"}
 
@@ -1261,11 +1292,17 @@ def sparql(triples: DataFrame, query: str, *,
         eff = _apply_dataset_clause(triples, frm, named)
         p.eat_kw("WHERE")
         group = p.parse_group()
+        # spec §16.2: solution modifiers apply to the WHERE solutions
+        # BEFORE template instantiation (top-N construction)
+        order_by, limit, offset = p.parse_order_limit_offset()
         _expect_eof(p)
         ev = _Evaluator(eff,
                         set(p.meta_vars) | _tmpl_obj_vars(template),
                         reorder, allow_cartesian, path_max_hops)
         sols = ev.eval_group(group)
+        if order_by or limit is not None or offset is not None:
+            sols = solution_modifiers(sols, order_by=order_by or None,
+                                      limit=limit, offset=offset)
         return _instantiate(sols, template)
     if p.at_kw("DESCRIBE"):
         p.next()

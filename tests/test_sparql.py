@@ -658,3 +658,16 @@ def test_describe_with_from(spark):
     got = sparql(_quads(spark), """
         DESCRIBE ?f FROM <g:r1> WHERE { ?f k:inRepo r:1 }""")
     assert sorted({r["subj"] for r in got.collect()}) == ["f:a", "f:c"]
+
+
+def test_construct_with_modifiers(spark):
+    # top-2 files by IRI: modifiers bind to the WHERE solutions before
+    # template instantiation (spec §16.2)
+    got = sparql(_t(spark), """
+        CONSTRUCT { ?f k:seen "y" } WHERE { ?f k:imports ?m }
+        ORDER BY ?f LIMIT 2""")
+    assert rows(got, "subj") == [("f:a",), ("f:b",)]
+    got = sparql(_t(spark), """
+        CONSTRUCT { ?f k:seen "y" } WHERE { ?f k:imports ?m }
+        ORDER BY DESC(?f) LIMIT 1 OFFSET 1""")
+    assert rows(got, "subj") == [("f:b",)]
