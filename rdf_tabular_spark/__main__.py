@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--validate", action="store_true",
                     help="run validation instead of conversion; exit 1 "
                          "with a problem report when invalid")
+    ap.add_argument("--sparql", metavar="QUERY",
+                    help="run a SPARQL query string over the produced "
+                         "triples and print the result as TSV (SELECT/"
+                         "ASK) or N-Triples (CONSTRUCT/DESCRIBE)")
     ap.add_argument("--master", default="local[*]")
     args = ap.parse_args(argv)
 
@@ -105,6 +109,21 @@ def _run(spark, args) -> int:
 
     result = to_triples(spark, meta, base=base, url_map=url_map,
                         mode=args.mode)
+    if args.sparql:
+        from .kg.sparql import sparql
+
+        out = sparql(result.triples, args.sparql)
+        if set(out.columns) == {"subj", "pred", "obj", "obj_is_iri",
+                                "obj_datatype", "obj_lang"}:
+            from .operators.ntriples import to_ntriples_lines
+
+            for r in to_ntriples_lines(out).collect():
+                print(r[0])
+        else:
+            print("\t".join(out.columns))
+            for r in out.collect():
+                print("\t".join("" if v is None else str(v) for v in r))
+        return 0
     if args.format == "turtle":
         from .operators.turtle import (DEFAULT_PREFIXES, to_turtle_blocks,
                                        write_turtle)

@@ -21,6 +21,7 @@ class _Args:
         self.format = "ntriples"
         self.output = None
         self.validate = False
+        self.sparql = None
         for k, v in kw.items():
             setattr(self, k, v)
 
@@ -78,3 +79,29 @@ def test_cli_turtle(spark, capsys):
 
     parsed = parse_ttl(out)
     assert len(parsed) == 10
+
+
+def test_cli_sparql_select(spark, capsys):
+    args = _Args(input=f"{FIXTURE_DIR}/tree-ops.csv",
+                 metadata=f"{FIXTURE_DIR}/tree-ops.csv-metadata.json",
+                 base="http://example.org/tree-ops.csv",
+                 sparql="SELECT ?s ?o WHERE { ?s "
+                        "<http://example.org/tree-ops.csv#on_street> ?o } "
+                        "ORDER BY ?o")
+    assert _run(spark, args) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "s\to"
+    assert [ln.split("\t")[1] for ln in out[1:]] == ["ADDISON AV",
+                                                     "EMERSON ST"]
+
+
+def test_cli_sparql_construct_prints_ntriples(spark, capsys):
+    args = _Args(input=f"{FIXTURE_DIR}/tree-ops.csv",
+                 metadata=f"{FIXTURE_DIR}/tree-ops.csv-metadata.json",
+                 base="http://example.org/tree-ops.csv",
+                 sparql="CONSTRUCT { ?s <http://e/street> ?o } WHERE "
+                        "{ ?s <http://example.org/tree-ops.csv#on_street>"
+                        " ?o }")
+    assert _run(spark, args) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2 and all(" <http://e/street> " in ln for ln in out)
