@@ -3896,6 +3896,50 @@ def sql_kg_bgp_paths() -> str:
     """
 
 
+def q_kg_bgp_alt_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure over a path ALTERNATION — SPARQL ``(imports|dependsOn)+``
+    (kg/query._compile_path_pattern, r4): the union of the two
+    predicates' edge sets is closed ONCE by the semi-naive BFS, which
+    differs from ``imports+|dependsOn+`` (union of per-predicate
+    closures) whenever a walk alternates predicates — exactly the
+    file -> module -> transitive-dependency reach question. Scale
+    shape: two predicate-filtered scans -> union -> semi-naive
+    reachability on the edge list only; the triple table itself never
+    re-shuffles, and the inRepo anchor joins after the closure."""
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    _, _, triples = _kg_oracle_run(spark)
+    return match_bgp(triples, [
+        ("?f", "(" + _KG + "imports|" + _KG + "dependsOn)+", "?x"),
+        ("?f", _KG + "inRepo", "?repo"),
+    ], project=["f", "x", "repo"])
+
+
+def sql_kg_bgp_alt_closure(max_hops: int = 10) -> str:
+    # recursion bound matches kg/query.DEFAULT_PATH_MAX_HOPS; the
+    # recursive closure lives in a nested subquery because
+    # sql_kg_triples() carries its own WITH (DuckDB scoping rule,
+    # same shape as sql_csvw_describe)
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    reach AS MATERIALIZED (
+      SELECT src, dst FROM (
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT subj AS src, obj AS dst FROM kgq
+          WHERE obj_is_iri
+            AND pred IN ('{_KG}imports', '{_KG}dependsOn')),
+        rr(src, dst, hops) AS (
+          SELECT src, dst, 1 FROM e
+          UNION
+          SELECT rr.src, e.dst, rr.hops + 1
+          FROM rr JOIN e ON rr.dst = e.src WHERE rr.hops < {max_hops})
+        SELECT DISTINCT src, dst FROM rr))
+    SELECT DISTINCT reach.src AS f, reach.dst AS x, t.obj AS repo
+    FROM reach JOIN kgq t
+      ON t.subj = reach.src AND t.pred = '{_KG}inRepo'
+    """
+
+
 def q_kg_bgp_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence property path (kg/query.py r3 tuple form): co-import
     pairs via imports/^imports — the two-step chain through a fresh
@@ -6282,6 +6326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and last (4) the 44 rows CORRECTNESS_r03 proved hash-exact.
     return {
         # -- (0) new this round: no driver record yet --------------------
+        "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
         "kg_bgp_negated": q_kg_bgp_negated,
@@ -6541,6 +6586,7 @@ def oracle_sql() -> dict[str, str]:
         "decon_fuzzy": sql_decon_fuzzy(),
         "kg_adjacency": sql_kg_adjacency(),
         "kg_bgp_paths": sql_kg_bgp_paths(),
+        "kg_bgp_alt_closure": sql_kg_bgp_alt_closure(),
         "kg_bgp_aggregate": sql_kg_bgp_aggregate(),
         "text_vocab": sql_text_vocab(),
         "text_tfidf": sql_text_tfidf(),

@@ -57,15 +57,39 @@ def _compile_path_pattern(triples: DataFrame, pattern: tuple,
     ``pred*`` additionally matches the zero-length path: one (x, x) row
     per graph node (distinct subjects ∪ IRI objects over the whole
     triple table — the engine's pragmatic reading of SPARQL's
-    unbounded zero-length term set)."""
+    unbounded zero-length term set).
+
+    A parenthesized alternation base — ``(p|q)+`` / ``(p|^q)*`` — closes
+    the UNION of the member edge sets (≠ the union of the closures,
+    which the bare ``p+|q+`` form gives): each member is one
+    predicate-filtered scan, ``^`` members contribute their edges
+    reversed, and the semi-naive BFS runs once over the merged edge
+    list. This is the SPARQL idiom for equivalence reachability
+    (``(owl:sameAs|^owl:sameAs)*``)."""
     from .graph import reachability
 
     s, p, o = pattern
     base, mode = p[:-1], p[-1]
-    edges = (
-        triples.filter((F.col("pred") == base) & F.col("obj_is_iri"))
-        .select(F.col("subj").alias("subj"), F.col("obj").alias("obj"))
-    )
+    if base.startswith("(") and base.endswith(")"):
+        members = [m.strip() for m in base[1:-1].split("|") if m.strip()]
+        if not members:
+            raise ValueError(f"empty path alternation: {p!r}")
+        edges = None
+        for m in members:
+            inv = m.startswith("^")
+            part = triples.filter(
+                (F.col("pred") == (m[1:] if inv else m))
+                & F.col("obj_is_iri"))
+            part = (part.select(F.col("obj").alias("subj"),
+                                F.col("subj").alias("obj")) if inv
+                    else part.select("subj", "obj"))
+            edges = part if edges is None else edges.unionByName(part)
+        edges = edges.distinct()
+    else:
+        edges = (
+            triples.filter((F.col("pred") == base) & F.col("obj_is_iri"))
+            .select(F.col("subj").alias("subj"), F.col("obj").alias("obj"))
+        )
     if mode == "?":
         # zero-or-one: the single-hop edges themselves, no closure
         closed = edges
@@ -181,11 +205,37 @@ def _compile_pattern(triples: DataFrame, pattern: tuple,
             # with +/*/| since the remainder re-dispatches)
             return _compile_pattern(
                 triples, (pattern[2], pred[1:], pattern[0]), path_max_hops)
+        if (pred.endswith(("+", "*", "?")) and pred.startswith("(")
+                and pred[-2] == ")"):
+            # closure over a parenthesized alternation — (p|^q)+ — must
+            # be dispatched BEFORE the bare-| branch: closing the union
+            # of the edge sets is not the union of the closures
+            return _compile_path_pattern(triples, pattern, path_max_hops)
         if "|" in pred:
             # alternation: union of each alternative's matches; every
-            # branch binds the same variables, so columns line up
+            # branch binds the same variables, so columns line up.
+            # Split at paren depth 0 only, so a closed-alternation
+            # member — "(a|b)+|c" — stays intact and re-dispatches.
+            alts, depth, start = [], 0, 0
+            for i, ch in enumerate(pred):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "|" and depth == 0:
+                    alts.append(pred[start:i])
+                    start = i + 1
+            alts.append(pred[start:])
+            if len(alts) == 1:
+                # no top-level | — e.g. a redundantly-wrapped "(a|b)";
+                # strip one paren layer and re-dispatch
+                if pred.startswith("(") and pred.endswith(")"):
+                    return _compile_pattern(
+                        triples, (pattern[0], pred[1:-1], pattern[2]),
+                        path_max_hops)
+                raise ValueError(f"malformed path alternation: {pred!r}")
             out = None
-            for alt in pred.split("|"):
+            for alt in alts:
                 part = _compile_pattern(
                     triples, (pattern[0], alt, pattern[2]), path_max_hops)
                 out = part if out is None else out.unionByName(part)

@@ -349,11 +349,24 @@ class _Parser:
         prim = self._path_primary()
         if self.at_op("+", "*", "?"):
             mod = self.next().text
-            if isinstance(prim, tuple) or "|" in str(prim):
+            if isinstance(prim, tuple):
                 raise SparqlUnsupportedError(
-                    f"path modifier {mod!r} on a compound path is not "
-                    "supported; apply it to a single predicate")
-            prim = prim + mod
+                    f"path modifier {mod!r} on a sequence path is not "
+                    "supported; apply it to a predicate or alternation")
+            if "|" in prim:
+                # closure over an alternation — (p|^q)+ — closes the
+                # UNION of the member edge sets (kg/query.py
+                # _compile_path_pattern); members must be plain or
+                # inverse IRIs (no nested modifiers / negated sets)
+                members = prim.split("|")
+                if any(m.startswith("!") or m.endswith(("+", "*", "?"))
+                       or "(" in m for m in members):
+                    raise SparqlUnsupportedError(
+                        f"path modifier {mod!r} over an alternation "
+                        "supports plain or inverse IRI members only")
+                prim = "(" + prim + ")" + mod
+            else:
+                prim = prim + mod
         if inverse:
             if isinstance(prim, tuple):
                 # ^(a/b) == ^b/^a

@@ -303,6 +303,36 @@ def test_zero_or_one_path(spark):
     assert ("f:a", "r:1") not in got
 
 
+def test_closed_alternation_path(spark):
+    """(p|q)+ closes the UNION of the edge sets — distinct from the
+    bare p+|q+ form, which is the union of the per-predicate closures."""
+    from rdf_tabular_spark.kg.query import match_bgp
+
+    rows = [
+        ("a", "dep", "b", True), ("b", "uses", "c", True),
+        ("c", "dep", "d", True),
+        ("q", "same", "r", True), ("s", "same", "r", True),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean")
+    got = {(r.x, r.y) for r in match_bgp(
+        t, [("?x", "(dep|uses)+", "?y")]).collect()}
+    assert got == {("a", "b"), ("b", "c"), ("c", "d"),
+                   ("a", "c"), ("b", "d"), ("a", "d")}
+    # bare form: per-predicate closures only — a cannot cross into uses
+    bare = {(r.x, r.y) for r in match_bgp(
+        t, [("?x", "dep+|uses+", "?y")]).collect()}
+    assert bare == {("a", "b"), ("c", "d"), ("b", "c")}
+    # equivalence reachability: (same|^same)* connects q, r, s both ways
+    eq = {r.y for r in match_bgp(
+        t, [("q", "(same|^same)*", "?y")]).collect()}
+    assert eq == {"q", "r", "s"}
+    # inverse of a closed alternation: ^(dep|uses)+ walks backwards
+    inv = {r.y for r in match_bgp(
+        t, [("d", "^(dep|uses)+", "?y")]).collect()}
+    assert inv == {"a", "b", "c"}
+
+
 def test_sequence_path(spark):
     """imports/type chains through the intermediate module variable."""
     got = {(r["f"], r["t"]) for r in match_bgp(

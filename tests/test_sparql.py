@@ -202,6 +202,23 @@ def test_negated_property_set(spark):
 def test_unsupported_path_combo_raises(spark):
     with pytest.raises(SparqlUnsupportedError, match="modifier"):
         sparql(_t(spark), "SELECT ?x WHERE { m:x (k:dep/k:dep)+ ?x }")
+    with pytest.raises(SparqlUnsupportedError, match="alternation"):
+        sparql(_t(spark), "SELECT ?x WHERE { m:x (k:dep+|k:imports)+ ?x }")
+
+
+def test_closed_alternation_path_text(spark):
+    """(p|q)+ closes the union of the edge sets; the bare p+|q+ form
+    stays the union of the closures."""
+    got = sparql(_t(spark),
+                 "SELECT ?x WHERE { f:a (k:imports|k:dep)+ ?x }")
+    assert rows(got, "x") == [("m:x",), ("m:y",), ("m:z",)]
+    bare = sparql(_t(spark),
+                  "SELECT ?x WHERE { f:a k:imports+|k:dep+ ?x }")
+    assert rows(bare, "x") == [("m:x",)]
+    # inverse member: everything that reaches m:y via dep or ^dep steps
+    eq = sparql(_t(spark),
+                "SELECT ?x WHERE { m:y (k:dep|^k:dep)* ?x }")
+    assert rows(eq, "x") == [("m:x",), ("m:y",), ("m:z",)]
 
 
 def test_order_limit_offset(spark):
