@@ -791,31 +791,50 @@ def values_bgp(triples: DataFrame, patterns: list[tuple],
                filters: list[str] | None = None, distinct: bool = True,
                path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
     """SPARQL VALUES: join the solution multiset with an inline binding
-    table. *values* is a list of ``{var: term}`` dicts (every dict must
-    bind the same variables; UNDEF wildcards are not supported — bind
-    fewer variables instead).
+    table. *values* is a list of ``{var: term}`` dicts; a dict may omit
+    variables that other rows bind (SPARQL UNDEF) — such a row simply
+    does not constrain them. Every variable any row binds must be bound
+    by *patterns*.
 
     Scale shape: the VALUES table is inline data — it becomes a
     broadcast-hash join against the solutions, i.e. a selective filter
     pushed into the match rather than a post-hoc driver loop. When the
     VALUES variables cover a pattern's constant position this is exactly
     the 'parameter batch' idiom (run one plan for N keys instead of N
-    plans)."""
+    plans). UNDEF rows group by their bound-variable set: one broadcast
+    join per group, results unioned."""
     if not values:
         raise ValueError("empty VALUES list")
-    cols = sorted(values[0])
-    if any(sorted(v) != cols for v in values):
-        raise ValueError("every VALUES row must bind the same variables")
+    cols = sorted(set().union(*[set(v) for v in values]))
     sols = match_bgp(triples, patterns, distinct=False,
                      path_max_hops=path_max_hops)
     missing = [c for c in cols if c not in sols.columns]
     if missing:
         raise ValueError(f"VALUES variables not bound by patterns: {missing}")
     spark = triples.sparkSession
-    vals = spark.createDataFrame(
-        [tuple(v[c] for c in cols) for v in values],
-        ", ".join(f"{c} string" for c in cols))
-    acc = sols.join(F.broadcast(vals.distinct()), cols, "inner")
+    if not cols:
+        # every row is all-UNDEF: a pure wildcard block
+        acc = sols
+    elif all(sorted(v) == cols for v in values):
+        vals = spark.createDataFrame(
+            [tuple(v[c] for c in cols) for v in values],
+            ", ".join(f"{c} string" for c in cols))
+        acc = sols.join(F.broadcast(vals.distinct()), cols, "inner")
+    else:
+        groups: dict[tuple, list] = {}
+        for v in values:
+            groups.setdefault(tuple(sorted(v)), []).append(v)
+        acc = None
+        for key, grp in sorted(groups.items()):
+            if key:
+                vals = spark.createDataFrame(
+                    [tuple(v[c] for c in key) for v in grp],
+                    ", ".join(f"{c} string" for c in key))
+                part = sols.join(F.broadcast(vals.distinct()),
+                                 list(key), "inner")
+            else:  # all-UNDEF row: matches every solution
+                part = sols
+            acc = part if acc is None else acc.unionByName(part)
     for expr in filters or []:
         acc = acc.filter(F.expr(expr))
     if project is not None:

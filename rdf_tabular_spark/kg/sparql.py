@@ -532,19 +532,18 @@ class _Parser:
         while not self.at_op("}"):
             if single is not None:
                 if self.at_kw("UNDEF"):
-                    raise SparqlUnsupportedError(
-                        "UNDEF in VALUES is not supported; bind fewer "
-                        "variables instead")
-                text, _, _, _ = self.parse_term("obj")
-                rows.append({single: text})
+                    self.next()  # wildcard row: binds nothing
+                    rows.append({})
+                else:
+                    text, _, _, _ = self.parse_term("obj")
+                    rows.append({single: text})
             else:
                 self.eat_op("(")
                 row = {}
                 for c in cols:
                     if self.at_kw("UNDEF"):
-                        raise SparqlUnsupportedError(
-                            "UNDEF in VALUES is not supported; bind "
-                            "fewer variables instead")
+                        self.next()  # this row leaves c unconstrained
+                        continue
                     text, _, _, _ = self.parse_term("obj")
                     row[c] = text
                 self.eat_op(")")
@@ -1121,15 +1120,56 @@ class _Evaluator:
                 acc = acc.withColumn(var, F.expr(sql))
             elif tag == "values":
                 rows = el[1]
-                cols = sorted(rows[0])
-                if any(sorted(r) != cols for r in rows):
-                    raise SparqlSyntaxError(
-                        "every VALUES row must bind the same variables")
-                vals = self.triples.sparkSession.createDataFrame(
-                    [tuple(r[c] for c in cols) for r in rows],
-                    ", ".join(f"{c} string" for c in cols)).distinct()
-                acc = (F.broadcast(vals) if acc is None
-                       else self._combine(acc, F.broadcast(vals)))
+                if not rows:
+                    raise SparqlSyntaxError("empty VALUES block")
+                spark = self.triples.sparkSession
+                cols = sorted(set().union(*[set(r) for r in rows]))
+                if not cols:
+                    # every row is all-UNDEF: a pure wildcard block
+                    if acc is None:
+                        raise SparqlUnsupportedError(
+                            "VALUES with UNDEF cannot start a group; "
+                            "place it after the patterns that bind its "
+                            "variables")
+                elif all(sorted(r) == cols for r in rows):
+                    vals = spark.createDataFrame(
+                        [tuple(r[c] for c in cols) for r in rows],
+                        ", ".join(f"{c} string" for c in cols)).distinct()
+                    acc = (F.broadcast(vals) if acc is None
+                           else self._combine(acc, F.broadcast(vals)))
+                else:
+                    # UNDEF wildcards: group the rows by their
+                    # bound-variable set and union the per-group joins —
+                    # a row constrains only the variables it binds, so
+                    # each group is its own broadcast semijoin against
+                    # the solutions (still no driver loop over data)
+                    if acc is None:
+                        raise SparqlUnsupportedError(
+                            "VALUES with UNDEF cannot start a group; "
+                            "place it after the patterns that bind its "
+                            "variables")
+                    missing = [c for c in cols if c not in acc.columns]
+                    if missing:
+                        raise SparqlUnsupportedError(
+                            "VALUES with UNDEF needs every variable "
+                            f"pattern-bound; unbound: {missing}")
+                    groups: dict[tuple, list] = {}
+                    for r in rows:
+                        groups.setdefault(tuple(sorted(r)), []).append(r)
+                    out = None
+                    for key, grp in sorted(groups.items()):
+                        if key:
+                            vals = spark.createDataFrame(
+                                [tuple(r[c] for c in key) for r in grp],
+                                ", ".join(f"{c} string" for c in key)
+                            ).distinct()
+                            part = acc.join(F.broadcast(vals),
+                                            list(key), "inner")
+                        else:  # all-UNDEF row: matches every solution
+                            part = acc
+                        out = part if out is None else out.unionByName(
+                            part)
+                    acc = out
             elif tag == "group":
                 acc = self._combine(acc, self.eval_group(el[1]))
             elif tag == "graphpat":

@@ -529,12 +529,26 @@ def test_values_validation(spark):
 
     with pytest.raises(ValueError, match="empty VALUES"):
         values_bgp(_triples(spark), [("?f", "imports", "?m")], values=[])
-    with pytest.raises(ValueError, match="same variables"):
-        values_bgp(_triples(spark), [("?f", "imports", "?m")],
-                   values=[{"m": "m:x"}, {"f": "f:a"}])
     with pytest.raises(ValueError, match="not bound"):
         values_bgp(_triples(spark), [("?f", "imports", "?m")],
                    values=[{"nope": "1"}])
+
+
+def test_values_undef_rows(spark):
+    """Rows may omit variables (SPARQL UNDEF): a row constrains only
+    what it binds, and a solution passes if compatible with ANY row."""
+    from rdf_tabular_spark.kg.query import values_bgp
+
+    got = values_bgp(
+        _triples(spark), [("?f", "imports", "?m"), ("?f", "inRepo", "?r")],
+        values=[{"m": "m:y"}, {"m": "m:x", "r": "r:2"}]).collect()
+    assert sorted((r.f, r.m, r.r) for r in got) == [
+        ("f:b", "m:x", "r:2"), ("f:c", "m:y", "r:1")]
+    # an all-UNDEF row is a wildcard: every solution passes
+    wild = values_bgp(
+        _triples(spark), [("?f", "imports", "?m")],
+        values=[{}, {"m": "m:zzz"}]).collect()
+    assert len(wild) == 4
 
 
 def test_ask_true_and_false(spark):

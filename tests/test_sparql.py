@@ -164,6 +164,33 @@ def test_values_single_and_multi(spark):
     assert rows(got2, "f") == [("f:a",), ("f:b",)]
 
 
+def test_values_undef(spark):
+    """UNDEF cells leave their variable unconstrained for that row."""
+    und = sparql(_t(spark), """
+        SELECT ?f ?r WHERE { ?f k:inRepo ?r
+            VALUES (?f ?r) { (f:a UNDEF) (UNDEF r:2) } }
+    """)
+    assert rows(und, "f", "r") == [("f:a", "r:1"), ("f:b", "r:2")]
+    # single-variable form: an UNDEF row is a pure wildcard
+    wild = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:inRepo ?r VALUES ?r { UNDEF } }
+    """)
+    assert rows(wild, "f") == [("f:a",), ("f:b",), ("f:c",)]
+    # a uniform binding pattern (UNDEF on the same column everywhere)
+    # reduces to a narrower VALUES table and may even start the group
+    lead = sparql(_t(spark), """
+        SELECT ?f ?r WHERE { VALUES (?f ?r) { (f:a UNDEF) }
+                             ?f k:inRepo ?r }
+    """)
+    assert rows(lead, "f", "r") == [("f:a", "r:1")]
+    # heterogeneous rows need the patterns first: cannot start a group
+    with pytest.raises(SparqlUnsupportedError, match="UNDEF"):
+        sparql(_t(spark), """
+            SELECT ?f WHERE { VALUES (?f ?r) { (f:a UNDEF) (UNDEF r:2) }
+                              ?f k:inRepo ?r }
+        """)
+
+
 def test_subselect(spark):
     got = sparql(_t(spark), """
         SELECT ?f ?n WHERE {
