@@ -171,6 +171,11 @@ class _Parser:
         #: FROM / FROM NAMED dataset clause (filled by the query forms)
         self.from_graphs: list[str] = []
         self.from_named: list[str] = []
+        #: blank-node labels in patterns -> fresh variable names
+        self._bnode_vars: dict[str, str] = {}
+        self._anon_n = 0
+        #: inside a CONSTRUCT template (bnodes mean fresh nodes there)
+        self.in_template = False
 
     # -- token plumbing ----------------------------------------------
     def peek(self, ahead: int = 0) -> _Tok:
@@ -296,9 +301,25 @@ class _Parser:
             self.next()
             return (t.text.lower(), True, "xsd:boolean", None)
         if t.kind == "BNODE":
-            raise SparqlUnsupportedError(
-                "blank-node labels in query patterns are not supported "
-                "(the emitters skolemize; match the _:-prefixed text)")
+            if self.in_template:
+                raise SparqlUnsupportedError(
+                    "blank nodes in CONSTRUCT templates (fresh node per "
+                    "solution) are not supported; use a BIND'd IRI")
+            # SPARQL §4.1.4: a blank-node label in a query pattern is a
+            # non-projectable variable scoped to the query — same label,
+            # same variable. The __-prefixed name keeps it out of
+            # SELECT * projections.
+            self.next()
+            name = self._bnode_vars.setdefault(
+                t.text[2:], f"__bn{len(self._bnode_vars)}")
+            return ("?" + name, False, None, None)
+        if (t.kind == "OP" and t.text == "["
+                and self.peek(1).text == "]" and not self.in_template):
+            # anonymous blank node []: a fresh variable per occurrence
+            self.next()
+            self.next()
+            self._anon_n += 1
+            return (f"?__bn_anon{self._anon_n}", False, None, None)
         if t.kind == "OP" and t.text in ("[", "("):
             raise SparqlUnsupportedError(
                 "blank-node property lists and RDF collections in term "
@@ -1591,6 +1612,7 @@ def _expect_eof(p: _Parser) -> None:
 def _parse_template(p: _Parser) -> list[tuple]:
     """CONSTRUCT template -> [(s, p, o, obj_is_iri, datatype, lang)]."""
     p.eat_op("{")
+    p.in_template = True
     out = []
     while not p.at_op("}"):
         s, s_lit, _, _ = p.parse_term("subj")
@@ -1622,6 +1644,7 @@ def _parse_template(p: _Parser) -> list[tuple]:
         if p.at_op("."):
             p.next()
     p.eat_op("}")
+    p.in_template = False
     if not out:
         raise SparqlSyntaxError("empty CONSTRUCT template")
     return out

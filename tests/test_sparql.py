@@ -394,11 +394,27 @@ def test_syntax_errors(spark):
 
 
 def test_unsupported_forms_raise(spark):
-    with pytest.raises(SparqlUnsupportedError, match="blank-node"):
-        sparql(_t(spark), "SELECT ?f WHERE { ?f k:imports _:b }")
-    with pytest.raises(SparqlUnsupportedError, match="UNDEF"):
+    with pytest.raises(SparqlUnsupportedError, match="property lists"):
         sparql(_t(spark),
-               "SELECT ?f WHERE { ?f k:inRepo ?r VALUES ?r { UNDEF } }")
+               "SELECT ?f WHERE { ?f k:imports [ k:type k:Module ] }")
+    with pytest.raises(SparqlUnsupportedError, match="template"):
+        sparql(_t(spark),
+               "CONSTRUCT { ?f k:via _:fresh } WHERE { ?f k:imports ?m }")
+
+
+def test_bnode_label_is_query_variable(spark):
+    """SPARQL §4.1.4: a blank-node label in a pattern is a fresh
+    non-projectable variable; the same label joins across patterns."""
+    got = sparql(_t(spark), "SELECT ?f WHERE { ?f k:imports _:b }")
+    assert rows(got, "f") == [("f:a",), ("f:b",), ("f:c",)]
+    # same label joins: files importing a TYPED module only
+    typed = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:imports _:m . _:m k:type k:Module }
+    """)
+    assert rows(typed, "f") == [("f:a",), ("f:b",), ("f:c",)]
+    # anonymous [] is fresh per occurrence and never projects
+    anon = sparql(_t(spark), "SELECT * WHERE { ?f k:imports [] }")
+    assert set(anon.columns) == {"f"}
 
 
 def test_cartesian_rejected_by_default(spark):
