@@ -1526,7 +1526,7 @@ def sparql_update(graph: DataFrame, update: str, *,
 def sparql_graph_update(quads: DataFrame, update: str) -> DataFrame:
     """Graph-management Update strings (spec §3.2) over the QUAD table
     (kg/dataset.py layout): ``CLEAR/DROP [SILENT] (GRAPH <g> | DEFAULT |
-    ALL)`` and ``ADD/COPY/MOVE [SILENT] (GRAPH <g> | DEFAULT) TO
+    NAMED | ALL)`` and ``ADD/COPY/MOVE [SILENT] (GRAPH <g> | DEFAULT) TO
     (GRAPH <g> | DEFAULT)``; ``;``-separated sequences compose."""
     from . import update as upd
 
@@ -1559,9 +1559,8 @@ def sparql_graph_update(quads: DataFrame, update: str) -> DataFrame:
                 p.next()
                 target = "ALL"
             elif p.at_kw("NAMED"):
-                raise SparqlUnsupportedError(
-                    "CLEAR/DROP NAMED is not supported; enumerate the "
-                    "graphs or use ALL")
+                p.next()
+                target = "NAMED"  # every named graph, default survives
             else:
                 target = graph_ref()
             out = (upd.clear_graph if op == "CLEAR"

@@ -563,6 +563,11 @@ def test_graph_update_clear_and_move(spark):
     assert got == {("g:1", "s1"), (None, "s2")}
     seq = sparql_graph_update(q, "CLEAR GRAPH g:1 ; CLEAR GRAPH g:2")
     assert {r.graph for r in seq.collect()} == {None}
+    # NAMED: every named graph goes, the default graph survives
+    named = sparql_graph_update(q, "DROP NAMED")
+    assert {(r.graph, r.subj) for r in named.collect()} == {(None, "s0")}
+    allg = sparql_graph_update(q, "CLEAR SILENT ALL")
+    assert allg.count() == 0
 
 
 # ------------------------------------------------------- GRAPH / dataset
