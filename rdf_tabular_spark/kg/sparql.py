@@ -49,8 +49,9 @@ Documented divergences (all deterministic, all narrowing):
 * ``SAMPLE`` returns ``min`` and ``GROUP_CONCAT`` sorts its inputs —
   SPARQL leaves both nondeterministic; a distributed engine must not.
 * ``REDUCED`` is treated as ``DISTINCT`` (permitted by the spec).
-* Blank-node labels in queries, collections ``( … )`` in term
-  position, and ``[ … ]`` property lists are rejected loudly.
+* Collections ``( … )`` in term position are rejected loudly;
+  blank-node labels and ``[ … ]`` property lists in WHERE patterns
+  desugar to fresh non-projectable variables (SPARQL §4.1.4).
 
 Scale: identical to the programmatic API — the parser only *selects*
 among kg/query.py's plans. Pattern-join order follows the written
@@ -322,8 +323,9 @@ class _Parser:
             return (f"?__bn_anon{self._anon_n}", False, None, None)
         if t.kind == "OP" and t.text in ("[", "("):
             raise SparqlUnsupportedError(
-                "blank-node property lists and RDF collections in term "
-                "position are not supported; name the node explicitly")
+                "RDF collections ( … ) in term position — and [ … ] "
+                "property lists outside WHERE triple blocks — are not "
+                "supported; name the node explicitly")
         raise SparqlSyntaxError(
             f"expected RDF term at offset {t.pos}, got {t.text!r}")
 
@@ -505,33 +507,71 @@ class _Parser:
         self.eat_op("}")
         return elems
 
+    def _bnpl(self, pats: list[tuple]) -> str:
+        """Blank-node property list ``[ p o ; q z ]`` -> a fresh
+        non-projectable variable, with the bracketed predicate-object
+        pairs desugared into ordinary patterns on it (SPARQL §4.1.4);
+        nests recursively in either position."""
+        self.eat_op("[")
+        self._anon_n += 1
+        node = f"?__bn_anon{self._anon_n}"
+        while not self.at_op("]"):
+            p = self.parse_path()
+            while True:
+                o = self._term_or_bnpl("obj", pats)
+                pats.append((node, p, o))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                continue
+            break
+        self.eat_op("]")
+        return node
+
+    def _term_or_bnpl(self, position: str, pats: list[tuple]) -> str:
+        if (self.peek().kind == "OP" and self.peek().text == "["
+                and self.peek(1).text != "]"):
+            return self._bnpl(pats)
+        text, lit, _, _ = self.parse_term(position)
+        if lit and position == "subj":
+            raise SparqlSyntaxError("literal in subject position")
+        return text
+
     def _triples_block(self) -> list[tuple]:
         """subject predicateObjectList with ``;`` and ``,``."""
         pats: list[tuple] = []
         while True:
-            s, s_lit, _, _ = self.parse_term("subj")
-            if s_lit:
-                raise SparqlSyntaxError("literal in subject position")
-            while True:
-                p = self.parse_path()
+            was_bnpl = (self.peek().kind == "OP"
+                        and self.peek().text == "["
+                        and self.peek(1).text != "]")
+            s = self._term_or_bnpl("subj", pats)
+            # a standalone "[ p o ] ." statement has no further
+            # predicateObjectList after the bracket closes
+            if not (was_bnpl and self.at_op(".", "}")):
                 while True:
-                    o, _, _, _ = self.parse_term("obj")
-                    pats.append((s, p, o))
-                    if self.at_op(","):
+                    p = self.parse_path()
+                    while True:
+                        o = self._term_or_bnpl("obj", pats)
+                        pats.append((s, p, o))
+                        if self.at_op(","):
+                            self.next()
+                            continue
+                        break
+                    if self.at_op(";"):
                         self.next()
+                        if self.at_op(".", ";", "}"):  # trailing ;
+                            break
                         continue
                     break
-                if self.at_op(";"):
-                    self.next()
-                    if self.at_op(".", ";", "}"):  # trailing ;
-                        break
-                    continue
-                break
             if self.at_op("."):
                 # consume and continue only if another triple follows
                 nxt = self.peek(1)
-                if nxt.kind in ("VAR", "IRIREF", "PNAME", "STRING",
-                                "NUMBER"):
+                if (nxt.kind in ("VAR", "IRIREF", "PNAME", "STRING",
+                                 "NUMBER")
+                        or (nxt.kind == "OP" and nxt.text == "[")):
                     self.next()
                     continue
             break

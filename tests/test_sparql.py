@@ -394,12 +394,32 @@ def test_syntax_errors(spark):
 
 
 def test_unsupported_forms_raise(spark):
-    with pytest.raises(SparqlUnsupportedError, match="property lists"):
+    with pytest.raises(SparqlUnsupportedError, match="collections"):
         sparql(_t(spark),
-               "SELECT ?f WHERE { ?f k:imports [ k:type k:Module ] }")
+               "SELECT ?f WHERE { ?f k:imports ( m:x m:y ) }")
     with pytest.raises(SparqlUnsupportedError, match="template"):
         sparql(_t(spark),
                "CONSTRUCT { ?f k:via _:fresh } WHERE { ?f k:imports ?m }")
+
+
+def test_bnode_property_list(spark):
+    """[ p o ] in object position desugars to a fresh joined variable
+    (SPARQL §4.1.4); it never appears in SELECT * projections."""
+    got = sparql(_t(spark),
+                 "SELECT ?f WHERE { ?f k:imports [ k:type k:Module ] }")
+    assert rows(got, "f") == [("f:a",), ("f:b",), ("f:c",)]
+    # SELECT * does not leak the synthesized variable
+    star = sparql(_t(spark),
+                  "SELECT * WHERE { ?f k:imports [ k:type k:Module ] }")
+    assert star.columns == ["f"]
+    # subject-position standalone bracket, with ; inside
+    subj = sparql(_t(spark), """SELECT ?m WHERE {
+        [ k:imports ?m ; k:inRepo r:1 ] }""")
+    assert rows(subj, "m") == [("m:x",), ("m:y",)]
+    # nested: files importing a module that depends on something
+    nested = sparql(_t(spark), """SELECT ?f WHERE {
+        ?f k:imports [ k:dep [ k:dep m:z ] ] }""")
+    assert rows(nested, "f") == [("f:a",), ("f:b",)]
 
 
 def test_bnode_label_is_query_variable(spark):
