@@ -6349,7 +6349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) never in any driver artifact: least proven, so first -----
         "corpus_quantiles": q_corpus_quantiles,
         "select_top_quality": q_select_top_quality,
-        "bpe_merges": q_bpe_merges,
+        # (bpe_merges/bpe_encode are rows-only by design — no oracle twin
+        #  exists, so a window slot can never turn them hash-green; they
+        #  sit in 2b and hash-capable rows take their slots)
+        "corpus_stats_incremental": q_corpus_stats_incremental,
         "chunk_documents": q_chunk_documents,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "similarity_knn_join": q_similarity_knn_join,
@@ -6365,7 +6368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "similarity_recall": q_similarity_recall,
         "multimodal_decode": q_multimodal_decode,
-        "bpe_encode": q_bpe_encode,
+        "kg_sparql_select": q_kg_sparql_select,
         "split_source_quota": q_split_source_quota,
         "split_rebalance_mix": q_split_rebalance_mix,
         "decon_fuzzy": q_decon_fuzzy,
@@ -6378,10 +6381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weights": q_importance_weights,
         "importance_resample": q_importance_resample,
         "corpus_stats": q_corpus_stats,
-        "corpus_stats_incremental": q_corpus_stats_incremental,
         # -- (2b) r4 rows past the 50-row window (builder-green; rotate
         #    into the window next round) ----------------------------------
-        "kg_sparql_select": q_kg_sparql_select,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "kg_sparql_graph": q_kg_sparql_graph,
         "csvw_skolemize": q_csvw_skolemize,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
