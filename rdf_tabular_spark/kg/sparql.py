@@ -49,9 +49,11 @@ Documented divergences (all deterministic, all narrowing):
 * ``SAMPLE`` returns ``min`` and ``GROUP_CONCAT`` sorts its inputs —
   SPARQL leaves both nondeterministic; a distributed engine must not.
 * ``REDUCED`` is treated as ``DISTINCT`` (permitted by the spec).
-* Collections ``( … )`` in term position are rejected loudly;
-  blank-node labels and ``[ … ]`` property lists in WHERE patterns
-  desugar to fresh non-projectable variables (SPARQL §4.1.4).
+* Blank-node labels, ``[ … ]`` property lists and ``( … )``
+  collections in WHERE patterns desugar to fresh non-projectable
+  variables (SPARQL §4.1.4/§4.2; collections use the declared ``rdf:``
+  prefix or the compact ``rdf:first``/``rdf:rest``/``rdf:nil`` terms);
+  in CONSTRUCT templates all three are rejected loudly.
 
 Scale: identical to the programmatic API — the parser only *selects*
 among kg/query.py's plans. Pattern-join order follows the written
@@ -323,9 +325,9 @@ class _Parser:
             return (f"?__bn_anon{self._anon_n}", False, None, None)
         if t.kind == "OP" and t.text in ("[", "("):
             raise SparqlUnsupportedError(
-                "RDF collections ( … ) in term position — and [ … ] "
-                "property lists outside WHERE triple blocks — are not "
-                "supported; name the node explicitly")
+                "[ … ] property lists and ( … ) collections are only "
+                "supported inside WHERE triple blocks; name the node "
+                "explicitly here")
         raise SparqlSyntaxError(
             f"expected RDF term at offset {t.pos}, got {t.text!r}")
 
@@ -531,10 +533,41 @@ class _Parser:
         self.eat_op("]")
         return node
 
+    def _rdf(self, local: str) -> str:
+        """rdf: vocabulary term, honoring a declared rdf prefix (same
+        convention as ``a`` -> rdf:type in parse_term)."""
+        return (self.prefixes["rdf"] + local if "rdf" in self.prefixes
+                else "rdf:" + local)
+
+    def _collection(self, pats: list[tuple]) -> str:
+        """RDF collection ``( e1 e2 … )`` in term position -> the spine
+        patterns head rdf:first e1 / head rdf:rest tail / … / rdf:nil
+        on fresh non-projectable variables (SPARQL §4.2); ``()`` is the
+        plain term rdf:nil."""
+        self.eat_op("(")
+        if self.at_op(")"):
+            self.next()
+            return self._rdf("nil")
+        elems = []
+        while not self.at_op(")"):
+            elems.append(self._term_or_bnpl("obj", pats))
+        self.eat_op(")")
+        nodes = []
+        for _ in elems:
+            self._anon_n += 1
+            nodes.append(f"?__bn_anon{self._anon_n}")
+        for node, elem, nxt in zip(nodes, elems,
+                                   nodes[1:] + [self._rdf("nil")]):
+            pats.append((node, self._rdf("first"), elem))
+            pats.append((node, self._rdf("rest"), nxt))
+        return nodes[0]
+
     def _term_or_bnpl(self, position: str, pats: list[tuple]) -> str:
         if (self.peek().kind == "OP" and self.peek().text == "["
                 and self.peek(1).text != "]"):
             return self._bnpl(pats)
+        if self.peek().kind == "OP" and self.peek().text == "(":
+            return self._collection(pats)
         text, lit, _, _ = self.parse_term(position)
         if lit and position == "subj":
             raise SparqlSyntaxError("literal in subject position")
@@ -544,13 +577,15 @@ class _Parser:
         """subject predicateObjectList with ``;`` and ``,``."""
         pats: list[tuple] = []
         while True:
-            was_bnpl = (self.peek().kind == "OP"
-                        and self.peek().text == "["
-                        and self.peek(1).text != "]")
+            was_sugar = (self.peek().kind == "OP"
+                         and ((self.peek().text == "["
+                               and self.peek(1).text != "]")
+                              or (self.peek().text == "("
+                                  and self.peek(1).text != ")")))
             s = self._term_or_bnpl("subj", pats)
-            # a standalone "[ p o ] ." statement has no further
-            # predicateObjectList after the bracket closes
-            if not (was_bnpl and self.at_op(".", "}")):
+            # a standalone "[ p o ] ." / "( e1 e2 ) ." statement has no
+            # further predicateObjectList after the bracket closes
+            if not (was_sugar and self.at_op(".", "}")):
                 while True:
                     p = self.parse_path()
                     while True:
@@ -571,7 +606,7 @@ class _Parser:
                 nxt = self.peek(1)
                 if (nxt.kind in ("VAR", "IRIREF", "PNAME", "STRING",
                                  "NUMBER")
-                        or (nxt.kind == "OP" and nxt.text == "[")):
+                        or (nxt.kind == "OP" and nxt.text in ("[", "("))):
                     self.next()
                     continue
             break

@@ -394,9 +394,9 @@ def test_syntax_errors(spark):
 
 
 def test_unsupported_forms_raise(spark):
-    with pytest.raises(SparqlUnsupportedError, match="collections"):
-        sparql(_t(spark),
-               "SELECT ?f WHERE { ?f k:imports ( m:x m:y ) }")
+    with pytest.raises(SparqlUnsupportedError, match="WHERE triple"):
+        sparql(_t(spark), """CONSTRUCT { ?f k:via [ k:kind k:Dep ] }
+                             WHERE { ?f k:imports ?m }""")
     with pytest.raises(SparqlUnsupportedError, match="template"):
         sparql(_t(spark),
                "CONSTRUCT { ?f k:via _:fresh } WHERE { ?f k:imports ?m }")
@@ -420,6 +420,42 @@ def test_bnode_property_list(spark):
     nested = sparql(_t(spark), """SELECT ?f WHERE {
         ?f k:imports [ k:dep [ k:dep m:z ] ] }""")
     assert rows(nested, "f") == [("f:a",), ("f:b",)]
+
+
+LISTS = T + [
+    # f:a k:deps (m:x m:y) ; f:b k:deps (m:x) ; f:c k:deps ()
+    ("f:a", "k:deps", "_:l1", True, None, None),
+    ("_:l1", "rdf:first", "m:x", True, None, None),
+    ("_:l1", "rdf:rest", "_:l2", True, None, None),
+    ("_:l2", "rdf:first", "m:y", True, None, None),
+    ("_:l2", "rdf:rest", "rdf:nil", True, None, None),
+    ("f:b", "k:deps", "_:l3", True, None, None),
+    ("_:l3", "rdf:first", "m:x", True, None, None),
+    ("_:l3", "rdf:rest", "rdf:nil", True, None, None),
+    ("f:c", "k:deps", "rdf:nil", True, None, None),
+    ("_:l3", "k:tag", "k:t1", True, None, None),
+]
+
+
+def test_rdf_collections_in_patterns(spark):
+    """( e1 e2 ) desugars to the rdf:first/rdf:rest spine (SPARQL
+    §4.2) — exact-length match, empty list, and subject position."""
+    t = spark.createDataFrame(
+        LISTS, "subj string, pred string, obj string, "
+        "obj_is_iri boolean, obj_datatype string, obj_lang string")
+    two = sparql(t, "SELECT ?f WHERE { ?f k:deps ( m:x m:y ) }")
+    assert rows(two, "f") == [("f:a",)]
+    one = sparql(t, "SELECT ?f WHERE { ?f k:deps ( m:x ) }")
+    assert rows(one, "f") == [("f:b",)]
+    # () is the plain term rdf:nil
+    empty = sparql(t, "SELECT ?f WHERE { ?f k:deps () }")
+    assert rows(empty, "f") == [("f:c",)]
+    # collection in subject position, element as a variable
+    subj = sparql(t, "SELECT ?e WHERE { ( ?e ) k:tag k:t1 }")
+    assert rows(subj, "e") == [("m:x",)]
+    # spine variables never leak into SELECT *
+    star = sparql(t, "SELECT * WHERE { ?f k:deps ( m:x m:y ) }")
+    assert star.columns == ["f"]
 
 
 def test_bnode_label_is_query_variable(spark):
