@@ -5750,6 +5750,64 @@ def sql_kg_nquads_roundtrip() -> str:
     """
 
 
+def q_kg_sparql_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF collections in SPARQL patterns (kg/sparql.py §4.2 sugar —
+    r4): each order's lineitems become an ordered rdf:first/rdf:rest
+    spine (the CSVW ordered-list emission shape, metadata.rb list
+    columns), and ``?o kg:lineitems ( ?p )`` matches exactly the
+    singleton lists — three desugared patterns self-joined on the
+    triple table. Spine build is one shuffle on l_orderkey; all three
+    projections reuse it."""
+    from rdf_tabular_spark.kg.sparql import sparql
+
+    rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    # testdata linenumbers are not unique per order — derive a dense
+    # deterministic position (ties broken on part/supp keys)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    base = (li.withColumn("pos", F.row_number().over(w))
+              .withColumn("n_items",
+                          F.count(F.lit(1)).over(
+                              Window.partitionBy("l_orderkey"))))
+    node = F.concat(F.lit("urn:ol:"), F.col("l_orderkey"),
+                    F.lit("/"), F.col("pos"))
+    nxt = F.when(
+        F.col("pos") < F.col("n_items"),
+        F.concat(F.lit("urn:ol:"), F.col("l_orderkey"), F.lit("/"),
+                 F.col("pos") + F.lit(1))
+    ).otherwise(F.lit(rdf_ns + "nil"))
+    head = base.where(F.col("pos") == 1).select(
+        F.concat(F.lit("urn:o:"), F.col("l_orderkey")).alias("subj"),
+        F.lit(_KG + "lineitems").alias("pred"), node.alias("obj"))
+    firsts = base.select(
+        node.alias("subj"), F.lit(rdf_ns + "first").alias("pred"),
+        F.concat(F.lit("urn:p:"), F.col("l_partkey")).alias("obj"))
+    rests = base.select(
+        node.alias("subj"), F.lit(rdf_ns + "rest").alias("pred"),
+        nxt.alias("obj"))
+    triples = (
+        head.unionByName(firsts).unionByName(rests)
+        .withColumn("obj_is_iri", F.lit(True))
+        .withColumn("obj_datatype", F.lit(None).cast("string"))
+        .withColumn("obj_lang", F.lit(None).cast("string")))
+    return sparql(triples, f"""
+        PREFIX kg: <{_KG}>
+        PREFIX rdf: <{rdf_ns}>
+        SELECT ?o ?p WHERE {{ ?o kg:lineitems ( ?p ) }}
+    """)
+
+
+def sql_kg_sparql_lists() -> str:
+    return """
+    SELECT 'urn:o:' || l_orderkey AS o, 'urn:p:' || MIN(l_partkey) AS p
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) = 1
+    """
+
+
 def q_kg_owl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL-RL-lite property rules (kg/owl.py — r4): kg:importedBy /
     kg:definedIn arrive as owl:inverseOf axioms, and the chain
@@ -6385,6 +6443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    into the window next round) ----------------------------------
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "kg_sparql_lists": q_kg_sparql_lists,
         "kg_sparql_graph": q_kg_sparql_graph,
         "csvw_skolemize": q_csvw_skolemize,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
@@ -6517,6 +6576,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_update": sql_kg_sparql_update(),
         "kg_ntriples_roundtrip": sql_kg_ntriples_roundtrip(),
         "kg_smush": sql_kg_smush(),
+        "kg_sparql_lists": sql_kg_sparql_lists(),
         "kg_sparql_graph": sql_kg_sparql_graph(),
         "csvw_skolemize": sql_csvw_skolemize(),
         "kg_turtle_roundtrip": sql_kg_turtle_roundtrip(),
