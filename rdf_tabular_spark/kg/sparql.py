@@ -20,7 +20,8 @@ Supported surface (SPARQL 1.1 Query, pragmatic subset)
   ``?m kg:dep ?x`` with no prologue matches them directly.
 * ``SELECT [DISTINCT|REDUCED] (?v | (expr AS ?v) | *) WHERE { … }``
   with ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` / ``LIMIT`` / ``OFFSET``.
-* ``ASK { … }``, ``CONSTRUCT { template } WHERE { … }``,
+* ``ASK { … }``, ``CONSTRUCT { template } WHERE { … }`` (and the
+  §16.2.4 shorthand ``CONSTRUCT WHERE { pattern }``),
   ``DESCRIBE <iri>… [WHERE { … }]`` (CBD, kg/query.describe).
 * Group graph patterns: triple blocks with ``;`` / ``,`` / ``a``,
   ``FILTER`` (expression or ``[NOT] EXISTS { … }``), ``OPTIONAL { … }``,
@@ -1436,11 +1437,23 @@ def sparql(triples: DataFrame, query: str, *,
         return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
     if p.at_kw("CONSTRUCT"):
         p.next()
-        template = _parse_template(p)
-        frm, named = p.parse_dataset_clause()
-        eff = _apply_dataset_clause(triples, frm, named)
-        p.eat_kw("WHERE")
-        group = p.parse_group()
+        if p.at_op("{"):
+            template = _parse_template(p)
+            frm, named = p.parse_dataset_clause()
+            eff = _apply_dataset_clause(triples, frm, named)
+            p.eat_kw("WHERE")
+            group = p.parse_group()
+        else:
+            # §16.2.4 shorthand: CONSTRUCT WHERE { pattern } — the
+            # pattern doubles as the template, so it is restricted to
+            # plain triple patterns (the template grammar: no FILTER/
+            # OPTIONAL/paths/sugar), which _parse_template enforces
+            frm, named = p.parse_dataset_clause()
+            eff = _apply_dataset_clause(triples, frm, named)
+            p.eat_kw("WHERE")
+            template = _parse_template(p)
+            group = [("triples",
+                      [(s, pred, o) for s, pred, o, _, _, _ in template])]
         # spec §16.2: solution modifiers apply to the WHERE solutions
         # BEFORE template instantiation (top-N construction)
         order_by, limit, offset = p.parse_order_limit_offset()
@@ -1699,7 +1712,8 @@ def _parse_template(p: _Parser) -> list[tuple]:
                 pred = "?" + pr.text[1:]
             elif pr.kind == "KW" and pr.text.upper() == "A":
                 p.next()
-                pred = "rdf:type"
+                pred = ("rdf:type" if "rdf" not in p.prefixes
+                        else p.prefixes["rdf"] + "type")
             else:
                 pred = p._iri_text(p.next())
             while True:

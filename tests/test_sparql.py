@@ -358,6 +358,25 @@ def test_construct(spark):
     assert len(out) == 5  # 3 k:usedBy + 2 k:type
 
 
+def test_construct_where_shorthand(spark):
+    """§16.2.4: CONSTRUCT WHERE { pattern } — the pattern is its own
+    template; term metadata of bound objects rides into the output."""
+    got = sparql(_t(spark), """
+        CONSTRUCT WHERE { ?f k:imports ?m ; k:inRepo r:1 }
+    """)
+    out = {(r.subj, r.pred, r.obj, r.obj_is_iri) for r in got.collect()}
+    assert out == {
+        ("f:a", "k:imports", "m:x", True), ("f:a", "k:inRepo", "r:1", True),
+        ("f:c", "k:imports", "m:y", True), ("f:c", "k:inRepo", "r:1", True)}
+    # literal objects keep their metadata through the echo
+    lit = sparql(_t(spark), "CONSTRUCT WHERE { ?f k:size ?v }")
+    metas = {(r.obj, r.obj_is_iri, r.obj_datatype) for r in lit.collect()}
+    assert metas == {("42", False, "xsd:integer"), ("7", False, "xsd:integer")}
+    # dataset clause composes with the shorthand
+    with pytest.raises(SparqlSyntaxError):
+        sparql(_t(spark), "CONSTRUCT WHERE { ?f k:imports ?m FILTER(true) }")
+
+
 def test_construct_literal_object_metadata(spark):
     got = sparql(_t(spark), """
         CONSTRUCT { ?f k:note "seen"@en } WHERE { ?f k:inRepo r:1 }
