@@ -69,8 +69,22 @@ def _compile_path_pattern(triples: DataFrame, pattern: tuple,
     from .graph import reachability
 
     s, p, o = pattern
-    base, mode = p[:-1], p[-1]
-    if base.startswith("(") and base.endswith(")"):
+    if isinstance(p, tuple):
+        # closure over a sequence group — ("+", s1, s2, …) from (s1/s2)+
+        # — closes the COMPOSED edge set (≠ composing the closures):
+        # the sequence compiles once into its (src, dst) pair set via
+        # fresh endpoint variables, then the same semi-naive BFS runs
+        # over those composite edges
+        mode = p[0]
+        a = f"__cp{next(_SEQ_IDS)}"
+        b = f"__cp{next(_SEQ_IDS)}"
+        seq = ("/", *p[1:]) if len(p) > 2 else p[1]
+        pairs = _compile_pattern(triples, (f"?{a}", seq, f"?{b}"),
+                                 max_hops)
+        edges = pairs.select(F.col(a).alias("subj"),
+                             F.col(b).alias("obj")).distinct()
+    elif (p[:-1].startswith("(") and p[:-1].endswith(")")):
+        base, mode = p[:-1], p[-1]
         members = [m.strip() for m in base[1:-1].split("|") if m.strip()]
         if not members:
             raise ValueError(f"empty path alternation: {p!r}")
@@ -86,6 +100,7 @@ def _compile_path_pattern(triples: DataFrame, pattern: tuple,
             edges = part if edges is None else edges.unionByName(part)
         edges = edges.distinct()
     else:
+        base, mode = p[:-1], p[-1]
         edges = (
             triples.filter((F.col("pred") == base) & F.col("obj_is_iri"))
             .select(F.col("subj").alias("subj"), F.col("obj").alias("obj"))
@@ -144,6 +159,10 @@ def _compile_pattern(triples: DataFrame, pattern: tuple,
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o): {pattern!r}")
     pred = pattern[1]
+    if isinstance(pred, tuple) and pred and pred[0] in ("+", "*", "?"):
+        # closure over a sequence group — (s1/s2)+ — tuple form
+        # ("+", s1, s2, …); see _compile_path_pattern
+        return _compile_path_pattern(triples, pattern, path_max_hops)
     if isinstance(pred, tuple) and pred and pred[0] == "/":
         # sequence path p1/p2/...: chain through fresh intermediate
         # variables and join consecutive steps on them (tuple form, not

@@ -29,10 +29,10 @@ Supported surface (SPARQL 1.1 Query, pragmatic subset)
   ``VALUES`` (single- and multi-variable forms), nested groups and
   sub-``SELECT``.
 * Property paths: ``^p``, ``p|q``, ``p/q``, ``p+``, ``p*``, ``p?``,
-  ``!(p|q)`` — straight onto kg/query.py's path forms (sequence =
-  tuple, others = string affixes). A *modifier on a parenthesized
-  sequence/alternation* (``(p/q)+``) exceeds the engine's path algebra
-  and raises a clear error.
+  ``!(p|q)``, and modifiers on parenthesized groups — ``(p|^q)+``
+  closes the union edge set, ``(p/q)+`` the composed edge set —
+  straight onto kg/query.py's path forms (sequence = ("/", …) tuple,
+  sequence closure = (mod, …) tuple, others = string affixes).
 * FILTER/BIND expressions compile to Spark SQL: comparisons,
   arithmetic, ``&&``/``||``/``!``, ``IN``, and the builtins BOUND,
   REGEX, STR, LANG, LANGMATCHES, DATATYPE, isIRI/isURI, isLITERAL,
@@ -161,6 +161,18 @@ class _Select:
     order_by: list[str]
     limit: int | None
     offset: int | None
+
+
+def _invert_path(p: tuple) -> tuple:
+    """Reverse a tuple path form: ^(a/b) == ^b/^a and
+    ^((a/b)+) == (^b/^a)+ — steps reverse and each inverts; string
+    steps take the ^ prefix (the engine dispatches ^ on any path
+    form, including affixed ones like ^a+ == (^a)+ reachability)."""
+    def inv(step):
+        if isinstance(step, tuple):
+            return _invert_path(step)
+        return step[1:] if step.startswith("^") else "^" + step
+    return (p[0], *[inv(s) for s in reversed(p[1:])])
 
 
 class _Parser:
@@ -360,10 +372,12 @@ class _Parser:
         if len(steps) == 1:
             return steps[0]
         if any(isinstance(s, tuple) for s in steps):
-            # nested sequence tuples flatten (a/(b/c) == a/b/c)
+            # nested sequence tuples flatten (a/(b/c) == a/b/c);
+            # closure tuples (mod, …) stay intact as single steps
             flat = []
             for s in steps:
-                flat.extend(s[1:] if isinstance(s, tuple) else [s])
+                flat.extend(s[1:] if isinstance(s, tuple) and s[0] == "/"
+                            else [s])
             return ("/", *flat)
         return ("/", *steps)
 
@@ -376,10 +390,11 @@ class _Parser:
         if self.at_op("+", "*", "?"):
             mod = self.next().text
             if isinstance(prim, tuple):
-                raise SparqlUnsupportedError(
-                    f"path modifier {mod!r} on a sequence path is not "
-                    "supported; apply it to a predicate or alternation")
-            if "|" in prim:
+                # closure over a sequence group — (p/q)+ — engine tuple
+                # form (mod, step, …): the composed edge set is closed
+                # (kg/query._compile_path_pattern)
+                prim = (mod, *prim[1:])
+            elif "|" in prim:
                 # closure over an alternation — (p|^q)+ — closes the
                 # UNION of the member edge sets (kg/query.py
                 # _compile_path_pattern); members must be plain or
@@ -395,9 +410,10 @@ class _Parser:
                 prim = prim + mod
         if inverse:
             if isinstance(prim, tuple):
-                # ^(a/b) == ^b/^a
-                return ("/", *["^" + s if not s.startswith("^") else s[1:]
-                               for s in reversed(prim[1:])])
+                # ^(a/b) == ^b/^a; ^((a/b)+) == (^b/^a)+ — recursion
+                # handles nested groups; string steps invert with the
+                # ^ prefix the engine already dispatches on
+                return _invert_path(prim)
             return "^" + prim
         return prim
 

@@ -227,10 +227,28 @@ def test_negated_property_set(spark):
 
 
 def test_unsupported_path_combo_raises(spark):
-    with pytest.raises(SparqlUnsupportedError, match="modifier"):
-        sparql(_t(spark), "SELECT ?x WHERE { m:x (k:dep/k:dep)+ ?x }")
     with pytest.raises(SparqlUnsupportedError, match="alternation"):
         sparql(_t(spark), "SELECT ?x WHERE { m:x (k:dep+|k:imports)+ ?x }")
+
+
+def test_sequence_closure_path(spark):
+    """(p/q)+ closes the COMPOSED edge set — pairs reachable by one or
+    more whole p∘q hops, not by a dangling p step."""
+    # dep chain: m:x -> m:y -> m:z; (dep/dep) composite edge: x -> z
+    got = sparql(_t(spark), "SELECT ?x WHERE { m:x (k:dep/k:dep)+ ?x }")
+    assert rows(got, "x") == [("m:z",)]
+    # zero-or-one on a sequence: imports∘dep in one optional hop
+    opt = sparql(_t(spark),
+                 "SELECT ?x WHERE { f:a (k:imports/k:dep)? ?x }")
+    assert ("m:y",) in rows(opt, "x")        # the one-hop composite
+    assert ("f:a",) in rows(opt, "x")        # the zero-length path
+    # inverse of a sequence closure: ^((dep/dep)+) == (^dep/^dep)+
+    inv = sparql(_t(spark), "SELECT ?x WHERE { m:z ^(k:dep/k:dep)+ ?x }")
+    assert rows(inv, "x") == [("m:x",)]
+    # a closure step inside a sequence: imports then (dep/dep)+
+    mix = sparql(_t(spark),
+                 "SELECT ?x WHERE { f:a k:imports/(k:dep/k:dep)+ ?x }")
+    assert rows(mix, "x") == [("m:z",)]
 
 
 def test_closed_alternation_path_text(spark):
