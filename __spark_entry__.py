@@ -3940,6 +3940,47 @@ def sql_kg_bgp_alt_closure(max_hops: int = 10) -> str:
     """
 
 
+def q_kg_bgp_seq_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure over a path SEQUENCE — SPARQL ``(dependsOn/^dependsOn)+``
+    (kg/query._compile_path_pattern tuple form, r4): co-dependency
+    reachability — modules connected through chains of shared
+    dependencies. The sequence compiles once into its composite
+    (src, dst) pair set (one self-join of the predicate-filtered edge
+    list on the shared dependency), then the same semi-naive BFS
+    closes it. Parsed from query TEXT so the (mod, …) tuple form rides
+    the full parser -> engine path; the inverse step composes INSIDE
+    the closed group."""
+    from rdf_tabular_spark.kg.sparql import sparql
+
+    _, _, triples = _kg_oracle_run(spark)
+    return sparql(triples, f"""
+        PREFIX kg: <{_KG}>
+        SELECT ?m ?x WHERE {{ ?m (kg:dependsOn/^kg:dependsOn)+ ?x }}
+    """)
+
+
+def sql_kg_bgp_seq_closure(max_hops: int = 10) -> str:
+    # composite edges = one self-join of the dependsOn edge list;
+    # recursion bound matches kg/query.DEFAULT_PATH_MAX_HOPS (each
+    # recursive hop is one WHOLE composite edge, same as the engine)
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT src AS m, dst AS x FROM (
+      WITH RECURSIVE dep AS (
+        SELECT DISTINCT subj AS src, obj AS dst FROM kgq
+        WHERE obj_is_iri AND pred = '{_KG}dependsOn'),
+      e2 AS (
+        SELECT DISTINCT a.src, b.src AS dst
+        FROM dep a JOIN dep b ON a.dst = b.dst),
+      rr(src, dst, hops) AS (
+        SELECT src, dst, 1 FROM e2
+        UNION
+        SELECT rr.src, e2.dst, rr.hops + 1
+        FROM rr JOIN e2 ON rr.dst = e2.src WHERE rr.hops < {max_hops})
+      SELECT DISTINCT src, dst FROM rr)
+    """
+
+
 def q_kg_bgp_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence property path (kg/query.py r3 tuple form): co-import
     pairs via imports/^imports — the two-step chain through a fresh
@@ -6444,6 +6485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "kg_sparql_lists": q_kg_sparql_lists,
+        "kg_bgp_seq_closure": q_kg_bgp_seq_closure,
         "kg_sparql_graph": q_kg_sparql_graph,
         "csvw_skolemize": q_csvw_skolemize,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
@@ -6577,6 +6619,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ntriples_roundtrip": sql_kg_ntriples_roundtrip(),
         "kg_smush": sql_kg_smush(),
         "kg_sparql_lists": sql_kg_sparql_lists(),
+        "kg_bgp_seq_closure": sql_kg_bgp_seq_closure(),
         "kg_sparql_graph": sql_kg_sparql_graph(),
         "csvw_skolemize": sql_csvw_skolemize(),
         "kg_turtle_roundtrip": sql_kg_turtle_roundtrip(),
