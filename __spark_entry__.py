@@ -3940,6 +3940,34 @@ def sql_kg_bgp_alt_closure(max_hops: int = 10) -> str:
     """
 
 
+def q_kg_construct_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT WHERE shorthand (kg/sparql.py §16.2.4, r4): the
+    pattern doubles as the template, echoing the matched subgraph —
+    files with BOTH an import and a repo edge echo those two edge
+    sets. Bound-term metadata rides into the output (term_meta
+    projection), so the echo is byte-faithful to the source triples."""
+    from rdf_tabular_spark.kg.sparql import sparql
+
+    _, _, triples = _kg_oracle_run(spark)
+    return sparql(triples, f"""
+        PREFIX kg: <{_KG}>
+        CONSTRUCT WHERE {{ ?f kg:imports ?m ; kg:inRepo ?r }}
+    """)
+
+
+def sql_kg_construct_where() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    anchored AS (SELECT DISTINCT i.subj FROM kgq i
+             JOIN kgq r ON r.subj = i.subj AND r.pred = '{_KG}inRepo'
+             WHERE i.pred = '{_KG}imports')
+    SELECT DISTINCT t.subj, t.pred, t.obj, t.obj_is_iri,
+           t.obj_datatype, t.obj_lang
+    FROM kgq t JOIN anchored b ON t.subj = b.subj
+    WHERE t.pred IN ('{_KG}imports', '{_KG}inRepo')
+    """
+
+
 def q_kg_bgp_seq_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closure over a path SEQUENCE — SPARQL ``(dependsOn/^dependsOn)+``
     (kg/query._compile_path_pattern tuple form, r4): co-dependency
@@ -6486,6 +6514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "kg_sparql_lists": q_kg_sparql_lists,
         "kg_bgp_seq_closure": q_kg_bgp_seq_closure,
+        "kg_construct_where": q_kg_construct_where,
         "kg_sparql_graph": q_kg_sparql_graph,
         "csvw_skolemize": q_csvw_skolemize,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
@@ -6620,6 +6649,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_smush": sql_kg_smush(),
         "kg_sparql_lists": sql_kg_sparql_lists(),
         "kg_bgp_seq_closure": sql_kg_bgp_seq_closure(),
+        "kg_construct_where": sql_kg_construct_where(),
         "kg_sparql_graph": sql_kg_sparql_graph(),
         "csvw_skolemize": sql_csvw_skolemize(),
         "kg_turtle_roundtrip": sql_kg_turtle_roundtrip(),
