@@ -3626,6 +3626,38 @@ def sql_kg_construct() -> str:
     """
 
 
+def q_kg_construct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CONSTRUCT view maintenance == full recompute,
+    cross-engine (kg/query.construct_incremental — r4 delta rule):
+    a deterministic ~1/4 slice of the imports edges arrives as the
+    delta; Spark materializes the co-imports view WITHOUT them, then
+    extends it with the delta terms only (each term joins the
+    delta-sized factor first, probing the old graph — the old graph
+    never re-joins itself). The DuckDB twin recomputes the full view
+    from scratch: identical graphs is the maintenance invariant."""
+    from rdf_tabular_spark.kg import query as kq
+
+    _, _, triples = _kg_oracle_run(spark)
+    triples = triples.localCheckpoint()  # multi-referenced split base
+    is_delta = ((F.col("pred") == _KG + "imports")
+                & F.substring(F.md5(F.col("subj")), 1, 1).isin(
+                    "0", "1", "2", "3"))
+    old = triples.filter(~is_delta)
+    delta = triples.filter(is_delta)
+    pats = [("?f", _KG + "imports", "?m"), ("?g", _KG + "imports", "?m")]
+    tmpl = [("?f", _KG + "coImports", "?g"),
+            ("?f", _RDF_TYPE, _KG + "CoImporter")]
+    old_view = kq.construct(old, pats, template=tmpl, filters=["f < g"])
+    inc = kq.construct_incremental(old, delta, pats, tmpl,
+                                   filters=["f < g"], old_view=old_view)
+    return old_view.unionByName(inc)
+
+
+def sql_kg_construct_incremental() -> str:
+    # the maintenance invariant: incremental == full recompute
+    return sql_kg_construct()
+
+
 def q_kg_rdfs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental RDFS maintenance == full recompute, cross-engine:
     Spark materializes the graph WITHOUT the kg:defines triples, then
@@ -6515,6 +6547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_lists": q_kg_sparql_lists,
         "kg_bgp_seq_closure": q_kg_bgp_seq_closure,
         "kg_construct_where": q_kg_construct_where,
+        "kg_construct_incremental": q_kg_construct_incremental,
         "kg_sparql_graph": q_kg_sparql_graph,
         "csvw_skolemize": q_csvw_skolemize,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
@@ -6650,6 +6683,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_lists": sql_kg_sparql_lists(),
         "kg_bgp_seq_closure": sql_kg_bgp_seq_closure(),
         "kg_construct_where": sql_kg_construct_where(),
+        "kg_construct_incremental": sql_kg_construct_incremental(),
         "kg_sparql_graph": sql_kg_sparql_graph(),
         "csvw_skolemize": sql_csvw_skolemize(),
         "kg_turtle_roundtrip": sql_kg_turtle_roundtrip(),

@@ -687,7 +687,14 @@ def construct(triples: DataFrame, patterns: list[tuple],
     columns (narrow strings), never the solution multiset."""
     sols = match_bgp(triples, patterns, optional=optional, filters=filters,
                      distinct=False, path_max_hops=path_max_hops)
+    return _instantiate_template(sols, template)
 
+
+def _instantiate_template(sols: DataFrame,
+                          template: list[tuple]) -> DataFrame:
+    """Template instantiation core shared by construct and
+    construct_incremental: one projection per template entry over the
+    solution set, unioned, set-deduped on the triple columns."""
     def term_col(term: str):
         return F.col(term[1:]) if _is_var(term) else F.lit(term)
 
@@ -712,6 +719,74 @@ def construct(triples: DataFrame, patterns: list[tuple],
     for nxt in outs[1:]:
         out = out.unionByName(nxt)
     return out.dropDuplicates(["subj", "pred", "obj"])
+
+
+def construct_incremental(old_triples: DataFrame, delta: DataFrame,
+                          patterns: list[tuple],
+                          template: list[tuple],
+                          filters: list[str] | None = None,
+                          old_view: DataFrame | None = None) -> DataFrame:
+    """Delta-rule maintenance of a CONSTRUCT materialized view: the NEW
+    view rows the *delta* triples add, so that
+
+        construct(old ∪ delta) == construct(old) ∪ this
+
+    (CONSTRUCT over a BGP is monotone — new triples never remove
+    solutions — so maintenance is insert-only).
+
+    Delta solutions via the standard delta rule: for patterns p1..pn,
+    Δsols = ⋃_i (p1..p_{i-1} over NEW ⋈ Δp_i ⋈ p_{i+1}..pn over OLD)
+    — every term contains exactly one delta-bound factor. The Δ factor
+    joins FIRST and the remaining patterns attach greedily along
+    shared variables, so each join chain stays delta-sized end to end:
+    the old graph is probed per term, never re-joined against itself.
+
+    Plain variable-bearing patterns only — property paths are not
+    decomposable this way (one new edge can create closure pairs
+    between two OLD nodes); recompute path templates in full.
+
+    Pass *old_view* (the materialized construct(old)) to anti-join
+    re-derived rows away; without it the result may overlap the old
+    view (still correct under the union above — the view is a set)."""
+    for pat in patterns:
+        p = pat[1] if len(pat) == 3 else None
+        if (not isinstance(p, str)
+                or (not p.startswith("?")
+                    and (p.startswith(("!", "^")) or "|" in p
+                         or p.endswith(("+", "*", "?"))))):
+            raise ValueError(
+                f"construct_incremental takes plain patterns only: {pat!r}")
+    new_triples = old_triples.unionByName(delta)
+    n = len(patterns)
+    delta_sols = None
+    for i in range(n):
+        parts = []
+        for j, pat in enumerate(patterns):
+            src = (new_triples if j < i
+                   else (delta if j == i else old_triples))
+            parts.append(_compile_pattern(src, pat))
+        acc = parts[i]
+        remaining = [j for j in range(n) if j != i]
+        while remaining:
+            pick = next((j for j in remaining
+                         if set(parts[j].columns) & set(acc.columns)),
+                        None)
+            if pick is None:
+                raise ValueError(
+                    "construct_incremental needs a connected BGP "
+                    f"(no shared variable reaches {remaining!r})")
+            shared = [c for c in parts[pick].columns if c in acc.columns]
+            acc = acc.join(parts[pick], shared, "inner")
+            remaining.remove(pick)
+        delta_sols = (acc if delta_sols is None
+                      else delta_sols.unionByName(acc))
+    for expr in filters or []:
+        delta_sols = delta_sols.filter(F.expr(expr))
+    out = _instantiate_template(delta_sols, template)
+    if old_view is not None:
+        out = out.join(old_view.select("subj", "pred", "obj"),
+                       ["subj", "pred", "obj"], "left_anti")
+    return out
 
 
 def describe(triples: DataFrame, subjects: DataFrame,

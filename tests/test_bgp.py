@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rdf_tabular_spark.kg.query import match_bgp
 
@@ -392,6 +393,39 @@ def test_construct_multi_template_dedup(spark):
     assert rows == {("f:a", "type", "Importer", True),
                     ("f:b", "type", "Importer", True),
                     ("m:x", "popular", "true", False)}
+
+
+def test_construct_incremental_parity(spark):
+    """construct(old ∪ Δ) == construct(old) ∪ construct_incremental;
+    with old_view passed, the increment is disjoint from the old view."""
+    from rdf_tabular_spark.kg.query import construct, construct_incremental
+
+    full = _triples(spark)
+    # the delta is f:b's imports edge — it creates the (f:a, f:b) pair
+    delta = full.filter((F.col("subj") == "f:b")
+                        & (F.col("pred") == "imports"))
+    old = full.exceptAll(delta)
+    pats = [("?f", "imports", "?m"), ("?g", "imports", "?m")]
+    tmpl = [("?f", "coImports", "?g"), ("?g", "coImports", "?f")]
+    want = {(r.subj, r.obj) for r in
+            construct(full, pats, template=tmpl).collect()}
+    old_view = construct(old, pats, template=tmpl)
+    inc = construct_incremental(old, delta, pats, tmpl,
+                                old_view=old_view)
+    got_old = {(r.subj, r.obj) for r in old_view.collect()}
+    got_inc = {(r.subj, r.obj) for r in inc.collect()}
+    assert got_old | got_inc == want
+    assert got_old & got_inc == set()          # anti-joined away
+    assert ("f:a", "f:b") in got_inc           # the genuinely-new pair
+    # filters thread through the delta terms
+    inc_f = construct_incremental(
+        old, delta, pats, [("?f", "coImports", "?g")],
+        filters=["f < g"], old_view=old_view)
+    assert {(r.subj, r.obj) for r in inc_f.collect()} == {("f:a", "f:b")}
+    # property paths are rejected loudly
+    with pytest.raises(ValueError, match="plain patterns"):
+        construct_incremental(old, delta, [("?f", "imports+", "?m")],
+                              [("?f", "reaches", "?m")])
 
 
 def test_construct_optional_unbound_drops_instantiation(spark):
