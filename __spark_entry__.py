@@ -6067,6 +6067,51 @@ def sql_kg_owl_incremental() -> str:
     return sql_kg_owl_closure()
 
 
+def q_kg_streaming_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CONSTRUCT view maintenance (streaming/incremental.
+    run_streaming_construct — r4): the staged source streams one file
+    per micro-batch; each batch extends the materialized co-imports
+    view via the delta rule (kg/query.construct_incremental — only
+    delta-sized join chains, the accumulated graph never re-joins
+    itself). The twin computes the view from scratch over the same
+    streaming-subset triples: drained view == full CONSTRUCT whatever
+    the batch boundaries."""
+    import os
+    import tempfile
+
+    from rdf_tabular_spark.streaming import run_streaming_construct
+
+    pats = [("?f", _KG + "imports", "?m"), ("?g", _KG + "imports", "?m")]
+    tmpl = [("?f", _KG + "coImports", "?g")]
+    work = tempfile.mkdtemp(prefix="rdf_tabular_spark_kg_sconstruct_q_")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    q = run_streaming_construct(
+        spark, _kg_stream_source_dir(), sink, ckpt, pats, tmpl,
+        filters=["f < g"], max_files_per_trigger=1)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming CONSTRUCT did not drain within 600s — the view "
+            "would be partial; failing instead of comparing garbage")
+    return spark.read.parquet(os.path.join(sink, "view"))
+
+
+def sql_kg_streaming_construct() -> str:
+    return f"""
+    WITH kgt AS MATERIALIZED ({sql_kg_streaming_triples()}),
+    imp AS (SELECT subj, obj FROM kgt WHERE pred = '{_KG}imports'),
+    sols AS (SELECT a.subj AS f, b.subj AS g
+             FROM imp a JOIN imp b ON a.obj = b.obj
+             WHERE a.subj < b.subj)
+    SELECT DISTINCT f AS subj, '{_KG}coImports' AS pred, g AS obj,
+           TRUE AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM sols
+    """
+
+
 def q_kg_streaming_rdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KG construction WITH reasoning (streaming/incremental.
     run_streaming_rdfs — r4): the staged source streams in micro-batches;
@@ -6548,6 +6593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_seq_closure": q_kg_bgp_seq_closure,
         "kg_construct_where": q_kg_construct_where,
         "kg_construct_incremental": q_kg_construct_incremental,
+        "kg_streaming_construct": q_kg_streaming_construct,
         "kg_sparql_graph": q_kg_sparql_graph,
         "csvw_skolemize": q_csvw_skolemize,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
@@ -6684,6 +6730,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_seq_closure": sql_kg_bgp_seq_closure(),
         "kg_construct_where": sql_kg_construct_where(),
         "kg_construct_incremental": sql_kg_construct_incremental(),
+        "kg_streaming_construct": sql_kg_streaming_construct(),
         "kg_sparql_graph": sql_kg_sparql_graph(),
         "csvw_skolemize": sql_csvw_skolemize(),
         "kg_turtle_roundtrip": sql_kg_turtle_roundtrip(),

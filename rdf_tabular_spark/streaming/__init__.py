@@ -9,6 +9,7 @@ merge (idempotent re-delivery)."""
 from .incremental import (  # noqa: F401
     incremental_triples,
     run_incremental_ingest,
+    run_streaming_construct,
     run_streaming_owl,
     run_streaming_rdfs,
     windowed_event_counts,

@@ -222,6 +222,70 @@ def run_streaming_owl(
     )
 
 
+def construct_merge_batch(batch_df: DataFrame, sink_path: str,
+                          patterns: list[tuple], template: list[tuple],
+                          filters: list[str] | None = None) -> None:
+    """One micro-batch of triples -> maintain a CONSTRUCT materialized
+    view. Two sinks under *sink_path*: ``triples`` (the accumulated
+    asserted graph — the delta rule probes it) and ``view`` (the
+    maintained CONSTRUCT graph). First batch materializes the view in
+    full; every later batch anti-joins the arrivals against the triple
+    sink (replay idempotence) and runs kg/query.construct_incremental —
+    only delta-sized join chains, the old graph never re-joins itself.
+    The full-sink rewrite is the test-scale stand-in for MERGE INTO."""
+    from ..kg.query import construct, construct_incremental
+
+    spark = batch_df.sparkSession
+    fresh = batch_df.dropDuplicates(TRIPLE_COLUMNS)
+    tri_path = os.path.join(sink_path, "triples")
+    view_path = os.path.join(sink_path, "view")
+    if os.path.isdir(tri_path) and any(
+            f.endswith(".parquet") for f in os.listdir(tri_path)):
+        old = spark.read.parquet(tri_path)
+        old_view = spark.read.parquet(view_path)
+        delta = fresh.join(old.select("subj", "pred", "obj"),
+                           ["subj", "pred", "obj"], "left_anti")
+        inc = construct_incremental(old, delta, patterns, template,
+                                    filters=filters, old_view=old_view)
+        new_tri = old.unionByName(delta)
+        new_view = old_view.unionByName(inc)
+    else:
+        new_tri = fresh
+        new_view = construct(fresh, patterns, template=template,
+                             filters=filters)
+    # materialize BOTH before overwriting either — new_view's lineage
+    # reads both sink paths
+    new_tri = new_tri.localCheckpoint()
+    new_view = new_view.localCheckpoint()
+    new_tri.write.mode("overwrite").parquet(tri_path)
+    new_view.write.mode("overwrite").parquet(view_path)
+
+
+def run_streaming_construct(
+    spark: SparkSession, source_dir: str, sink_path: str,
+    checkpoint_dir: str, patterns: list[tuple], template: list[tuple],
+    filters: list[str] | None = None,
+    max_files_per_trigger: int = 16,
+):
+    """Streaming CONSTRUCT view maintenance: the triple stream keeps a
+    materialized CONSTRUCT graph current per micro-batch (monotone for
+    plain BGPs — insert-only maintenance). The drained ``view`` sink
+    equals ``construct`` over all delivered triples whatever the
+    delivery order or batch boundaries. Returns the StreamingQuery;
+    resume = same checkpoint_dir."""
+    stream = incremental_triples(
+        stream_source(spark, source_dir, max_files_per_trigger))
+    return (
+        stream.writeStream
+        .foreachBatch(
+            lambda df, _epoch: construct_merge_batch(
+                df, sink_path, patterns, template, filters))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_streaming_dedup(
     spark: SparkSession, source_dir: str, sink_path: str,
     checkpoint_dir: str, schema, id_col: str = "doc_id",
