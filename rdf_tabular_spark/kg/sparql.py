@@ -38,7 +38,10 @@ Supported surface (SPARQL 1.1 Query, pragmatic subset)
   REGEX, STR, LANG, LANGMATCHES, DATATYPE, isIRI/isURI, isLITERAL,
   isBLANK, STRSTARTS, STRENDS, CONTAINS, STRLEN, STRBEFORE, STRAFTER,
   UCASE, LCASE, SUBSTR, CONCAT, REPLACE, ABS, CEIL, FLOOR, ROUND, IF,
-  COALESCE, sameTerm. Term-metadata builtins (LANG/DATATYPE/is*) ride
+  COALESCE, sameTerm, IRI/URI (base-resolving), ENCODE_FOR_URI,
+  MD5/SHA1/SHA256/SHA384/SHA512, and STRDT/STRLANG as lexical forms
+  (BIND'd variables carry no term metadata — the literal-matching
+  divergence below). Term-metadata builtins (LANG/DATATYPE/is*) ride
   the ``term_meta`` columns of kg/query.match_bgp — plain projections
   of the scan, no join, no UDF. Aggregates: COUNT(*) / COUNT([DISTINCT]
   ?v), SUM, AVG, MIN, MAX, SAMPLE, GROUP_CONCAT(?v; SEPARATOR "s").
@@ -885,6 +888,36 @@ class _Parser:
         if name == "COALESCE":
             a = args(1, 99)
             return f"coalesce({', '.join(a)})"
+        if name in ("IRI", "URI"):
+            # IRI minting for CONSTRUCT-style workflows: the engine's
+            # term model carries kind metadata only for pattern-bound
+            # variables, and template instantiation defaults a BIND'd
+            # object to the IRI kind — so the value IS the term here
+            (a,) = args(1, 1)
+            if self.base:
+                return (f"(CASE WHEN {a} LIKE '%://%' THEN {a} "
+                        f"ELSE {_sql_str(self.base)} || {a} END)")
+            return f"CAST({a} AS STRING)"
+        if name in ("STRDT", "STRLANG"):
+            # lexical form only, per the module's literal divergence
+            # note — BIND'd variables carry no term metadata
+            a, _ = args(2, 2)
+            return f"CAST({a} AS STRING)"
+        if name == "ENCODE_FOR_URI":
+            # RFC 3986 unreserved set: url_encode is form-encoding, so
+            # fix the three divergences (space, '*', '~')
+            (a,) = args(1, 1)
+            return (f"replace(replace(replace(url_encode({a}), "
+                    f"'+', '%20'), '*', '%2A'), '%7E', '~')")
+        if name == "MD5":
+            (a,) = args(1, 1)
+            return f"md5({a})"
+        if name == "SHA1":
+            (a,) = args(1, 1)
+            return f"sha1({a})"
+        if name in ("SHA256", "SHA384", "SHA512"):
+            (a,) = args(1, 1)
+            return f"sha2({a}, {name[3:]})"
         raise SparqlUnsupportedError(f"builtin {name} not supported")
 
     # -- SELECT ------------------------------------------------------------

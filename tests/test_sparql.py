@@ -152,6 +152,45 @@ def test_bind(spark):
     assert rows(got, "f", "local") == [("f:a", "x"), ("f:b", "x")]
 
 
+def test_constructor_and_hash_builtins(spark):
+    """IRI minting, percent-encoding and the hash builtins — the
+    CONSTRUCT-workflow function set."""
+    import hashlib
+    got = sparql(_t(spark), """
+        SELECT ?u WHERE {
+            ?f k:imports ?m BIND(IRI(CONCAT("urn:mod:", ?m)) AS ?u)
+            FILTER(?f = f:a)
+        }
+    """)
+    assert rows(got, "u") == [("urn:mod:m:x",)]
+    # BASE resolves relative IRI() arguments
+    base = sparql(_t(spark), """BASE <http://e.org/>
+        SELECT ?u WHERE { ?f k:imports ?m BIND(IRI(?m) AS ?u)
+                          FILTER(?f = f:a) }""")
+    assert rows(base, "u") == [("http://e.org/m:x",)]
+    enc = sparql(_t(spark), """
+        SELECT ?e WHERE {
+            ?f k:label ?v BIND(ENCODE_FOR_URI("a b*c~d/e") AS ?e)
+        } LIMIT 1
+    """)
+    assert rows(enc, "e") == [("a%20b%2Ac~d%2Fe",)]
+    sha = sparql(_t(spark), """
+        SELECT ?h WHERE { f:a k:imports ?m BIND(SHA256(STR(?m)) AS ?h) }
+    """)
+    assert rows(sha, "h") == [
+        (hashlib.sha256(b"m:x").hexdigest(),)]
+    md = sparql(_t(spark), """
+        SELECT ?h WHERE { f:a k:imports ?m BIND(MD5(STR(?m)) AS ?h) }
+    """)
+    assert rows(md, "h") == [(hashlib.md5(b"m:x").hexdigest(),)]
+    # STRDT/STRLANG: lexical form (documented divergence)
+    dt = sparql(_t(spark), """
+        SELECT ?v WHERE { f:a k:imports ?m
+            BIND(STRDT("5", <http://www.w3.org/2001/XMLSchema#int>) AS ?v) }
+    """)
+    assert rows(dt, "v") == [("5",)]
+
+
 def test_values_single_and_multi(spark):
     got = sparql(_t(spark), """
         SELECT ?f WHERE { ?f k:inRepo ?r VALUES ?r { r:1 } }
