@@ -38,7 +38,7 @@ Supported surface (SPARQL 1.1 Query, pragmatic subset)
   REGEX, STR, LANG, LANGMATCHES, DATATYPE, isIRI/isURI, isLITERAL,
   isBLANK, STRSTARTS, STRENDS, CONTAINS, STRLEN, STRBEFORE, STRAFTER,
   UCASE, LCASE, SUBSTR, CONCAT, REPLACE, ABS, CEIL, FLOOR, ROUND, IF,
-  COALESCE, sameTerm, IRI/URI (base-resolving), ENCODE_FOR_URI,
+  COALESCE, sameTerm, isNumeric, IRI/URI (base-resolving), ENCODE_FOR_URI,
   MD5/SHA1/SHA256/SHA384/SHA512, and STRDT/STRLANG as lexical forms
   (BIND'd variables carry no term metadata — the literal-matching
   divergence below). Term-metadata builtins (LANG/DATATYPE/is*) ride
@@ -842,6 +842,22 @@ class _Parser:
         if name == "SAMETERM":
             a, b = args(2, 2)
             return f"({a} = {b})"
+        if name == "ISNUMERIC":
+            # numeric literal test: datatype in the XSD numeric
+            # hierarchy, matched in both the compact and full-IRI
+            # spellings the term sources use
+            (a,) = args(1, 1)
+            kinds = ("integer", "decimal", "float", "double", "int",
+                     "long", "short", "byte", "nonNegativeInteger",
+                     "positiveInteger", "nonPositiveInteger",
+                     "negativeInteger", "unsignedInt", "unsignedLong",
+                     "unsignedShort", "unsignedByte")
+            alts = ", ".join(
+                [f"'xsd:{k}'" for k in kinds]
+                + [f"'http://www.w3.org/2001/XMLSchema#{k}'"
+                   for k in kinds])
+            return (f"(NOT {meta(a, 'isiri')} AND "
+                    f"{meta(a, 'datatype')} IN ({alts}))")
         if name == "STRSTARTS":
             a, b = args(2, 2)
             return f"startswith({a}, {b})"

@@ -380,6 +380,14 @@ def test_datatype_builtin(spark):
     assert rows(got, "f") == [("f:a",), ("f:b",)]
 
 
+def test_isnumeric_builtin(spark):
+    # k:size values are xsd:integer literals; labels and IRIs are not
+    got = sparql(_t(spark), """
+        SELECT ?f ?v WHERE { ?f ?p ?v FILTER(isNumeric(?v)) }
+    """)
+    assert rows(got, "f", "v") == [("f:a", "42"), ("f:b", "7")]
+
+
 def test_isiri_excludes_blank(spark):
     t = _t(spark).union(spark.createDataFrame(
         [("f:a", "k:part", "_:b0", True, None, None)], _t(spark).schema))
