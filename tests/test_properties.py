@@ -234,3 +234,77 @@ def test_error_free_sanitized_docs_always_compile(doc):
     if errors:
         return
     parse_metadata(doc, base="http://e.org/m.json")
+
+
+# ---------------------------------------------------------------------------
+# SPARQL pattern-sugar desugaring (kg/sparql.py §4.1.4 / §4.2)
+# ---------------------------------------------------------------------------
+
+_plain_term = st.sampled_from(["?v0", "?v1", "k:t1", "k:t2", "m:x"])
+_pred = st.sampled_from(["k:p", "k:q", "k:r"])
+
+# recursive object: a plain term, a [ p o ; ... ] property list, or a
+# ( e1 e2 ) collection — the three WHERE-pattern sugar forms
+_obj = st.deferred(lambda: st.one_of(
+    _plain_term,
+    st.lists(st.tuples(_pred, st.lists(_obj, min_size=1, max_size=2)),
+             min_size=1, max_size=2).map(lambda xs: ("bnpl", *xs)),
+    st.lists(_obj, min_size=1, max_size=3).map(lambda xs: ("coll", *xs)),
+))
+
+
+def _render(o) -> str:
+    if isinstance(o, str):
+        return o
+    if o[0] == "bnpl":
+        inner = " ; ".join(
+            f"{p} " + " , ".join(_render(x) for x in objs)
+            for p, objs in o[1:])
+        return "[ " + inner + " ]"
+    return "( " + " ".join(_render(x) for x in o[1:]) + " )"
+
+
+def _expected_patterns(o) -> int:
+    """Patterns the sugar must desugar to: one per (node, pred, obj)
+    pair inside a bnpl; two (first+rest) per collection element."""
+    if isinstance(o, str):
+        return 0
+    if o[0] == "bnpl":
+        return sum(len(objs) + sum(_expected_patterns(x) for x in objs)
+                   for _, objs in o[1:])
+    return sum(2 + _expected_patterns(x) for x in o[1:])
+
+
+def _count_sugar_nodes(o) -> int:
+    """Fresh variables the parser must mint: 1 per bnpl bracket, 1 per
+    collection ELEMENT (each spine cell is a node)."""
+    if isinstance(o, str):
+        return 0
+    if o[0] == "bnpl":
+        return 1 + sum(_count_sugar_nodes(x)
+                       for _, objs in o[1:] for x in objs)
+    return len(o) - 1 + sum(_count_sugar_nodes(x) for x in o[1:])
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(_pred, _obj), min_size=1, max_size=3))
+def test_pattern_sugar_desugars_totally(pairs):
+    """Every generated sugar tree parses without error; the pattern
+    count and the fresh-variable count match the §4.1.4/§4.2 expansion
+    exactly, and no synthesized variable is projectable."""
+    from rdf_tabular_spark.kg.sparql import _Parser
+
+    body = " . ".join(f"?s {p} {_render(o)}" for p, o in pairs)
+    parser = _Parser("{ " + body + " }")
+    group = parser.parse_group()
+    pats = [pat for tag, *rest in group if tag == "triples"
+            for pat in rest[0]]
+    want = len(pairs) + sum(_expected_patterns(o) for _, o in pairs)
+    assert len(pats) == want
+    anon = {t for s, p, o in pats for t in (s, o)
+            if isinstance(t, str) and t.startswith("?__bn_anon")}
+    assert len(anon) == sum(_count_sugar_nodes(o) for _, o in pairs)
+    # every minted node is used: it appears in >= 1 pattern by
+    # construction, and each non-empty sugar node carries >= 1 edge
+    for v in anon:
+        assert any(v in (s, o) for s, p, o in pats)
