@@ -4213,17 +4213,16 @@ def sql_kg_bgp_union() -> str:
     """
 
 
-def q_kg_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The storage seam end-to-end (sources/snapshots.py): the v1 and v2
-    oracle corpora committed as OVERWRITE snapshots of one
-    snapshot-manifest table, then the incremental graph built from
-    snapshot READS (time travel for v1, current for v2). The oracle
-    recomputes v2 from the plain staged parquet, so a green row proves
-    incremental-through-the-table-layer == full recompute, cross-engine."""
+def _kg_snapshot_table(spark: SparkSession) -> str:
+    """Stage (once, cached) the two-snapshot table: v1 and v2 oracle
+    corpora committed as OVERWRITE snapshots. Built in a private dir
+    then one atomic rename — a concurrent stager can never observe (or
+    extend) a half-staged table (review r3: the earlier
+    commit-into-the-shared-path guard could double-commit v1 under a
+    race and poison the cache permanently)."""
     import os
     import tempfile
 
-    from rdf_tabular_spark.kg import delta, extract
     from rdf_tabular_spark.sources.snapshots import SnapshotTable
 
     base = os.path.join(
@@ -4231,11 +4230,6 @@ def q_kg_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"rdf_tabular_spark_kg_snaptab_{KG_ORACLE_FILES}"
         f"_{_kg_synth_fingerprint()}")
     if not os.path.exists(base):
-        # build the whole two-snapshot table in a private dir, then one
-        # atomic rename — a concurrent stager can never observe (or
-        # extend) a half-staged table (review r3: the earlier
-        # commit-into-the-shared-path guard could double-commit v1 under
-        # a race and poison the cache permanently)
         import shutil
 
         tmp = f"{base}.{os.getpid()}.tmp"
@@ -4247,7 +4241,53 @@ def q_kg_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(tmp, base)
         except OSError:  # lost the race; the winner's table is complete
             shutil.rmtree(tmp)
-    t = SnapshotTable(base)
+    return base
+
+
+def q_kg_time_travel_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel SPARQL (sources/snapshots.py × kg/sparql.py — r4
+    seam composition): the KG is rebuilt from a snapshot READ pinned at
+    version 1 (the table's CURRENT version is v2) and queried through
+    the SPARQL text front-end. The twin computes the same aggregate
+    over the plain v1 staged parquet — a green row proves the
+    time-travel read is byte-identical to the historical corpus all the
+    way through pipeline + query."""
+    from rdf_tabular_spark.kg.sparql import sparql
+    from rdf_tabular_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(_kg_snapshot_table(spark))
+    src = t.read(spark, 1).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256))
+    _, _, triples = _kg_pipeline(src)
+    out = sparql(triples, f"""
+        PREFIX kg: <{_KG}>
+        SELECT ?repo (COUNT(?f) AS ?n_files) WHERE {{
+            ?f kg:inRepo ?repo
+        }} GROUP BY ?repo
+    """)
+    return out.withColumn("n_files", F.col("n_files").cast("long"))
+
+
+def sql_kg_time_travel_sparql() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT obj AS repo, CAST(COUNT(*) AS BIGINT) AS n_files
+    FROM kgq WHERE pred = '{_KG}inRepo'
+    GROUP BY obj
+    """
+
+
+def q_kg_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage seam end-to-end (sources/snapshots.py): the v1 and v2
+    oracle corpora committed as OVERWRITE snapshots of one
+    snapshot-manifest table, then the incremental graph built from
+    snapshot READS (time travel for v1, current for v2). The oracle
+    recomputes v2 from the plain staged parquet, so a green row proves
+    incremental-through-the-table-layer == full recompute, cross-engine."""
+    from rdf_tabular_spark.kg import delta, extract
+    from rdf_tabular_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(_kg_snapshot_table(spark))
     prev = extract.extract_structures(
         t.read(spark, 1), layout="source", carry_sha=False,
         emit_file_rows=True)
@@ -6594,6 +6634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct_where": q_kg_construct_where,
         "kg_construct_incremental": q_kg_construct_incremental,
         "kg_streaming_construct": q_kg_streaming_construct,
+        "kg_time_travel_sparql": q_kg_time_travel_sparql,
         "kg_sparql_graph": q_kg_sparql_graph,
         "csvw_skolemize": q_csvw_skolemize,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
@@ -6731,6 +6772,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_construct_where": sql_kg_construct_where(),
         "kg_construct_incremental": sql_kg_construct_incremental(),
         "kg_streaming_construct": sql_kg_streaming_construct(),
+        "kg_time_travel_sparql": sql_kg_time_travel_sparql(),
         "kg_sparql_graph": sql_kg_sparql_graph(),
         "csvw_skolemize": sql_csvw_skolemize(),
         "kg_turtle_roundtrip": sql_kg_turtle_roundtrip(),
