@@ -186,6 +186,29 @@ def _compile_pattern(triples: DataFrame, pattern: tuple,
         keep = [c for c in df.columns if not c.startswith("__seq")]
         return df.select(*keep).distinct()
     if isinstance(pred, str) and not _is_var(pred):
+        if "|" in pred:
+            # top-level alternation splits FIRST — before the ! and ^
+            # dispatches — so "!(a)|^!(b)" (the parser's mixed negated
+            # set) and "^a|^b" (its ^(a|b) distribution) compile each
+            # member, not the whole string
+            alts, depth, start = [], 0, 0
+            for i, ch in enumerate(pred):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "|" and depth == 0:
+                    alts.append(pred[start:i])
+                    start = i + 1
+            alts.append(pred[start:])
+            if len(alts) > 1:
+                out = None
+                for alt in alts:
+                    part = _compile_pattern(
+                        triples, (pattern[0], alt, pattern[2]),
+                        path_max_hops)
+                    out = part if out is None else out.unionByName(part)
+                return out.distinct()
         if pred.startswith("!"):
             # negated property set !(p1|p2) / !p (SPARQL 1.1 §9.1
             # PathNegatedPropertySet, forward members only): a single
@@ -221,44 +244,22 @@ def _compile_pattern(triples: DataFrame, pattern: tuple,
                   for name, pos in var_cols.items()])
         if pred.startswith("^"):
             # inverse path: swap subject/object and recurse (composes
-            # with +/*/| since the remainder re-dispatches)
+            # with +/*/! since the remainder re-dispatches)
             return _compile_pattern(
                 triples, (pattern[2], pred[1:], pattern[0]), path_max_hops)
         if (pred.endswith(("+", "*", "?")) and pred.startswith("(")
                 and pred[-2] == ")"):
-            # closure over a parenthesized alternation — (p|^q)+ — must
-            # be dispatched BEFORE the bare-| branch: closing the union
-            # of the edge sets is not the union of the closures
+            # closure over a parenthesized alternation — (p|^q)+ —
+            # closing the union of the edge sets is not the union of
+            # the closures
             return _compile_path_pattern(triples, pattern, path_max_hops)
-        if "|" in pred:
-            # alternation: union of each alternative's matches; every
-            # branch binds the same variables, so columns line up.
-            # Split at paren depth 0 only, so a closed-alternation
-            # member — "(a|b)+|c" — stays intact and re-dispatches.
-            alts, depth, start = [], 0, 0
-            for i, ch in enumerate(pred):
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                elif ch == "|" and depth == 0:
-                    alts.append(pred[start:i])
-                    start = i + 1
-            alts.append(pred[start:])
-            if len(alts) == 1:
-                # no top-level | — e.g. a redundantly-wrapped "(a|b)";
-                # strip one paren layer and re-dispatch
-                if pred.startswith("(") and pred.endswith(")"):
-                    return _compile_pattern(
-                        triples, (pattern[0], pred[1:-1], pattern[2]),
-                        path_max_hops)
-                raise ValueError(f"malformed path alternation: {pred!r}")
-            out = None
-            for alt in alts:
-                part = _compile_pattern(
-                    triples, (pattern[0], alt, pattern[2]), path_max_hops)
-                out = part if out is None else out.unionByName(part)
-            return out.distinct()
+        if (pred.startswith("(") and pred.endswith(")")
+                and "|" in pred):
+            # a redundantly-wrapped "(a|b)" with no top-level | and no
+            # modifier: strip one paren layer and re-dispatch
+            return _compile_pattern(
+                triples, (pattern[0], pred[1:-1], pattern[2]),
+                path_max_hops)
         if pred.endswith(("+", "*", "?")):
             return _compile_path_pattern(triples, pattern, path_max_hops)
     df = triples

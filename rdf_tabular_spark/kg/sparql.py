@@ -29,7 +29,9 @@ Supported surface (SPARQL 1.1 Query, pragmatic subset)
   ``VALUES`` (single- and multi-variable forms), nested groups and
   sub-``SELECT``.
 * Property paths: ``^p``, ``p|q``, ``p/q``, ``p+``, ``p*``, ``p?``,
-  ``!(p|q)``, and modifiers on parenthesized groups — ``(p|^q)+``
+  ``!(p|^q)`` (mixed forward/inverse members rewrite to the §9.1
+  union of two negated scans), and modifiers on parenthesized groups —
+  ``(p|^q)+``
   closes the union edge set, ``(p/q)+`` the composed edge set —
   straight onto kg/query.py's path forms (sequence = ("/", …) tuple,
   sequence closure = (mod, …) tuple, others = string affixes).
@@ -166,6 +168,27 @@ class _Select:
     offset: int | None
 
 
+def _invert_str_path(p: str) -> str:
+    """Inverse of a string path form. ^ distributes over a top-level
+    alternation — ^(a|b) == ^a|^b, NOT (^a)|b, which a naive prefix
+    concat would produce; members that are whole units (plain, ^-,
+    !(…)- or (…)-mod-affixed) take/strip the ^ prefix the engine's
+    pattern compiler dispatches on."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(p):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            parts.append(p[start:i])
+            start = i + 1
+    parts.append(p[start:])
+    if len(parts) > 1:
+        return "|".join(_invert_str_path(x) for x in parts)
+    return p[1:] if p.startswith("^") else "^" + p
+
+
 def _invert_path(p: tuple) -> tuple:
     """Reverse a tuple path form: ^(a/b) == ^b/^a and
     ^((a/b)+) == (^b/^a)+ — steps reverse and each inverts; string
@@ -174,7 +197,7 @@ def _invert_path(p: tuple) -> tuple:
     def inv(step):
         if isinstance(step, tuple):
             return _invert_path(step)
-        return step[1:] if step.startswith("^") else "^" + step
+        return _invert_str_path(step)
     return (p[0], *[inv(s) for s in reversed(p[1:])])
 
 
@@ -417,7 +440,7 @@ class _Parser:
                 # handles nested groups; string steps invert with the
                 # ^ prefix the engine already dispatches on
                 return _invert_path(prim)
-            return "^" + prim
+            return _invert_str_path(prim)
         return prim
 
     def _path_primary(self):
@@ -431,20 +454,38 @@ class _Parser:
                     else self.prefixes["rdf"] + "type")
         if self.at_op("!"):
             self.next()
+            banned = []
             if self.at_op("("):
                 self.next()
-                banned = [self._path_primary()]
-                while self.at_op("|"):
-                    self.next()
-                    banned.append(self._path_primary())
+                while True:
+                    inv = self.at_op("^")
+                    if inv:
+                        self.next()
+                    m = self._path_primary()
+                    banned.append(("^" if inv else "") + str(m)
+                                  if not isinstance(m, tuple) else m)
+                    if self.at_op("|"):
+                        self.next()
+                        continue
+                    break
                 self.eat_op(")")
             else:
                 banned = [self._path_primary()]
-            if any(isinstance(b, tuple) or str(b).startswith(("^", "!"))
+            if any(isinstance(b, tuple) or str(b).startswith("!")
                    for b in banned):
                 raise SparqlUnsupportedError(
-                    "negated property sets support forward IRIs only")
-            return "!(" + "|".join(banned) + ")"
+                    "negated property set members must be IRIs or ^IRIs")
+            fwd = [b for b in banned if not b.startswith("^")]
+            inv = [b[1:] for b in banned if b.startswith("^")]
+            if not inv:
+                return "!(" + "|".join(fwd) + ")"
+            # §9.1 mixed sets: forward edges with pred outside the
+            # forward members UNION reversed edges with pred outside
+            # the inverse members — two scans the engine already has
+            inv_part = "^!(" + "|".join(inv) + ")"
+            if not fwd:
+                return inv_part
+            return "!(" + "|".join(fwd) + ")|" + inv_part
         if self.at_op("("):
             self.next()
             inner = self.parse_path()

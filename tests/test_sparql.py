@@ -270,6 +270,26 @@ def test_unsupported_path_combo_raises(spark):
         sparql(_t(spark), "SELECT ?x WHERE { m:x (k:dep+|k:imports)+ ?x }")
 
 
+def test_negated_set_with_inverse_members(spark):
+    """§9.1 mixed negated sets: forward edges outside the forward
+    members UNION reversed edges outside the inverse members."""
+    got = sparql(_t(spark),
+                 "SELECT ?x WHERE { m:x !(k:dep|^k:dep) ?x }")
+    assert rows(got, "x") == [("f:a",), ("f:b",), ("k:Module",)]
+    # inverse-only set: reversed edges only, banned pred excluded
+    inv = sparql(_t(spark), "SELECT ?x WHERE { m:x !(^k:dep) ?x }")
+    assert rows(inv, "x") == [("f:a",), ("f:b",)]
+    none = sparql(_t(spark), "SELECT ?x WHERE { m:x !(^k:imports) ?x }")
+    assert rows(none, "x") == []
+
+
+def test_inverse_distributes_over_alternation(spark):
+    """^(a|b) == ^a|^b — NOT (^a)|b, which a prefix concat would give."""
+    got = sparql(_t(spark),
+                 "SELECT ?x WHERE { m:y ^(k:imports|k:dep) ?x }")
+    assert rows(got, "x") == [("f:c",), ("m:x",)]
+
+
 def test_sequence_closure_path(spark):
     """(p/q)+ closes the COMPOSED edge set — pairs reachable by one or
     more whole p∘q hops, not by a dangling p step."""
