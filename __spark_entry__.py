@@ -4244,6 +4244,35 @@ def _kg_snapshot_table(spark: SparkSession) -> str:
     return base
 
 
+def q_kg_sparql_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructor/hash builtins through the text front-end (kg/sparql
+    — r4 tail): IRI minting from CONCAT, SHA256 fingerprints and a
+    CONTAINS filter, all compiled to Spark SQL expressions inside the
+    same projection (no extra exchange). The twin uses DuckDB's native
+    sha256/concat — byte-identical hex and IRIs is the contract."""
+    from rdf_tabular_spark.kg.sparql import sparql
+
+    _, _, triples = _kg_oracle_run(spark)
+    return sparql(triples, f"""
+        PREFIX kg: <{_KG}>
+        SELECT ?f ?h ?u WHERE {{
+            ?f kg:inRepo ?r
+            BIND(SHA256(STR(?f)) AS ?h)
+            BIND(IRI(CONCAT("urn:repo-of:", ?r)) AS ?u)
+            FILTER(CONTAINS(?r, "repo"))
+        }}
+    """)
+
+
+def sql_kg_sparql_builtins() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()})
+    SELECT subj AS f, sha256(subj) AS h, 'urn:repo-of:' || obj AS u
+    FROM kgq
+    WHERE pred = '{_KG}inRepo' AND obj LIKE '%repo%'
+    """
+
+
 def q_kg_time_travel_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel SPARQL (sources/snapshots.py × kg/sparql.py — r4
     seam composition): the KG is rebuilt from a snapshot READ pinned at
@@ -6635,6 +6664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct_incremental": q_kg_construct_incremental,
         "kg_streaming_construct": q_kg_streaming_construct,
         "kg_time_travel_sparql": q_kg_time_travel_sparql,
+        "kg_sparql_builtins": q_kg_sparql_builtins,
         "kg_sparql_graph": q_kg_sparql_graph,
         "csvw_skolemize": q_csvw_skolemize,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
@@ -6773,6 +6803,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_construct_incremental": sql_kg_construct_incremental(),
         "kg_streaming_construct": sql_kg_streaming_construct(),
         "kg_time_travel_sparql": sql_kg_time_travel_sparql(),
+        "kg_sparql_builtins": sql_kg_sparql_builtins(),
         "kg_sparql_graph": sql_kg_sparql_graph(),
         "csvw_skolemize": sql_csvw_skolemize(),
         "kg_turtle_roundtrip": sql_kg_turtle_roundtrip(),
