@@ -41,7 +41,10 @@ Supported surface (SPARQL 1.1 Query, pragmatic subset)
   isBLANK, STRSTARTS, STRENDS, CONTAINS, STRLEN, STRBEFORE, STRAFTER,
   UCASE, LCASE, SUBSTR, CONCAT, REPLACE, ABS, CEIL, FLOOR, ROUND, IF,
   COALESCE, sameTerm, isNumeric, IRI/URI (base-resolving), ENCODE_FOR_URI,
-  MD5/SHA1/SHA256/SHA384/SHA512, and STRDT/STRLANG as lexical forms
+  MD5/SHA1/SHA256/SHA384/SHA512, the XPath dateTime accessors
+  YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ/TIMEZONE (over the lexical
+  form — the literal's own timezone, per spec), and STRDT/STRLANG as
+  lexical forms
   (BIND'd variables carry no term metadata — the literal-matching
   divergence below). Term-metadata builtins (LANG/DATATYPE/is*) ride
   the ``term_meta`` columns of kg/query.match_bgp — plain projections
@@ -966,6 +969,56 @@ class _Parser:
             (a,) = args(1, 1)
             return (f"replace(replace(replace(url_encode({a}), "
                     f"'+', '%20'), '*', '%2A'), '%7E', '~')")
+        if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES"):
+            # XPath accessors over the xsd:dateTime LEXICAL form (the
+            # term model stores lexical text; the spec reads components
+            # from the literal's own timezone, which IS the lexical
+            # form — no UTC normalization, no session-timezone cast)
+            (a,) = args(1, 1)
+            pat = {
+                "YEAR": r"^(-?\\d{4,})-",
+                "MONTH": r"^-?\\d{4,}-(\\d{2})",
+                "DAY": r"^-?\\d{4,}-\\d{2}-(\\d{2})",
+                "HOURS": r"T(\\d{2})",
+                "MINUTES": r"T\\d{2}:(\\d{2})",
+            }[name]
+            return (f"CAST(nullif(regexp_extract({a}, '{pat}', 1), "
+                    f"'') AS INT)")
+        if name == "SECONDS":
+            # xsd:decimal per spec — DOUBLE here (the engine's numeric
+            # carrier for non-integer builtins)
+            (a,) = args(1, 1)
+            return (f"CAST(nullif(regexp_extract({a}, "
+                    f"'T\\\\d{{2}}:\\\\d{{2}}:(\\\\d{{2}}(?:\\\\.\\\\d+)?)'"
+                    f", 1), '') AS DOUBLE)")
+        if name == "TZ":
+            # simple literal: 'Z', '+05:30', … or '' when absent
+            (a,) = args(1, 1)
+            return f"regexp_extract({a}, '(Z|[+-]\\\\d{{2}}:\\\\d{{2}})$', 1)"
+        if name == "TIMEZONE":
+            # xsd:dayTimeDuration lexical form ('PT0S', '-PT5H',
+            # 'PT5H30M'); NULL (type error) when the literal has none
+            (a,) = args(1, 1)
+            tz = f"regexp_extract({a}, '(Z|[+-]\\\\d{{2}}:\\\\d{{2}})$', 1)"
+            hh = f"CAST(substring({tz}, 2, 2) AS INT)"
+            mm = f"CAST(substring({tz}, 5, 2) AS INT)"
+            return (
+                f"(CASE WHEN {tz} = 'Z' THEN 'PT0S' "
+                f"WHEN {tz} = '' THEN NULL "
+                f"WHEN {hh} = 0 AND {mm} = 0 THEN 'PT0S' "
+                f"ELSE concat("
+                f"CASE WHEN substring({tz}, 1, 1) = '-' THEN '-' "
+                f"ELSE '' END, 'PT', "
+                f"CASE WHEN {hh} > 0 THEN concat(CAST({hh} AS STRING), "
+                f"'H') ELSE '' END, "
+                f"CASE WHEN {mm} > 0 THEN concat(CAST({mm} AS STRING), "
+                f"'M') ELSE '' END) END)")
+        if name in ("NOW", "RAND", "UUID", "STRUUID", "BNODE"):
+            raise SparqlUnsupportedError(
+                f"builtin {name} is nondeterministic — a distributed "
+                "engine re-evaluates expressions per partition/retry, "
+                "so its results could differ within one query; bind "
+                "the value outside the query instead")
         if name == "MD5":
             (a,) = args(1, 1)
             return f"md5({a})"
@@ -1056,6 +1109,12 @@ class _Parser:
                 offset = int(self.next().text)
             else:
                 break
+        if not sub and self.at_kw("VALUES"):
+            # §18.2.4.6 trailing VALUES: the data block joins INTO the
+            # query pattern (before projection and modifiers), same
+            # element form as an in-group VALUES
+            self.next()
+            group = group + [("values", self._values_rows())]
         return _Select(items, star, distinct, group, group_by, having,
                        order_by, limit, offset)
 

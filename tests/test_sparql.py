@@ -152,6 +152,75 @@ def test_bind(spark):
     assert rows(got, "f", "local") == [("f:a", "x"), ("f:b", "x")]
 
 
+def test_trailing_values_postlude(spark):
+    """§18.2.4.6: a VALUES clause after the solution modifiers joins
+    into the query pattern."""
+    got = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:imports ?m } VALUES ?m { m:x }
+    """)
+    assert rows(got, "f") == [("f:a",), ("f:b",)]
+    # composes with modifiers (which apply AFTER the join)
+    top = sparql(_t(spark), """
+        SELECT ?f ?m WHERE { ?f k:imports ?m }
+        ORDER BY ?f LIMIT 1 VALUES ?m { m:y }
+    """)
+    assert rows(top, "f", "m") == [("f:c", "m:y")]
+    # multi-variable form
+    multi = sparql(_t(spark), """
+        SELECT ?f WHERE { ?f k:imports ?m ; k:inRepo ?r }
+        VALUES (?m ?r) { (m:x r:1) (m:y r:1) }
+    """)
+    assert rows(multi, "f") == [("f:a",), ("f:c",)]
+
+
+def test_datetime_accessor_builtins(spark):
+    """XPath dateTime accessors read the LEXICAL form (the literal's
+    own timezone, per spec — no UTC normalization)."""
+    got = sparql(_t(spark), """
+        SELECT ?y ?mo ?d ?h ?mi ?s ?tz ?dur WHERE {
+          ?f k:imports m:x .
+          BIND("2024-03-05T10:30:02.25+05:30" AS ?t)
+          BIND(YEAR(?t) AS ?y)     BIND(MONTH(?t) AS ?mo)
+          BIND(DAY(?t) AS ?d)      BIND(HOURS(?t) AS ?h)
+          BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?s)
+          BIND(TZ(?t) AS ?tz)      BIND(TIMEZONE(?t) AS ?dur)
+        } LIMIT 1
+    """).collect()[0]
+    assert (got["y"], got["mo"], got["d"], got["h"], got["mi"]) == \
+        (2024, 3, 5, 10, 30)
+    assert got["s"] == 2.25
+    assert got["tz"] == "+05:30"
+    assert got["dur"] == "PT5H30M"
+
+
+def test_datetime_accessor_edges(spark):
+    """Z / negative-offset / absent-timezone / non-dateTime edges."""
+    got = sparql(_t(spark), """
+        SELECT ?zt ?zd ?nd ?at ?ad ?bad WHERE {
+          ?f k:imports m:x .
+          BIND(TZ("2024-01-01T00:00:00Z") AS ?zt)
+          BIND(TIMEZONE("2024-01-01T00:00:00Z") AS ?zd)
+          BIND(TIMEZONE("2024-01-01T00:00:00-05:00") AS ?nd)
+          BIND(TZ("2024-01-01T00:00:00") AS ?at)
+          BIND(TIMEZONE("2024-01-01T00:00:00") AS ?ad)
+          BIND(YEAR("not a date") AS ?bad)
+        } LIMIT 1
+    """).collect()[0]
+    assert got["zt"] == "Z" and got["zd"] == "PT0S"
+    assert got["nd"] == "-PT5H"
+    assert got["at"] == "" and got["ad"] is None
+    assert got["bad"] is None
+
+
+def test_nondeterministic_builtins_rejected(spark):
+    for fn in ("NOW()", "RAND()", "UUID()", "STRUUID()"):
+        with pytest.raises(SparqlUnsupportedError, match="nondeterministic"):
+            sparql(_t(spark), f"""
+                SELECT ?f WHERE {{ ?f k:imports ?m
+                                   BIND({fn} AS ?x) }}
+            """)
+
+
 def test_constructor_and_hash_builtins(spark):
     """IRI minting, percent-encoding and the hash builtins — the
     CONSTRUCT-workflow function set."""
