@@ -4273,6 +4273,51 @@ def sql_kg_sparql_builtins() -> str:
     """
 
 
+def q_kg_sparql_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath dateTime accessors through the text front-end (kg/sparql —
+    r4 tail): events timestamps become xsd:dateTime LEXICAL literals in
+    a triple table, then HOURS/SECONDS/DAY/MONTH read components back
+    out of the lexical form (the literal's own timezone, per spec §17.4.5
+    — pure regexp projections, no session-timezone cast, no exchange
+    beyond the GROUP BY). The twin recomputes the same components with
+    substr arithmetic over the identical strftime rendering — a green
+    row proves the accessors agree with position-exact string reads."""
+    from rdf_tabular_spark.kg.sparql import sparql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    triples = ev.select(
+        F.concat(F.lit("ev:"), F.col("event_id")).alias("subj"),
+        F.lit("ev:at").alias("pred"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        F.lit("xsd:dateTime").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    out = sparql(triples, """
+        SELECT ?h (COUNT(?e) AS ?n) (MIN(?s) AS ?min_sec) WHERE {
+            ?e <ev:at> ?t .
+            BIND(HOURS(?t) AS ?h)
+            BIND(SECONDS(?t) AS ?s)
+            FILTER(MONTH(?t) = 1 && DAY(?t) <= 7)
+        } GROUP BY ?h
+    """)
+    return out.withColumn("n", F.col("n").cast("long"))
+
+
+def sql_kg_sparql_datetime() -> str:
+    return """
+    WITH lex AS (
+      SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS t FROM events
+    )
+    SELECT CAST(substr(t, 12, 2) AS INT) AS h,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(CAST(substr(t, 18, 9) AS DOUBLE)) AS min_sec
+    FROM lex
+    WHERE CAST(substr(t, 6, 2) AS INT) = 1
+      AND CAST(substr(t, 9, 2) AS INT) <= 7
+    GROUP BY 1
+    """
+
+
 def q_kg_time_travel_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel SPARQL (sources/snapshots.py × kg/sparql.py — r4
     seam composition): the KG is rebuilt from a snapshot READ pinned at
@@ -6665,6 +6710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_streaming_construct": q_kg_streaming_construct,
         "kg_time_travel_sparql": q_kg_time_travel_sparql,
         "kg_sparql_builtins": q_kg_sparql_builtins,
+        "kg_sparql_datetime": q_kg_sparql_datetime,
         "kg_sparql_graph": q_kg_sparql_graph,
         "csvw_skolemize": q_csvw_skolemize,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
@@ -6804,6 +6850,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_streaming_construct": sql_kg_streaming_construct(),
         "kg_time_travel_sparql": sql_kg_time_travel_sparql(),
         "kg_sparql_builtins": sql_kg_sparql_builtins(),
+        "kg_sparql_datetime": sql_kg_sparql_datetime(),
         "kg_sparql_graph": sql_kg_sparql_graph(),
         "csvw_skolemize": sql_csvw_skolemize(),
         "kg_turtle_roundtrip": sql_kg_turtle_roundtrip(),
