@@ -3,6 +3,8 @@ with the programmatic kg/query.py API it compiles onto."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from rdf_tabular_spark.kg.query import match_bgp
@@ -210,6 +212,64 @@ def test_datetime_accessor_edges(spark):
     assert got["nd"] == "-PT5H"
     assert got["at"] == "" and got["ad"] is None
     assert got["bad"] is None
+
+
+def test_datetime_accessors_batch_vs_python(spark):
+    """Batch property check: a seeded sample of lexical dateTimes
+    (edge hours, fractional variants, every timezone shape) must agree
+    component-for-component with Python's own parse of the lexical
+    form — one Spark query for the whole sample."""
+    import random
+    rng = random.Random(42)
+    tzs = ["", "Z", "+00:00", "-00:00", "+05:30", "-11:45", "+14:00",
+           "-00:30"]
+    lex = []
+    for i in range(200):
+        y, mo, d = rng.randint(1, 9999), rng.randint(1, 12), \
+            rng.randint(1, 28)
+        h, mi = rng.choice([0, 23, rng.randint(0, 23)]), rng.randint(0, 59)
+        s = rng.randint(0, 59)
+        frac = rng.choice(["", f".{rng.randint(0, 9)}",
+                           f".{rng.randint(0, 999999):06d}"])
+        lex.append((f"d:{i}",
+                    f"{y:04d}-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}:"
+                    f"{s:02d}{frac}{rng.choice(tzs)}"))
+    t = spark.createDataFrame(
+        [(s, "p:t", v, False, "xsd:dateTime", None) for s, v in lex],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+    got = {r["x"]: r for r in sparql(t, """
+        SELECT ?x ?y ?mo ?d ?h ?mi ?s ?tz ?dur WHERE {
+          ?x <p:t> ?t .
+          BIND(YEAR(?t) AS ?y)     BIND(MONTH(?t) AS ?mo)
+          BIND(DAY(?t) AS ?d)      BIND(HOURS(?t) AS ?h)
+          BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?s)
+          BIND(TZ(?t) AS ?tz)      BIND(TIMEZONE(?t) AS ?dur)
+        }
+    """).collect()}
+    assert len(got) == 200
+    for subj, v in lex:
+        r = got[subj]
+        assert (r["y"], r["mo"], r["d"]) == \
+            (int(v[0:4]), int(v[5:7]), int(v[8:10])), v
+        assert (r["h"], r["mi"]) == (int(v[11:13]), int(v[14:16])), v
+        body = v.split("T", 1)[1]
+        m = re.match(r"\d{2}:\d{2}:(\d{2}(?:\.\d+)?)", body)
+        assert r["s"] == float(m.group(1)), v
+        tz = re.search(r"(Z|[+-]\d{2}:\d{2})$", v)
+        tz = tz.group(1) if tz else ""
+        assert r["tz"] == tz, v
+        if tz == "":
+            assert r["dur"] is None, v
+        else:
+            if tz == "Z" or tz.endswith("00:00"):
+                want = "PT0S"
+            else:
+                sign = "-" if tz[0] == "-" else ""
+                hh, mm = int(tz[1:3]), int(tz[4:6])
+                want = sign + "PT" + (f"{hh}H" if hh else "") + \
+                    (f"{mm}M" if mm else "")
+            assert r["dur"] == want, (v, r["dur"], want)
 
 
 def test_nondeterministic_builtins_rejected(spark):
