@@ -5821,6 +5821,125 @@ def sql_kg_smush() -> str:
     """
 
 
+def _canon_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bnode-bearing graph over nation/region: nation and
+    region entities as blank nodes, plus per-nation automorphic marker
+    pairs so non-trivial orbits are exercised."""
+    nat = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("_:n"), F.col("n_nationkey").cast("string"))
+        .alias("nb"),
+        F.col("n_name"),
+        F.concat(F.lit("_:r"), F.col("n_regionkey").cast("string"))
+        .alias("rb"),
+        F.concat(F.lit("_:m"), F.col("n_nationkey").cast("string"))
+        .alias("mb"))
+    reg = _t(spark, sf_dir, "region")
+
+    def tri(s, p, o, iri):
+        return (s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj"),
+                F.lit(iri).alias("obj_is_iri"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit(None).cast("string").alias("obj_lang"))
+
+    parts = [
+        nat.select(*tri(F.col("nb"), "kg:name", F.col("n_name"), False)),
+        nat.select(*tri(F.col("nb"), "kg:inRegion", F.col("rb"), True)),
+        nat.select(*tri(F.col("nb"), "kg:mark",
+                        F.concat(F.col("mb"), F.lit("a")), True)),
+        nat.select(*tri(F.col("nb"), "kg:mark",
+                        F.concat(F.col("mb"), F.lit("b")), True)),
+        nat.select(*tri(F.concat(F.col("mb"), F.lit("a")), "kg:kind",
+                        F.lit("m"), False)),
+        nat.select(*tri(F.concat(F.col("mb"), F.lit("b")), "kg:kind",
+                        F.lit("m"), False)),
+        reg.select(*tri(F.concat(F.lit("_:r"),
+                                 F.col("r_regionkey").cast("string")),
+                        "kg:rname", F.col("r_name"), False)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed RDF canonicalization (kg/canon.py — r4): stable
+    blank-node labels via 1-WL hash refinement, the RDFC-1.0 problem
+    Spark-first (the reference's conformance comparisons are
+    isomorphism-based: its specs use the rdf-isomorphic gem, and this
+    repo's tests/ttl.py compare_graphs is the same check). Per-nation
+    automorphic marker pairs exercise orbit disambiguation
+    (orbit_size=2, within-orbit suffix by original label).
+    ``exact_rounds=3`` pins the round count — colors re-hash each round
+    even at the partition fixpoint, so the twin unrolls exactly 3
+    rounds of the identical contribution grammar (sorted ','-joined
+    contributions, md5(prev # sig))."""
+    from rdf_tabular_spark.kg.canon import canonical_labels
+
+    return canonical_labels(_canon_graph(spark, sf_dir), exact_rounds=3)
+
+
+def sql_kg_canonicalize() -> str:
+    contrib = ("e.dirn||'|'||e.pred||'|'||CASE WHEN e.nbr_is_b "
+               "THEN 'b|'||c{i}.color ELSE e.ground END")
+    rounds = []
+    for i in range(3):
+        c = contrib.format(i=i)
+        rounds.append(f"""
+    s{i + 1} AS (
+      SELECT e.node,
+             string_agg({c}, ',' ORDER BY {c}) AS sig
+      FROM edges e LEFT JOIN c{i} ON e.nbr = c{i}.node
+      GROUP BY e.node),
+    c{i + 1} AS (
+      SELECT b.node,
+             md5(b.color||'#'||COALESCE(s{i + 1}.sig, '')) AS color
+      FROM c{i} b LEFT JOIN s{i + 1} ON b.node = s{i + 1}.node)""")
+    return f"""
+    WITH nat AS (
+      SELECT '_:n'||n_nationkey AS nb, n_name,
+             '_:r'||n_regionkey AS rb, '_:m'||n_nationkey AS mb
+      FROM nation),
+    t AS MATERIALIZED (
+      SELECT nb AS subj, 'kg:name' AS pred, n_name AS obj,
+             FALSE AS iri FROM nat
+      UNION ALL SELECT nb, 'kg:inRegion', rb, TRUE FROM nat
+      UNION ALL SELECT nb, 'kg:mark', mb||'a', TRUE FROM nat
+      UNION ALL SELECT nb, 'kg:mark', mb||'b', TRUE FROM nat
+      UNION ALL SELECT mb||'a', 'kg:kind', 'm', FALSE FROM nat
+      UNION ALL SELECT mb||'b', 'kg:kind', 'm', FALSE FROM nat
+      UNION ALL SELECT '_:r'||r_regionkey, 'kg:rname', r_name, FALSE
+                 FROM region),
+    edges AS MATERIALIZED (
+      SELECT subj AS node, pred, obj AS nbr,
+             (iri AND starts_with(obj, '_:')) AS nbr_is_b,
+             'g|'||CAST(CAST(iri AS INT) AS VARCHAR)||'|'||obj||'||'
+               AS ground,
+             'o' AS dirn
+      FROM t WHERE starts_with(subj, '_:')
+      UNION ALL
+      SELECT obj, pred, subj, starts_with(subj, '_:'),
+             'g|1|'||subj||'||', 'i'
+      FROM t WHERE iri AND starts_with(obj, '_:')),
+    c0 AS (
+      SELECT DISTINCT node, '' AS color FROM (
+        SELECT subj AS node FROM t WHERE starts_with(subj, '_:')
+        UNION ALL
+        SELECT obj FROM t WHERE iri AND starts_with(obj, '_:'))),
+    {",".join(rounds)}
+    SELECT node,
+           '_:c'||color||
+             CASE WHEN cnt > 1 THEN '-'||CAST(rn AS VARCHAR)
+                  ELSE '' END AS canon,
+           CAST(cnt AS BIGINT) AS orbit_size
+    FROM (
+      SELECT node, color,
+             COUNT(*) OVER (PARTITION BY color) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY color ORDER BY node) AS rn
+      FROM c3)
+    """
+
+
 def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRAPH patterns in the SPARQL text front-end (kg/sparql.py — r4,
     dataset semantics over the quad table): the same query shape as
@@ -6644,6 +6763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and last (4) the 44 rows CORRECTNESS_r03 proved hash-exact.
     return {
         # -- (0) new this round: no driver record yet --------------------
+        "kg_canonicalize": q_kg_canonicalize,
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -6823,6 +6943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_canonicalize": sql_kg_canonicalize(),
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),

@@ -1,0 +1,179 @@
+"""Distributed RDF canonicalization: stable blank-node labels via
+hash refinement (the RDFC-1.0 / URDNA2015 problem, Spark-first).
+
+Why it belongs in this engine: the reference's own conformance suite
+compares emitted graphs **up to blank-node isomorphism** (its specs use
+the rdf-isomorphic gem; this repo's tests/ttl.py compare_graphs is the
+same idea), and the CSVW standard envelope (reader.rb:259-298) emits
+bnode Row/Table nodes — so "are two runs' graphs the same?" needs
+canonical labels the moment outputs are diffed, signed, or stored as
+snapshot versions (sources/snapshots.py time travel on graphs).
+
+Algorithm — iterative color (1-WL) refinement, the core of RDFC-1.0's
+first-degree phase, generalized to the whole neighborhood:
+
+1. every blank node starts with the empty color;
+2. each round, a node's new color is ``md5(old_color # sorted
+   contributions)`` where each incident triple contributes a string
+   tagging direction, predicate, and the neighbor — the neighbor's
+   CURRENT color when it is itself a bnode, else the ground term
+   (IRIs and literals carry their full term identity: kind, datatype,
+   language);
+3. refinement only ever SPLITS color classes (standard WL argument),
+   so the partition reaches a fixpoint in at most |B| rounds — in
+   practice 2-3 for row-shaped graphs; iteration stops early when the
+   distinct-color count stops growing (``exact_rounds`` pins the count
+   instead, for bit-reproducible cross-engine runs);
+4. canonical labels are CONTENT-ADDRESSED: ``_:c<final color>`` —
+   NOT dense integers, which would need a global sort. Nodes that
+   still share a color at the fixpoint are automorphic-or-unresolved
+   orbits; they get a within-class ``-<n>`` suffix ordered by the
+   ORIGINAL label (deterministic for a given input; any orbit choice
+   yields an isomorphic graph, which is the most a hash-refinement
+   canonicalizer can promise — full RDFC-1.0 resolves orbits with
+   N-degree path exploration, a sequential driver-side search that
+   does not distribute; the ``n_orbits`` report makes the divergence
+   observable instead of silent).
+
+Scale: every round is two broadcast-scale-or-shuffle joins plus one
+aggregation over the **bnode-incident edges only** — the ground-only
+part of a 10^12-triple graph is touched once (round-1 contribution
+scan) and never re-shuffled; the iterating frontier is |bnode edges|.
+No global window, no collect; the driver sees only the per-round
+distinct-color COUNT (one scalar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+__all__ = ["canonical_labels", "canonicalize"]
+
+#: refinement never needs more rounds than the bnode-graph diameter;
+#: row-envelope graphs settle in 2-3
+DEFAULT_MAX_ROUNDS = 8
+
+
+def _is_bnode(col):
+    return col.startswith("_:")
+
+
+def _ground_obj_tag(t: DataFrame):
+    """Full term identity of a ground object: kind, lexical, datatype,
+    language — '42'^^xsd:integer, '42' and '42'@en must all differ."""
+    return F.concat(
+        F.lit("g|"), F.col("obj_is_iri").cast("int").cast("string"),
+        F.lit("|"), F.col("obj"),
+        F.lit("|"), F.coalesce(F.col("obj_datatype"), F.lit("")),
+        F.lit("|"), F.coalesce(F.col("obj_lang"), F.lit("")))
+
+
+def canonical_labels(triples: DataFrame, *,
+                     max_rounds: int = DEFAULT_MAX_ROUNDS,
+                     exact_rounds: int | None = None) -> DataFrame:
+    """Mapping ``(bnode, canon, orbit_size)`` for every blank node.
+
+    ``exact_rounds`` runs exactly that many refinement rounds with no
+    early stop — colors depend on the round count (each round re-hashes
+    even at the partition fixpoint), so cross-engine twins must pin it.
+    """
+    spark = triples.sparkSession
+    t = triples.select("subj", "pred", "obj", "obj_is_iri",
+                       "obj_datatype", "obj_lang")
+
+    bnodes = (
+        t.filter(_is_bnode(F.col("subj"))).select(F.col("subj").alias("node"))
+        .unionByName(
+            t.filter(F.col("obj_is_iri") & _is_bnode(F.col("obj")))
+            .select(F.col("obj").alias("node")))
+        .distinct())
+
+    # bnode-incident edges only: the iterating working set
+    out_e = (t.filter(_is_bnode(F.col("subj")))
+             .select(F.col("subj").alias("node"), "pred",
+                     F.col("obj").alias("nbr"),
+                     (F.col("obj_is_iri") & _is_bnode(F.col("obj")))
+                     .alias("nbr_is_b"),
+                     _ground_obj_tag(t).alias("ground"),
+                     F.lit("o").alias("dirn")))
+    in_e = (t.filter(F.col("obj_is_iri") & _is_bnode(F.col("obj")))
+            .select(F.col("obj").alias("node"), "pred",
+                    F.col("subj").alias("nbr"),
+                    _is_bnode(F.col("subj")).alias("nbr_is_b"),
+                    F.concat(F.lit("g|1|"), F.col("subj"), F.lit("||"))
+                    .alias("ground"),
+                    F.lit("i").alias("dirn")))
+    edges = out_e.unionByName(in_e).localCheckpoint(eager=False)
+
+    colors = bnodes.select("node", F.lit("").alias("color"))
+    n_classes = 1
+    rounds = exact_rounds if exact_rounds is not None else max_rounds
+    for rnd in range(rounds):
+        nbr_colors = colors.select(F.col("node").alias("nbr"),
+                                   F.col("color").alias("nbr_color"))
+        contribs = (
+            edges.join(nbr_colors, "nbr", "left")
+            .select("node", F.concat(
+                F.col("dirn"), F.lit("|"), F.col("pred"), F.lit("|"),
+                F.when(F.col("nbr_is_b"),
+                       F.concat(F.lit("b|"), F.col("nbr_color")))
+                .otherwise(F.col("ground"))).alias("contrib")))
+        colors = (
+            colors.join(
+                contribs.groupBy("node").agg(
+                    F.concat_ws(",", F.sort_array(F.collect_list("contrib")))
+                    .alias("sig")),
+                "node", "left")
+            .select("node", F.md5(F.concat(
+                F.col("color"), F.lit("#"),
+                F.coalesce(F.col("sig"), F.lit("")))).alias("color"))
+            .localCheckpoint(eager=False))
+        if exact_rounds is None:
+            new_n = colors.select("color").distinct().count()
+            if new_n == n_classes:
+                break  # partition fixpoint: refinement only splits
+            n_classes = new_n
+
+    w = Window.partitionBy("color").orderBy("node")
+    cnt = Window.partitionBy("color")
+    return colors.select(
+        "node",
+        F.concat(
+            F.lit("_:c"), F.col("color"),
+            F.when(F.count("*").over(cnt) > 1,
+                   F.concat(F.lit("-"), F.row_number().over(w)
+                            .cast("string")))
+            .otherwise(F.lit(""))).alias("canon"),
+        F.count("*").over(cnt).alias("orbit_size"))
+
+
+def canonicalize(triples: DataFrame, *,
+                 max_rounds: int = DEFAULT_MAX_ROUNDS,
+                 exact_rounds: int | None = None) -> DataFrame:
+    """The triple table with every blank node relabeled to its
+    canonical ``_:c<hash>`` form (same schema in, same schema out)."""
+    labels = canonical_labels(triples, max_rounds=max_rounds,
+                              exact_rounds=exact_rounds)
+    smap = labels.select(F.col("node").alias("subj"),
+                         F.col("canon").alias("_sc"))
+    omap = labels.select(F.col("node").alias("obj"),
+                         F.col("canon").alias("_oc"))
+    return (triples
+            .join(F.broadcast(smap) if _small(smap) else smap,
+                  "subj", "left")
+            .join(F.broadcast(omap) if _small(omap) else omap,
+                  "obj", "left")
+            .select(
+                F.coalesce("_sc", "subj").alias("subj"),
+                "pred",
+                F.when(F.col("obj_is_iri") & F.col("_oc").isNotNull(),
+                       F.col("_oc")).otherwise(F.col("obj")).alias("obj"),
+                "obj_is_iri", "obj_datatype", "obj_lang"))
+
+
+def _small(df: DataFrame) -> bool:
+    """Broadcast hint gate: without statistics we cannot know the bnode
+    count cheaply; leave the decision to AQE by default."""
+    return False
