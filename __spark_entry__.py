@@ -5879,22 +5879,72 @@ def q_kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_labels(_canon_graph(spark, sf_dir), exact_rounds=3)
 
 
-def sql_kg_canonicalize() -> str:
-    contrib = ("e.dirn||'|'||e.pred||'|'||CASE WHEN e.nbr_is_b "
-               "THEN 'b|'||c{i}.color ELSE e.ground END")
-    rounds = []
-    for i in range(3):
+def _sql_wl(tname: str, p: str, rounds: int = 3) -> str:
+    """CTE fragments (comma-terminated) running *rounds* of the
+    kg/canon.py WL refinement over triples CTE *tname* (columns subj,
+    pred, obj, iri) — identical contribution grammar: sorted
+    ','-joined 'dirn|pred|' + ('b|'+nbr_color | ground tag), color =
+    md5(prev # sig). Defines {p}lab (node, canon, orbit_size) and
+    {p}canon (the relabeled triples)."""
+    contrib = (f"e.dirn||'|'||e.pred||'|'||CASE WHEN e.nbr_is_b "
+               f"THEN 'b|'||{p}c{{i}}.color ELSE e.ground END")
+    rr = []
+    for i in range(rounds):
         c = contrib.format(i=i)
-        rounds.append(f"""
-    s{i + 1} AS (
+        rr.append(f"""
+    {p}s{i + 1} AS (
       SELECT e.node,
              string_agg({c}, ',' ORDER BY {c}) AS sig
-      FROM edges e LEFT JOIN c{i} ON e.nbr = c{i}.node
+      FROM {p}edges e LEFT JOIN {p}c{i} ON e.nbr = {p}c{i}.node
       GROUP BY e.node),
-    c{i + 1} AS (
+    {p}c{i + 1} AS (
       SELECT b.node,
-             md5(b.color||'#'||COALESCE(s{i + 1}.sig, '')) AS color
-      FROM c{i} b LEFT JOIN s{i + 1} ON b.node = s{i + 1}.node)""")
+             md5(b.color||'#'||COALESCE({p}s{i + 1}.sig, '')) AS color
+      FROM {p}c{i} b
+      LEFT JOIN {p}s{i + 1} ON b.node = {p}s{i + 1}.node)""")
+    return f"""
+    {p}edges AS MATERIALIZED (
+      SELECT subj AS node, pred, obj AS nbr,
+             (iri AND starts_with(obj, '_:')) AS nbr_is_b,
+             'g|'||CAST(CAST(iri AS INT) AS VARCHAR)||'|'||obj||'||'
+               AS ground,
+             'o' AS dirn
+      FROM {tname} WHERE starts_with(subj, '_:')
+      UNION ALL
+      SELECT obj, pred, subj, starts_with(subj, '_:'),
+             'g|1|'||subj||'||', 'i'
+      FROM {tname} WHERE iri AND starts_with(obj, '_:')),
+    {p}c0 AS (
+      SELECT DISTINCT node, '' AS color FROM (
+        SELECT subj AS node FROM {tname} WHERE starts_with(subj, '_:')
+        UNION ALL
+        SELECT obj FROM {tname}
+        WHERE iri AND starts_with(obj, '_:'))),
+    {",".join(rr)},
+    {p}lab AS (
+      SELECT node,
+             '_:c'||color||
+               CASE WHEN cnt > 1 THEN '-'||CAST(rn AS VARCHAR)
+                    ELSE '' END AS canon,
+             CAST(cnt AS BIGINT) AS orbit_size
+      FROM (
+        SELECT node, color,
+               COUNT(*) OVER (PARTITION BY color) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY color ORDER BY node)
+                 AS rn
+        FROM {p}c{rounds})),
+    {p}canon AS (
+      SELECT COALESCE(ls.canon, t.subj) AS subj, t.pred,
+             CASE WHEN t.iri THEN COALESCE(lo.canon, t.obj)
+                  ELSE t.obj END AS obj,
+             t.iri
+      FROM {tname} t
+      LEFT JOIN {p}lab ls ON t.subj = ls.node
+      LEFT JOIN {p}lab lo ON t.iri AND t.obj = lo.node),
+    """
+
+
+def sql_kg_canonicalize() -> str:
     return f"""
     WITH nat AS (
       SELECT '_:n'||n_nationkey AS nb, n_name,
@@ -5910,33 +5960,92 @@ def sql_kg_canonicalize() -> str:
       UNION ALL SELECT mb||'b', 'kg:kind', 'm', FALSE FROM nat
       UNION ALL SELECT '_:r'||r_regionkey, 'kg:rname', r_name, FALSE
                  FROM region),
-    edges AS MATERIALIZED (
-      SELECT subj AS node, pred, obj AS nbr,
-             (iri AND starts_with(obj, '_:')) AS nbr_is_b,
-             'g|'||CAST(CAST(iri AS INT) AS VARCHAR)||'|'||obj||'||'
-               AS ground,
-             'o' AS dirn
-      FROM t WHERE starts_with(subj, '_:')
+    {_sql_wl("t", "")}
+    _end AS (SELECT 1)
+    SELECT node, canon, orbit_size FROM lab
+    """
+
+
+def q_kg_canon_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diff up to bnode isomorphism (kg/canon.canonical_diff —
+    r4): version B renames EVERY blank node (the run-dependent label
+    churn a real pipeline produces) and actually changes 5 nation
+    names + adds 4 flag triples; the diff reports exactly the
+    relabeled stars of the truly-changed nations and nothing for the
+    ~17 merely-renamed ones. Twin runs the identical 3-round WL
+    refinement over both versions and NOT-EXISTS set-diffs the
+    canonical triples."""
+    from rdf_tabular_spark.kg.canon import canonical_diff
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), "n_name")
+
+    def star(pfx_n, pfx_m, name_col):
+        nb = F.concat(F.lit(pfx_n), F.col("k").cast("string"))
+        mb = F.concat(F.lit(pfx_m), F.col("k").cast("string"))
+
+        def tri(s, p, o, iri):
+            return (s.alias("subj"), F.lit(p).alias("pred"),
+                    o.alias("obj"), F.lit(iri).alias("obj_is_iri"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                    F.lit(None).cast("string").alias("obj_lang"))
+
+        return (nat.select(*tri(nb, "kg:name", name_col, False))
+                .unionByName(nat.select(*tri(nb, "kg:mark", mb, True)))
+                .unionByName(nat.select(*tri(mb, "kg:kind",
+                                             F.lit("m"), False))))
+
+    a = star("_:n", "_:m", F.col("n_name"))
+    b = star("_:x", "_:y",
+             F.when(F.col("k") % 5 == 0,
+                    F.concat(F.col("n_name"), F.lit("!")))
+             .otherwise(F.col("n_name")))
+    flags = nat.filter(F.col("k") % 7 == 0).select(
+        F.concat(F.lit("_:x"), F.col("k").cast("string")).alias("subj"),
+        F.lit("kg:flag").alias("pred"), F.lit("fresh").alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    return canonical_diff(a, b.unionByName(flags), exact_rounds=3)
+
+
+def sql_kg_canon_diff() -> str:
+    return f"""
+    WITH nat AS (SELECT n_nationkey AS k, n_name FROM nation),
+    at AS MATERIALIZED (
+      SELECT '_:n'||k AS subj, 'kg:name' AS pred, n_name AS obj,
+             FALSE AS iri FROM nat
+      UNION ALL SELECT '_:n'||k, 'kg:mark', '_:m'||k, TRUE FROM nat
+      UNION ALL SELECT '_:m'||k, 'kg:kind', 'm', FALSE FROM nat),
+    bt AS MATERIALIZED (
+      SELECT '_:x'||k AS subj, 'kg:name' AS pred,
+             CASE WHEN k % 5 = 0 THEN n_name||'!' ELSE n_name END
+               AS obj,
+             FALSE AS iri FROM nat
+      UNION ALL SELECT '_:x'||k, 'kg:mark', '_:y'||k, TRUE FROM nat
+      UNION ALL SELECT '_:y'||k, 'kg:kind', 'm', FALSE FROM nat
+      UNION ALL SELECT '_:x'||k, 'kg:flag', 'fresh', FALSE
+                 FROM nat WHERE k % 7 = 0),
+    {_sql_wl("at", "a")}
+    {_sql_wl("bt", "b")}
+    diff AS (
+      SELECT 'added' AS change, b.subj, b.pred, b.obj, b.iri
+      FROM bcanon b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM acanon a
+        WHERE a.subj = b.subj AND a.pred = b.pred
+          AND a.obj = b.obj AND a.iri = b.iri)
       UNION ALL
-      SELECT obj, pred, subj, starts_with(subj, '_:'),
-             'g|1|'||subj||'||', 'i'
-      FROM t WHERE iri AND starts_with(obj, '_:')),
-    c0 AS (
-      SELECT DISTINCT node, '' AS color FROM (
-        SELECT subj AS node FROM t WHERE starts_with(subj, '_:')
-        UNION ALL
-        SELECT obj FROM t WHERE iri AND starts_with(obj, '_:'))),
-    {",".join(rounds)}
-    SELECT node,
-           '_:c'||color||
-             CASE WHEN cnt > 1 THEN '-'||CAST(rn AS VARCHAR)
-                  ELSE '' END AS canon,
-           CAST(cnt AS BIGINT) AS orbit_size
-    FROM (
-      SELECT node, color,
-             COUNT(*) OVER (PARTITION BY color) AS cnt,
-             ROW_NUMBER() OVER (PARTITION BY color ORDER BY node) AS rn
-      FROM c3)
+      SELECT 'removed', a.subj, a.pred, a.obj, a.iri
+      FROM acanon a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM bcanon b
+        WHERE b.subj = a.subj AND b.pred = a.pred
+          AND b.obj = a.obj AND b.iri = a.iri))
+    SELECT DISTINCT change, subj, pred, obj, iri AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM diff
     """
 
 
@@ -6764,6 +6873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (0) new this round: no driver record yet --------------------
         "kg_canonicalize": q_kg_canonicalize,
+        "kg_canon_diff": q_kg_canon_diff,
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -6944,6 +7054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_canonicalize": sql_kg_canonicalize(),
+        "kg_canon_diff": sql_kg_canon_diff(),
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),

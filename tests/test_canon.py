@@ -136,6 +136,56 @@ def test_exact_rounds_pins_colors(spark):
     assert ca == cb
 
 
+def test_canonical_diff_of_renaming_is_empty(spark):
+    a = _triples(spark, ROWS)
+    b = _triples(spark, _relabel(ROWS))
+    assert canon.canonical_diff(a, b).count() == 0
+    # whereas the raw-label diff would see every renamed triple
+    from rdf_tabular_spark.kg.delta import graph_diff
+    assert graph_diff(a, b).count() > 0
+
+
+def test_canonical_diff_reports_real_changes(spark):
+    star = [
+        ("_:n1", "http://e/name", "a", False, None),
+        ("_:n1", "http://e/mark", "_:m1", True, None),
+        ("_:m1", "http://e/kind", "m", False, None),
+        ("_:n2", "http://e/name", "b", False, None),
+        ("_:n2", "http://e/mark", "_:m2", True, None),
+        ("_:m2", "http://e/kind", "m", False, None),
+    ]
+    # rename bnodes AND change one star's literal
+    ren = {"_:n1": "_:x", "_:m1": "_:y", "_:n2": "_:p", "_:m2": "_:q"}
+    pert = [(ren[s], p,
+             ("a!" if o == "a" else o) if not i else ren[o], i, d)
+            for s, p, o, i, d in star]
+    diff = canon.canonical_diff(_triples(spark, star),
+                                _triples(spark, pert))
+    rows = [(r.change, r.pred, r.obj) for r in diff.collect()]
+    # only star 1 is affected; star 2 survives the renaming untouched
+    assert len(rows) == 6
+    assert ("removed", "http://e/name", "a") in rows
+    assert ("added", "http://e/name", "a!") in rows
+    kinds = sorted(r[0] for r in rows if r[1] == "http://e/kind")
+    assert kinds == ["added", "removed"]  # m1 relabeled, both sides
+
+
+def test_canonical_diff_term_identity(spark):
+    a = [("_:n", "http://e/v", "42", False,
+          "http://www.w3.org/2001/XMLSchema#integer")]
+    b = [("_:n", "http://e/v", "42", False,
+          "http://www.w3.org/2001/XMLSchema#string")]
+    diff = canon.canonical_diff(_triples2(spark, a), _triples2(spark, b))
+    assert diff.count() == 2  # datatype change is a remove+add
+
+
+def _triples2(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, iri, dt, None) for s, p, o, iri, dt in rows],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, obj_lang string")
+
+
 def test_csvw_envelope_roundtrip_isomorphic(spark):
     """Real CSVW standard-mode output: canonicalizing twice is a no-op
     on the already-canonical graph (idempotence on the relabeled set)."""
