@@ -6049,6 +6049,120 @@ def sql_kg_canon_diff() -> str:
     """
 
 
+def _walk_graph(spark: SparkSession, sf_dir: str):
+    """Layered part→supplier→nation→region edge list + part starts —
+    multi-out-degree at the first hop (a part ships from several
+    suppliers), single path after, sinks at regions."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    e = (li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("dst"))
+        .unionByName(su.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string"))
+            .alias("dst")))
+        .unionByName(na.select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string"))
+            .alias("dst")))
+        .distinct())
+    starts = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("node")).distinct()
+    return e, starts
+
+
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus (kg/walks.py — r4): deterministic
+    md5-derived neighbor choice (the repo's engine-portable bucket
+    convention, ops/split.py:13) over a layered part→supplier→nation→
+    region graph; 2 walks per part, length 4. The twin unrolls the 3
+    steps with the identical ranked-adjacency + md5-mod-degree pick."""
+    from rdf_tabular_spark.kg.walks import random_walks
+
+    e, starts = _walk_graph(spark, sf_dir)
+    return random_walks(e, length=4, walks_per_node=2, seed=0,
+                        starts=starts)
+
+
+_WALK_SQL_BASE = """
+    e AS MATERIALIZED (
+      SELECT DISTINCT 'p'||l_partkey AS src, 's'||l_suppkey AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 's'||s_suppkey, 'n'||s_nationkey FROM supplier
+      UNION
+      SELECT DISTINCT 'n'||n_nationkey, 'r'||n_regionkey FROM nation),
+    ranked AS MATERIALIZED (
+      SELECT src, dst,
+             CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                  AS BIGINT) AS idx
+      FROM e),
+    deg AS (SELECT src, MAX(idx) + 1 AS deg FROM ranked GROUP BY src),
+    w0 AS (
+      SELECT node AS start, CAST(wk.walk AS BIGINT) AS walk,
+             node AS cur, node AS path
+      FROM (SELECT DISTINCT 'p'||l_partkey AS node FROM lineitem),
+           (SELECT UNNEST([0, 1]) AS walk) wk),
+    {steps}
+"""
+
+
+def _walk_step_sql(t: int) -> str:
+    pick = (f"CAST(('0x'||substr(md5(s.start||'|'||s.walk||'|{t}|'"
+            f"||s.cur||'|0'), 1, 8)) AS BIGINT) % d.deg")
+    return f"""
+    w{t} AS (
+      SELECT s.start, s.walk, COALESCE(r.dst, s.cur) AS cur,
+             CASE WHEN r.dst IS NULL THEN s.path
+                  ELSE s.path||'|'||r.dst END AS path
+      FROM w{t - 1} s
+      LEFT JOIN deg d ON s.cur = d.src
+      LEFT JOIN ranked r ON r.src = s.cur AND r.idx = {pick})"""
+
+
+def sql_kg_random_walks() -> str:
+    steps = ",".join(_walk_step_sql(t) for t in (1, 2, 3))
+    return ("WITH " + _WALK_SQL_BASE.format(steps=steps)
+            + ' SELECT start, walk, path, cur AS "end" FROM w3')
+
+
+def q_kg_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts from the walk
+    corpus (kg/walks.skipgram_pairs) — the training multiset a
+    word2vec-style node-embedding trainer consumes. Position-bounded
+    self-join inside each walk, never across walks."""
+    from rdf_tabular_spark.kg.walks import random_walks, skipgram_pairs
+
+    e, starts = _walk_graph(spark, sf_dir)
+    return skipgram_pairs(
+        random_walks(e, length=4, walks_per_node=2, seed=0,
+                     starts=starts), window=2)
+
+
+def sql_kg_walk_pairs() -> str:
+    steps = ",".join(_walk_step_sql(t) for t in (1, 2, 3))
+    return ("WITH " + _WALK_SQL_BASE.format(steps=steps) + """,
+    toks AS (
+      SELECT start, walk,
+             generate_subscripts(str_split(path, '|'), 1) AS pos,
+             UNNEST(str_split(path, '|')) AS node
+      FROM w3)
+    SELECT a.node AS center, b.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks a JOIN toks b
+      ON a.start = b.start AND a.walk = b.walk
+     AND b.pos - a.pos BETWEEN -2 AND 2 AND a.pos <> b.pos
+    GROUP BY a.node, b.node
+    """)
+
+
 def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRAPH patterns in the SPARQL text front-end (kg/sparql.py — r4,
     dataset semantics over the quad table): the same query shape as
@@ -6874,6 +6988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (0) new this round: no driver record yet --------------------
         "kg_canonicalize": q_kg_canonicalize,
         "kg_canon_diff": q_kg_canon_diff,
+        "kg_random_walks": q_kg_random_walks,
+        "kg_walk_pairs": q_kg_walk_pairs,
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -7055,6 +7171,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_canonicalize": sql_kg_canonicalize(),
         "kg_canon_diff": sql_kg_canon_diff(),
+        "kg_random_walks": sql_kg_random_walks(),
+        "kg_walk_pairs": sql_kg_walk_pairs(),
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),

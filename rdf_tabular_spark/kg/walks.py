@@ -1,0 +1,121 @@
+"""Deterministic random-walk corpora over the KG edge list —
+DeepWalk / node2vec's sampling stage (Perozzi et al., KDD'14;
+Grover & Leskovec, KDD'16), Spark-first and RNG-free.
+
+Why in this engine: graph-embedding training data is the KG analog of
+the text pipeline's token corpus — walks ARE the sentences. The
+sampling stage is the only distributed part of DeepWalk (the SGD fits
+on one box per shard); a 10^12-edge graph needs walks generated where
+the edges live.
+
+Determinism (the repo-wide convention, ops/split.py:13): the "random"
+neighbor choice at step ``t`` of walk ``(start, w)`` standing at node
+``v`` is ``md5(start|w|t|v|seed)`` → first 8 hex chars as an integer,
+mod out-degree(v) — the same engine-portable md5 bucket used by
+splits/sharding, so an oracle twin in any SQL engine reproduces the
+exact walk set and a re-run on different partitioning is bit-identical.
+Neighbors are ranked by destination label (dense ``idx`` from a
+per-src window), so "the k-th neighbor" is well-defined everywhere.
+
+Scale shape: the ranked adjacency + degree tables are built ONCE (one
+shuffle each, localCheckpoint-ed); each of the L-1 steps is one
+equi-join of the |starts|×W walk-state table against ranked adjacency
+on (current node, picked index) — no window over walks, no driver
+loop over data, state never grows (paths extend in place). Walks that
+reach a sink freeze: the left join misses, the path stops extending,
+and the frozen state re-probes L-t more times (bounded, and at scale
+the frontier is overwhelmingly active).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+__all__ = ["random_walks", "skipgram_pairs"]
+
+
+def _pick(start, w, t: int, cur, seed: int):
+    """md5-derived neighbor index (pre-mod): engine-portable, depends
+    on the walk identity + step + current node only."""
+    return F.conv(F.substring(F.md5(F.concat_ws(
+        "|", start, w.cast("string"), F.lit(str(t)), cur,
+        F.lit(str(seed)))), 1, 8), 16, 10).cast("long")
+
+
+def random_walks(edges: DataFrame, *, length: int,
+                 walks_per_node: int = 1, seed: int = 0,
+                 starts: DataFrame | None = None) -> DataFrame:
+    """``(start, walk, path, end)`` — one row per walk; ``path`` is the
+    '|'-joined node sequence (≤ *length* nodes, shorter only when the
+    walk hits a sink).
+
+    *edges* is a directed ``(src, dst)`` edge list (symmetrize first
+    for undirected semantics); *starts* defaults to every distinct
+    source node.
+    """
+    e = edges.select(F.col("src"), F.col("dst")).distinct()
+    ranked = e.withColumn(
+        "idx", F.row_number().over(
+            Window.partitionBy("src").orderBy("dst")).cast("long") - 1
+    ).localCheckpoint(eager=False)
+    deg = (ranked.groupBy("src").agg(F.max("idx").alias("_m"))
+           .select("src", (F.col("_m") + 1).alias("deg"))
+           .localCheckpoint(eager=False))
+
+    if starts is None:
+        starts = e.select(F.col("src").alias("node")).distinct()
+    state = (starts
+             .join(F.broadcast(
+                 starts.sparkSession.range(walks_per_node)
+                 .select(F.col("id").alias("walk"))), how="cross")
+             .select(F.col("node").alias("start"), "walk",
+                     F.col("node").alias("cur"),
+                     F.col("node").alias("path")))
+
+    for t in range(1, length):
+        pick = (_pick(F.col("start"), F.col("walk"), t, F.col("cur"),
+                      seed) % F.col("deg")).alias("_pick")
+        state = (
+            state
+            .join(deg, state["cur"] == deg["src"], "left").drop("src")
+            .withColumn("_pick", pick)
+            .join(ranked,
+                  (state["cur"] == ranked["src"])
+                  & (F.col("_pick") == ranked["idx"]), "left")
+            .select(
+                "start", "walk",
+                F.coalesce("dst", "cur").alias("cur"),
+                F.when(F.col("dst").isNotNull(),
+                       F.concat("path", F.lit("|"), F.col("dst")))
+                .otherwise(F.col("path")).alias("path"))
+            .localCheckpoint(eager=False))
+
+    return state.select("start", "walk", "path",
+                        F.col("cur").alias("end"))
+
+
+def skipgram_pairs(walks: DataFrame, *, window: int = 2) -> DataFrame:
+    """``(center, context, n)`` skip-gram co-occurrence counts from the
+    walk corpus — the (node, context) multiset word2vec-style trainers
+    consume. Window is ±*window* positions within a walk, center ≠
+    context positions, counted with multiplicity.
+
+    One explode over walk tokens + a self-join bounded by position
+    distance within the SAME walk (equi-join on the walk key, range
+    predicate on position — |walk|×window pairs, no cross join), then
+    a hash aggregation."""
+    toks = walks.select(
+        "start", "walk",
+        F.posexplode(F.split("path", r"\|")).alias("pos", "node"))
+    a, b = toks.alias("a"), toks.alias("b")
+    return (a.join(
+        b, (F.col("a.start") == F.col("b.start"))
+        & (F.col("a.walk") == F.col("b.walk"))
+        & (F.col("b.pos") - F.col("a.pos") <= window)
+        & (F.col("b.pos") - F.col("a.pos") >= -window)
+        & (F.col("a.pos") != F.col("b.pos")))
+        .groupBy(F.col("a.node").alias("center"),
+                 F.col("b.node").alias("context"))
+        .agg(F.count("*").alias("n")))
