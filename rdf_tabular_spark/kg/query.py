@@ -321,27 +321,100 @@ def _pattern_rank(pattern: tuple) -> int:
     return _SHAPE_RANK[shape] * 2 + (1 if is_path else 0)
 
 
-def reorder_patterns(patterns: list[tuple]) -> list[tuple]:
-    """Greedy selectivity ordering of a BGP without statistics: start
-    from the most selective pattern (see _SHAPE_RANK), then repeatedly
-    take the most selective pattern CONNECTED to the already-chosen set
-    (sharing a variable), falling back to the most selective remaining
-    one only when nothing connects — the join tree a SPARQL engine's
-    heuristic optimizer would build, here feeding Catalyst join order.
-    Ties resolve by written position, so the result is deterministic
-    and a pre-ordered query is left alone. Inner joins commute, so the
+def predicate_stats(triples: DataFrame) -> dict:
+    """Per-predicate ``{pred: (triples, distinct_subjects,
+    distinct_objects)}`` plus a ``None`` row for the whole graph — the
+    summary an RDF store keeps for cardinality estimation (RDF-3X's
+    aggregated indexes; VoID's property partitions, kg/materialize
+    void_stats is the user-facing twin of this).
+
+    One scan + one bounded aggregation: output is |predicates| rows (a
+    few hundred on any real vocabulary, never data-sized), so the
+    collect is a catalog read, not a data pull. Distinct counts use
+    HyperLogLog (approx_count_distinct) — they feed a join-order
+    heuristic, where ±2% noise is irrelevant, and the HLL sketch
+    merges without a second shuffle."""
+    rows = (triples
+            .groupBy(F.col("pred"))
+            .agg(F.count("*").alias("n"),
+                 F.approx_count_distinct("subj").alias("ds"),
+                 F.approx_count_distinct("obj").alias("do"))
+            .collect())
+    stats = {r.pred: (r.n, r.ds, r.do) for r in rows}
+    stats[None] = (sum(n for n, _, _ in stats.values()),
+                   max((d for _, d, _ in stats.values()), default=1),
+                   max((d for _, _, d in stats.values()), default=1))
+    return stats
+
+
+def _pattern_cost(pattern: tuple, stats: dict) -> float:
+    """Estimated result cardinality of one triple pattern under
+    per-predicate statistics — the standard independence estimator:
+    bound subject divides by distinct subjects, bound object by
+    distinct objects (RDF-3X / Neumann & Weikum, VLDB'08 §4.2 shape).
+    Property paths fall back to whole-graph numbers ×4 (closures touch
+    the edge set repeatedly). A bound predicate ABSENT from the stats
+    is the cheapest pattern of all: it matches nothing and empties the
+    join early."""
+    def bound(term) -> bool:
+        return not (isinstance(term, str) and _is_var(term))
+
+    pred = pattern[1]
+    is_path = isinstance(pred, tuple) or (
+        isinstance(pred, str) and not _is_var(pred)
+        and (pred.startswith(("!", "^")) or "|" in pred
+             or pred.endswith(("+", "*", "?"))))
+    if is_path or not bound(pred):
+        n, ds, do = stats[None]
+        n *= 4 if is_path else 1
+    elif pred not in stats:
+        return 0.0
+    else:
+        n, ds, do = stats[pred]
+    if bound(pattern[0]) and bound(pattern[2]):
+        return 1.0
+    if bound(pattern[0]):
+        return n / max(ds, 1)
+    if bound(pattern[2]):
+        return n / max(do, 1)
+    return float(n)
+
+
+def reorder_patterns(patterns: list[tuple],
+                     stats: dict | None = None) -> list[tuple]:
+    """Greedy selectivity ordering of a BGP: start from the most
+    selective pattern, then repeatedly take the most selective pattern
+    CONNECTED to the already-chosen set (sharing a variable), falling
+    back to the most selective remaining one only when nothing
+    connects — the join tree a SPARQL engine's heuristic optimizer
+    would build, here feeding Catalyst join order.
+
+    Without *stats*, selectivity is the variable-counting shape rank
+    (Stocker et al., WWW'08 — see _SHAPE_RANK): a pure function of the
+    query. With *stats* (from predicate_stats), it is the estimated
+    cardinality (_pattern_cost), which knows that ``?s rare:pred ?o``
+    beats ``?s rdf:type ?o`` even though the shapes tie. Ties resolve
+    by written position, so the result is deterministic and a
+    pre-ordered query is left alone. Inner joins commute, so the
     solution set is identical for any order (pinned by test)."""
     def vars_of(pattern) -> set:
         return {t for t in pattern
                 if isinstance(t, str) and _is_var(t)}
 
+    if stats is not None:
+        def key(ip):
+            return (_pattern_cost(ip[1], stats), ip[0])
+    else:
+        def key(ip):
+            return (_pattern_rank(ip[1]), ip[0])
+
     remaining = list(enumerate(patterns))
-    remaining.sort(key=lambda ip: (_pattern_rank(ip[1]), ip[0]))
+    remaining.sort(key=key)
     out = [remaining.pop(0)[1]]
     bound = vars_of(out[0])
     while remaining:
         connected = [ip for ip in remaining if vars_of(ip[1]) & bound]
-        pick = (connected or remaining)[0]
+        pick = min(connected, key=key) if connected else remaining[0]
         remaining.remove(pick)
         out.append(pick[1])
         bound |= vars_of(pick[1])
@@ -355,7 +428,7 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
               filters: list[str] | None = None,
               distinct: bool = True,
               allow_cartesian: bool = False,
-              reorder: bool = False,
+              reorder: bool | dict = False,
               term_meta: list[str] | None = None,
               path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
     """Match a conjunction of triple patterns; columns = variable names.
@@ -369,10 +442,12 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
       order) binds the metadata, so the columns never become NULLable
       equi-join keys between patterns.
 
-    - *reorder*: apply the stats-free selectivity heuristic
+    - *reorder*: ``True`` applies the stats-free selectivity heuristic
       (reorder_patterns) before joining instead of following written
-      order — same solution set (inner joins commute), smaller
-      intermediates when the query author didn't hand-order.
+      order; a dict (from ``predicate_stats``) applies the
+      cardinality-estimating order instead — same solution set either
+      way (inner joins commute), smaller intermediates when the query
+      author didn't hand-order.
 
     - *optional*: patterns LEFT-joined after the required conjunction
       (SPARQL OPTIONAL) — unmatched rows keep NULL for the pattern's new
@@ -397,7 +472,8 @@ def match_bgp(triples: DataFrame, patterns: list[tuple],
       are the norm, and the dedup runs on the narrow projection.
     """
     if reorder:
-        patterns = reorder_patterns(patterns)
+        patterns = reorder_patterns(
+            patterns, stats=reorder if isinstance(reorder, dict) else None)
     pending = set(term_meta or ())
 
     def _plain_obj_var(pat) -> str | None:

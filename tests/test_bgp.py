@@ -749,3 +749,54 @@ def test_term_meta_unbound_raises(spark):
     with pytest.raises(ValueError, match="never bound"):
         match_bgp(_meta_triples(spark), [("?s", "label", "?v")],
                   term_meta=["s"]).collect()
+
+
+def test_predicate_stats_shapes(spark):
+    from rdf_tabular_spark.kg.query import predicate_stats
+
+    stats = predicate_stats(_triples(spark))
+    # exact triple counts per predicate; HLL distincts are exact at
+    # this cardinality
+    total = _triples(spark).count()
+    assert stats[None][0] == total
+    assert sum(n for p, (n, _, _) in stats.items() if p is not None) \
+        == total
+    assert all(ds >= 1 and do >= 1 for _, ds, do in stats.values())
+
+
+def test_stats_reorder_beats_shape_ties(spark):
+    from rdf_tabular_spark.kg.query import (predicate_stats,
+                                            reorder_patterns)
+
+    t = _triples(spark)
+    counts = {r.pred: r.n for r in
+              t.groupBy("pred").agg(F.count("*").alias("n")).collect()}
+    rare = min(counts, key=counts.get)
+    common = max(counts, key=counts.get)
+    assert counts[rare] < counts[common]
+    # same (? p ?) shape: the stats-free rank ties (keeps written
+    # order), stats inverts to rare-first
+    pats = [("?a", common, "?b"), ("?b", rare, "?c")]
+    assert reorder_patterns(pats) == pats
+    got = reorder_patterns(pats, stats=predicate_stats(t))
+    assert got[0] == ("?b", rare, "?c")
+
+
+def test_stats_reorder_absent_pred_first_and_same_solutions(spark):
+    from rdf_tabular_spark.kg.query import (match_bgp, predicate_stats,
+                                            reorder_patterns)
+
+    t = _triples(spark)
+    stats = predicate_stats(t)
+    pats = [("?f", "imports", "?m"), ("?f", "noSuchPred", "?z")]
+    # an absent predicate empties the join: cheapest, goes first
+    assert reorder_patterns(pats, stats=stats)[0] == \
+        ("?f", "noSuchPred", "?z")
+    # and a dict passed as reorder= flows through match_bgp unchanged
+    pats2 = [("?f", "?p", "?m"), ("?m", "type", "Module"),
+             ("?f", "inRepo", "r:1")]
+    plain = {tuple(sorted(r.asDict().items()))
+             for r in match_bgp(t, pats2).collect()}
+    st = {tuple(sorted(r.asDict().items()))
+          for r in match_bgp(t, pats2, reorder=stats).collect()}
+    assert plain == st and plain
