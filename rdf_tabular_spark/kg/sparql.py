@@ -1569,16 +1569,24 @@ def _apply_dataset_clause(table: DataFrame, frm: list[str],
 
 
 def sparql(triples: DataFrame, query: str, *,
-           reorder: bool = False, allow_cartesian: bool = False,
+           reorder: bool | str | dict = False,
+           allow_cartesian: bool = False,
            path_max_hops: int = DEFAULT_PATH_MAX_HOPS) -> DataFrame:
     """Parse and execute a SPARQL query string over the triple table.
 
     Returns a DataFrame: one column per projected variable (SELECT),
     one boolean ``ask`` row (ASK), or the standard six-column triple
     schema (CONSTRUCT / DESCRIBE). *reorder* applies the stats-free
-    selectivity heuristic to each triple block; *allow_cartesian*
+    selectivity heuristic to each triple block; ``reorder="stats"``
+    gathers per-predicate cardinalities first (kg/query
+    predicate_stats — one bounded aggregation, amortize it by passing
+    the dict directly when running many queries over one graph) and
+    orders by estimated cardinality instead; *allow_cartesian*
     permits variable-disjoint pattern groups (off by default — an
     accidental cross join over 10^12 triples should be an error)."""
+    if reorder == "stats":
+        from .query import predicate_stats
+        reorder = predicate_stats(triples)
     p = _Parser(query)
     p.parse_prologue()
     if p.at_kw("SELECT"):

@@ -1025,3 +1025,11 @@ def test_construct_with_modifiers(spark):
         CONSTRUCT { ?f k:seen "y" } WHERE { ?f k:imports ?m }
         ORDER BY DESC(?f) LIMIT 1 OFFSET 1""")
     assert rows(got, "subj") == [("f:b",)]
+
+
+def test_reorder_stats_same_solutions(spark):
+    q = """SELECT ?f ?m ?r WHERE {
+          ?f k:imports ?m . ?f k:inRepo ?r }"""
+    plain = rows(sparql(_t(spark), q), "f", "m", "r")
+    stats = rows(sparql(_t(spark), q, reorder="stats"), "f", "m", "r")
+    assert plain == stats and plain
