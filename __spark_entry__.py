@@ -5821,17 +5821,20 @@ def sql_kg_smush() -> str:
     """
 
 
-def _canon_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _canon_graph(spark: SparkSession, sf_dir: str,
+                 pn: str = "_:n", pr: str = "_:r",
+                 pm: str = "_:m") -> DataFrame:
     """Deterministic bnode-bearing graph over nation/region: nation and
     region entities as blank nodes, plus per-nation automorphic marker
-    pairs so non-trivial orbits are exercised."""
+    pairs so non-trivial orbits are exercised. The prefix parameters
+    produce renamed-but-isomorphic variants."""
     nat = _t(spark, sf_dir, "nation").select(
-        F.concat(F.lit("_:n"), F.col("n_nationkey").cast("string"))
+        F.concat(F.lit(pn), F.col("n_nationkey").cast("string"))
         .alias("nb"),
         F.col("n_name"),
-        F.concat(F.lit("_:r"), F.col("n_regionkey").cast("string"))
+        F.concat(F.lit(pr), F.col("n_regionkey").cast("string"))
         .alias("rb"),
-        F.concat(F.lit("_:m"), F.col("n_nationkey").cast("string"))
+        F.concat(F.lit(pm), F.col("n_nationkey").cast("string"))
         .alias("mb"))
     reg = _t(spark, sf_dir, "region")
 
@@ -5852,7 +5855,7 @@ def _canon_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit("m"), False)),
         nat.select(*tri(F.concat(F.col("mb"), F.lit("b")), "kg:kind",
                         F.lit("m"), False)),
-        reg.select(*tri(F.concat(F.lit("_:r"),
+        reg.select(*tri(F.concat(F.lit(pr),
                                  F.col("r_regionkey").cast("string")),
                         "kg:rname", F.col("r_name"), False)),
     ]
@@ -5963,6 +5966,68 @@ def sql_kg_canonicalize() -> str:
     {_sql_wl("t", "")}
     _end AS (SELECT 1)
     SELECT node, canon, orbit_size FROM lab
+    """
+
+
+def q_kg_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isomorphism-invariant graph hash (kg/canon.graph_fingerprint —
+    r4): the nation/region bnode graph and a fully-renamed isomorphic
+    variant fingerprint to the SAME (n_triples, bit_xor-of-md5)
+    integer — the snapshot-catalog content identity that makes "did
+    this graph version really change?" one integer compare. The twin
+    recomputes both fingerprints through the identical 3-round WL
+    relabeling."""
+    from rdf_tabular_spark.kg.canon import graph_fingerprint
+
+    out = []
+    for variant, prefixes in (("orig", ("_:n", "_:r", "_:m")),
+                              ("renamed", ("_:zz", "_:q", "_:w"))):
+        g = _canon_graph(spark, sf_dir, *prefixes)
+        out.append(graph_fingerprint(g, exact_rounds=3).select(
+            F.lit(variant).alias("variant"), "n_triples",
+            "fingerprint"))
+    return out[0].unionByName(out[1])
+
+
+def _sql_canon_nat(pn: str, pr: str, pm: str) -> str:
+    return f"""(
+      SELECT '{pn}'||n_nationkey AS nb, n_name,
+             '{pr}'||n_regionkey AS rb, '{pm}'||n_nationkey AS mb
+      FROM nation)"""
+
+
+_SQL_CANON_TRIPLES = """(
+      SELECT nb AS subj, 'kg:name' AS pred, n_name AS obj,
+             FALSE AS iri FROM {nat}
+      UNION ALL SELECT nb, 'kg:inRegion', rb, TRUE FROM {nat}
+      UNION ALL SELECT nb, 'kg:mark', mb||'a', TRUE FROM {nat}
+      UNION ALL SELECT nb, 'kg:mark', mb||'b', TRUE FROM {nat}
+      UNION ALL SELECT mb||'a', 'kg:kind', 'm', FALSE FROM {nat}
+      UNION ALL SELECT mb||'b', 'kg:kind', 'm', FALSE FROM {nat}
+      UNION ALL SELECT '{pr}'||r_regionkey, 'kg:rname', r_name, FALSE
+                 FROM region)"""
+
+
+def sql_kg_graph_fingerprint() -> str:
+    fp = ("SELECT '{v}' AS variant, CAST(COUNT(*) AS BIGINT) AS "
+          "n_triples, bit_xor(CAST(('0x'||substr(md5(line), 1, 15)) "
+          "AS BIGINT)) AS fingerprint FROM ("
+          "SELECT DISTINCT subj||'|'||pred||'|'||"
+          "CAST(CAST(iri AS INT) AS VARCHAR)||'|'||obj||'||' AS line "
+          "FROM {c}canon)")
+    a_nat = _sql_canon_nat("_:n", "_:r", "_:m")
+    b_nat = _sql_canon_nat("_:zz", "_:q", "_:w")
+    return f"""
+    WITH at AS MATERIALIZED {_SQL_CANON_TRIPLES.format(
+        nat=a_nat, pr="_:r")},
+    bt AS MATERIALIZED {_SQL_CANON_TRIPLES.format(
+        nat=b_nat, pr="_:q")},
+    {_sql_wl("at", "a")}
+    {_sql_wl("bt", "b")}
+    _end AS (SELECT 1)
+    {fp.format(v="orig", c="a")}
+    UNION ALL
+    {fp.format(v="renamed", c="b")}
     """
 
 
@@ -6990,6 +7055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canon_diff": q_kg_canon_diff,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_pairs": q_kg_walk_pairs,
+        "kg_graph_fingerprint": q_kg_graph_fingerprint,
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -7173,6 +7239,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canon_diff": sql_kg_canon_diff(),
         "kg_random_walks": sql_kg_random_walks(),
         "kg_walk_pairs": sql_kg_walk_pairs(),
+        "kg_graph_fingerprint": sql_kg_graph_fingerprint(),
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),

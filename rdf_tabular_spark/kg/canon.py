@@ -49,7 +49,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["canonical_labels", "canonicalize", "canonical_diff"]
+__all__ = ["canonical_labels", "canonicalize", "canonical_diff",
+           "graph_fingerprint"]
 
 #: refinement never needs more rounds than the bnode-graph diameter;
 #: row-envelope graphs settle in 2-3
@@ -80,8 +81,10 @@ def canonical_labels(triples: DataFrame, *,
     even at the partition fixpoint), so cross-engine twins must pin it.
     """
     spark = triples.sparkSession
+    # RDF graphs are SETS: a duplicated row must not double its
+    # contribution to a node's color signature
     t = triples.select("subj", "pred", "obj", "obj_is_iri",
-                       "obj_datatype", "obj_lang")
+                       "obj_datatype", "obj_lang").distinct()
 
     bnodes = (
         t.filter(_is_bnode(F.col("subj"))).select(F.col("subj").alias("node"))
@@ -217,6 +220,41 @@ def canonical_diff(old: DataFrame, new: DataFrame, *,
     added = (cb.join(ca.select(*key), key, "left_anti")
              .select(F.lit("added").alias("change"), *cols))
     return added.unionByName(removed).dropDuplicates()
+
+
+def graph_fingerprint(triples: DataFrame, *,
+                      max_rounds: int = DEFAULT_MAX_ROUNDS,
+                      exact_rounds: int | None = None) -> DataFrame:
+    """Isomorphism-invariant graph hash: one row ``(n_triples,
+    fingerprint)`` — equal for any bnode relabeling of the same graph,
+    (md5-)unequal for structurally different ones. The content
+    identity a snapshot catalog stores next to each graph version
+    (sources/snapshots.py) so "did anything REALLY change?" is one
+    integer compare instead of a diff, and the distributed analog of
+    URDNA2015-hash-the-canonical-N-Quads.
+
+    Shape: canonicalize (the WL rounds), one set-dedup, then a single
+    ``bit_xor`` aggregation over per-triple md5 integers — XOR is
+    order- and partition-insensitive and cannot overflow, so the
+    fingerprint is layout-invariant and engine-portable (the oracle
+    twin computes the identical integer). Fingerprint each graph
+    SEPARATELY, never a tagged union: canonicalize resolves automorphic
+    orbits with within-color-class ordinals, and a color class spanning
+    two isomorphic graphs would split its ordinals across them."""
+    c = canonicalize(triples, max_rounds=max_rounds,
+                     exact_rounds=exact_rounds)
+    line = F.concat(
+        F.col("subj"), F.lit("|"), F.col("pred"), F.lit("|"),
+        F.col("obj_is_iri").cast("int").cast("string"),
+        F.lit("|"), F.col("obj"),
+        F.lit("|"), F.coalesce("obj_datatype", F.lit("")),
+        F.lit("|"), F.coalesce("obj_lang", F.lit("")))
+    return (c.dropDuplicates(["subj", "pred", "obj", "obj_is_iri",
+                              "obj_datatype", "obj_lang"])
+            .select(F.conv(F.substring(F.md5(line), 1, 15), 16, 10)
+                    .cast("long").alias("_h"))
+            .agg(F.count("*").alias("n_triples"),
+                 F.expr("bit_xor(_h)").alias("fingerprint")))
 
 
 def _small(df: DataFrame) -> bool:

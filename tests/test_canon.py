@@ -186,6 +186,30 @@ def _triples2(spark, rows):
         "obj_datatype string, obj_lang string")
 
 
+def test_fingerprint_invariant_under_renaming(spark):
+    fa = canon.graph_fingerprint(_triples(spark, ROWS)).first()
+    fb = canon.graph_fingerprint(_triples(spark, _relabel(ROWS))).first()
+    assert fa.n_triples == fb.n_triples == len(ROWS)
+    assert fa.fingerprint == fb.fingerprint
+
+
+def test_fingerprint_detects_structural_change(spark):
+    alt = [r for r in ROWS if r[1] != "http://e/next"]
+    alt.append(("_:r2", "http://e/next", "_:r1", True, None))
+    fa = canon.graph_fingerprint(_triples(spark, ROWS)).first()
+    fb = canon.graph_fingerprint(_triples(spark, alt)).first()
+    assert fa.n_triples == fb.n_triples       # same size...
+    assert fa.fingerprint != fb.fingerprint   # ...different wiring
+
+
+def test_fingerprint_set_semantics(spark):
+    dup = _triples(spark, ROWS + ROWS[:2])
+    fa = canon.graph_fingerprint(_triples(spark, ROWS)).first()
+    fb = canon.graph_fingerprint(dup).first()
+    assert (fa.n_triples, fa.fingerprint) == (fb.n_triples,
+                                              fb.fingerprint)
+
+
 def test_csvw_envelope_roundtrip_isomorphic(spark):
     """Real CSVW standard-mode output: canonicalizing twice is a no-op
     on the already-canonical graph (idempotence on the relabeled set)."""
