@@ -6031,6 +6031,34 @@ def sql_kg_graph_fingerprint() -> str:
     """
 
 
+def q_kg_canonical_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical N-Triples dump (kg/canon.canonical_ntriples — r4):
+    the RDFC-1.0 deliverable — relabel bnodes canonically, serialize,
+    total-order sort — computed over the RENAMED nation/region variant
+    so the lines prove label independence: the twin serializes the
+    ORIGINAL variant and must produce the identical text. TPC-H names
+    need no N-Triples escaping, so the twin's plain quoting is exact
+    (the Spark sink's escape ladder is covered by the ntriples
+    roundtrip suite)."""
+    from rdf_tabular_spark.kg.canon import canonical_ntriples
+
+    g = _canon_graph(spark, sf_dir, "_:zz", "_:q", "_:w")
+    return canonical_ntriples(g, exact_rounds=3)
+
+
+def sql_kg_canonical_ntriples() -> str:
+    a_nat = _sql_canon_nat("_:n", "_:r", "_:m")
+    return f"""
+    WITH at AS MATERIALIZED {_SQL_CANON_TRIPLES.format(
+        nat=a_nat, pr="_:r")},
+    {_sql_wl("at", "a")}
+    _end AS (SELECT 1)
+    SELECT DISTINCT subj||' <'||pred||'> '||
+           CASE WHEN iri THEN obj ELSE '"'||obj||'"' END||' .' AS line
+    FROM acanon ORDER BY line
+    """
+
+
 def q_kg_canon_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph diff up to bnode isomorphism (kg/canon.canonical_diff —
     r4): version B renames EVERY blank node (the run-dependent label
@@ -7056,6 +7084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_pairs": q_kg_walk_pairs,
         "kg_graph_fingerprint": q_kg_graph_fingerprint,
+        "kg_canonical_ntriples": q_kg_canonical_ntriples,
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -7240,6 +7269,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_random_walks": sql_kg_random_walks(),
         "kg_walk_pairs": sql_kg_walk_pairs(),
         "kg_graph_fingerprint": sql_kg_graph_fingerprint(),
+        "kg_canonical_ntriples": sql_kg_canonical_ntriples(),
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),

@@ -226,6 +226,19 @@ def _as_title_map(titles: Any, default_lang: str) -> dict[str, list[str]]:
     return {}
 
 
+def _context_base(context: Any, base: str | None) -> str | None:
+    """Effective base URL after the ``@context`` object's ``@base``
+    (metadata.rb:329-340 — the context may carry only @base and
+    @language; @base resolves against the document location and then
+    governs every URL resolution in the document)."""
+    if isinstance(context, list):
+        for part in context:
+            if isinstance(part, dict) and isinstance(part.get("@base"),
+                                                     str):
+                return _resolve_url(part["@base"], base)
+    return base
+
+
 def _context_language(context: Any) -> str:
     if isinstance(context, list):
         for part in context:
@@ -437,6 +450,7 @@ def parse_metadata(doc: dict, base: str | None = None) -> CompiledTableGroup:
     from .normalize import sanitize_metadata
 
     doc, _w, _e = sanitize_metadata(doc, base)
+    base = _context_base(doc.get("@context"), base)
     default_lang = _context_language(doc.get("@context"))
     kind = detect_type(doc)
     if kind == "Table":

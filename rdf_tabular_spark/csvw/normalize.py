@@ -216,6 +216,18 @@ def sanitize_metadata(
             warnings.append(
                 "context missing required value 'http://www.w3.org/ns/csvw'")
         for p in parts:
+            if isinstance(p, dict):
+                extra = sorted(set(p) - {"@base", "@language"})
+                if extra:
+                    # metadata.rb:339 — a hard Error, not a warning
+                    errors.append(
+                        "@context has object with properties other "
+                        f"than @base and @language: {extra}")
+                if "@base" in p and not isinstance(p["@base"], str):
+                    warnings.append(
+                        f"context has invalid @base ({p['@base']!r}): "
+                        f"expected string URL")
+                    del p["@base"]
             if isinstance(p, dict) and "@language" in p:
                 lang = p["@language"]
                 if not (isinstance(lang, str) and BCP47_SHAPE.match(lang)):

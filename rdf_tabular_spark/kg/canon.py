@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 __all__ = ["canonical_labels", "canonicalize", "canonical_diff",
-           "graph_fingerprint"]
+           "canonical_ntriples", "graph_fingerprint"]
 
 #: refinement never needs more rounds than the bnode-graph diameter;
 #: row-envelope graphs settle in 2-3
@@ -220,6 +220,31 @@ def canonical_diff(old: DataFrame, new: DataFrame, *,
     added = (cb.join(ca.select(*key), key, "left_anti")
              .select(F.lit("added").alias("change"), *cols))
     return added.unionByName(removed).dropDuplicates()
+
+
+def canonical_ntriples(triples: DataFrame, *,
+                       max_rounds: int = DEFAULT_MAX_ROUNDS,
+                       exact_rounds: int | None = None) -> DataFrame:
+    """Canonical N-Triples serialization: ``DataFrame[line]`` sorted in
+    total order with canonically-labeled blank nodes — byte-identical
+    for any two isomorphic inputs under any partitioning, i.e. the
+    RDFC-1.0 deliverable (its §4.4 step: serialize the relabeled graph
+    as SORTED canonical N-Quads) computed distributively. Diffable
+    with plain text tools, hashable for signing, storable as a
+    deterministic artifact next to a snapshot version.
+
+    The global sort is inherent to canonical serialization — Spark's
+    ``orderBy`` is a range-partitioned distributed sort (sampled
+    bounds, no single-node funnel), and downstream ``write.text``
+    keeps partition file order by suffix, so the concatenation of
+    part files IS the canonical document."""
+    from ..operators.ntriples import to_ntriples_lines
+
+    c = canonicalize(triples, max_rounds=max_rounds,
+                     exact_rounds=exact_rounds)
+    return to_ntriples_lines(
+        c.dropDuplicates(["subj", "pred", "obj", "obj_is_iri",
+                          "obj_datatype", "obj_lang"])).orderBy("line")
 
 
 def graph_fingerprint(triples: DataFrame, *,

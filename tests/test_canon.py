@@ -210,6 +210,20 @@ def test_fingerprint_set_semantics(spark):
                                               fb.fingerprint)
 
 
+def test_canonical_ntriples_byte_identical(spark):
+    a = [r.line for r in canon.canonical_ntriples(
+        _triples(spark, ROWS)).collect()]
+    b = [r.line for r in canon.canonical_ntriples(
+        _triples(spark, _relabel(ROWS)).repartition(7)).collect()]
+    assert a == b                      # same bytes, same order
+    assert a == sorted(a)              # total order
+    assert len(a) == len(ROWS)
+    assert all(ln.endswith(" .") for ln in a)
+    # every bnode is a canonical label
+    assert all(tok.startswith("_:c") for ln in a
+               for tok in ln.split() if tok.startswith("_:"))
+
+
 def test_csvw_envelope_roundtrip_isomorphic(spark):
     """Real CSVW standard-mode output: canonicalizing twice is a no-op
     on the already-canonical graph (idempotence on the relabeled set)."""

@@ -313,3 +313,36 @@ def test_transformation_checks():
             {"@type": "Template", "url": "t.xsl",
              "scriptFormat": "http://e.org/s"}]}, BASE)
     assert any("targetFormat" in e for e in errors2)
+
+
+def test_context_base_resolves_urls():
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+
+    doc = {"@context": ["http://www.w3.org/ns/csvw",
+                        {"@base": "sub/"}],
+           "url": "t.csv", "tableSchema": {"columns": [
+               {"name": "a", "titles": "a"}]}}
+    g = parse_metadata(doc, base="http://e.org/meta.json")
+    assert g.tables[0].url == "http://e.org/sub/t.csv"
+
+
+def test_context_extra_key_is_error():
+    from rdf_tabular_spark.csvw.normalize import sanitize_metadata
+
+    doc = {"@context": ["http://www.w3.org/ns/csvw",
+                        {"@vocab": "http://e.org/v#"}],
+           "url": "t.csv"}
+    _, _w, errors = sanitize_metadata(doc, "http://e.org/meta.json")
+    assert any("other than @base and @language" in e for e in errors)
+
+
+def test_context_invalid_base_warns_and_ignored():
+    from rdf_tabular_spark.csvw.metadata import parse_metadata
+    from rdf_tabular_spark.csvw.normalize import sanitize_metadata
+
+    doc = {"@context": ["http://www.w3.org/ns/csvw", {"@base": 7}],
+           "url": "t.csv"}
+    clean, warns, errors = sanitize_metadata(doc, "http://e.org/m.json")
+    assert any("invalid @base" in w for w in warns) and not errors
+    g = parse_metadata(doc, base="http://e.org/m.json")
+    assert g.tables[0].url == "http://e.org/t.csv"
