@@ -6256,6 +6256,60 @@ def sql_kg_walk_pairs() -> str:
     """)
 
 
+def q_kg_walk_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PPMI context features from the walk corpus
+    (kg/walks.ppmi_features — r4): the closed-form SGNS stand-in
+    (Levy & Goldberg '14), integer micro-nat PMI in a fixed term order
+    so both engines rank identical integers."""
+    from rdf_tabular_spark.kg.walks import (ppmi_features, random_walks,
+                                            skipgram_pairs)
+
+    e, starts = _walk_graph(spark, sf_dir)
+    pairs = skipgram_pairs(
+        random_walks(e, length=4, walks_per_node=2, seed=0,
+                     starts=starts), window=2)
+    return ppmi_features(pairs, top_k=5)
+
+
+def sql_kg_walk_ppmi() -> str:
+    steps = ",".join(_walk_step_sql(t) for t in (1, 2, 3))
+    return ("WITH " + _WALK_SQL_BASE.format(steps=steps) + """,
+    toks AS (
+      SELECT start, walk,
+             generate_subscripts(str_split(path, '|'), 1) AS pos,
+             UNNEST(str_split(path, '|')) AS node
+      FROM w3),
+    pairs AS MATERIALIZED (
+      SELECT a.node AS center, b.node AS context,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks a JOIN toks b
+        ON a.start = b.start AND a.walk = b.walk
+       AND b.pos - a.pos BETWEEN -2 AND 2 AND a.pos <> b.pos
+      GROUP BY a.node, b.node),
+    tot AS (SELECT SUM(n) AS nn FROM pairs),
+    nc AS (SELECT center, SUM(n) AS nc FROM pairs GROUP BY center),
+    nx AS (SELECT context, SUM(n) AS nx FROM pairs GROUP BY context),
+    scored AS (
+      SELECT p.center, p.context,
+             CAST(ROUND((ln(CAST(p.n AS DOUBLE))
+                         + ln(CAST(t.nn AS DOUBLE))
+                         - ln(CAST(c.nc AS DOUBLE))
+                         - ln(CAST(x.nx AS DOUBLE))) * 1e6) AS BIGINT)
+               AS pmi_micro
+      FROM pairs p CROSS JOIN tot t
+      JOIN nc c ON p.center = c.center
+      JOIN nx x ON p.context = x.context)
+    SELECT center, context, pmi_micro,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT center, context, pmi_micro,
+             ROW_NUMBER() OVER (PARTITION BY center
+                                ORDER BY pmi_micro DESC, context) AS rank
+      FROM scored WHERE pmi_micro > 0)
+    WHERE rank <= 5
+    """)
+
+
 def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRAPH patterns in the SPARQL text front-end (kg/sparql.py — r4,
     dataset semantics over the quad table): the same query shape as
@@ -7085,6 +7139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walk_pairs": q_kg_walk_pairs,
         "kg_graph_fingerprint": q_kg_graph_fingerprint,
         "kg_canonical_ntriples": q_kg_canonical_ntriples,
+        "kg_walk_ppmi": q_kg_walk_ppmi,
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -7270,6 +7325,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_walk_pairs": sql_kg_walk_pairs(),
         "kg_graph_fingerprint": sql_kg_graph_fingerprint(),
         "kg_canonical_ntriples": sql_kg_canonical_ntriples(),
+        "kg_walk_ppmi": sql_kg_walk_ppmi(),
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),

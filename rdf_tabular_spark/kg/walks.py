@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["random_walks", "skipgram_pairs"]
+__all__ = ["random_walks", "skipgram_pairs", "ppmi_features"]
 
 
 def _pick(start, w, t: int, cur, seed: int):
@@ -119,3 +119,38 @@ def skipgram_pairs(walks: DataFrame, *, window: int = 2) -> DataFrame:
         .groupBy(F.col("a.node").alias("center"),
                  F.col("b.node").alias("context"))
         .agg(F.count("*").alias("n")))
+
+
+def ppmi_features(pairs: DataFrame, *, top_k: int = 10) -> DataFrame:
+    """``(center, context, pmi_micro, rank)`` — positive-PMI context
+    features from the skip-gram counts, the closed-form stand-in for
+    SGNS embeddings (Levy & Goldberg, NeurIPS'14: SGNS factorizes the
+    shifted PMI matrix): each node's top-k PPMI contexts ARE its
+    sparse embedding, with no nondeterministic SGD anywhere.
+
+    PMI is quantized to integer micro-nats BEFORE ranking (the
+    ops/text.py convention): ``round((ln n + ln N - ln n_c - ln n_x)
+    · 1e6)`` over exact-integer-valued doubles in a FIXED term order,
+    so every engine and partitioning agrees on the integer and rank
+    ties resolve by context label.
+
+    Shape: two key-grouped sums + one broadcast scalar total + a
+    per-center window bounded by that center's distinct contexts —
+    nothing global, no data-sized window."""
+    tot = pairs.agg(F.sum("n").alias("_N"))
+    nc = pairs.groupBy("center").agg(F.sum("n").alias("_nc"))
+    nx = pairs.groupBy("context").agg(F.sum("n").alias("_nx"))
+    pmi = (F.log(F.col("n").cast("double"))
+           + F.log(F.col("_N").cast("double"))
+           - F.log(F.col("_nc").cast("double"))
+           - F.log(F.col("_nx").cast("double")))
+    scored = (pairs
+              .join(F.broadcast(tot), how="cross")
+              .join(nc, "center").join(nx, "context")
+              .select("center", "context",
+                      F.round(pmi * 1e6).cast("long").alias("pmi_micro"))
+              .filter(F.col("pmi_micro") > 0))
+    w = Window.partitionBy("center").orderBy(
+        F.col("pmi_micro").desc(), F.col("context"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k))

@@ -119,3 +119,45 @@ def test_skipgram_no_cross_walk_pairs(spark):
     walks = random_walks(e, length=3, walks_per_node=1, seed=0,
                          starts=starts)
     assert skipgram_pairs(walks, window=2).count() == 0
+
+
+def test_ppmi_matches_reference(spark):
+    import math
+    from rdf_tabular_spark.kg.walks import ppmi_features
+
+    walks = random_walks(_edges(spark), length=5, walks_per_node=2,
+                         seed=1)
+    pairs = skipgram_pairs(walks, window=2)
+    got = {(r.center, r.context): (r.pmi_micro, r.rank)
+           for r in ppmi_features(pairs, top_k=3).collect()}
+
+    cnt = {(r.center, r.context): r.n for r in pairs.collect()}
+    N = sum(cnt.values())
+    ncs, nxs = {}, {}
+    for (c, x), n in cnt.items():
+        ncs[c] = ncs.get(c, 0) + n
+        nxs[x] = nxs.get(x, 0) + n
+    ref = {}
+    for (c, x), n in cnt.items():
+        p = round((math.log(n) + math.log(N) - math.log(ncs[c])
+                   - math.log(nxs[x])) * 1e6)
+        if p > 0:
+            ref.setdefault(c, []).append((-p, x))
+    want = {}
+    for c, lst in ref.items():
+        for rank, (negp, x) in enumerate(sorted(lst)[:3], 1):
+            want[(c, x)] = (-negp, rank)
+    assert got == want
+
+
+def test_ppmi_positive_only_and_bounded(spark):
+    from rdf_tabular_spark.kg.walks import ppmi_features
+
+    pairs = skipgram_pairs(random_walks(_edges(spark), length=5,
+                                        walks_per_node=2, seed=1),
+                           window=2)
+    rows = ppmi_features(pairs, top_k=2).collect()
+    assert all(r.pmi_micro > 0 for r in rows)
+    from collections import Counter
+    per = Counter(r.center for r in rows)
+    assert all(v <= 2 for v in per.values())
