@@ -6256,6 +6256,89 @@ def sql_kg_walk_pairs() -> str:
     """)
 
 
+def q_kg_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec walks (kg/walks.node2vec_walks — r4) on
+    the SYMMETRIZED part↔supplier graph, p=4 q=0.25 (outward bias,
+    return discouraged): integer-micro-unit α weights, per-state
+    cumulative interval draw, exactly the Grover-Leskovec §3.2 bias.
+    The twin unrolls the 3 steps — candidate join, dist-1 edge flag,
+    per-state cumulative window, interval pick."""
+    from rdf_tabular_spark.kg.walks import node2vec_walks
+
+    li = _t(spark, sf_dir, "lineitem")
+    pe = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("dst"))
+    e = pe.unionByName(pe.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"))).distinct()
+    starts = pe.select(F.col("src").alias("node")).distinct()
+    return node2vec_walks(e, length=4, walks_per_node=2, p=4.0, q=0.25,
+                          seed=0, starts=starts)
+
+
+def sql_kg_node2vec_walks() -> str:
+    wr, wn, wf = round(1e6 / 4.0), 1_000_000, round(1e6 / 0.25)
+
+    def step(t: int) -> str:
+        draw = (f"CAST(('0x'||substr(md5(start||'|'||walk||'|{t}|'"
+                f"||cur||'|0'), 1, 8)) AS BIGINT) % tot")
+        if t == 1:
+            w = "CAST(1 AS BIGINT)"
+        else:
+            w = (f"CAST(CASE WHEN r.dst = s.prev THEN {wr} "
+                 f"WHEN ef.near THEN {wn} ELSE {wf} END AS BIGINT)")
+        flag = ("" if t == 1 else
+                "  LEFT JOIN eflag ef ON s.prev = ef.eu "
+                "AND r.dst = ef.ex\n")
+        return f"""
+    cand{t} AS (
+      SELECT s.start, s.walk, s.cur, s.prev, s.path, r.dst, r.idx,
+             {w} AS w
+      FROM w{t - 1} s JOIN ranked r ON s.cur = r.src
+    {flag}),
+    cum{t} AS (
+      SELECT *,
+             SUM(w) OVER (PARTITION BY start, walk ORDER BY idx) AS hi,
+             SUM(w) OVER (PARTITION BY start, walk) AS tot
+      FROM cand{t}),
+    win{t} AS (
+      SELECT start, walk, dst AS nxt FROM cum{t}
+      WHERE {draw} >= hi - w AND {draw} < hi),
+    w{t} AS (
+      SELECT s.start, s.walk, COALESCE(n.nxt, s.cur) AS cur,
+             CASE WHEN n.nxt IS NOT NULL THEN s.cur
+                  ELSE s.prev END AS prev,
+             CASE WHEN n.nxt IS NOT NULL THEN s.path||'|'||n.nxt
+                  ELSE s.path END AS path
+      FROM w{t - 1} s
+      LEFT JOIN win{t} n ON s.start = n.start AND s.walk = n.walk)"""
+
+    steps = ",".join(step(t) for t in (1, 2, 3))
+    return f"""
+    WITH pe AS MATERIALIZED (
+      SELECT DISTINCT 'p'||l_partkey AS src, 's'||l_suppkey AS dst
+      FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT src, dst FROM pe
+      UNION SELECT dst, src FROM pe),
+    ranked AS MATERIALIZED (
+      SELECT src, dst,
+             CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                  AS BIGINT) AS idx
+      FROM e),
+    eflag AS (SELECT src AS eu, dst AS ex, TRUE AS near FROM e),
+    w0 AS (
+      SELECT node AS start, CAST(wk.walk AS BIGINT) AS walk,
+             node AS cur, CAST(NULL AS VARCHAR) AS prev, node AS path
+      FROM (SELECT DISTINCT src AS node FROM pe),
+           (SELECT UNNEST([0, 1]) AS walk) wk),
+    {steps}
+    SELECT start, walk, path, cur AS "end" FROM w3
+    """
+
+
 def q_kg_walk_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k PPMI context features from the walk corpus
     (kg/walks.ppmi_features — r4): the closed-form SGNS stand-in
@@ -7140,6 +7223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_fingerprint": q_kg_graph_fingerprint,
         "kg_canonical_ntriples": q_kg_canonical_ntriples,
         "kg_walk_ppmi": q_kg_walk_ppmi,
+        "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -7326,6 +7410,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_fingerprint": sql_kg_graph_fingerprint(),
         "kg_canonical_ntriples": sql_kg_canonical_ntriples(),
         "kg_walk_ppmi": sql_kg_walk_ppmi(),
+        "kg_node2vec_walks": sql_kg_node2vec_walks(),
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),

@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["random_walks", "skipgram_pairs", "ppmi_features"]
+__all__ = ["random_walks", "node2vec_walks", "skipgram_pairs",
+           "ppmi_features"]
 
 
 def _pick(start, w, t: int, cur, seed: int):
@@ -91,6 +92,92 @@ def random_walks(edges: DataFrame, *, length: int,
                        F.concat("path", F.lit("|"), F.col("dst")))
                 .otherwise(F.col("path")).alias("path"))
             .localCheckpoint(eager=False))
+
+    return state.select("start", "walk", "path",
+                        F.col("cur").alias("end"))
+
+
+def node2vec_walks(edges: DataFrame, *, length: int,
+                   walks_per_node: int = 1, p: float = 1.0,
+                   q: float = 1.0, seed: int = 0,
+                   starts: DataFrame | None = None) -> DataFrame:
+    """Second-order (p/q-biased) walks — full node2vec sampling
+    (Grover & Leskovec §3.2), deterministic. The step from ``cur``
+    with previous node ``prev`` weights each candidate ``x`` by the
+    search bias α: 1/p if ``x == prev`` (return), 1 if the edge
+    ``prev→x`` exists (BFS-ish), 1/q otherwise (DFS-ish); the first
+    step (no prev) is uniform, matching random_walks exactly.
+
+    Determinism: weights are INTEGER micro-units fixed on the driver
+    (round(1e6/p) etc.), each state draws ``md5(start|w|t|cur|seed)
+    mod Σweights`` and takes the candidate whose cumulative-weight
+    interval contains the draw — interval order is the neighbor rank,
+    so every engine and partitioning selects the same neighbor.
+
+    Per step: one equi-join state×adjacency (|states|·avg-degree
+    candidate rows), one edge-existence left join for the dist-1 flag
+    (equi on (prev, x)), a cumulative window PARTITIONED PER STATE
+    (bounded by the state's degree, never data-global), the interval
+    filter, and one join back to carry frozen sink states. Heavier
+    than the first-order walk by exactly the candidate fan-out — still
+    no driver loops over data and state never grows."""
+    wr = round(1e6 / p)   # return to prev
+    wn = 1_000_000        # prev→x edge exists
+    wf = round(1e6 / q)   # everything else
+    e = edges.select("src", "dst").distinct()
+    ranked = e.withColumn(
+        "idx", F.row_number().over(
+            Window.partitionBy("src").orderBy("dst")).cast("long") - 1
+    ).localCheckpoint(eager=False)
+    eflag = e.select(F.col("src").alias("_eu"),
+                     F.col("dst").alias("_ex"),
+                     F.lit(True).alias("_near"))
+
+    if starts is None:
+        starts = e.select(F.col("src").alias("node")).distinct()
+    state = (starts
+             .join(F.broadcast(
+                 starts.sparkSession.range(walks_per_node)
+                 .select(F.col("id").alias("walk"))), how="cross")
+             .select(F.col("node").alias("start"), "walk",
+                     F.col("node").alias("cur"),
+                     F.lit(None).cast("string").alias("prev"),
+                     F.col("node").alias("path")))
+
+    for t in range(1, length):
+        cand = (state.join(ranked, state["cur"] == ranked["src"])
+                .drop("src"))
+        if t == 1:
+            weight = F.lit(1).cast("long")
+        else:
+            cand = cand.join(
+                eflag, (cand["prev"] == eflag["_eu"])
+                & (cand["dst"] == eflag["_ex"]), "left") \
+                .drop("_eu", "_ex")
+            weight = (F.when(F.col("dst") == F.col("prev"), F.lit(wr))
+                      .when(F.col("_near"), F.lit(wn))
+                      .otherwise(F.lit(wf))).cast("long")
+        wdw = Window.partitionBy("start", "walk").orderBy("idx")
+        cum = (cand.withColumn("_w", weight)
+               .withColumn("_hi", F.sum("_w").over(wdw))
+               .withColumn("_tot", F.sum("_w").over(
+                   Window.partitionBy("start", "walk"))))
+        drawn = (_pick(F.col("start"), F.col("walk"), t, F.col("cur"),
+                       seed) % F.col("_tot"))
+        winner = (cum.filter((drawn >= F.col("_hi") - F.col("_w"))
+                             & (drawn < F.col("_hi")))
+                  .select("start", "walk", F.col("dst").alias("_nxt")))
+        state = (state.join(winner, ["start", "walk"], "left")
+                 .select(
+                     "start", "walk",
+                     F.coalesce("_nxt", "cur").alias("cur"),
+                     F.when(F.col("_nxt").isNotNull(), F.col("cur"))
+                     .otherwise(F.col("prev")).alias("prev"),
+                     F.when(F.col("_nxt").isNotNull(),
+                            F.concat("path", F.lit("|"),
+                                     F.col("_nxt")))
+                     .otherwise(F.col("path")).alias("path"))
+                 .localCheckpoint(eager=False))
 
     return state.select("start", "walk", "path",
                         F.col("cur").alias("end"))

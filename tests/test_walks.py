@@ -161,3 +161,99 @@ def test_ppmi_positive_only_and_bounded(spark):
     from collections import Counter
     per = Counter(r.center for r in rows)
     assert all(v <= 2 for v in per.values())
+
+
+def _n2v_py(edges, length, walks_per_node, p, q, seed):
+    from collections import defaultdict
+    wr, wn, wf = round(1e6 / p), 1_000_000, round(1e6 / q)
+    adj = defaultdict(list)
+    for s, d in sorted(set(edges)):
+        adj[s].append(d)
+    eset = set(edges)
+    out = {}
+    for start in sorted({s for s, _ in edges}):
+        for w in range(walks_per_node):
+            path, cur, prev = [start], start, None
+            for t in range(1, length):
+                nbrs = adj.get(cur, [])
+                if not nbrs:
+                    continue
+                if t == 1:
+                    weights = [1] * len(nbrs)
+                else:
+                    weights = [wr if x == prev
+                               else wn if (prev, x) in eset
+                               else wf for x in nbrs]
+                tot = sum(weights)
+                h = hashlib.md5(
+                    f"{start}|{w}|{t}|{cur}|{seed}".encode()).hexdigest()
+                draw = int(h[:8], 16) % tot
+                cum = 0
+                for x, wt in zip(nbrs, weights):
+                    cum += wt
+                    if draw < cum:
+                        nxt = x
+                        break
+                prev, cur = cur, nxt
+                path.append(nxt)
+            out[(start, w)] = "|".join(path)
+    return out
+
+
+TRI = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"),
+       ("c", "a"), ("c", "d"), ("d", "c")]
+
+
+def test_node2vec_matches_python_reference(spark):
+    from rdf_tabular_spark.kg.walks import node2vec_walks
+
+    e = spark.createDataFrame(TRI, "src string, dst string")
+    for p, q in ((4.0, 0.25), (0.5, 2.0), (1.0, 1.0)):
+        got = {(r.start, r.walk): r.path
+               for r in node2vec_walks(e, length=5, walks_per_node=2,
+                                       p=p, q=q, seed=9).collect()}
+        assert got == _n2v_py(TRI, 5, 2, p, q, 9), (p, q)
+
+
+def test_node2vec_first_step_matches_first_order(spark):
+    from rdf_tabular_spark.kg.walks import node2vec_walks
+
+    e = spark.createDataFrame(TRI, "src string, dst string")
+    a = {(r.start, r.walk): r.path.split("|")[1]
+         for r in node2vec_walks(e, length=2, walks_per_node=3,
+                                 p=9.0, q=0.1, seed=4).collect()}
+    b = {(r.start, r.walk): r.path.split("|")[1]
+         for r in random_walks(e, length=2, walks_per_node=3,
+                               seed=4).collect()}
+    assert a == b
+
+
+def test_node2vec_partitioning_invariant_and_valid(spark):
+    from rdf_tabular_spark.kg.walks import node2vec_walks
+
+    e1 = spark.createDataFrame(TRI, "src string, dst string")
+    e7 = e1.repartition(7)
+    a = sorted(map(tuple, node2vec_walks(
+        e1, length=4, walks_per_node=2, p=2.0, q=0.5,
+        seed=0).collect()))
+    b = sorted(map(tuple, node2vec_walks(
+        e7, length=4, walks_per_node=2, p=2.0, q=0.5,
+        seed=0).collect()))
+    assert a == b
+    es = set(TRI)
+    for start, w, path, end in a:
+        nodes = path.split("|")
+        assert nodes[0] == start and nodes[-1] == end
+        for u, v in zip(nodes, nodes[1:]):
+            assert (u, v) in es
+
+
+def test_node2vec_sink_freezes(spark):
+    from rdf_tabular_spark.kg.walks import node2vec_walks
+
+    e = spark.createDataFrame([("a", "b"), ("b", "z")],
+                              "src string, dst string")
+    got = {r.start: r.path for r in node2vec_walks(
+        e, length=6, walks_per_node=1, p=1.0, q=1.0,
+        seed=0).collect()}
+    assert got["a"] == "a|b|z"
