@@ -5447,6 +5447,56 @@ def sql_kg_kcore(k: int = 3, rounds: int = 20) -> str:
     """
 
 
+def q_kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss of the co-import graph (kg/graph.ktruss, k=3 — r4): the
+    edge-level tightening of k-core; every surviving edge closes ≥1
+    triangle IN the truss. Peel rounds pinned to max_iter=10 matching
+    the twin's unroll (same convention as kcore's 20/20); Spark warns
+    loudly if the peel needs more."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.ktruss(triples, k=3, min_files=2, max_iter=10)
+
+
+def sql_kg_ktruss(k: int = 3, rounds: int = 10) -> str:
+    """Per round: ordered triangle enumeration over the surviving
+    edges (a<b<c automatic — every edge stores a<b), explode into the
+    3 member edges, per-edge support count, peel support < k-2."""
+    steps = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+    t{i} AS MATERIALIZED (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM {prev} e1
+      JOIN {prev} e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b),
+    s{i} AS MATERIALIZED (
+      SELECT a, b, COUNT(*) AS support FROM (
+        SELECT a, b FROM t{i}
+        UNION ALL SELECT a, c FROM t{i}
+        UNION ALL SELECT b, c FROM t{i}) GROUP BY a, b),
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b, COALESCE(s.support, 0) AS support
+      FROM {prev} e LEFT JOIN s{i} s ON e.a = s.a AND e.b = s.b
+      WHERE COALESCE(s.support, 0) >= {k - 2})""")
+        prev = f"e{i}"
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    mods AS (
+      SELECT DISTINCT subj AS src, obj AS dst FROM kgq
+      WHERE obj_is_iri AND pred IN ('{_KG}imports', '{_KG}dependsOn')),
+    e0 AS MATERIALIZED (
+      SELECT x.dst AS a, y.dst AS b
+      FROM mods x JOIN mods y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY x.dst, y.dst
+      HAVING COUNT(*) >= 2){"".join(steps)}
+    SELECT a AS mod_a, b AS mod_b, CAST(support AS BIGINT) AS support
+    FROM {prev}
+    """
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components of the dependency graph (kg/graph.py
     components — min-label propagation, component id = min node IRI)."""
@@ -7224,6 +7274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_ntriples": q_kg_canonical_ntriples,
         "kg_walk_ppmi": q_kg_walk_ppmi,
         "kg_node2vec_walks": q_kg_node2vec_walks,
+        "kg_ktruss": q_kg_ktruss,
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -7411,6 +7462,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_ntriples": sql_kg_canonical_ntriples(),
         "kg_walk_ppmi": sql_kg_walk_ppmi(),
         "kg_node2vec_walks": sql_kg_node2vec_walks(),
+        "kg_ktruss": sql_kg_ktruss(),
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),

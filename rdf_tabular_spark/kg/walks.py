@@ -145,7 +145,10 @@ def node2vec_walks(edges: DataFrame, *, length: int,
                      F.col("node").alias("path")))
 
     for t in range(1, length):
-        cand = (state.join(ranked, state["cur"] == ranked["src"])
+        # candidates carry only the columns the draw needs — the path
+        # string stays out of the fan-out shuffle
+        slim = state.select("start", "walk", "cur", "prev")
+        cand = (slim.join(ranked, slim["cur"] == ranked["src"])
                 .drop("src"))
         if t == 1:
             weight = F.lit(1).cast("long")

@@ -471,3 +471,68 @@ def test_predict_links_partition_invariant(spark):
     one = sorted(map(tuple, predict_links(t).collect()))
     many = sorted(map(tuple, predict_links(t.repartition(13)).collect()))
     assert one == many and one
+
+
+def _coimport_df(spark, edges):
+    from pyspark.sql import functions as F
+    from rdf_tabular_spark.kg.annotate import KG, file_iri, module_iri
+
+    rows = []
+    for i, (x, y) in enumerate(edges):
+        for f in (f"f{i}x", f"f{i}y"):
+            rows += [(f, x), (f, y)]
+    return spark.createDataFrame(rows, "f string, m string").select(
+        file_iri(F.lit("r"), F.col("f")).alias("subj"),
+        F.lit(KG + "imports").alias("pred"),
+        module_iri(F.col("m")).alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"))
+
+
+def test_ktruss_tighter_than_kcore(spark):
+    from rdf_tabular_spark.kg import graph
+
+    # K4 {a,b,c,d} + triangle {d,e,f} + pendant f-g:
+    # 3-core: NOTHING outside K4 (e,f have degree 2) — but the
+    # 3-TRUSS keeps every triangle edge, incl. the d-e-f triangle;
+    # the 4-truss is exactly K4; the pendant edge dies in both.
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"),
+             ("d", "e"), ("d", "f"), ("e", "f"), ("f", "g")]
+    df = _coimport_df(spark, edges)
+
+    def norm(rows):
+        return {(r.mod_a.rsplit("/", 1)[-1], r.mod_b.rsplit("/", 1)[-1],
+                 r.support) for r in rows}
+
+    t3 = norm(graph.ktruss(df, k=3, min_files=2).collect())
+    t3_edges = {(a, b) for a, b, _ in t3}
+    assert ("f", "g") not in t3_edges and ("g", "f") not in t3_edges
+    assert len(t3_edges) == 9   # all triangle edges survive
+    # the shared d-e / d-f / e-f edges close exactly 1 triangle
+    assert ("d", "e", 1) in t3 or ("e", "d", 1) in t3
+
+    t4 = norm(graph.ktruss(df, k=4, min_files=2).collect())
+    assert {(a, b) for a, b, _ in t4} == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d")}
+    assert all(s == 2 for _, _, s in t4)  # every K4 edge: 2 triangles
+
+    # k-core comparison: the 3-core drops e and f entirely
+    core3 = {r.node.rsplit("/", 1)[-1]
+             for r in graph.kcore(df, k=3, min_files=2).collect()}
+    assert core3 == {"a", "b", "c", "d"}
+
+
+def test_ktruss_cascade(spark):
+    from rdf_tabular_spark.kg import graph
+
+    # two triangles glued on an edge {b,c}: 4-truss must peel BOTH
+    # (removing either apex edge drops {b,c} support below 2 in the
+    # induced subgraph — a cascade the one-shot support filter misses)
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+    df = _coimport_df(spark, edges)
+    assert graph.ktruss(df, k=4, min_files=2).count() == 0
+    t3 = graph.ktruss(df, k=3, min_files=2)
+    assert t3.count() == 5      # every edge closes >= 1 triangle
