@@ -6389,6 +6389,65 @@ def sql_kg_node2vec_walks() -> str:
     """
 
 
+def q_events_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival temporal reachability (ops/temporal.py — r4):
+    customer↔supplier contact edges timestamped by ship date (orders ⋈
+    lineitem), sources = every 100th customer; a path may only take
+    edges at ``ts >=`` its arrival — the contact-tracing semantics.
+    ≤3 hops pinned both sides; the twin unrolls 3 min-relaxations
+    (identity once converged)."""
+    from rdf_tabular_spark.ops.temporal import earliest_arrival
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cs = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
+          .select(
+              F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+              .alias("c"),
+              F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+              .alias("s"),
+              F.col("l_shipdate").cast("timestamp").alias("ts")))
+    edges = (cs.select(F.col("c").alias("src"), F.col("s").alias("dst"),
+                       "ts")
+             .unionByName(cs.select(F.col("s").alias("src"),
+                                    F.col("c").alias("dst"), "ts")))
+    sources = (_t(spark, sf_dir, "customer")
+               .filter(F.col("c_custkey") % 100 == 0)
+               .select(F.concat(F.lit("c"),
+                                F.col("c_custkey").cast("string"))
+                       .alias("node")))
+    return earliest_arrival(edges, sources, max_hops=3)
+
+
+def sql_events_temporal_reach() -> str:
+    relax = """
+    r{i} AS MATERIALIZED (
+      SELECT node, MIN(arrive) AS arrive FROM (
+        SELECT node, arrive FROM r{p}
+        UNION ALL
+        SELECT e.dst AS node, MIN(e.ts) AS arrive
+        FROM r{p} f JOIN e ON f.node = e.src AND e.ts >= f.arrive
+        GROUP BY e.dst)
+      GROUP BY node)"""
+    steps = ",".join(relax.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+    WITH cs AS MATERIALIZED (
+      SELECT 'c'||o.o_custkey AS c, 's'||l.l_suppkey AS s,
+             CAST(l.l_shipdate AS TIMESTAMP) AS ts
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    e AS MATERIALIZED (
+      SELECT DISTINCT c AS src, s AS dst, ts FROM cs
+      UNION
+      SELECT DISTINCT s, c, ts FROM cs),
+    r0 AS (
+      SELECT 'c'||c_custkey AS node,
+             TIMESTAMP '1900-01-01 00:00:00' AS arrive
+      FROM customer WHERE c_custkey % 100 = 0),
+    {steps}
+    SELECT node, arrive FROM r3
+    """
+
+
 def q_kg_walk_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k PPMI context features from the walk corpus
     (kg/walks.ppmi_features — r4): the closed-form SGNS stand-in
@@ -7275,6 +7334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walk_ppmi": q_kg_walk_ppmi,
         "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_ktruss": q_kg_ktruss,
+        "events_temporal_reach": q_events_temporal_reach,
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -7463,6 +7523,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_walk_ppmi": sql_kg_walk_ppmi(),
         "kg_node2vec_walks": sql_kg_node2vec_walks(),
         "kg_ktruss": sql_kg_ktruss(),
+        "events_temporal_reach": sql_events_temporal_reach(),
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),
