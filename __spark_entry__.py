@@ -6448,6 +6448,66 @@ def sql_events_temporal_reach() -> str:
     """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel drop-off (ops/funnel.funnel_counts — r4):
+    view → click → purchase, each stage counted at the earliest event
+    strictly LATER than the previous stage's conversion. The twin
+    chains three min-aggregations with the identical strictness."""
+    from rdf_tabular_spark.ops.funnel import funnel_counts
+
+    return funnel_counts(_t(spark, sf_dir, "events"),
+                         ["view", "click", "purchase"])
+
+
+def sql_events_funnel() -> str:
+    return """
+    WITH t1 AS (
+      SELECT user_id AS u, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+      JOIN t1 ON e.user_id = t1.u AND e.ts > t1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+      JOIN t2 ON e.user_id = t2.u AND e.ts > t2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST(1 AS INT) AS stage, 'view' AS stage_name,
+           (SELECT COUNT(*) FROM t1) AS users
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click', (SELECT COUNT(*) FROM t2)
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', (SELECT COUNT(*) FROM t3)
+    """
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (ops/funnel.retention_cohorts — r4):
+    cohort = Monday of the user's first-event week, distinct users per
+    (cohort, week offset)."""
+    from rdf_tabular_spark.ops.funnel import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), max_weeks=12)
+
+
+def sql_events_retention() -> str:
+    return """
+    WITH first AS (
+      SELECT user_id AS u, MIN(date_trunc('week', ts)) AS cw
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+      FROM events)
+    SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+           CAST(FLOOR((epoch(w) - epoch(cw)) / (7 * 86400)) AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT active.u) AS BIGINT) AS users
+    FROM active JOIN first ON active.u = first.u
+    WHERE FLOOR((epoch(w) - epoch(cw)) / (7 * 86400)) BETWEEN 0 AND 12
+    GROUP BY cw, 2
+    """
+
+
 def q_kg_walk_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k PPMI context features from the walk corpus
     (kg/walks.ppmi_features — r4): the closed-form SGNS stand-in
@@ -7335,6 +7395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_ktruss": q_kg_ktruss,
         "events_temporal_reach": q_events_temporal_reach,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -7524,6 +7586,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_node2vec_walks": sql_kg_node2vec_walks(),
         "kg_ktruss": sql_kg_ktruss(),
         "events_temporal_reach": sql_events_temporal_reach(),
+        "events_funnel": sql_events_funnel(),
+        "events_retention": sql_events_retention(),
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),
