@@ -2492,6 +2492,55 @@ def sql_embedding_pq_adc(m: int = 4, k: int = 8, iters: int = 2,
     """
 
 
+def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (ops/similarity.ivf_pq_topk — r4): coarse k-means prune
+    to 2 probed clusters, then ADC over PQ codes of the candidates
+    only — the FAISS IndexIVFPQ composition; neither the corpus nor
+    any float vector is touched at query time."""
+    from rdf_tabular_spark.ops.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return ivf_pq_topk(emb, _query_vec(), topk=10, n_clusters=8,
+                       n_probe=2, m=4, k=8, iters=2, dim=64)
+
+
+def sql_similarity_ivf_pq(m: int = 4, k: int = 8, iters: int = 2,
+                          dim: int = 64, topk: int = 10,
+                          n_probe: int = 2) -> str:
+    sub = dim // m
+    qv = _query_vec()
+    qv_lit = "[" + ",".join(repr(v) for v in qv) + "]"
+    chain = ",".join(_sql_pq_block(j, sub, k, iters) for j in range(m))
+    luts = ",".join(f"""
+    lut{j} AS (
+      SELECT ci, list_sum(list_transform(generate_series(1, {sub}),
+               i -> c[i] * ([{",".join(repr(float(v)) for v in qv[j * sub:(j + 1) * sub])}])[i])) AS v
+      FROM c{iters}_b{j})""" for j in range(m))
+    joins = " ".join(
+        f"JOIN afinal_b{j} a{j} USING (vec_id)" for j in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN lut{j} ON a{j}.cluster = lut{j}.ci" for j in range(m))
+    total = " + ".join(f"lut{j}.v" for j in range(m))
+    return (_sql_kmeans_prelude(dim=dim, k=8, iters=iters) + f""",
+    probes AS (
+      SELECT ci FROM (
+        SELECT ci,
+               list_sum(list_transform(generate_series(1, {dim}),
+                 i -> c[i] * ({qv_lit})[i]))
+               / (sqrt(list_sum(list_transform(c, x -> x * x)))
+                  * sqrt(list_sum(list_transform({qv_lit}, x -> x * x)))) AS sim
+        FROM c{iters})
+      ORDER BY sim DESC, ci LIMIT {n_probe}),
+    {chain},{luts}
+    SELECT a0.vec_id, round({total}, 6) AS adc_score
+    FROM afinal_b0 a0 {joins} {lut_joins}
+    JOIN afinal coarse ON coarse.vec_id = a0.vec_id
+    WHERE coarse.cluster IN (SELECT ci FROM probes)
+    ORDER BY adc_score DESC, a0.vec_id ASC LIMIT {topk}
+    """)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8-style quantization of the embedding column (FAISS-SQ8
     shape, ops/similarity.quantize_embeddings): per-dimension global
@@ -7397,6 +7446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_temporal_reach": q_events_temporal_reach,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "similarity_ivf_pq": q_similarity_ivf_pq,
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -7588,6 +7638,7 @@ def oracle_sql() -> dict[str, str]:
         "events_temporal_reach": sql_events_temporal_reach(),
         "events_funnel": sql_events_funnel(),
         "events_retention": sql_events_retention(),
+        "similarity_ivf_pq": sql_similarity_ivf_pq(),
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),

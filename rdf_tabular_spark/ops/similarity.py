@@ -462,3 +462,54 @@ def pq_adc_topk(emb: DataFrame, query: list[float], topk: int = 10,
     scored = codes.select(
         F.col(id_col), F.round(score, 6).alias("adc_score"))
     return scored.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(topk)
+
+
+def ivf_pq_topk(emb: DataFrame, query: list[float], topk: int = 10,
+                n_clusters: int = 8, n_probe: int = 2, m: int = 4,
+                k: int = 8, iters: int = 2, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
+    """IVF-PQ — the production billion-scale ANN composition (FAISS
+    IndexIVFPQ shape): a learned coarse quantizer PRUNES the corpus to
+    n_probe clusters, then asymmetric distance scans only those
+    candidates' PQ CODES — at query time neither the full corpus nor
+    any float vector is touched: one semi-join on the cluster id
+    against the (id, m codes) table, then the m-lookup ADC projection
+    and TakeOrderedAndProject.
+
+    Divergence from FAISS noted: codes quantize the RAW vectors, not
+    per-cluster residuals (residual PQ needs a codebook per coarse
+    cell — m·k·n_clusters driver cells; same plan shape, omitted for
+    codebook-size parity with pq_encode). Deterministic end to end:
+    both trainers are the bit-reproducible Lloyd's, probe ranking
+    happens on the driver over k tiny centroids, ADC sums in block
+    order, ties break by id."""
+    import math
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    assigned, cents = kmeans(emb, n_clusters, iters, id_col, vec_col)
+    qn = math.sqrt(sum(x * x for x in query))
+    ranked = sorted(
+        (-(sum(a * b for a, b in zip(c, query))
+           / (math.sqrt(sum(a * a for a in c)) * qn)), i)
+        for i, c in enumerate(cents))
+    probe = [i for _, i in ranked[:n_probe]]
+
+    codes, books = pq_encode(emb, m=m, k=k, iters=iters,
+                             id_col=id_col, vec_col=vec_col, dim=dim)
+    cand = codes.join(
+        assigned.filter(F.col("cluster").isin(probe)).select(id_col),
+        id_col)
+    sub = dim // m
+    score = None
+    for j, cbook in enumerate(books):
+        qb = query[j * sub:(j + 1) * sub]
+        lut = [sum(qi * ci for qi, ci in zip(qb, c)) for c in cbook]
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in lut]),
+            F.col(f"code_{j}") + 1)
+        score = term if score is None else score + term
+    scored = cand.select(
+        F.col(id_col), F.round(score, 6).alias("adc_score"))
+    return scored.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(topk)

@@ -238,3 +238,20 @@ def test_hard_negative_band_and_per_anchor(spark):
     for ranks in per_anchor.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_ivf_pq_composition(spark, emb):
+    """IVF-PQ candidates ⊆ the probed clusters; scores equal the plain
+    ADC scores for the same ids (same codebooks, same LUT)."""
+    from rdf_tabular_spark.ops.similarity import (ivf_pq_topk,
+                                                  pq_adc_topk)
+
+    q = [0.1] * 64
+    got = ivf_pq_topk(emb, q, topk=10, n_clusters=4, n_probe=2,
+                      m=4, k=4, dim=64)
+    rows = got.collect()
+    assert 0 < len(rows) <= 10
+    full = {r.vec_id: r.adc_score for r in pq_adc_topk(
+        emb, q, topk=10_000, m=4, k=4, dim=64).collect()}
+    for r in rows:
+        assert abs(full[r.vec_id] - r.adc_score) < 1e-9
