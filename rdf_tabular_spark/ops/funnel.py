@@ -32,11 +32,20 @@ __all__ = ["funnel_conversions", "funnel_counts", "retention_cohorts"]
 
 def funnel_conversions(events: DataFrame, stages: list[str], *,
                        user_col: str = "user_id", ts_col: str = "ts",
-                       type_col: str = "event_type") -> DataFrame:
+                       type_col: str = "event_type",
+                       within_seconds: int | None = None) -> DataFrame:
     """Per-user conversion times ``(user, t_1 … t_n)`` for the ordered
     *stages*; ``t_i`` is NULL from the first stage the user never
     (subsequently) reached. One user-keyed aggregation per stage over
-    the per-(user, type) min-ts table."""
+    the per-(user, type) min-ts table.
+
+    *within_seconds* adds a conversion deadline: stage i counts only
+    within that many seconds of stage i-1's conversion (the standard
+    product-analytics funnel window). NOTE the greedy-earliest
+    semantics shared with the unwindowed funnel: stage i-1 binds to
+    its EARLIEST valid occurrence, it is not re-chosen to rescue a
+    later stage i (matching Amplitude/Mixpanel "first occurrence"
+    funnels)."""
     # stage 1 needs only the min; later stages need "min ts > prev",
     # which the sorted per-(user, type) event-time array answers
     # without re-scanning the stream
@@ -54,7 +63,12 @@ def funnel_conversions(events: DataFrame, stages: list[str], *,
         prev = F.col(f"t_{i - 1}")
         # earliest element of the sorted array strictly after prev
         # (try_element_at: the filtered array may be empty — ANSI-safe)
-        nxt = F.filter(F.col(st), lambda x: x > prev)
+        if within_seconds is None:
+            nxt = F.filter(F.col(st), lambda x: x > prev)
+        else:
+            hi = F.timestamp_add("SECOND", F.lit(within_seconds), prev)
+            nxt = F.filter(F.col(st),
+                           lambda x: (x > prev) & (x <= hi))
         out = out.withColumn(
             f"t_{i}",
             F.when(prev.isNotNull(), F.try_element_at(nxt, F.lit(1))))

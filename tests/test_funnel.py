@@ -81,3 +81,20 @@ def test_retention_cohorts(spark):
     assert got[("2024-01-01", 3)] == 1
     assert got[("2024-01-08", 0)] == 1
     assert ("2024-01-01", 2) not in got
+
+
+def test_funnel_conversion_window(spark):
+    got = {r.user: (r.t_1, r.t_2, r.t_3)
+           for r in funnel_conversions(
+               _e(spark), STAGES, within_seconds=1800).collect()}
+    # u1's click is 60 min after view: outside a 30-min window
+    assert got[1] == (_ts("2024-01-01 10:00:00"), None, None)
+    # u2's valid click is 60 min after view: also out
+    assert got[2] == (_ts("2024-01-02 10:00:00"), None, None)
+    wide = {r.user: (r.t_1, r.t_2, r.t_3)
+            for r in funnel_conversions(
+                _e(spark), STAGES, within_seconds=3600).collect()}
+    # 60 min exactly: inclusive upper bound
+    assert wide[1] == (_ts("2024-01-01 10:00:00"),
+                       _ts("2024-01-01 11:00:00"),
+                       _ts("2024-01-01 12:00:00"))
