@@ -5018,6 +5018,95 @@ def _doc_stream_dir(sf_dir: str) -> str:
     return d
 
 
+def _event_stream_dir(sf_dir: str) -> str:
+    """The events table staged TIME-SORTED into 3 parquet files — the
+    per-user time-ordered arrival the streaming funnel's state-merge
+    correctness argument requires (lexicographic file pickup ==
+    event-time order)."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src_file = f"{sf_dir}/events.parquet"
+    tbl = pq.read_table(src_file)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+    key = _staging_key(src_file)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"rdf_tabular_spark_events_stream_{tbl.num_rows}_{key}")
+    marker = os.path.join(d, "_STAGED")
+    if os.path.exists(marker):
+        return d
+    tmp = f"{d}.{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    n = tbl.num_rows
+    bounds = [0, n // 3, 2 * n // 3, n]
+    for j in range(3):
+        pq.write_table(tbl.slice(bounds[j], bounds[j + 1] - bounds[j]),
+                       os.path.join(tmp, f"part-{j}.parquet"))
+    with open(os.path.join(tmp, "_STAGED"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def q_events_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming strict-order funnel (streaming/incremental.
+    run_streaming_funnel — r4): per-user conversion vectors maintained
+    across 3 time-ordered micro-batches; conversions may CROSS batches
+    (the state-merge evaluates batch stage arrays against the merged
+    predecessor). The drained sink must equal the batch recurrence the
+    twin computes from scratch."""
+    import os
+    import tempfile
+
+    from rdf_tabular_spark.streaming.incremental import \
+        run_streaming_funnel
+
+    src = _event_stream_dir(sf_dir)
+    schema = spark.read.parquet(src).schema
+    work = tempfile.mkdtemp(prefix="rdf_tabular_spark_funnel_stream_q_")
+    q = run_streaming_funnel(
+        spark, src, os.path.join(work, "sink"),
+        os.path.join(work, "ckpt"), schema,
+        ["view", "click", "purchase"])
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming funnel did not drain within 600s")
+    return spark.read.parquet(os.path.join(work, "sink"))
+
+
+def sql_events_streaming_funnel() -> str:
+    return """
+    WITH base AS (
+      SELECT DISTINCT user_id AS u FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    t1 AS (
+      SELECT user_id AS u, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+      JOIN t1 ON e.user_id = t1.u AND e.ts > t1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+      JOIN t2 ON e.user_id = t2.u AND e.ts > t2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT base.u AS user, t1.t AS t_1, t2.t AS t_2, t3.t AS t_3
+    FROM base
+    LEFT JOIN t1 ON base.u = t1.u
+    LEFT JOIN t2 ON base.u = t2.u
+    LEFT JOIN t3 ON base.u = t3.u
+    """
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming exact dedup, oracle-checked: documents arrive
     in 3 micro-batches; each batch min-merges (fingerprint -> min doc_id)
@@ -7447,6 +7536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "similarity_ivf_pq": q_similarity_ivf_pq,
+        "events_streaming_funnel": q_events_streaming_funnel,
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -7639,6 +7729,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": sql_events_funnel(),
         "events_retention": sql_events_retention(),
         "similarity_ivf_pq": sql_similarity_ivf_pq(),
+        "events_streaming_funnel": sql_events_streaming_funnel(),
         "csvw_multiline_frame": sql_csvw_multiline_frame(),
         "kg_bgp_ask": sql_kg_bgp_ask(),
         "kg_bgp_negated": sql_kg_bgp_negated(),

@@ -27,7 +27,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_conversions", "funnel_counts", "retention_cohorts"]
+__all__ = ["funnel_conversions", "funnel_counts", "retention_cohorts",
+           "stage_event_arrays"]
+
+
+def stage_event_arrays(events: DataFrame, stages: list[str], *,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type") -> DataFrame:
+    """One row per user with a SORTED event-time array per stage
+    (column named after the stage; NULL when the user has none) —
+    stage 1 needs only the min, later stages need "min ts > prev",
+    which the sorted array answers without re-scanning the stream.
+    Shared by the batch funnel and the streaming per-batch merge."""
+    pre = (events
+           .filter(F.col(type_col).isin(stages))
+           .groupBy(F.col(user_col).alias("user"),
+                    F.col(type_col).alias("_t"))
+           .agg(F.sort_array(F.collect_list(F.col(ts_col)))
+                .alias("_ts")))
+    return pre.groupBy("user").pivot("_t", stages).agg(F.first("_ts"))
 
 
 def funnel_conversions(events: DataFrame, stages: list[str], *,
@@ -46,17 +64,8 @@ def funnel_conversions(events: DataFrame, stages: list[str], *,
     its EARLIEST valid occurrence, it is not re-chosen to rescue a
     later stage i (matching Amplitude/Mixpanel "first occurrence"
     funnels)."""
-    # stage 1 needs only the min; later stages need "min ts > prev",
-    # which the sorted per-(user, type) event-time array answers
-    # without re-scanning the stream
-    pre = (events
-           .filter(F.col(type_col).isin(stages))
-           .groupBy(F.col(user_col).alias("user"),
-                    F.col(type_col).alias("_t"))
-           .agg(F.sort_array(F.collect_list(F.col(ts_col)))
-                .alias("_ts")))
-    wide = pre.groupBy("user").pivot("_t", stages).agg(
-        F.first("_ts"))
+    wide = stage_event_arrays(events, stages, user_col=user_col,
+                              ts_col=ts_col, type_col=type_col)
     out = wide.withColumn("t_1", F.try_element_at(F.col(stages[0]),
                                                   F.lit(1)))
     for i, st in enumerate(stages[1:], start=2):

@@ -315,3 +315,81 @@ def run_streaming_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_funnel(spark: SparkSession, source_dir: str,
+                         sink_path: str, checkpoint: str, schema,
+                         stages: list[str],
+                         within_seconds: int | None = None,
+                         max_files_per_trigger: int = 1):
+    """Streaming strict-order funnel: the per-user conversion vector
+    ``(user, t_1 … t_n)`` maintained per micro-batch, equal to the
+    batch ops/funnel.funnel_conversions over everything delivered.
+
+    Correctness argument (why a conversion-vector state suffices):
+    arrival is per-user TIME-ORDERED (the staging contract here; a
+    production deployment gets it from a watermarked sort or
+    event-time log compaction). Under that order a conversion time,
+    once set, is final — every later event is later in event time —
+    and an event unusable in its own batch (its stage's predecessor
+    not yet converted) is unusable forever (it precedes any future
+    predecessor conversion). So the left-to-right merge per user
+      t_i' = t_i if set else min ts of batch stage-i events with
+             ts > t_{i-1}' (and within the window, if any)
+    replays exactly the batch greedy recurrence.
+
+    The sink rewrite is the test-scale stand-in for an Iceberg MERGE
+    INTO keyed on user (the same convention as the streaming
+    RDFS/OWL/CONSTRUCT sinks)."""
+    from ..ops.funnel import stage_event_arrays
+
+    n = len(stages)
+    cols = [f"t_{i + 1}" for i in range(n)]
+
+    def merge(batch_df: DataFrame, _epoch: int) -> None:
+        # the batch's per-(user, stage) SORTED event-time arrays — the
+        # merge evaluates each stage against the MERGED predecessor
+        # (batch events must combine with state from earlier batches:
+        # a click arriving after the view's batch still converts)
+        arrs = stage_event_arrays(batch_df, stages)
+        if os.path.exists(os.path.join(sink_path, "_SUCCESS")):
+            old = spark.read.parquet(sink_path)
+        else:
+            old = (arrs.select("user")
+                   .limit(0)
+                   .select("user", *[
+                       F.lit(None).cast("timestamp").alias(c)
+                       for c in cols]))
+        o = old.select("user", *[F.col(c).alias(f"_o{c}") for c in cols])
+        m = o.join(arrs, "user", "full")
+        out = m.withColumn(
+            cols[0], F.coalesce(
+                F.col(f"_o{cols[0]}"),
+                F.try_element_at(F.col(stages[0]), F.lit(1))))
+        for i in range(1, n):
+            c, st = cols[i], stages[i]
+            prev = F.col(cols[i - 1])
+            if within_seconds is None:
+                cand = F.filter(F.col(st), lambda x: x > prev)
+            else:
+                hi = F.timestamp_add("SECOND", F.lit(within_seconds),
+                                     prev)
+                cand = F.filter(F.col(st),
+                                lambda x: (x > prev) & (x <= hi))
+            out = out.withColumn(
+                c, F.coalesce(
+                    F.col(f"_o{c}"),
+                    F.when(prev.isNotNull(),
+                           F.try_element_at(cand, F.lit(1)))))
+        out = out.select("user", *cols).localCheckpoint()
+        out.write.mode("overwrite").parquet(sink_path)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(merge)
+        .start()
+    )

@@ -331,3 +331,63 @@ def test_streaming_owl_matches_batch_closure(spark, tmp_path):
     assert got == want
     # the chain really fired: symbols got repo membership
     assert any(p == KG + "inRepo" and "/sym/" in s for s, p, *_ in got)
+
+
+def test_streaming_funnel_equals_batch(spark, tmp_path):
+    """Conversions CROSSING micro-batches (view in batch 1, click in
+    batch 2, purchase in batch 3) — the case a batch-local-vector merge
+    would miss — plus an out-of-window click under within_seconds."""
+    import datetime as dt
+
+    from rdf_tabular_spark.ops.funnel import funnel_conversions
+    from rdf_tabular_spark.streaming.incremental import \
+        run_streaming_funnel
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    batches = [
+        [(1, "view", ts("2024-01-01 10:00:00")),
+         (2, "view", ts("2024-01-01 10:05:00")),
+         (3, "click", ts("2024-01-01 10:06:00"))],   # click before view
+        [(1, "click", ts("2024-01-01 11:00:00")),
+         (3, "view", ts("2024-01-01 11:30:00"))],
+        [(1, "purchase", ts("2024-01-01 12:00:00")),
+         (2, "click", ts("2024-01-02 10:00:00")),    # 24h after view
+         (3, "click", ts("2024-01-01 12:30:00"))],
+    ]
+    schema = "user_id bigint, event_type string, ts timestamp"
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(src / f"b{i}"))
+    # flatten the nested dirs into single files for maxFilesPerTrigger
+    import glob
+    import shutil
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i in range(3):
+        f = glob.glob(str(src / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, str(flat / f"{i:03d}.parquet"))
+
+    stages = ["view", "click", "purchase"]
+    for within in (None, 3600):
+        sink = str(tmp_path / f"sink_{within}")
+        ckpt = str(tmp_path / f"ckpt_{within}")
+        q = run_streaming_funnel(spark, str(flat), sink, ckpt, schema,
+                                 stages, within_seconds=within)
+        assert q.awaitTermination(300)
+        got = {r.user: (r.t_1, r.t_2, r.t_3)
+               for r in spark.read.parquet(sink).collect()}
+        allb = spark.createDataFrame(
+            [r for b in batches for r in b], schema)
+        want = {r.user: (r.t_1, r.t_2, r.t_3)
+                for r in funnel_conversions(
+                    allb, stages, within_seconds=within).collect()}
+        assert got == want, (within, got, want)
+        # and the cross-batch conversion really happened
+        if within is None:
+            assert got[1][2] is not None
+        else:
+            assert got[2][1] is None   # 24h click out of the 1h window
