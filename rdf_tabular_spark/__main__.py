@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="csv2json output instead of RDF")
     ap.add_argument("--format", choices=["ntriples", "turtle"],
                 default="ntriples")
+    ap.add_argument("--canonical", action="store_true",
+                help="canonicalize blank-node labels (WL hash refinement, "
+                     "kg/canon.py) and emit sorted canonical N-Triples — "
+                     "byte-identical output for isomorphic graphs")
     ap.add_argument("-o", "--output",
                     help="output directory (distributed text write); "
                          "default: stdout")
@@ -139,6 +143,16 @@ def _run(spark, args) -> int:
         return 0
     from .operators.ntriples import to_ntriples_lines, write_ntriples
 
+    if args.canonical:
+        from .kg.canon import canonical_ntriples
+
+        lines = canonical_ntriples(result.triples)
+        if args.output:
+            lines.write.mode("overwrite").text(args.output)
+        else:
+            for r in lines.collect():
+                print(r[0])
+        return 0
     if args.output:
         write_ntriples(result.triples, args.output)
     else:

@@ -22,6 +22,7 @@ class _Args:
         self.output = None
         self.validate = False
         self.sparql = None
+        self.canonical = False
         for k, v in kw.items():
             setattr(self, k, v)
 
@@ -105,3 +106,21 @@ def test_cli_sparql_construct_prints_ntriples(spark, capsys):
     assert _run(spark, args) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 2 and all(" <http://e/street> " in ln for ln in out)
+
+
+def test_cli_canonical_ntriples(capsys):
+    """--canonical: two runs over the same input produce byte-identical
+    sorted output with _:c-prefixed canonical labels."""
+    from rdf_tabular_spark.__main__ import main
+    from tests.conftest import FIXTURE_DIR
+    import os
+
+    src = os.path.join(FIXTURE_DIR, "test232.csv")
+    outs = []
+    for _ in range(2):
+        assert main([src, "--mode", "minimal", "--canonical"]) == 0
+        outs.append(capsys.readouterr().out)
+    assert outs[0] == outs[1]
+    lines = outs[0].strip().split("\n")
+    assert lines == sorted(lines)
+    assert any(ln.startswith("_:c") for ln in lines)
