@@ -111,6 +111,24 @@ def jobs(spark, src_path: str) -> dict[str, float]:
                   "text",
                   F.array_join(F.array_repeat(F.lit("w"), 50), " ")),
               n_shards=32).count())
+    # walk-sampling skew (r4): the hot module (~90% of files import it)
+    # is one node with both a huge in-degree and, symmetrized, a huge
+    # out-degree — the candidate join fans out |states at node| ×
+    # degree; the ranked-adjacency equi-join + AQE skew split must hold
+    # the wall time vs the uniform corpus
+    from rdf_tabular_spark.kg.walks import node2vec_walks, random_walks
+
+    wedges = edges.select(F.col("subj").alias("src"),
+                          F.col("obj").alias("dst"))
+    sym = wedges.unionByName(
+        wedges.select(F.col("dst").alias("src"),
+                      F.col("src").alias("dst")))
+    timed("random_walks",
+          lambda: random_walks(sym, length=4,
+                               walks_per_node=1).count())
+    timed("node2vec_walks",
+          lambda: node2vec_walks(sym, length=3, walks_per_node=1,
+                                 p=4.0, q=0.25).count())
     return out
 
 
