@@ -7515,14 +7515,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact covers a prefix of
     # this registry (r2 and r3 each stopped at exactly 50 rows), so the
-    # LEAST-PROVEN rows come first: (1) the 25 rows that have never
-    # appeared in any driver artifact (r2 ∪ r3), (2) the 6 rows whose r3
-    # record was hash_match:false from the DuckDB-HUGEINT twin type bug
-    # (twins re-cast to BIGINT this round — VERDICT r3 item 1), (3) the
-    # r2-proven rows (oldest records, they refresh inside the window),
-    # and last (4) the 44 rows CORRECTNESS_r03 proved hash-exact.
+    # LEAST-PROVEN rows come first: (0a) the r4-TAIL rows (newest, zero
+    # driver history), (0) the rest of the r4 additions, (1) the 25 rows
+    # that had never appeared in any driver artifact (r2 ∪ r3), (2) the 6
+    # rows whose r3 record was hash_match:false from the DuckDB-HUGEINT
+    # twin type bug (twins re-cast to BIGINT this round — VERDICT r3
+    # item 1), (3) the r2-proven rows (oldest records, they refresh
+    # inside the window), and last (4) the 44 rows CORRECTNESS_r03
+    # proved hash-exact. Overflow past the 50-row window rotates next
+    # round.
     return {
-        # -- (0) new this round: no driver record yet --------------------
+        # -- (0a) r4 tail: newest, no driver record yet ------------------
         "kg_canonicalize": q_kg_canonicalize,
         "kg_canon_diff": q_kg_canon_diff,
         "kg_random_walks": q_kg_random_walks,
@@ -7537,6 +7540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "similarity_ivf_pq": q_similarity_ivf_pq,
         "events_streaming_funnel": q_events_streaming_funnel,
+        # -- (0) new this round (earlier r4 sessions) --------------------
         "kg_bgp_alt_closure": q_kg_bgp_alt_closure,
         "csvw_multiline_frame": q_csvw_multiline_frame,
         "kg_bgp_ask": q_kg_bgp_ask,
