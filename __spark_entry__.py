@@ -6586,6 +6586,63 @@ def sql_events_temporal_reach() -> str:
     """
 
 
+def q_events_temporal_depart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-departure temporal reachability (ops/temporal.
+    latest_departure — r4): the backward mirror of
+    events_temporal_reach — MAX relaxation with ts <= depart toward a
+    target set (every 100th supplier), ≤3 hops pinned both sides."""
+    from rdf_tabular_spark.ops.temporal import latest_departure
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cs = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
+          .select(
+              F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+              .alias("c"),
+              F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+              .alias("s"),
+              F.col("l_shipdate").cast("timestamp").alias("ts")))
+    edges = (cs.select(F.col("c").alias("src"), F.col("s").alias("dst"),
+                       "ts")
+             .unionByName(cs.select(F.col("s").alias("src"),
+                                    F.col("c").alias("dst"), "ts")))
+    targets = (_t(spark, sf_dir, "supplier")
+               .filter(F.col("s_suppkey") % 100 == 0)
+               .select(F.concat(F.lit("s"),
+                                F.col("s_suppkey").cast("string"))
+                       .alias("node")))
+    return latest_departure(edges, targets, max_hops=3)
+
+
+def sql_events_temporal_depart() -> str:
+    relax = """
+    r{i} AS MATERIALIZED (
+      SELECT node, MAX(depart) AS depart FROM (
+        SELECT node, depart FROM r{p}
+        UNION ALL
+        SELECT e.src AS node, MAX(e.ts) AS depart
+        FROM r{p} f JOIN e ON f.node = e.dst AND e.ts <= f.depart
+        GROUP BY e.src)
+      GROUP BY node)"""
+    steps = ",".join(relax.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+    WITH cs AS MATERIALIZED (
+      SELECT 'c'||o.o_custkey AS c, 's'||l.l_suppkey AS s,
+             CAST(l.l_shipdate AS TIMESTAMP) AS ts
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    e AS MATERIALIZED (
+      SELECT DISTINCT c AS src, s AS dst, ts FROM cs
+      UNION
+      SELECT DISTINCT s, c, ts FROM cs),
+    r0 AS (
+      SELECT 's'||s_suppkey AS node,
+             TIMESTAMP '2100-01-01 00:00:00' AS depart
+      FROM supplier WHERE s_suppkey % 100 = 0),
+    {steps}
+    SELECT node, depart FROM r3
+    """
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order funnel drop-off (ops/funnel.funnel_counts — r4):
     view → click → purchase, each stage counted at the earliest event
@@ -7536,6 +7593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_ktruss": q_kg_ktruss,
         "events_temporal_reach": q_events_temporal_reach,
+        "events_temporal_depart": q_events_temporal_depart,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "similarity_ivf_pq": q_similarity_ivf_pq,
@@ -7730,6 +7788,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_node2vec_walks": sql_kg_node2vec_walks(),
         "kg_ktruss": sql_kg_ktruss(),
         "events_temporal_reach": sql_events_temporal_reach(),
+        "events_temporal_depart": sql_events_temporal_depart(),
         "events_funnel": sql_events_funnel(),
         "events_retention": sql_events_retention(),
         "similarity_ivf_pq": sql_similarity_ivf_pq(),

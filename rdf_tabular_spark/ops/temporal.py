@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["earliest_arrival"]
+__all__ = ["earliest_arrival", "latest_departure"]
 
 
 def earliest_arrival(edges: DataFrame, sources: DataFrame, *,
@@ -63,6 +63,46 @@ def earliest_arrival(edges: DataFrame, sources: DataFrame, *,
             .filter(F.col("_old").isNull()
                     | (F.col("arrive") < F.col("_old")))
             .select("node", "arrive"))
+        if frontier.isEmpty():
+            return merged
+        best = merged
+    return best
+
+
+def latest_departure(edges: DataFrame, targets: DataFrame, *,
+                     max_hops: int = 4,
+                     deadline_ts: str = "2100-01-01") -> DataFrame:
+    """``(node, depart)`` — the LATEST time one can leave each node and
+    still reach a target along a time-respecting path of ≤ *max_hops*
+    edges (Wu et al.'s latest-departure problem, the exact mirror of
+    :func:`earliest_arrival`): relax backward with a MAX aggregation,
+    taking edge ``(u, v, ts)`` only when ``ts <=`` v's known latest
+    departure (you must still make the rest of the journey after
+    arriving). Targets start at *deadline_ts*.
+
+    Same shape as the forward problem: dst-keyed edge layout reused
+    every round, one equi-join + max-agg, improved-rows-only frontier,
+    pure max-of-timestamps fixpoint."""
+    e = (edges.select("src", "dst", "ts").distinct()
+         .repartition("dst").localCheckpoint(eager=False))
+    best = targets.select(
+        "node", F.lit(deadline_ts).cast("timestamp").alias("depart"))
+    frontier = best
+    for _ in range(max_hops):
+        reached = (
+            frontier.join(e, frontier["node"] == e["dst"])
+            .filter(F.col("ts") <= F.col("depart"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.max("ts").alias("depart")))
+        merged = (best.unionByName(reached)
+                  .groupBy("node").agg(F.max("depart").alias("depart"))
+                  .localCheckpoint(eager=False))
+        frontier = (merged.join(
+            best.select("node", F.col("depart").alias("_old")),
+            "node", "left")
+            .filter(F.col("_old").isNull()
+                    | (F.col("depart") > F.col("_old")))
+            .select("node", "depart"))
         if frontier.isEmpty():
             return merged
         best = merged

@@ -71,3 +71,35 @@ def test_early_convergence_stops(spark):
     got = earliest_arrival(_e(spark), _src(spark, "a"),
                            max_hops=10).collect()
     assert {r.node for r in got} == {"a", "b", "c", "d"}
+
+
+def test_latest_departure_mirror(spark):
+    from rdf_tabular_spark.ops.temporal import latest_departure
+
+    tgt = spark.createDataFrame([("d",)], "node string")
+    got = {r.node: r.depart for r in latest_departure(
+        _e(spark), tgt, max_hops=4).collect()}
+    # to reach d: from c take c->d at 12:00 (leave by 12:00); from b the
+    # usable path is b->c (11:00) -> d, NOT the 09:00 b->d edge which is
+    # still valid (09:00 <= deadline): latest departure from b is the
+    # MAX over both = 11:00
+    assert got["c"] == _ts("2024-01-01 12:00:00")
+    assert got["b"] == _ts("2024-01-01 11:00:00")
+    # from a: a->d direct at 2024-01-02, beating a->b (10:00)
+    assert got["a"] == _ts("2024-01-02 00:00:00")
+
+
+def test_latest_departure_respects_time(spark):
+    from rdf_tabular_spark.ops.temporal import latest_departure
+
+    # chain a -t10-> b -t5-> c: b cannot reach c after arriving at 10,
+    # so a has NO path to c; b's departure toward c is 5
+    e = spark.createDataFrame(
+        [("a", "b", _ts("2024-01-01 10:00:00")),
+         ("b", "c", _ts("2024-01-01 05:00:00"))],
+        "src string, dst string, ts timestamp")
+    tgt = spark.createDataFrame([("c",)], "node string")
+    got = {r.node: r.depart for r in latest_departure(
+        e, tgt, max_hops=4).collect()}
+    assert got["b"] == _ts("2024-01-01 05:00:00")
+    assert "a" not in got
