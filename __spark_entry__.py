@@ -5035,7 +5035,7 @@ def _event_stream_dir(sf_dir: str) -> str:
     key = _staging_key(src_file)
     d = os.path.join(
         tempfile.gettempdir(),
-        f"rdf_tabular_spark_events_stream_{tbl.num_rows}_{key}")
+        f"rdf_tabular_spark_events_stream_v2_{tbl.num_rows}_{key}")
     marker = os.path.join(d, "_STAGED")
     if os.path.exists(marker):
         return d
@@ -5044,8 +5044,12 @@ def _event_stream_dir(sf_dir: str) -> str:
     n = tbl.num_rows
     bounds = [0, n // 3, 2 * n // 3, n]
     for j in range(3):
-        pq.write_table(tbl.slice(bounds[j], bounds[j + 1] - bounds[j]),
-                       os.path.join(tmp, f"part-{j}.parquet"))
+        p = os.path.join(tmp, f"part-{j}.parquet")
+        pq.write_table(tbl.slice(bounds[j], bounds[j + 1] - bounds[j]), p)
+        # FileStreamSource orders micro-batches by MODIFICATION TIME —
+        # pin strictly increasing mtimes so batch pickup order matches
+        # the event-time slicing (the funnel's arrival contract)
+        os.utime(p, (1700000000 + j * 10, 1700000000 + j * 10))
     with open(os.path.join(tmp, "_STAGED"), "w") as f:
         f.write("ok")
     try:

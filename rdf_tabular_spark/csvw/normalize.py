@@ -412,7 +412,11 @@ def _sanitize_obj(obj: dict, cls: str, base: str | None,
             elif not isinstance(v, str):
                 warnings.append(f"Transformation has invalid property "
                                 f"{key!r} ({v!r}): expected a string")
-                obj[key] = ""
+                # DELETE rather than blank: an empty-string stand-in
+                # would satisfy the next sanitize pass and break
+                # idempotence (the error must persist — found by the
+                # Hypothesis property, r4 tail)
+                del obj[key]
                 errors.append(
                     f"Transformation missing required key '{key}'")
         _warn_drop(obj, cls, "source", lambda v: v in ("json", "rdf"),

@@ -367,9 +367,15 @@ def test_streaming_funnel_equals_batch(spark, tmp_path):
     import shutil
     flat = tmp_path / "flat"
     flat.mkdir()
+    import os
     for i in range(3):
         f = glob.glob(str(src / f"b{i}" / "part-*.parquet"))[0]
-        shutil.copy(f, str(flat / f"{i:03d}.parquet"))
+        dst = str(flat / f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        # FileStreamSource orders batches by MODIFICATION TIME, not
+        # name — same-second mtimes make pickup order (and therefore
+        # the time-ordered-arrival contract) nondeterministic
+        os.utime(dst, (1700000000 + i * 10, 1700000000 + i * 10))
 
     stages = ["view", "click", "purchase"]
     for within in (None, 3600):
