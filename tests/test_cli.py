@@ -107,18 +107,19 @@ def test_cli_sparql_construct_prints_ntriples(spark, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 2 and all(" <http://e/street> " in ln for ln in out)
 
-
-def test_cli_canonical_ntriples(capsys):
+def test_cli_canonical_ntriples(spark, capsys):
     """--canonical: two runs over the same input produce byte-identical
-    sorted output with _:c-prefixed canonical labels."""
-    from rdf_tabular_spark.__main__ import main
-    from tests.conftest import FIXTURE_DIR
-    import os
+    sorted output with _:c-prefixed canonical labels.
 
-    src = os.path.join(FIXTURE_DIR, "test232.csv")
+    Uses _run with the shared session (NOT __main__.main, which owns
+    its session lifecycle and would stop the suite-wide SparkContext)."""
     outs = []
     for _ in range(2):
-        assert main([src, "--mode", "minimal", "--canonical"]) == 0
+        # test232 emits blank-node row subjects (no aboutUrl)
+        args = _Args(input=f"{FIXTURE_DIR}/test232-metadata.json",
+                     base="http://example.org/test232-metadata.json",
+                     canonical=True)
+        assert _run(spark, args) == 0
         outs.append(capsys.readouterr().out)
     assert outs[0] == outs[1]
     lines = outs[0].strip().split("\n")
