@@ -5691,6 +5691,176 @@ def sql_kg_label_propagation(iterations: int = 5) -> str:
     """
 
 
+def q_kg_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets of the assembled KG (kg/materialize.py
+    characteristic_sets — Neumann & Moerkotte ICDE'11): subjects
+    partitioned by their exact predicate set, the statistics structure
+    behind star-join cardinality estimation. Two map-side-combinable
+    aggs; the set identity is the sorted '|'-joined predicate list, so
+    the group key is engine-portable."""
+    from rdf_tabular_spark.kg.materialize import characteristic_sets
+
+    _, _, triples = _kg_oracle_run(spark)
+    return characteristic_sets(triples)
+
+
+def sql_kg_charsets() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    per_subj AS (
+      SELECT subj, string_agg(DISTINCT pred, '|' ORDER BY pred) AS char_set,
+             COUNT(*) AS n
+      FROM kgq GROUP BY subj)
+    SELECT char_set,
+           CAST(len(string_split(char_set, '|')) AS INT) AS n_preds,
+           COUNT(*) AS n_subjects,
+           CAST(SUM(n) AS BIGINT) AS n_triples
+    FROM per_subj GROUP BY char_set
+    """
+
+
+def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-source hop-bounded betweenness centrality (kg/graph.betweenness
+    — r4 tail 4): Brandes dependency accumulation from 8 deterministic
+    md5-sampled pivots, ≤4 hops, with δ quantized to integer micro-units
+    via the all-BIGINT recurrence (σ_v·(1e6+δ_w)) DIV σ_w — Spark DIV
+    and DuckDB // agree exactly on positive BIGINTs, so the twin replays
+    the identical arithmetic layer for layer."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.betweenness(graph.edge_list(triples),
+                             k_sources=8, max_hops=4)
+
+
+def sql_kg_betweenness(k_sources: int = 8, max_hops: int = 4,
+                       seed: int = 7) -> str:
+    """Unrolled layered BFS (σ path counts) + backward δ folds, all
+    integer — the engine's early-exit on a drained frontier is safe to
+    unroll past: an empty layer contributes empty joins, and the
+    deepest layer's δ is 0 by construction on both sides."""
+    fw = []
+    for h in range(1, max_hops + 1):
+        fw.append(f""",
+    l{h} AS MATERIALIZED (
+      SELECT f.root AS root, u.y AS node, {h} AS dist,
+             CAST(SUM(f.sigma) AS BIGINT) AS sigma
+      FROM l{h - 1} f JOIN und u ON f.node = u.x
+      WHERE NOT EXISTS (SELECT 1 FROM v{h - 1} v
+                        WHERE v.root = f.root AND v.node = u.y)
+      GROUP BY f.root, u.y),
+    v{h} AS MATERIALIZED (
+      SELECT root, node FROM v{h - 1}
+      UNION ALL SELECT root, node FROM l{h})""")
+    bw = [f""",
+    d{max_hops} AS MATERIALIZED (
+      SELECT root, node, sigma, CAST(0 AS BIGINT) AS delta
+      FROM l{max_hops})"""]
+    for d in range(max_hops - 1, -1, -1):
+        bw.append(f""",
+    c{d} AS (
+      SELECT v.root AS root, v.node AS node,
+             CAST(SUM((v.sigma * (1000000 + w.delta)) // w.sigma) AS BIGINT)
+               AS dsum
+      FROM l{d} v
+      JOIN und u ON v.node = u.x
+      JOIN d{d + 1} w ON w.root = v.root AND w.node = u.y
+      GROUP BY v.root, v.node),
+    d{d} AS MATERIALIZED (
+      SELECT l.root, l.node, l.sigma,
+             CAST(COALESCE(c.dsum, 0) AS BIGINT) AS delta
+      FROM l{d} l LEFT JOIN c{d} c
+        ON c.root = l.root AND c.node = l.node)""")
+    accs = " UNION ALL ".join(
+        f"SELECT root, node, delta FROM d{d} WHERE node <> root"
+        for d in range(0, max_hops))
+    return f"""
+    WITH {_sql_kg_edges()},
+    und AS MATERIALIZED (
+      SELECT DISTINCT x, y FROM (
+        SELECT src AS x, dst AS y FROM gedges
+        UNION ALL SELECT dst, src FROM gedges) WHERE x <> y),
+    bnodes AS MATERIALIZED (SELECT DISTINCT x AS node FROM und),
+    pivots AS MATERIALIZED (
+      SELECT node FROM bnodes
+      ORDER BY md5('btw|{seed}|' || node), node LIMIT {k_sources}),
+    l0 AS MATERIALIZED (
+      SELECT node AS root, node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+      FROM pivots),
+    v0 AS MATERIALIZED (SELECT root, node FROM l0)
+    {''.join(fw)}{''.join(bw)},
+    acc AS ({accs})
+    SELECT n.node, CAST(COALESCE(s.bm, 0) AS BIGINT) AS betweenness_micro
+    FROM bnodes n LEFT JOIN (
+      SELECT node, SUM(delta) AS bm FROM acc GROUP BY node) s
+      ON n.node = s.node
+    """
+
+
+def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 5-round label-propagation partition over
+    the dependency graph (kg/graph.modularity — r4 tail 4): exact
+    integer formulation Q·4m² = 4m·Σe_c − Σd_c², plus floor(1e6·Q) via
+    the portable integer floor (truncating DIV and flooring // agree
+    once the exact positive mod is subtracted). No floats anywhere, so
+    the cross-engine hash compares exact integers."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    edges = graph.edge_list(triples)
+    labels = graph.label_propagation(edges, iterations=5)
+    return graph.modularity(edges, labels)
+
+
+def sql_kg_modularity() -> str:
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM (SELECT src, dst FROM ({sql_kg_degrees_edges()}) e)
+      WHERE src <> dst),
+    lp AS MATERIALIZED (SELECT * FROM ({sql_kg_label_propagation()}) t),
+    mrow AS (SELECT COUNT(*) AS m FROM pairs),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+      GROUP BY node),
+    dc AS (
+      SELECT l.label, SUM(d.degree) AS d_c
+      FROM deg d JOIN lp l ON d.node = l.node GROUP BY l.label),
+    ec AS (
+      SELECT la.label, COUNT(*) AS e_c
+      FROM pairs p
+      JOIN lp la ON p.a = la.node
+      JOIN lp lb ON p.b = lb.node
+      WHERE la.label = lb.label
+      GROUP BY la.label),
+    per_label AS (
+      SELECT dc.label, dc.d_c, COALESCE(ec.e_c, 0) AS e_c
+      FROM dc LEFT JOIN ec ON dc.label = ec.label),
+    folded AS (
+      SELECT COUNT(*) AS n_communities,
+             CAST(MIN(m.m) AS BIGINT) AS m_edges,
+             CAST(SUM(4 * m.m * e_c - d_c * d_c) AS BIGINT) AS q_numer
+      FROM per_label, mrow m)
+    SELECT CAST(n_communities AS BIGINT) AS n_communities, m_edges, q_numer,
+           CAST((q_numer * 1000000
+                 - (((q_numer * 1000000) % (4 * m_edges * m_edges)
+                     + (4 * m_edges * m_edges)) % (4 * m_edges * m_edges)))
+                // (4 * m_edges * m_edges) AS BIGINT) AS q_micro
+    FROM folded
+    """
+
+
+def sql_kg_degrees_edges() -> str:
+    """The gedges edge list as a standalone SELECT (for twins that need
+    it inside a derived table where the shared WITH prelude cannot be
+    spliced)."""
+    return f"""
+    WITH {_sql_kg_edges()}
+    SELECT src, dst FROM gedges
+    """
+
+
 #: graph assignment for the dataset view of the KG: file/sym/repo
 #: subjects belong to their repository's NAMED graph, shared module
 #: metadata stays in the DEFAULT graph (same SQL dialect in Spark and
@@ -7586,6 +7756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # proved hash-exact. Overflow past the 50-row window rotates next
     # round.
     return {
+        # -- (0a') r4 tail 4: newest of all, no driver record yet --------
+        "kg_charsets": q_kg_charsets,
+        "kg_betweenness": q_kg_betweenness,
+        "kg_modularity": q_kg_modularity,
         # -- (0a) r4 tail: newest, no driver record yet ------------------
         "kg_canonicalize": q_kg_canonicalize,
         "kg_canon_diff": q_kg_canon_diff,
@@ -7805,6 +7979,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_group_concat": sql_kg_bgp_group_concat(),
         "graph_sssp": sql_graph_sssp(),
         "kg_label_propagation": sql_kg_label_propagation(),
+        "kg_charsets": sql_kg_charsets(),
+        "kg_betweenness": sql_kg_betweenness(),
+        "kg_modularity": sql_kg_modularity(),
         "kg_named_graphs": sql_kg_named_graphs(),
         "kg_update": sql_kg_update(),
         "kg_graph_management": sql_kg_graph_management(),

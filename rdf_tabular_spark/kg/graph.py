@@ -743,3 +743,192 @@ def ktruss(triples: DataFrame, k: int = 3, min_files: int = 2,
         f"rounds; result is a non-fixpoint superset of the true "
         f"{k}-truss — raise max_iter")
     return scored.filter(F.col("support") >= k - 2)
+
+
+def betweenness(edges: DataFrame, k_sources: int = 8, max_hops: int = 4,
+                seed: int = 7) -> DataFrame:
+    """k-source, hop-bounded betweenness centrality over the undirected
+    simple graph of *edges* — Brandes' dependency accumulation (Brandes
+    2001) from a deterministic pivot sample (Brandes & Pich 2007), with
+    every fractional term quantized to INTEGER micro-units so the result
+    is bit-identical across runs, partitionings and engines (the
+    ops/text.py micro-nat convention applied to δ).
+
+    Semantics (declared, not a tuning knob): betweenness restricted to
+    shortest paths of ≤ *max_hops* edges from the *k_sources* pivot
+    nodes with the smallest ``md5(seed|node)`` — the same RNG-free
+    sampling rule as ops/split.py. Per pivot s, the forward pass runs a
+    layered BFS carrying σ (shortest-path counts, exact integers); the
+    backward pass folds δ layer by layer with the integer recurrence
+
+        δ_micro(v) = Σ_{w: succ(v)} (σ_v * (1_000_000 + δ_micro(w))) DIV σ_w
+
+    (all operands BIGINT, all positive, so Spark's ``DIV`` and DuckDB's
+    ``//`` agree exactly). Output: ``(node, betweenness_micro)`` =
+    Σ_pivots δ_micro over non-pivot appearances — the Brandes partial
+    sum scaled by 1e6; divide by k_sources·1e6 (and by 2 for the
+    undirected double-count) for the normalized estimate.
+
+    Scale shape: all pivots advance TOGETHER in one (root, node, dist,
+    σ) state table — each BFS round is one equi-join of the frontier
+    against the undirected adjacency + one (root, node) sum-agg + one
+    anti-join against the visited set; the backward pass is one
+    equi-join per layer between consecutive layers. No windows, no
+    global sorts, no driver data beyond the k pivot rows; per-round
+    localCheckpoint cuts the plan chain (sssp_hops' argument). Frontier
+    size is bounded by k × |V|; a celebrity node fans out k ways only.
+    """
+    und = (
+        edges.select(F.col("src").cast("string").alias("x"),
+                     F.col("dst").cast("string").alias("y"))
+        .unionByName(edges.select(F.col("dst").cast("string").alias("x"),
+                                  F.col("src").cast("string").alias("y")))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("x").alias("node")).distinct()
+    # deterministic pivots: k smallest md5(seed|node) — a tiny
+    # TakeOrderedAndProject, never a global sort of the node set
+    pivots = (
+        nodes.withColumn("_h", F.md5(F.concat(F.lit(f"btw|{seed}|"),
+                                              F.col("node"))))
+        .orderBy("_h", "node").limit(k_sources).drop("_h")
+    )
+    layer0 = pivots.select(
+        F.col("node").alias("root"), F.col("node"),
+        F.lit(0).alias("dist"), F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    layers = [layer0]
+    visited = layer0.select("root", "node").localCheckpoint()
+    frontier = layer0
+    for h in range(1, max_hops + 1):
+        grown = (
+            frontier.join(und, frontier["node"] == und["x"])
+            .groupBy(F.col("root"), F.col("y").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["root", "node"], "left_anti")
+            .withColumn("dist", F.lit(h))
+            .select("root", "node", "dist", "sigma")
+            .localCheckpoint()
+        )
+        if grown.isEmpty():
+            break
+        layers.append(grown)
+        visited = visited.union(grown.select("root", "node")).localCheckpoint()
+        frontier = grown
+    # backward: deepest layer has δ=0; fold one layer up per step.
+    # succ(v) = neighbors of v in the NEXT layer of the same root — in an
+    # unweighted BFS every shortest-path-DAG edge spans consecutive
+    # layers, so consecutive-layer joins cover the whole DAG.
+    deltas = []  # (root, node, delta) per layer, pivots excluded at the end
+    delta_up = layers[-1].select(
+        "root", "node", "sigma", F.lit(0).cast("long").alias("delta"))
+    for d in range(len(layers) - 2, -1, -1):
+        v = layers[d].alias("v")
+        w = delta_up.alias("w")
+        contrib = (
+            v.join(und, F.col("v.node") == F.col("x"))
+            .join(w, (F.col("y") == F.col("w.node"))
+                  & (F.col("v.root") == F.col("w.root")))
+            .select(
+                F.col("v.root").alias("root"), F.col("v.node").alias("node"),
+                F.expr("(v.sigma * (1000000 + w.delta)) DIV w.sigma")
+                .alias("c"))
+            .groupBy("root", "node").agg(F.sum("c").alias("dsum"))
+        )
+        delta_up = (
+            layers[d].join(contrib, ["root", "node"], "left")
+            .select("root", "node", "sigma",
+                    F.coalesce("dsum", F.lit(0)).cast("long").alias("delta"))
+            .localCheckpoint()
+        )
+        deltas.append(delta_up.filter(F.col("node") != F.col("root"))
+                      .select("root", "node", "delta"))
+    und.unpersist()
+    acc = deltas[0] if deltas else layer0.limit(0).select(
+        "root", "node", F.lit(0).cast("long").alias("delta"))
+    for d in deltas[1:]:
+        acc = acc.unionByName(d)
+    per_node = acc.groupBy("node").agg(
+        F.sum("delta").alias("betweenness_micro"))
+    return (
+        nodes.join(per_node, "node", "left")
+        .select("node", F.coalesce("betweenness_micro", F.lit(0))
+                .cast("long").alias("betweenness_micro"))
+    )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a node partition over the undirected
+    simple graph of *edges*, as EXACT integers: one row
+    ``(n_communities, m_edges, q_numer, q_micro)`` where
+
+        Q = q_numer / (4 m²),   q_numer = 4m·Σ_c e_c − Σ_c d_c²
+
+    (e_c = intra-community edge count, d_c = total degree of community
+    c; the textbook Q = Σ_c [e_c/m − (d_c/2m)²] cleared of
+    denominators). ``q_micro`` = floor(1e6·Q) computed with the
+    portable integer floor ((a − ((a%b)+b)%b) DIV b — a−mod is exactly
+    divisible, so truncating and flooring division agree even for
+    negative Q, where Spark's DIV truncates but DuckDB's // floors).
+    All-integer arithmetic → bit-identical across engines; no floats
+    anywhere.
+
+    *labels* is any (node, label) table covering the graph's nodes
+    (components, label_propagation, an external assignment). Shape: one
+    distinct over the symmetrized edge list, one degree agg, two
+    broadcast-sized joins of edges against the label map (label maps at
+    10^12 scale are vocabulary-shaped after smushing; if not, the join
+    shuffles on node — still no windows), two per-label aggs over
+    |communities| keys, and one 1-row final fold with the m scalar
+    joined via broadcast crossJoin (the accepted 1-row pattern)."""
+    pairs = (
+        edges.select(F.least(F.col("src").cast("string"),
+                             F.col("dst").cast("string")).alias("a"),
+                     F.greatest(F.col("src").cast("string"),
+                                F.col("dst").cast("string")).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    lab = labels.select(F.col("node").cast("string").alias("node"), "label")
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    d_c = (
+        deg.join(lab, "node")
+        .groupBy("label").agg(F.sum("degree").alias("d_c"))
+    )
+    la, lb = lab.alias("la"), lab.alias("lb")
+    e_c = (
+        pairs.join(la, F.col("a") == F.col("la.node"))
+        .join(lb, F.col("b") == F.col("lb.node"))
+        .filter(F.col("la.label") == F.col("lb.label"))
+        .groupBy(F.col("la.label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    m_df = pairs.agg(F.count(F.lit(1)).alias("m"))
+    per_label = (
+        d_c.join(e_c, "label", "left")
+        .select("label", "d_c", F.coalesce("e_c", F.lit(0)).alias("e_c"))
+    )
+    folded = (
+        per_label.crossJoin(F.broadcast(m_df))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.first("m").alias("m_edges"),
+            F.sum(F.expr("4 * m * e_c - d_c * d_c")).alias("q_numer"))
+    )
+    out = folded.select(
+        F.col("n_communities").cast("long").alias("n_communities"),
+        F.col("m_edges").cast("long").alias("m_edges"),
+        F.col("q_numer").cast("long").alias("q_numer"),
+        F.expr(
+            "CAST((q_numer * 1000000 - (((q_numer * 1000000) % (4 * m_edges * m_edges)"
+            " + (4 * m_edges * m_edges)) % (4 * m_edges * m_edges)))"
+            " DIV (4 * m_edges * m_edges) AS BIGINT)").alias("q_micro"))
+    pairs.unpersist()
+    return out

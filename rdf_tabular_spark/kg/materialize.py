@@ -88,6 +88,40 @@ def read_triples(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "triples"))
 
 
+def characteristic_sets(triples: DataFrame) -> DataFrame:
+    """Characteristic sets of the triple table (Neumann & Moerkotte,
+    ICDE 2011): partition subjects by the exact SET of predicates they
+    carry; one row per distinct predicate set with the number of
+    subjects in the class and their total triple count. The structure
+    behind accurate star-join cardinality estimation — the count of
+    subjects whose characteristic set is a superset of a query star's
+    predicates bounds the star's result — complementing the
+    per-predicate independence estimator of kg/query.predicate_stats
+    (reference analog: rdf-tabular has no statistics layer at all; this
+    is the Spark-side catalog the north rule's 10^12-file graph needs).
+
+    Set identity is the sorted '|'-joined predicate list — a
+    deterministic, engine-portable group key. Two aggregations, both
+    map-side combinable: (subj -> sorted distinct predicate list +
+    count), then (list -> n_subjects, n_triples). No joins, no windows;
+    the second agg's key domain is the number of DISTINCT predicate
+    combinations (vocabulary-combinatorial, in practice thousands —
+    Neumann's observation is that real datasets have few), so the
+    reduce side is bounded regardless of triple count."""
+    per_subj = triples.groupBy("subj").agg(
+        F.concat_ws("|", F.sort_array(F.collect_set("pred"))).alias("char_set"),
+        F.count(F.lit(1)).alias("n"))
+    return (
+        per_subj.groupBy("char_set").agg(
+            F.count(F.lit(1)).alias("n_subjects"),
+            F.sum("n").alias("n_triples"))
+        .select(
+            "char_set",
+            F.size(F.split(F.col("char_set"), r"\|")).alias("n_preds"),
+            "n_subjects", "n_triples")
+    )
+
+
 def void_statistics(triples: DataFrame) -> DataFrame:
     """VoID-style per-predicate dataset statistics (the W3C "Vocabulary
     of Interlinked Datasets" property-partition shape): one row per

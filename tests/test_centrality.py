@@ -1,0 +1,159 @@
+"""betweenness (k-source integer Brandes), modularity, characteristic
+sets — engine vs hand-computed values and a pure-Python replay of the
+exact integer rules (kg/graph.py r4 tail 4)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+
+from rdf_tabular_spark.kg import graph as G
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "src string, dst string")
+
+
+def ref_betweenness(pairs, k_sources, max_hops, seed=7):
+    """Pure-Python replay of the engine's declared integer rule."""
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    nodes = sorted(adj)
+    pivots = sorted(
+        nodes,
+        key=lambda n: (hashlib.md5(f"btw|{seed}|{n}".encode()).hexdigest(), n),
+    )[:k_sources]
+    res = {n: 0 for n in nodes}
+    for s in pivots:
+        dist, sigma = {s: 0}, {s: 1}
+        layers = [[s]]
+        frontier = [s]
+        for h in range(1, max_hops + 1):
+            nxt: dict[str, int] = {}
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist:
+                        nxt[w] = nxt.get(w, 0) + sigma[v]
+            if not nxt:
+                break
+            for w, sg in nxt.items():
+                dist[w], sigma[w] = h, sg
+            frontier = sorted(nxt)
+            layers.append(frontier)
+        delta = {n: 0 for n in dist}
+        for d in range(len(layers) - 2, -1, -1):
+            for v in layers[d]:
+                delta[v] = sum(
+                    (sigma[v] * (1_000_000 + delta[w])) // sigma[w]
+                    for w in adj[v] if dist.get(w) == d + 1)
+        for n in dist:
+            if n != s:
+                res[n] += delta[n]
+    return res
+
+
+PATH5 = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+DIAMOND = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+
+
+def test_betweenness_path_graph_exact(spark):
+    # path a-b-c-d-e, all 5 nodes as pivots: classic betweenness of the
+    # interior nodes is b=3, c=4, d=3 per direction -> x2 directions,
+    # x1e6 micro-units; sigma=1 everywhere so no truncation loss
+    out = {
+        r["node"]: r["betweenness_micro"]
+        for r in G.betweenness(_edges_df(spark, PATH5), k_sources=5,
+                               max_hops=4).collect()
+    }
+    assert out == {"a": 0, "b": 6_000_000, "c": 8_000_000,
+                   "d": 6_000_000, "e": 0}
+
+
+def test_betweenness_multiplicity_matches_reference(spark):
+    # diamond + tail: sigma(d from a) = 2, so b and c split dependency
+    # via the integer DIV rule — engine must equal the pure replay
+    for k, hops in ((6, 4), (3, 2), (2, 3)):
+        got = {
+            r["node"]: r["betweenness_micro"]
+            for r in G.betweenness(_edges_df(spark, DIAMOND), k_sources=k,
+                                   max_hops=hops).collect()
+        }
+        assert got == ref_betweenness(DIAMOND, k, hops)
+
+
+def test_betweenness_hop_bound_truncates(spark):
+    # with max_hops=1 no node is interior to any shortest path
+    out = G.betweenness(_edges_df(spark, PATH5), k_sources=5, max_hops=1)
+    assert all(r["betweenness_micro"] == 0 for r in out.collect())
+
+
+def test_betweenness_partition_invariant(spark):
+    df = _edges_df(spark, DIAMOND).repartition(7)
+    got = {r["node"]: r["betweenness_micro"]
+           for r in G.betweenness(df, k_sources=6, max_hops=4).collect()}
+    assert got == ref_betweenness(DIAMOND, 6, 4)
+
+
+TWO_TRIANGLES = [("a", "b"), ("b", "c"), ("a", "c"),
+                 ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+
+
+def _labels_df(spark, mapping):
+    return spark.createDataFrame(
+        list(mapping.items()), "node string, label string")
+
+
+def test_modularity_two_triangles(spark):
+    # two triangles joined by one edge, one community per triangle:
+    # m=7, e_c=3 each, d_c=7 each -> Q = 70/196 = 5/14
+    labels = _labels_df(spark, {"a": "L", "b": "L", "c": "L",
+                                "x": "R", "y": "R", "z": "R"})
+    row = G.modularity(_edges_df(spark, TWO_TRIANGLES), labels).collect()[0]
+    assert (row["n_communities"], row["m_edges"]) == (2, 7)
+    assert row["q_numer"] == 4 * 7 * 6 - (49 + 49) == 70
+    assert row["q_micro"] == (70 * 1_000_000) // 196  # 357142
+
+
+def test_modularity_negative_floor(spark):
+    # single edge split across two communities: Q = -1/2 exactly; the
+    # portable integer floor must land on -500000 (not truncate to -499999)
+    row = G.modularity(
+        _edges_df(spark, [("a", "b")]),
+        _labels_df(spark, {"a": "p", "b": "q"})).collect()[0]
+    assert row["q_numer"] == -2
+    assert row["q_micro"] == -500_000
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in one community: Q = m/m - (2m/2m)^2 = 0 exactly
+    labels = _labels_df(spark, {n: "one" for n in "abcxyz"})
+    row = G.modularity(_edges_df(spark, TWO_TRIANGLES), labels).collect()[0]
+    assert row["q_numer"] == 0 and row["q_micro"] == 0
+
+
+def test_modularity_duplicate_and_self_edges_ignored(spark):
+    noisy = TWO_TRIANGLES + [("a", "b"), ("b", "a"), ("c", "c")]
+    labels = _labels_df(spark, {"a": "L", "b": "L", "c": "L",
+                                "x": "R", "y": "R", "z": "R"})
+    row = G.modularity(_edges_df(spark, noisy), labels).collect()[0]
+    assert (row["m_edges"], row["q_numer"]) == (7, 70)
+
+
+def test_characteristic_sets(spark):
+    from rdf_tabular_spark.kg.materialize import characteristic_sets
+
+    triples = spark.createDataFrame(
+        [("s1", "p", "1"), ("s1", "q", "2"), ("s1", "q", "3"),
+         ("s2", "p", "1"), ("s2", "q", "9"),
+         ("s3", "p", "0")],
+        "subj string, pred string, obj string")
+    got = {r["char_set"]: (r["n_preds"], r["n_subjects"], r["n_triples"])
+           for r in characteristic_sets(triples).collect()}
+    # s1 and s2 share {p,q} (s1 with multiplicity 3), s3 is {p}
+    assert got == {"p|q": (2, 2, 5), "p": (1, 1, 1)}
