@@ -5419,6 +5419,43 @@ def q_select_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                            order_col="quality", tiebreak_col="doc_id")
 
 
+def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection (ops/split.select_token_budget
+    — r4 tail 4): fill a 15k-token training budget with the
+    highest-quality documents first, order = (quality DESC, md5(doc_id),
+    doc_id), maximal prefix with cumulative tokens ≤ budget. The engine
+    computes the set via two histogram rounds + one bounded-range window
+    (no global sort); the twin IS the naive global cumulative window —
+    two different algorithms, one answer."""
+    from rdf_tabular_spark.ops.split import select_token_budget
+    from rdf_tabular_spark.ops.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000).cast("long")
+        .alias("quality_micro"),
+        F.col("n_tokens").cast("long").alias("n_tokens"))
+    return select_token_budget(scored, budget_tokens=15_000)
+
+
+def sql_select_token_budget(budget: int = 15_000) -> str:
+    return f"""
+    WITH q AS MATERIALIZED ({sql_text_quality()}),
+    s AS (
+      SELECT doc_id,
+             CAST(ROUND(quality * 1000000) AS BIGINT) AS quality_micro,
+             CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM q),
+    o AS (
+      SELECT *, SUM(n_tokens) OVER (
+        ORDER BY quality_micro DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s)
+    SELECT doc_id, quality_micro, n_tokens FROM o WHERE cum <= {budget}
+    """
+
+
 def sql_select_top_quality(k: int = 3) -> str:
     return f"""
     WITH q AS MATERIALIZED ({sql_text_quality()}),
@@ -7760,6 +7797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_charsets": q_kg_charsets,
         "kg_betweenness": q_kg_betweenness,
         "kg_modularity": q_kg_modularity,
+        "select_token_budget": q_select_token_budget,
         # -- (0a) r4 tail: newest, no driver record yet ------------------
         "kg_canonicalize": q_kg_canonicalize,
         "kg_canon_diff": q_kg_canon_diff,
@@ -7982,6 +8020,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_charsets": sql_kg_charsets(),
         "kg_betweenness": sql_kg_betweenness(),
         "kg_modularity": sql_kg_modularity(),
+        "select_token_budget": sql_select_token_budget(),
         "kg_named_graphs": sql_kg_named_graphs(),
         "kg_update": sql_kg_update(),
         "kg_graph_management": sql_kg_graph_management(),

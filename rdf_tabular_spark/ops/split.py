@@ -235,3 +235,94 @@ def temperature_mix(df: DataFrame, alpha: float = 0.3,
     cut = F.element_at(F.create_map(*cuts), F.col(group_col))
     bucket = hash_bucket(F.col(key_col), salt)
     return df.filter(cut.isNotNull() & (bucket < cut))
+
+
+def select_token_budget(df: DataFrame, budget_tokens: int,
+                        id_col: str = "doc_id",
+                        quality_col: str = "quality_micro",
+                        tokens_col: str = "n_tokens") -> DataFrame:
+    """Maximal-quality corpus selection under a total token budget: take
+    documents in the declared order — *quality_col* DESC, then
+    ``(md5(id), id)`` ASC within a quality tie (an arbitrary-but-
+    deterministic tiebreak; tied docs are interchangeable by
+    definition) — and keep the maximal prefix whose cumulative
+    *tokens_col* stays ≤ *budget_tokens*. The "fill the training-token
+    budget with the best data first" selection step of an LLM data
+    pipeline (the budget-constrained counterpart of top_k_per_group).
+
+    The naive formulation is a GLOBAL ordered cumulative-sum window —
+    a total sort of the corpus through one reducer, unusable at 10^12
+    docs. This computes the identical set with bounded driver state and
+    NO global window, by binary-searching the order statistic in two
+    aggregation rounds:
+
+    1. per-quality histogram (Σ tokens, one map-side-combined agg over
+       the score domain — micro-quantized scores have vocabulary-sized
+       domains) → driver prefix-sum finds the threshold quality q*:
+       every doc with quality > q* fits; the q* bucket is boundary.
+    2. the boundary bucket alone is re-aggregated into 256 md5-prefix
+       ranges (which are CONTIGUOUS under the declared (md5, id)
+       order) → driver prefix-sum finds the boundary range r* and the
+       tokens remaining for it.
+    3. ONE cumulative window runs over the boundary range only —
+       |bucket|/256 rows; each extra refinement level divides the
+       windowed set by 256 again, so two levels bound it at
+       |corpus|/65536 (add levels for adversarial distributions).
+
+    Everything reaching the driver is a histogram (≤ |score domain| and
+    256 rows); the corpus itself sees two filters and one bounded-range
+    window. Zero-token docs inside the boundary range are kept when
+    they tie exactly at the cut, matching the prefix rule (cumulative
+    sums are non-decreasing, so "cum ≤ budget" IS the maximal prefix).
+    """
+    q, t, i = F.col(quality_col), F.col(tokens_col), F.col(id_col)
+    if budget_tokens <= 0:
+        return df.select(id_col, quality_col, tokens_col).filter(F.lit(False))
+    hist = sorted(
+        ((r[0], r[1]) for r in
+         df.groupBy(quality_col).agg(F.sum(tokens_col).alias("s")).collect()),
+        key=lambda x: -x[0])
+    cum = 0
+    q_star, s_hi = None, 0
+    for qv, s in hist:
+        if cum + s > budget_tokens:
+            q_star, s_hi = qv, cum
+            break
+        cum += s
+    if q_star is None:
+        return df.select(id_col, quality_col, tokens_col)  # all fit
+    keep_hi = df.filter(q > F.lit(q_star)).select(
+        id_col, quality_col, tokens_col)
+    boundary = df.filter(q == F.lit(q_star)).withColumn(
+        "_hx", F.md5(i.cast("string")))
+    rem = budget_tokens - s_hi
+    ranges = sorted(
+        (r[0], r[1]) for r in boundary
+        .groupBy(F.substring("_hx", 1, 2).alias("hp"))
+        .agg(F.sum(tokens_col).alias("s")).collect())
+    cum2 = 0
+    r_star, s_lo = None, 0
+    for hp, s in ranges:
+        if cum2 + s > rem:
+            r_star, s_lo = hp, cum2
+            break
+        cum2 += s
+    if r_star is None:
+        return keep_hi.unionByName(
+            boundary.select(id_col, quality_col, tokens_col))
+    keep_mid = boundary.filter(F.substring("_hx", 1, 2) < r_star).select(
+        id_col, quality_col, tokens_col)
+    from pyspark.sql import Window
+
+    # bounded window: only the boundary md5-prefix range (1/65536 of the
+    # corpus per refinement level squared); single partition by design,
+    #|range| rows
+    w = (Window.orderBy("_hx", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    keep_cut = (
+        boundary.filter(F.substring("_hx", 1, 2) == r_star)
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .filter(F.col("_cum") <= rem - s_lo)
+        .select(id_col, quality_col, tokens_col)
+    )
+    return keep_hi.unionByName(keep_mid).unionByName(keep_cut)
