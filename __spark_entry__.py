@@ -5061,6 +5061,40 @@ def _event_stream_dir(sf_dir: str) -> str:
     return d
 
 
+def q_events_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (streaming/incremental.
+    run_streaming_join — r4 tail 4): view→click pairs of the same user
+    within 1 day, joined by Spark's native symmetric state join across
+    3 time-sliced micro-batches (pairs CROSS batch boundaries through
+    the join state). Drained sink must equal the twin's batch range
+    join row-for-row."""
+    import os
+    import tempfile
+
+    from rdf_tabular_spark.streaming.incremental import run_streaming_join
+
+    src = _event_stream_dir(sf_dir)
+    schema = spark.read.parquet(src).schema
+    work = tempfile.mkdtemp(prefix="rdf_tabular_spark_ssjoin_q_")
+    q = run_streaming_join(
+        spark, src, os.path.join(work, "sink"),
+        os.path.join(work, "ckpt"), schema)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream-stream join did not drain within 600s")
+    return spark.read.parquet(os.path.join(work, "sink"))
+
+
+def sql_events_streaming_join(window_sec: int = 86_400) -> str:
+    return f"""
+    SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+           l.ts AS l_ts, r.ts AS r_ts
+    FROM events l JOIN events r ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL {window_sec} SECONDS
+    WHERE l.event_type = 'view' AND r.event_type = 'click'
+    """
+
+
 def q_events_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming strict-order funnel (streaming/incremental.
     run_streaming_funnel — r4): per-user conversion vectors maintained
@@ -7798,6 +7832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_betweenness": q_kg_betweenness,
         "kg_modularity": q_kg_modularity,
         "select_token_budget": q_select_token_budget,
+        "events_streaming_join": q_events_streaming_join,
         # -- (0a) r4 tail: newest, no driver record yet ------------------
         "kg_canonicalize": q_kg_canonicalize,
         "kg_canon_diff": q_kg_canon_diff,
@@ -8021,6 +8056,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_betweenness": sql_kg_betweenness(),
         "kg_modularity": sql_kg_modularity(),
         "select_token_budget": sql_select_token_budget(),
+        "events_streaming_join": sql_events_streaming_join(),
         "kg_named_graphs": sql_kg_named_graphs(),
         "kg_update": sql_kg_update(),
         "kg_graph_management": sql_kg_graph_management(),

@@ -393,3 +393,69 @@ def run_streaming_funnel(spark: SparkSession, source_dir: str,
         .foreachBatch(merge)
         .start()
     )
+
+
+def run_streaming_join(
+    spark: SparkSession, source_dir: str, sink_path: str,
+    checkpoint_dir: str, schema,
+    left_type: str = "view", right_type: str = "click",
+    window_sec: int = 86_400, watermark: str = "36500 days",
+    max_files_per_trigger: int = 1,
+):
+    """Watermarked stream-stream INNER join — Spark's native symmetric
+    state join, not a foreachBatch merge: every (left, right) event pair
+    of the same user with ``right.ts ∈ [left.ts, left.ts + window_sec]``,
+    emitted as micro-batches arrive. A view in batch 0 must pair with a
+    click in batch 2: both sides buffer unmatched rows in join state
+    until the OTHER side's watermark passes the time-bound, which is
+    exactly how Spark bounds stream-stream state (the time-range join
+    condition + per-side watermarks let it evict left rows once
+    right's watermark exceeds ``l_ts + window``, and right rows once
+    left's watermark passes them).
+
+    The correctness gate runs with a deliberately LOSSLESS watermark
+    (decades): nothing evicts before the staged stream drains, so the
+    drained sink equals the batch range join row-for-row regardless of
+    how files slice into micro-batches — the property the oracle twin
+    checks. A production deployment tightens *watermark* to its real
+    out-of-orderness bound; only that eviction horizon changes, not the
+    join logic. Sink is an append-mode parquet writer (inner joins emit
+    rows as soon as both sides match — no completion wait)."""
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    # event-time columns must be TIMESTAMP (with local-tz semantics):
+    # parquet frequently round-trips as TIMESTAMP_NTZ, which watermarks
+    # reject — the cast re-interprets in the session tz (UTC everywhere
+    # in this engine), so values are unchanged
+    left = (
+        ev.filter(F.col("event_type") == left_type)
+        .select(F.col("user_id"),
+                F.col("event_id").alias("l_id"),
+                F.col("ts").cast("timestamp").alias("l_ts"))
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        ev.filter(F.col("event_type") == right_type)
+        .select(F.col("user_id").alias("r_user"),
+                F.col("event_id").alias("r_id"),
+                F.col("ts").cast("timestamp").alias("r_ts"))
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts")
+           + F.expr(f"INTERVAL {window_sec} SECONDS")),
+        "inner",
+    ).select("user_id", "l_id", "r_id", "l_ts", "r_ts")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

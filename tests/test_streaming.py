@@ -397,3 +397,52 @@ def test_streaming_funnel_equals_batch(spark, tmp_path):
             assert got[1][2] is not None
         else:
             assert got[2][1] is None   # 24h click out of the 1h window
+
+
+def test_stream_stream_join_pairs_cross_batches(spark, tmp_path):
+    """run_streaming_join: a view in micro-batch 0 must pair with a
+    click in micro-batch 2 through the symmetric join state, and the
+    drained sink must equal the batch range join exactly."""
+    import datetime as dt
+
+    from rdf_tabular_spark.streaming.incremental import run_streaming_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, ts_min, uid, etype):
+        return (eid, t0 + dt.timedelta(minutes=ts_min), uid, etype, 0.0, "")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    batches = [
+        # batch 0: u1 views; u2 clicks (no prior view -> no pair)
+        [ev(1, 0, 1, "view"), ev(2, 1, 2, "click")],
+        # batch 1: u2 views; u1 clicks (pairs with batch-0 view)
+        [ev(3, 10, 2, "view"), ev(4, 12, 1, "click")],
+        # batch 2: u2 clicks (pairs with batch-1 view); u1 late view
+        # + an out-of-window click for u1 (window 60 min)
+        [ev(5, 20, 2, "click"), ev(6, 30, 1, "view"),
+         ev(7, 200, 1, "click")],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for j, rows in enumerate(batches):
+        p = os.path.join(src, f"part-{j}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(p + ".dir")
+        # single file per batch with pinned mtime (pickup order = mtime)
+        import glob
+        import shutil
+        shutil.move(glob.glob(p + ".dir/part-*.parquet")[0], p)
+        shutil.rmtree(p + ".dir")
+        os.utime(p, (1700000000 + j * 10, 1700000000 + j * 10))
+
+    q = run_streaming_join(
+        spark, src, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+        schema, window_sec=3600)
+    assert q.awaitTermination(300)
+    got = {(r["l_id"], r["r_id"])
+           for r in spark.read.parquet(str(tmp_path / "sink")).collect()}
+    # u1: view#1 + click#4 (cross-batch 0->1); click#7 is 170 min after
+    # view#6 -> out of window; u2: view#3 + click#5 (cross-batch 1->2)
+    assert got == {(1, 4), (3, 5)}
