@@ -5922,6 +5922,135 @@ def sql_kg_modularity() -> str:
     """
 
 
+def q_kg_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Louvain level from singletons (kg/graph.modularity_refine —
+    r4 tail 4): 3 synchronous local-move rounds with the exact-integer
+    gain f(c) = 4m·k_ic − 2·k_i·d̃_c; ties to the smallest community
+    label. Pure function of (graph, rounds) — the twin replays the
+    same rounds with the same integer objective."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.modularity_refine(graph.edge_list(triples), rounds=3)
+
+
+def sql_kg_louvain(rounds: int = 3) -> str:
+    steps = []
+    prev = "lr0"
+    for r in range(1, rounds + 1):
+        steps.append(f""",
+    dcr{r} AS (
+      SELECT l.label, SUM(d.ki) AS d_c
+      FROM deg d JOIN {prev} l ON d.node = l.node GROUP BY l.label),
+    sz{r} AS (
+      SELECT label, COUNT(*) AS csize FROM {prev} GROUP BY label),
+    kic{r} AS (
+      SELECT u.x AS node, l.label, COUNT(*) AS k
+      FROM und u JOIN {prev} l ON u.y = l.node GROUP BY u.x, l.label),
+    cand{r} AS (
+      SELECT node, label, CAST(SUM(k) AS BIGINT) AS k FROM (
+        SELECT node, label, k FROM kic{r}
+        UNION ALL SELECT node, label, 0 FROM {prev}) GROUP BY node, label),
+    sc{r} AS (
+      SELECT c.node, c.label,
+             2 * tm.m2 * c.k
+               - 2 * d.ki * (dc.d_c - CASE WHEN c.label = l.label
+                                           THEN d.ki ELSE 0 END) AS f
+      FROM cand{r} c
+      JOIN {prev} l ON l.node = c.node
+      JOIN deg d ON d.node = c.node
+      JOIN dcr{r} dc ON dc.label = c.label
+      JOIN sz{r} sa ON sa.label = l.label
+      JOIN sz{r} sc ON sc.label = c.label, m2row tm
+      WHERE (c.label = l.label OR sa.csize = 1)
+        AND NOT (c.label <> l.label AND sa.csize = 1
+                 AND sc.csize = 1 AND c.label > l.label)),
+    mv{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY f DESC, label) AS rn
+        FROM sc{r}) WHERE rn = 1),
+    cn{r} AS (SELECT label, MIN(node) AS c FROM mv{r} GROUP BY label),
+    lr{r} AS MATERIALIZED (
+      SELECT m.node, cn.c AS label
+      FROM mv{r} m JOIN cn{r} cn ON cn.label = m.label)""")
+        prev = f"lr{r}"
+    return f"""
+    WITH {_sql_kg_edges()},
+    und AS MATERIALIZED (
+      SELECT DISTINCT x, y FROM (
+        SELECT src AS x, dst AS y FROM gedges
+        UNION ALL SELECT dst, src FROM gedges) WHERE x <> y),
+    deg AS MATERIALIZED (
+      SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS ki
+      FROM und GROUP BY x),
+    m2row AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM und),
+    lr0 AS MATERIALIZED (SELECT node, node AS label FROM deg)
+    {''.join(steps)}
+    SELECT node, label FROM {prev}
+    """
+
+
+def q_kg_wsssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (kg/graph.weighted_sssp —
+    r4 tail 4): bounded Bellman-Ford over the co-import graph with the
+    integer affinity distance w = 1e6 DIV co_files (more shared
+    importers = closer), 6 relaxation rounds, source = the module with
+    the smallest md5('wsssp|'|node). All-integer min-plus — the twin
+    relaxes the same 6 rounds (full relax ≡ the engine's improved-only
+    frontier, which merely skips re-deriving known distances)."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    _, pairs = graph.coimport_pairs(triples, min_files=2)
+    half = pairs.select(
+        F.col("mod_a").alias("src"), F.col("mod_b").alias("dst"),
+        F.expr("1000000 DIV co_files").alias("w"))
+    wed = half.unionByName(half.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    source = (
+        wed.select("src").distinct()
+        .withColumn("_h", F.md5(F.concat(F.lit("wsssp|"), F.col("src"))))
+        .orderBy("_h", "src").limit(1).collect()[0][0])
+    return graph.weighted_sssp(wed, source, max_hops=6)
+
+
+def sql_kg_wsssp(max_hops: int = 6) -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, max_hops + 1):
+        steps.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT w.dst AS node, d.dist + w.w AS dist
+        FROM {prev} d JOIN wedges w ON d.node = w.src) GROUP BY node)""")
+        prev = f"d{i}"
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    mods AS (
+      SELECT DISTINCT subj AS src, obj AS dst FROM kgq
+      WHERE obj_is_iri AND pred IN ('{_KG}imports', '{_KG}dependsOn')),
+    e0 AS MATERIALIZED (
+      SELECT x.dst AS a, y.dst AS b, COUNT(*) AS co_files
+      FROM mods x JOIN mods y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY x.dst, y.dst
+      HAVING COUNT(*) >= 2),
+    wedges AS MATERIALIZED (
+      SELECT a AS src, b AS dst, 1000000 // co_files AS w FROM e0
+      UNION ALL
+      SELECT b, a, 1000000 // co_files FROM e0),
+    srcrow AS (
+      SELECT src AS node FROM (SELECT DISTINCT src FROM wedges)
+      ORDER BY md5('wsssp|' || src), src LIMIT 1),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM srcrow)
+    {''.join(steps)}
+    SELECT node, dist FROM {prev}
+    """
+
+
 def sql_kg_degrees_edges() -> str:
     """The gedges edge list as a standalone SELECT (for twins that need
     it inside a derived table where the shared WITH prelude cannot be
@@ -7833,6 +7962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": q_kg_modularity,
         "select_token_budget": q_select_token_budget,
         "events_streaming_join": q_events_streaming_join,
+        "kg_louvain": q_kg_louvain,
+        "kg_wsssp": q_kg_wsssp,
         # -- (0a) r4 tail: newest, no driver record yet ------------------
         "kg_canonicalize": q_kg_canonicalize,
         "kg_canon_diff": q_kg_canon_diff,
@@ -8057,6 +8188,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_modularity": sql_kg_modularity(),
         "select_token_budget": sql_select_token_budget(),
         "events_streaming_join": sql_events_streaming_join(),
+        "kg_louvain": sql_kg_louvain(),
+        "kg_wsssp": sql_kg_wsssp(),
         "kg_named_graphs": sql_kg_named_graphs(),
         "kg_update": sql_kg_update(),
         "kg_graph_management": sql_kg_graph_management(),

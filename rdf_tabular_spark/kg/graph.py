@@ -932,3 +932,188 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             " DIV (4 * m_edges * m_edges) AS BIGINT)").alias("q_micro"))
     pairs.unpersist()
     return out
+
+
+def modularity_refine(edges: DataFrame, labels: DataFrame | None = None,
+                      rounds: int = 3) -> DataFrame:
+    """Louvain-style local-move refinement, synchronous and all-integer:
+    per round EVERY node simultaneously moves to the adjacent community
+    (or stays) that maximizes the modularity gain, computed against the
+    CURRENT partition with the exact-integer objective
+
+        f(c) = 4m·k_{i,c} − 2·k_i·d̃_c ,   d̃_c = d_c − k_i·[c = own]
+
+    which orders candidates identically to ΔQ (the 4m² denominator and
+    the own-community baseline cancel in comparisons — Blondel et al.'s
+    local move, cleared of fractions). Ties break on the smallest
+    community label; *rounds* is part of the declared semantics, like
+    label_propagation's (the synchronous update can oscillate on
+    symmetric structures, so no convergence loop). Starting *labels*
+    default to singletons — one Louvain level from scratch; pass
+    label_propagation output to refine it instead.
+
+    Three rules make the synchronous update deterministic AND
+    convergence-friendly (plain simultaneous greedy cycles forever on
+    symmetric structures):
+
+    1. **Leiden refinement constraint** (Traag, Waltman & van Eck
+       2019): only a node ALONE in its community may move — community
+       membership grows monotonically within the level, so doubleton/
+       singleton swap cycles cannot form (Louvain's cross-community
+       rebalancing belongs to the next level via graph contraction).
+    2. **Minimum-labeling guard** (Grappolo — Lu, Halappanavar &
+       Kalyanaraman 2015): a singleton may merge into another
+       SINGLETON only when the target label is smaller — adjacent
+       singletons collapse onto their minimum instead of swapping.
+    3. **Canonicalization**: after each round the community id is reset
+       to the minimum member node (components' convention) — a label
+       whose name-giver moved away would otherwise become a ghost that
+       nodes chase in circles.
+
+    Determinism: the synchronous all-at-once move + total tie order
+    make the labels a pure function of (graph, labels, rounds) — the
+    DuckDB twin replays the identical rounds. All arithmetic is BIGINT
+    (overflow bound: 4m·k_i — at 10^12 edges with 10^6-degree hubs this
+    approaches int64; shard counts into DECIMAL(38) there).
+
+    Scale shape per round: one shuffle join of labels onto the
+    adjacency, one (node, label) count, one per-label degree agg
+    (|communities| keys), one broadcast of the 1-row 2m scalar folded
+    in as a literal, and one arg-min struct agg per node. No windows,
+    no global sorts; localCheckpoint per round cuts lineage. Hot
+    communities partial-aggregate map-side (same argument as
+    label_propagation)."""
+    und = (
+        edges.select(F.col("src").cast("string").alias("x"),
+                     F.col("dst").cast("string").alias("y"))
+        .unionByName(edges.select(F.col("dst").cast("string").alias("x"),
+                                  F.col("src").cast("string").alias("y")))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .persist()
+    )
+    deg = und.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).alias("ki")).persist()
+    two_m = und.count()  # = 2m exactly (both directions present)
+    if labels is None:
+        lab = deg.select("node", F.col("node").alias("label"))
+    else:
+        lab = labels.select(F.col("node").cast("string").alias("node"),
+                            F.col("label").cast("string").alias("label"))
+    lab = lab.localCheckpoint()
+    for _ in range(rounds):
+        d_c = (
+            lab.join(deg, "node")
+            .groupBy("label").agg(F.sum("ki").alias("d_c"))
+        )
+        k_ic = (
+            und.join(lab.withColumnRenamed("node", "y"), "y")
+            .groupBy(F.col("x").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        sizes = lab.groupBy("label").agg(
+            F.count(F.lit(1)).alias("csize"))
+        base = (
+            lab.select("node", F.col("label").alias("a"))
+            .join(deg, "node")
+            .join(sizes.select(F.col("label").alias("a"),
+                               F.col("csize").alias("s_a")), "a")
+        )
+        # candidate set: neighbor communities ∪ the own community (with
+        # k=0 when no neighbor shares it) — summed so the own row merges
+        cands = (
+            k_ic.unionByName(
+                base.select("node", F.col("a").alias("label"),
+                            F.lit(0).cast("long").alias("k")))
+            .groupBy("node", "label").agg(F.sum("k").alias("k"))
+        )
+        scored = (
+            cands.join(base, "node")
+            .join(d_c, "label")
+            .join(sizes.select("label", F.col("csize").alias("s_c")),
+                  "label")
+            # Leiden refinement constraint: only nodes ALONE in their
+            # community may move (monotone growth — no oscillation);
+            # minimum-labeling drops singleton->larger-singleton moves
+            .filter((F.col("label") == F.col("a")) | (F.col("s_a") == 1))
+            .filter(~((F.col("label") != F.col("a"))
+                      & (F.col("s_a") == 1) & (F.col("s_c") == 1)
+                      & (F.col("label") > F.col("a"))))
+            .select(
+                "node", "label",
+                (F.lit(2 * two_m) * F.col("k")
+                 - F.lit(2) * F.col("ki")
+                 * (F.col("d_c")
+                    - F.when(F.col("label") == F.col("a"), F.col("ki"))
+                    .otherwise(F.lit(0)))).alias("f"))
+        )
+        moved = (
+            scored.groupBy("node")
+            .agg(F.min(F.struct((-F.col("f")).alias("nf"),
+                                F.col("label").alias("l"))).alias("b"))
+            .select("node", F.col("b.l").alias("label"))
+        )
+        # canonicalize: community id = min member node (components'
+        # convention). Without this, a label whose eponymous node moved
+        # away becomes a GHOST — nodes chase a community that no longer
+        # contains its name-giver and symmetric structures cycle forever;
+        # with it, dissolved communities collapse back to self-labels and
+        # the minimum-labeling guard can finish the merge next round.
+        canon = moved.groupBy("label").agg(F.min("node").alias("_c"))
+        lab = (
+            moved.join(canon, "label")
+            .select("node", F.col("_c").alias("label"))
+            .localCheckpoint()
+        )
+    und.unpersist()
+    deg.unpersist()
+    return lab
+
+
+def weighted_sssp(wedges: DataFrame, source: str,
+                  max_hops: int = 6) -> DataFrame:
+    """Bounded Bellman-Ford over integer edge weights: ``(node, dist)``
+    with dist = the minimum total weight over paths of ≤ *max_hops*
+    edges from *source* (the weighted counterpart of sssp_hops; bounded
+    rounds are the declared semantics, as everywhere in this module).
+    *wedges* has columns ``(src, dst, w)``; parallel edges collapse to
+    their cheapest. All-integer min-plus arithmetic — a pure data
+    fixpoint with no accumulation error, so cross-engine equality is
+    structural (the twin relaxes the same rounds).
+
+    Shape per round: one equi-join of the improved frontier against the
+    src-hash edge layout (built once, reused every round), one min-agg,
+    one merge-min against the best table, one anti-semi filter keeping
+    strictly-improved rows (label-correcting: relaxing only improved
+    rows computes the same fixpoint as full Bellman-Ford rounds, since
+    un-improved rows would only re-derive known distances). Early exit
+    when no row improves. No windows, no global sorts."""
+    spark = wedges.sparkSession
+    e = (
+        wedges.select(F.col("src").cast("string").alias("src"),
+                      F.col("dst").cast("string").alias("dst"),
+                      F.col("w").cast("long").alias("w"))
+        .groupBy("src", "dst").agg(F.min("w").alias("w"))
+        .repartition("src").localCheckpoint(eager=False)
+    )
+    best = spark.createDataFrame([(source, 0)], "node string, dist long") \
+        .localCheckpoint()
+    frontier = best
+    for _ in range(max_hops):
+        reached = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist")))
+        merged = (
+            best.unionByName(reached)
+            .groupBy("node").agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False))
+        frontier = (
+            merged.join(best.select("node", F.col("dist").alias("_old")),
+                        "node", "left")
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("node", "dist"))
+        if frontier.isEmpty():
+            return merged
+        best = merged
+    return best

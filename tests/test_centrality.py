@@ -157,3 +157,88 @@ def test_characteristic_sets(spark):
            for r in characteristic_sets(triples).collect()}
     # s1 and s2 share {p,q} (s1 with multiplicity 3), s3 is {p}
     assert got == {"p|q": (2, 2, 5), "p": (1, 1, 1)}
+
+
+def ref_refine(pairs, rounds, labels=None):
+    """Pure-Python replay of modularity_refine's declared integer rule."""
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {n: len(adj[n]) for n in adj}
+    two_m = sum(deg.values())
+    lab = dict(labels) if labels else {n: n for n in adj}
+    for _ in range(rounds):
+        d_c = defaultdict(int)
+        for n, l in lab.items():
+            d_c[l] += deg[n]
+        size = defaultdict(int)
+        for l in lab.values():
+            size[l] += 1
+        new = {}
+        for n in adj:
+            k_ic = defaultdict(int)
+            for w in adj[n]:
+                k_ic[lab[w]] += 1
+            k_ic.setdefault(lab[n], 0)
+            own = lab[n]
+            best = min(
+                ((-(2 * two_m * k
+                    - 2 * deg[n] * (d_c[c] - (deg[n] if c == own else 0))), c)
+                 for c, k in k_ic.items()
+                 # Leiden constraint: only singleton nodes may move
+                 if (c == own or size[own] == 1)
+                 # minimum-labeling singleton-swap guard
+                 and not (c != own and size[own] == 1 and size[c] == 1
+                          and c > own)))
+            new[n] = best[1]
+        # canonicalize: community id = min member node
+        canon = {}
+        for n, l in new.items():
+            canon[l] = min(canon.get(l, n), n)
+        lab = {n: canon[l] for n, l in new.items()}
+    return lab
+
+
+def test_modularity_refine_finds_triangles(spark):
+    # two triangles + bridge, from singletons: each triangle collapses
+    # into one community
+    out = {r["node"]: r["label"] for r in G.modularity_refine(
+        _edges_df(spark, TWO_TRIANGLES), rounds=3).collect()}
+    assert len({out[n] for n in "abc"}) == 1
+    assert len({out[n] for n in "xyz"}) == 1
+    assert out["a"] != out["x"]
+
+
+@pytest.mark.parametrize("rounds", [1, 2, 3])
+def test_modularity_refine_matches_reference(spark, rounds):
+    messy = TWO_TRIANGLES + DIAMOND + [("z", "d")]
+    got = {r["node"]: r["label"] for r in G.modularity_refine(
+        _edges_df(spark, messy), rounds=rounds).collect()}
+    assert got == ref_refine(messy, rounds)
+
+
+def test_modularity_refine_improves_q(spark):
+    edges = _edges_df(spark, TWO_TRIANGLES)
+    singles = spark.createDataFrame(
+        [(n, n) for n in "abcxyz"], "node string, label string")
+    q0 = G.modularity(edges, singles).collect()[0]["q_numer"]
+    q1 = G.modularity(edges, G.modularity_refine(edges, rounds=3)) \
+        .collect()[0]["q_numer"]
+    assert q1 > q0
+
+
+def test_weighted_sssp_bounded_bellman_ford(spark):
+    wedges = spark.createDataFrame(
+        [("s", "a", 1), ("a", "b", 1), ("s", "b", 5), ("b", "c", 1),
+         ("s", "b", 4),  # parallel edge collapses to min
+         ("c", "d", 10), ("x", "y", 1)],  # x,y unreachable from s
+        "src string, dst string, w long")
+    got = {r["node"]: r["dist"]
+           for r in G.weighted_sssp(wedges, "s", max_hops=6).collect()}
+    assert got == {"s": 0, "a": 1, "b": 2, "c": 3, "d": 13}
+    # hop bound: within 1 hop the direct s->b edge (4) wins over s->a->b
+    got1 = {r["node"]: r["dist"]
+            for r in G.weighted_sssp(wedges, "s", max_hops=1).collect()}
+    assert got1 == {"s": 0, "a": 1, "b": 4}
