@@ -242,3 +242,40 @@ def test_weighted_sssp_bounded_bellman_ford(spark):
     got1 = {r["node"]: r["dist"]
             for r in G.weighted_sssp(wedges, "s", max_hops=1).collect()}
     assert got1 == {"s": 0, "a": 1, "b": 4}
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: random graphs vs the pure-Python replays (each Spark round
+# is expensive, so examples are few but adversarially shrunk)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_edge_st = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).map(
+        lambda t: (f"n{t[0]}", f"n{t[1]}")),
+    min_size=1, max_size=14)
+
+
+@settings(max_examples=12, deadline=None)
+@given(pairs=_edge_st, k=st.integers(1, 4), hops=st.integers(1, 3))
+def test_betweenness_fuzz_matches_reference(spark, pairs, k, hops):
+    simple = [p for p in pairs if p[0] != p[1]]
+    if not simple:
+        return
+    got = {r["node"]: r["betweenness_micro"]
+           for r in G.betweenness(_edges_df(spark, simple), k_sources=k,
+                                  max_hops=hops).collect()}
+    assert got == ref_betweenness(simple, k, hops)
+
+
+@settings(max_examples=10, deadline=None)
+@given(pairs=_edge_st, rounds=st.integers(1, 3))
+def test_modularity_refine_fuzz_matches_reference(spark, pairs, rounds):
+    simple = [p for p in pairs if p[0] != p[1]]
+    if not simple:
+        return
+    got = {r["node"]: r["label"]
+           for r in G.modularity_refine(_edges_df(spark, simple),
+                                        rounds=rounds).collect()}
+    assert got == ref_refine(simple, rounds)
