@@ -6051,6 +6051,50 @@ def sql_kg_wsssp(max_hops: int = 6) -> str:
     """
 
 
+def q_kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the dependency graph (kg/graph.
+    assortativity — r4 tail 4): Pearson degree correlation across
+    edges with every denominator cleared to exact BIGINTs,
+    r = (4M·P − S1²)/(2M·S2 − S1²); r_micro by the portable integer
+    floor, NULL for degree-regular graphs."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.assortativity(graph.edge_list(triples))
+
+
+def sql_kg_assortativity() -> str:
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({sql_kg_degrees_edges()}) e
+      WHERE src <> dst),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+      GROUP BY node),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+             CAST(SUM(da.d * db.d) AS BIGINT) AS p,
+             CAST(SUM(da.d + db.d) AS BIGINT) AS s1,
+             CAST(SUM(da.d * da.d + db.d * db.d) AS BIGINT) AS s2
+      FROM pairs
+      JOIN deg da ON pairs.a = da.node
+      JOIN deg db ON pairs.b = db.node)
+    SELECT m_edges,
+           CAST(4 * m_edges * p - s1 * s1 AS BIGINT) AS r_numer,
+           CAST(2 * m_edges * s2 - s1 * s1 AS BIGINT) AS r_denom,
+           CAST(CASE WHEN 2 * m_edges * s2 - s1 * s1 = 0 THEN NULL
+             ELSE ((4 * m_edges * p - s1 * s1) * 1000000
+               - ((((4 * m_edges * p - s1 * s1) * 1000000)
+                    % (2 * m_edges * s2 - s1 * s1)
+                   + (2 * m_edges * s2 - s1 * s1))
+                  % (2 * m_edges * s2 - s1 * s1)))
+               // (2 * m_edges * s2 - s1 * s1) END AS BIGINT) AS r_micro
+    FROM folded
+    """
+
+
 def sql_kg_degrees_edges() -> str:
     """The gedges edge list as a standalone SELECT (for twins that need
     it inside a derived table where the shared WITH prelude cannot be
@@ -7964,6 +8008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_join": q_events_streaming_join,
         "kg_louvain": q_kg_louvain,
         "kg_wsssp": q_kg_wsssp,
+        "kg_assortativity": q_kg_assortativity,
         # -- (0a) r4 tail: newest, no driver record yet ------------------
         "kg_canonicalize": q_kg_canonicalize,
         "kg_canon_diff": q_kg_canon_diff,
@@ -8190,6 +8235,7 @@ def oracle_sql() -> dict[str, str]:
         "events_streaming_join": sql_events_streaming_join(),
         "kg_louvain": sql_kg_louvain(),
         "kg_wsssp": sql_kg_wsssp(),
+        "kg_assortativity": sql_kg_assortativity(),
         "kg_named_graphs": sql_kg_named_graphs(),
         "kg_update": sql_kg_update(),
         "kg_graph_management": sql_kg_graph_management(),

@@ -279,3 +279,27 @@ def test_modularity_refine_fuzz_matches_reference(spark, pairs, rounds):
            for r in G.modularity_refine(_edges_df(spark, simple),
                                         rounds=rounds).collect()}
     assert got == ref_refine(simple, rounds)
+
+
+def test_assortativity_star_is_negative(spark):
+    # star K1,3: every edge joins degree 3 to degree 1 -> r = -1 exactly
+    star = [("h", "a"), ("h", "b"), ("h", "c")]
+    row = G.assortativity(_edges_df(spark, star)).collect()[0]
+    assert row["r_numer"] == -row["r_denom"] != 0
+    assert row["r_micro"] == -1_000_000
+
+
+def test_assortativity_regular_graph_null(spark):
+    # triangle: all degrees equal -> denominator 0 -> r undefined
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    row = G.assortativity(_edges_df(spark, tri)).collect()[0]
+    assert row["r_denom"] == 0 and row["r_micro"] is None
+
+
+def test_assortativity_reference_value(spark):
+    # path a-b-c-d: edges (1,2),(2,2),(2,1) by degree; M=3, P=2+4+2=8,
+    # S1=3+4+3=10, S2=5+8+5=18 -> r = (96-100)/(108-100) = -1/2
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    row = G.assortativity(_edges_df(spark, path)).collect()[0]
+    assert (row["r_numer"], row["r_denom"]) == (-4, 8)
+    assert row["r_micro"] == -500_000
