@@ -5992,6 +5992,90 @@ def sql_kg_louvain(rounds: int = 3) -> str:
     """
 
 
+def q_kg_louvain2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Louvain (kg/graph.louvain — r4 tail 4): level 1 =
+    modularity_refine from singletons; contraction folds each
+    community's internal weight into a self-loop; level 2 reruns the
+    refinement on the weighted super-graph. The twin nests the level-1
+    query verbatim, contracts in SQL, and replays the weighted rounds
+    — same integer arithmetic at both levels."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.louvain(graph.edge_list(triples), levels=2, rounds=3)
+
+
+def sql_kg_louvain2(rounds: int = 3) -> str:
+    steps = []
+    prev = "wl0"
+    for r in range(1, rounds + 1):
+        steps.append(f""",
+    wdcr{r} AS (
+      SELECT l.label, SUM(d.ki) AS d_c
+      FROM wdeg d JOIN {prev} l ON d.node = l.node GROUP BY l.label),
+    wsz{r} AS (
+      SELECT label, COUNT(*) AS csize FROM {prev} GROUP BY label),
+    wkic{r} AS (
+      SELECT u.x AS node, l.label, CAST(SUM(u.w) AS BIGINT) AS k
+      FROM wund u JOIN {prev} l ON u.y = l.node GROUP BY u.x, l.label),
+    wcand{r} AS (
+      SELECT node, label, CAST(SUM(k) AS BIGINT) AS k FROM (
+        SELECT node, label, k FROM wkic{r}
+        UNION ALL SELECT node, label, 0 FROM {prev}) GROUP BY node, label),
+    wsc{r} AS (
+      SELECT c.node, c.label,
+             2 * tm.m2 * c.k
+               - 2 * d.ki * (dc.d_c - CASE WHEN c.label = l.label
+                                           THEN d.ki ELSE 0 END) AS f
+      FROM wcand{r} c
+      JOIN {prev} l ON l.node = c.node
+      JOIN wdeg d ON d.node = c.node
+      JOIN wdcr{r} dc ON dc.label = c.label
+      JOIN wsz{r} sa ON sa.label = l.label
+      JOIN wsz{r} sc ON sc.label = c.label, wm2 tm
+      WHERE (c.label = l.label OR sa.csize = 1)
+        AND NOT (c.label <> l.label AND sa.csize = 1
+                 AND sc.csize = 1 AND c.label > l.label)),
+    wmv{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY f DESC, label) AS rn
+        FROM wsc{r}) WHERE rn = 1),
+    wcn{r} AS (SELECT label, MIN(node) AS c FROM wmv{r} GROUP BY label),
+    wl{r} AS MATERIALIZED (
+      SELECT m.node, cn.c AS label
+      FROM wmv{r} m JOIN wcn{r} cn ON cn.label = m.label)""")
+        prev = f"wl{r}"
+    return f"""
+    WITH lv1 AS MATERIALIZED (SELECT * FROM ({sql_kg_louvain(rounds)}) t),
+    pairs0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({sql_kg_degrees_edges()}) e
+      WHERE src <> dst),
+    ced AS MATERIALIZED (
+      SELECT LEAST(la.label, lb.label) AS a,
+             GREATEST(la.label, lb.label) AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM pairs0 p
+      JOIN lv1 la ON p.a = la.node
+      JOIN lv1 lb ON p.b = lb.node
+      GROUP BY 1, 2),
+    wund AS MATERIALIZED (
+      SELECT a AS x, b AS y, w FROM ced WHERE a <> b
+      UNION ALL SELECT b, a, w FROM ced WHERE a <> b),
+    wdeg AS MATERIALIZED (
+      SELECT node, CAST(SUM(k) AS BIGINT) AS ki FROM (
+        SELECT x AS node, w AS k FROM wund
+        UNION ALL SELECT a, 2 * w FROM ced WHERE a = b) GROUP BY node),
+    wm2 AS (SELECT CAST(SUM(ki) AS BIGINT) AS m2 FROM wdeg),
+    wl0 AS MATERIALIZED (SELECT node, node AS label FROM wdeg)
+    {''.join(steps)}
+    SELECT l1.node, up.label
+    FROM lv1 l1 JOIN {prev} up ON up.node = l1.label
+    """
+
+
 def q_kg_wsssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source shortest paths (kg/graph.weighted_sssp —
     r4 tail 4): bounded Bellman-Ford over the co-import graph with the
@@ -8009,6 +8093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_louvain": q_kg_louvain,
         "kg_wsssp": q_kg_wsssp,
         "kg_assortativity": q_kg_assortativity,
+        "kg_louvain2": q_kg_louvain2,
         # -- (0a) r4 tail: newest, no driver record yet ------------------
         "kg_canonicalize": q_kg_canonicalize,
         "kg_canon_diff": q_kg_canon_diff,
@@ -8236,6 +8321,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_louvain": sql_kg_louvain(),
         "kg_wsssp": sql_kg_wsssp(),
         "kg_assortativity": sql_kg_assortativity(),
+        "kg_louvain2": sql_kg_louvain2(),
         "kg_named_graphs": sql_kg_named_graphs(),
         "kg_update": sql_kg_update(),
         "kg_graph_management": sql_kg_graph_management(),

@@ -935,7 +935,8 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def modularity_refine(edges: DataFrame, labels: DataFrame | None = None,
-                      rounds: int = 3) -> DataFrame:
+                      rounds: int = 3,
+                      weight_col: str | None = None) -> DataFrame:
     """Louvain-style local-move refinement, synchronous and all-integer:
     per round EVERY node simultaneously moves to the adjacent community
     (or stays) that maximizes the modularity gain, computed against the
@@ -976,6 +977,15 @@ def modularity_refine(edges: DataFrame, labels: DataFrame | None = None,
     (overflow bound: 4m·k_i — at 10^12 edges with 10^6-degree hubs this
     approaches int64; shard counts into DECIMAL(38) there).
 
+    Weighted graphs (*weight_col*, the contraction path of
+    :func:`louvain`): edge multiplicities are integer weights; k_i and
+    d_c become weighted degrees, self-loops (a contracted community's
+    internal edges) contribute 2w to their node's degree but never
+    appear as move candidates — a self-loop stays intra wherever its
+    node goes, so it cancels in the gain comparison (textbook Blondel).
+    With *weight_col* None the semantics are EXACTLY the unweighted
+    ones (duplicate input edges collapse to one).
+
     Scale shape per round: one shuffle join of labels onto the
     adjacency, one (node, label) count, one per-label degree agg
     (|communities| keys), one broadcast of the 1-row 2m scalar folded
@@ -983,18 +993,47 @@ def modularity_refine(edges: DataFrame, labels: DataFrame | None = None,
     no global sorts; localCheckpoint per round cuts lineage. Hot
     communities partial-aggregate map-side (same argument as
     label_propagation)."""
+    if weight_col is None:
+        # unweighted: duplicates collapse, self-loops DROP (meaningless
+        # in simple-graph semantics; the weighted path keeps them
+        # because contraction produces them)
+        canon = (
+            edges.select(F.least(F.col("src").cast("string"),
+                                 F.col("dst").cast("string")).alias("a"),
+                         F.greatest(F.col("src").cast("string"),
+                                    F.col("dst").cast("string")).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .withColumn("w", F.lit(1).cast("long"))
+        )
+    else:
+        canon = (
+            edges.select(F.least(F.col("src").cast("string"),
+                                 F.col("dst").cast("string")).alias("a"),
+                         F.greatest(F.col("src").cast("string"),
+                                    F.col("dst").cast("string")).alias("b"),
+                         F.col(weight_col).cast("long").alias("w"))
+            .groupBy("a", "b").agg(F.sum("w").alias("w"))
+        )
+    nonself = canon.filter(F.col("a") != F.col("b"))
+    selfw = canon.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("node"), F.col("w").alias("w_self"))
     und = (
-        edges.select(F.col("src").cast("string").alias("x"),
-                     F.col("dst").cast("string").alias("y"))
-        .unionByName(edges.select(F.col("dst").cast("string").alias("x"),
-                                  F.col("src").cast("string").alias("y")))
-        .filter(F.col("x") != F.col("y"))
-        .distinct()
+        nonself.select(F.col("a").alias("x"), F.col("b").alias("y"), "w")
+        .unionByName(nonself.select(F.col("b").alias("x"),
+                                    F.col("a").alias("y"), "w"))
         .persist()
     )
-    deg = und.groupBy(F.col("x").alias("node")).agg(
-        F.count(F.lit(1)).alias("ki")).persist()
-    two_m = und.count()  # = 2m exactly (both directions present)
+    deg = (
+        und.groupBy(F.col("x").alias("node")).agg(F.sum("w").alias("kn"))
+        .join(selfw, "node", "full_outer")
+        .select("node",
+                (F.coalesce("kn", F.lit(0))
+                 + F.lit(2) * F.coalesce("w_self", F.lit(0)))
+                .cast("long").alias("ki"))
+        .persist()
+    )
+    two_m = deg.agg(F.sum("ki")).collect()[0][0] or 0  # Σki = 2m exactly
     if labels is None:
         lab = deg.select("node", F.col("node").alias("label"))
     else:
@@ -1009,7 +1048,7 @@ def modularity_refine(edges: DataFrame, labels: DataFrame | None = None,
         k_ic = (
             und.join(lab.withColumnRenamed("node", "y"), "y")
             .groupBy(F.col("x").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(F.sum("w").alias("k"))
         )
         sizes = lab.groupBy("label").agg(
             F.count(F.lit(1)).alias("csize"))
@@ -1178,3 +1217,70 @@ def assortativity(edges: DataFrame) -> DataFrame:
         """).alias("r_micro"))
     pairs.unpersist()
     return out
+
+
+def contract_graph(edges: DataFrame, labels: DataFrame,
+                   weight_col: str | None = None) -> DataFrame:
+    """Louvain graph contraction: map both endpoints of every
+    (canonical, unique-undirected) edge through *labels* and sum edge
+    weights per community pair — intra-community edges become
+    SELF-LOOPS carrying the community's internal weight, exactly what
+    :func:`modularity_refine`'s weighted path expects. Returns
+    ``(src, dst, w)`` with ``src <= dst``.
+
+    One dedup of the edge list, two node-keyed label joins, one
+    (community, community) sum — the super-graph is |communities|-sized,
+    so every later level costs a vanishing fraction of level 1."""
+    if weight_col is None:
+        # unweighted: duplicates collapse, self-loops DROP (meaningless
+        # in simple-graph semantics; the weighted path keeps them
+        # because contraction produces them)
+        canon = (
+            edges.select(F.least(F.col("src").cast("string"),
+                                 F.col("dst").cast("string")).alias("a"),
+                         F.greatest(F.col("src").cast("string"),
+                                    F.col("dst").cast("string")).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .withColumn("w", F.lit(1).cast("long"))
+        )
+    else:
+        canon = (
+            edges.select(F.least(F.col("src").cast("string"),
+                                 F.col("dst").cast("string")).alias("a"),
+                         F.greatest(F.col("src").cast("string"),
+                                    F.col("dst").cast("string")).alias("b"),
+                         F.col(weight_col).cast("long").alias("w"))
+            .groupBy("a", "b").agg(F.sum("w").alias("w"))
+        )
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    return (
+        canon.join(la, "a").join(lb, "b")
+        .groupBy(F.least("la", "lb").alias("src"),
+                 F.greatest("la", "lb").alias("dst"))
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def louvain(edges: DataFrame, levels: int = 2, rounds: int = 3) -> DataFrame:
+    """Multi-level Louvain (Blondel et al. 2008): refine → contract →
+    refine on the weighted super-graph, *levels* times; returns the
+    ORIGINAL nodes mapped to their top-level community. Level 1 runs
+    :func:`modularity_refine` from singletons; every later level runs
+    its weighted path on the contracted graph, where a community's
+    internal weight rides along as a self-loop. Deterministic end to
+    end (each stage is), so the twin replays the whole pyramid."""
+    mapping = modularity_refine(edges, rounds=rounds)
+    cur_edges, cur_w, cur_labels = edges, None, mapping
+    for _ in range(1, levels):
+        wg = contract_graph(cur_edges, cur_labels, cur_w).localCheckpoint()
+        up = modularity_refine(wg, rounds=rounds, weight_col="w")
+        mapping = (
+            mapping.join(up.select(F.col("node").alias("label"),
+                                   F.col("label").alias("_up")), "label")
+            .select("node", F.col("_up").alias("label"))
+            .localCheckpoint()
+        )
+        cur_edges, cur_w, cur_labels = wg, "w", up
+    return mapping

@@ -160,15 +160,33 @@ def test_characteristic_sets(spark):
 
 
 def ref_refine(pairs, rounds, labels=None):
-    """Pure-Python replay of modularity_refine's declared integer rule."""
-    adj = defaultdict(set)
-    for a, b in pairs:
-        if a != b:
-            adj[a].add(b)
-            adj[b].add(a)
-    deg = {n: len(adj[n]) for n in adj}
+    """Pure-Python replay of modularity_refine's declared integer rule.
+    *pairs* items are (a, b) for weight 1 or (a, b, w) — self-loops
+    allowed in the weighted form (the contraction path)."""
+    wadj = defaultdict(lambda: defaultdict(int))
+    selfw = defaultdict(int)
+    nodes = set()
+    seen = set()
+    for e in pairs:
+        a, b, w = e if len(e) == 3 else (*e, None)
+        if w is None:
+            # unweighted: duplicates collapse, self-loops drop (a node
+            # appearing ONLY in self-loops is absent, like the engine)
+            key = (min(a, b), max(a, b))
+            if a == b or key in seen:
+                continue
+            seen.add(key)
+            w = 1
+        nodes.add(a)
+        nodes.add(b)
+        if a == b:
+            selfw[a] += w
+            continue
+        wadj[a][b] += w
+        wadj[b][a] += w
+    deg = {n: sum(wadj[n].values()) + 2 * selfw[n] for n in nodes}
     two_m = sum(deg.values())
-    lab = dict(labels) if labels else {n: n for n in adj}
+    lab = dict(labels) if labels else {n: n for n in nodes}
     for _ in range(rounds):
         d_c = defaultdict(int)
         for n, l in lab.items():
@@ -177,10 +195,10 @@ def ref_refine(pairs, rounds, labels=None):
         for l in lab.values():
             size[l] += 1
         new = {}
-        for n in adj:
+        for n in nodes:
             k_ic = defaultdict(int)
-            for w in adj[n]:
-                k_ic[lab[w]] += 1
+            for w2, ww in wadj[n].items():
+                k_ic[lab[w2]] += ww
             k_ic.setdefault(lab[n], 0)
             own = lab[n]
             best = min(
@@ -199,6 +217,33 @@ def ref_refine(pairs, rounds, labels=None):
             canon[l] = min(canon.get(l, n), n)
         lab = {n: canon[l] for n, l in new.items()}
     return lab
+
+
+def ref_contract(pairs, lab):
+    out = defaultdict(int)
+    seen = set()
+    for e in pairs:
+        a, b, w = e if len(e) == 3 else (*e, None)
+        if w is None:
+            key = (min(a, b), max(a, b))
+            if a == b or key in seen:
+                continue
+            seen.add(key)
+            w = 1
+        la, lb = lab[a], lab[b]
+        out[(min(la, lb), max(la, lb))] += w
+    return [(a, b, w) for (a, b), w in sorted(out.items())]
+
+
+def ref_louvain(pairs, levels, rounds):
+    lab = ref_refine(pairs, rounds)
+    cur, mapping = pairs, lab
+    for _ in range(1, levels):
+        cur = ref_contract(cur, lab)
+        up = ref_refine(cur, rounds)
+        mapping = {n: up[l] for n, l in mapping.items()}
+        lab = up
+    return mapping
 
 
 def test_modularity_refine_finds_triangles(spark):
@@ -303,3 +348,51 @@ def test_assortativity_reference_value(spark):
     row = G.assortativity(_edges_df(spark, path)).collect()[0]
     assert (row["r_numer"], row["r_denom"]) == (-4, 8)
     assert row["r_micro"] == -500_000
+
+
+def _tri(p):
+    return [(p + "1", p + "2"), (p + "2", p + "3"), (p + "1", p + "3")]
+
+
+CHAIN4 = (_tri("a") + _tri("b") + _tri("c") + _tri("d")
+          + [("a1", "b1"), ("a2", "b2"), ("c1", "d1"), ("c2", "d2"),
+             ("b3", "c3")])
+
+
+def test_weighted_refine_matches_reference(spark):
+    wedges = [("a", "a", 8), ("a", "c", 1), ("c", "c", 8), ("c", "e", 6),
+              ("e", "e", 2)]
+    df = spark.createDataFrame(wedges, "src string, dst string, w long")
+    got = {r["node"]: r["label"]
+           for r in G.modularity_refine(df, rounds=3,
+                                        weight_col="w").collect()}
+    assert got == ref_refine(wedges, 3)
+
+
+def test_contract_graph(spark):
+    lab = _labels_df(spark, {"a1": "a1", "a2": "a1", "a3": "a1",
+                             "b1": "b1", "b2": "b1", "b3": "b1"})
+    edges = _edges_df(spark, _tri("a") + _tri("b") + [("a1", "b1")])
+    got = sorted(tuple(r) for r in
+                 G.contract_graph(edges, lab).collect())
+    assert got == [("a1", "a1", 3), ("a1", "b1", 1), ("b1", "b1", 3)]
+
+
+def test_louvain_two_levels_matches_reference(spark):
+    for rounds in (1, 2):
+        got = {r["node"]: r["label"]
+               for r in G.louvain(_edges_df(spark, CHAIN4), levels=2,
+                                  rounds=rounds).collect()}
+        assert got == ref_louvain(CHAIN4, 2, rounds)
+
+
+def test_louvain_level2_merges_bridged_triangles(spark):
+    # rounds=1 per level under-merges at level 1; the contracted level
+    # must finish the double-bridged pairs (a+b, c+d) without crossing
+    # the single weak bridge b3-c3
+    got = {r["node"]: r["label"]
+           for r in G.louvain(_edges_df(spark, CHAIN4), levels=2,
+                              rounds=3).collect()}
+    left = {got[n] for n in ("a1", "a2", "a3", "b1", "b2", "b3")}
+    right = {got[n] for n in ("c1", "c2", "c3", "d1", "d2", "d3")}
+    assert len(left) == 1 and len(right) == 1 and left != right
