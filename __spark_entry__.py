@@ -5775,9 +5775,37 @@ def q_kg_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return characteristic_sets(triples)
 
 
-def sql_kg_charsets() -> str:
+def q_kg_charsets_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained characteristic sets (kg/materialize.
+    characteristic_sets_incremental — r4 tail 4): the v1 charset state
+    merges the v1→v2 graph_diff (touched subjects only re-aggregate;
+    the untouched majority anti-joins through), then the rows derive
+    from the state. The twin computes v2's charsets from scratch — a
+    green row IS the incremental == full invariant, cross-engine."""
+    from rdf_tabular_spark.kg.delta import graph_diff
+    from rdf_tabular_spark.kg.materialize import (
+        characteristic_sets_from_state,
+        characteristic_sets_incremental,
+        charset_state,
+    )
+
+    _, _, old = _kg_oracle_run(spark)
+    old_c = old.localCheckpoint()
+    v2 = spark.read.parquet(_kg_oracle_v2_path()).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256))
+    _, _, new = _kg_pipeline(v2)
+    diff = graph_diff(old_c, new)
+    state2 = characteristic_sets_incremental(charset_state(old_c), diff)
+    return characteristic_sets_from_state(state2)
+
+
+def sql_kg_charsets_incremental() -> str:
+    return sql_kg_charsets(src=_kg_oracle_v2_path())
+
+
+def sql_kg_charsets(src: str | None = None) -> str:
     return f"""
-    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    WITH kgq AS MATERIALIZED ({sql_kg_triples(src=src) if src else sql_kg_triples()}),
     per_subj AS (
       SELECT subj, string_agg(DISTINCT pred, '|' ORDER BY pred) AS char_set,
              COUNT(*) AS n
@@ -8094,6 +8122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wsssp": q_kg_wsssp,
         "kg_assortativity": q_kg_assortativity,
         "kg_louvain2": q_kg_louvain2,
+        "kg_charsets_incremental": q_kg_charsets_incremental,
         # -- (0a) r4 tail: newest, no driver record yet ------------------
         "kg_canonicalize": q_kg_canonicalize,
         "kg_canon_diff": q_kg_canon_diff,
@@ -8322,6 +8351,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_wsssp": sql_kg_wsssp(),
         "kg_assortativity": sql_kg_assortativity(),
         "kg_louvain2": sql_kg_louvain2(),
+        "kg_charsets_incremental": sql_kg_charsets_incremental(),
         "kg_named_graphs": sql_kg_named_graphs(),
         "kg_update": sql_kg_update(),
         "kg_graph_management": sql_kg_graph_management(),

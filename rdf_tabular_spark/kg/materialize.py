@@ -143,3 +143,60 @@ def void_statistics(triples: DataFrame) -> DataFrame:
             F.round(F.sum(F.when(F.col("obj_is_iri"), 1).otherwise(0))
                     / F.count(F.lit(1)), 6).alias("iri_object_frac"))
     )
+
+
+def charset_state(triples: DataFrame) -> DataFrame:
+    """The mergeable state behind characteristic-set maintenance:
+    ``(subj, pred, n)`` with n = the subject's triple count for the
+    predicate (objects are distinct in the set-semantic graph, so n
+    counts distinct objects). One aggregation; the state is strictly
+    narrower than the triple table and is what a production run keeps
+    materialized between snapshot versions."""
+    return triples.groupBy("subj", "pred").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def characteristic_sets_incremental(state: DataFrame, diff: DataFrame
+                                    ) -> DataFrame:
+    """Maintain :func:`charset_state` under a triple-level diff
+    (kg/delta.graph_diff shape: ``(change, subj, pred, obj)`` with
+    change ∈ added/removed): returns the new state. Only subjects
+    TOUCHED by the diff re-aggregate — their state rows merge with the
+    ±1 delta counts and re-enter; the untouched majority passes through
+    an anti-join untouched, so the cost is delta-sized plus one
+    state-keyed shuffle, never a triple-table rescan (the
+    rdfs_incremental argument applied to the statistics catalog).
+    Compose with :func:`characteristic_sets_from_state` for the rows
+    — that final agg runs over the state (|subj×pred|, already far
+    narrower than the graph) and its key domain is the charset
+    vocabulary."""
+    delta_counts = (
+        diff.groupBy("subj", "pred").agg(
+            F.sum(F.when(F.col("change") == "added", 1)
+                  .otherwise(-1)).alias("n"))
+    )
+    touched = delta_counts.select("subj").distinct()
+    updated = (
+        state.join(touched, "subj", "left_semi")
+        .unionByName(delta_counts)
+        .groupBy("subj", "pred").agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    return state.join(touched, "subj", "left_anti").unionByName(updated)
+
+
+def characteristic_sets_from_state(state: DataFrame) -> DataFrame:
+    """:func:`characteristic_sets` computed from the maintained state
+    instead of the triple table — identical output columns."""
+    per_subj = state.groupBy("subj").agg(
+        F.concat_ws("|", F.sort_array(F.collect_set("pred"))).alias("char_set"),
+        F.sum("n").alias("n"))
+    return (
+        per_subj.groupBy("char_set").agg(
+            F.count(F.lit(1)).alias("n_subjects"),
+            F.sum("n").alias("n_triples"))
+        .select(
+            "char_set",
+            F.size(F.split(F.col("char_set"), r"\|")).alias("n_preds"),
+            "n_subjects", "n_triples")
+    )

@@ -396,3 +396,30 @@ def test_louvain_level2_merges_bridged_triangles(spark):
     left = {got[n] for n in ("a1", "a2", "a3", "b1", "b2", "b3")}
     right = {got[n] for n in ("c1", "c2", "c3", "d1", "d2", "d3")}
     assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_charsets_incremental_equals_full(spark):
+    from rdf_tabular_spark.kg.materialize import (
+        characteristic_sets,
+        characteristic_sets_from_state,
+        characteristic_sets_incremental,
+        charset_state,
+    )
+
+    t = "subj string, pred string, obj string"
+    v1 = spark.createDataFrame(
+        [("s1", "p", "1"), ("s1", "q", "2"), ("s2", "p", "1"),
+         ("s3", "r", "9")], t)
+    # delta: s1 loses q (charset shrinks), s2 gains r, s4 appears,
+    # s3 vanishes entirely
+    diff = spark.createDataFrame(
+        [("removed", "s1", "q", "2"), ("added", "s2", "r", "5"),
+         ("added", "s4", "p", "0"), ("removed", "s3", "r", "9")],
+        "change string, subj string, pred string, obj string")
+    v2 = spark.createDataFrame(
+        [("s1", "p", "1"), ("s2", "p", "1"), ("s2", "r", "5"),
+         ("s4", "p", "0")], t)
+    got = sorted(tuple(r) for r in characteristic_sets_from_state(
+        characteristic_sets_incremental(charset_state(v1), diff)).collect())
+    want = sorted(tuple(r) for r in characteristic_sets(v2).collect())
+    assert got == want
