@@ -5818,6 +5818,37 @@ def sql_kg_charsets(src: str | None = None) -> str:
     """
 
 
+def q_kg_charsets_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-pattern cardinality from the characteristic-set catalog
+    (kg/materialize.star_cardinality — r4 tail 4): subjects carrying
+    BOTH kg:imports and kg:defines, answered from the vocabulary-sized
+    stats table. The twin computes the TRUE count directly from the
+    triple table — a green row proves the charset partition answers
+    star counts exactly, which is the whole point of the structure."""
+    from rdf_tabular_spark.kg.materialize import (
+        characteristic_sets,
+        star_cardinality,
+    )
+
+    _, _, triples = _kg_oracle_run(spark)
+    return star_cardinality(characteristic_sets(triples),
+                            [_KG + "imports", _KG + "defines"])
+
+
+def sql_kg_charsets_estimate() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    per AS (
+      SELECT subj, COUNT(*) AS n,
+             BOOL_OR(pred = '{_KG}imports') AS has_i,
+             BOOL_OR(pred = '{_KG}defines') AS has_d
+      FROM kgq GROUP BY subj)
+    SELECT CAST(COUNT(*) AS BIGINT) AS star_subjects,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS covered_triples
+    FROM per WHERE has_i AND has_d
+    """
+
+
 def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-source hop-bounded betweenness centrality (kg/graph.betweenness
     — r4 tail 4): Brandes dependency accumulation from 8 deterministic
@@ -6101,6 +6132,58 @@ def sql_kg_louvain2(rounds: int = 3) -> str:
     {''.join(steps)}
     SELECT l1.node, up.label
     FROM lv1 l1 JOIN {prev} up ON up.node = l1.label
+    """
+
+
+def q_kg_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diameter lower bound by the double sweep (kg/graph.
+    eccentricity_probe — r4 tail 4): BFS from the md5-sampled pivot,
+    BFS again from the farthest node; ecc_peak is the Magnien et al.
+    diameter lower bound. Twin = two recursive CTE sweeps with the
+    identical farthest-node tiebreak."""
+    from rdf_tabular_spark.kg import graph
+
+    _, _, triples = _kg_oracle_run(spark)
+    return graph.eccentricity_probe(graph.edge_list(triples), max_hops=8)
+
+
+def sql_kg_eccentricity(max_hops: int = 8, seed: int = 7) -> str:
+    # each sweep's WITH RECURSIVE lives INSIDE a derived table — an
+    # outer-level RECURSIVE changes how DuckDB resolves the twin's own
+    # nested WITHs (the csvw_describe twin's restriction)
+    return f"""
+    WITH {_sql_kg_edges()},
+    und AS MATERIALIZED (
+      SELECT DISTINCT x, y FROM (
+        SELECT src AS x, dst AS y FROM gedges
+        UNION ALL SELECT dst, src FROM gedges) WHERE x <> y),
+    s1 AS MATERIALIZED (
+      SELECT node FROM (SELECT DISTINCT x AS node FROM und)
+      ORDER BY md5('ecc|{seed}|' || node), node LIMIT 1),
+    d1 AS MATERIALIZED (
+      SELECT node, MIN(hops) AS hops FROM (
+        WITH RECURSIVE r1(node, hops) AS (
+          SELECT node, 0 FROM s1
+          UNION
+          SELECT u.y, r1.hops + 1
+          FROM r1 JOIN und u ON r1.node = u.x WHERE r1.hops < {max_hops})
+        SELECT node, hops FROM r1) GROUP BY node),
+    p1 AS MATERIALIZED (
+      SELECT node, hops FROM d1 ORDER BY hops DESC, node LIMIT 1),
+    d2 AS MATERIALIZED (
+      SELECT node, MIN(hops) AS hops FROM (
+        WITH RECURSIVE r2(node, hops) AS (
+          SELECT node, 0 FROM p1
+          UNION
+          SELECT u.y, r2.hops + 1
+          FROM r2 JOIN und u ON r2.node = u.x WHERE r2.hops < {max_hops})
+        SELECT node, hops FROM r2) GROUP BY node),
+    p2 AS MATERIALIZED (
+      SELECT node, hops FROM d2 ORDER BY hops DESC, node LIMIT 1)
+    SELECT (SELECT node FROM s1) AS start_node,
+           (SELECT node FROM p1) AS peak_node,
+           CAST((SELECT hops FROM p1) AS BIGINT) AS ecc_start,
+           CAST((SELECT hops FROM p2) AS BIGINT) AS ecc_peak
     """
 
 
@@ -8123,6 +8206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assortativity": q_kg_assortativity,
         "kg_louvain2": q_kg_louvain2,
         "kg_charsets_incremental": q_kg_charsets_incremental,
+        "kg_charsets_estimate": q_kg_charsets_estimate,
+        "kg_eccentricity": q_kg_eccentricity,
         # -- (0a) r4 tail: newest, no driver record yet ------------------
         "kg_canonicalize": q_kg_canonicalize,
         "kg_canon_diff": q_kg_canon_diff,
@@ -8352,6 +8437,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_assortativity": sql_kg_assortativity(),
         "kg_louvain2": sql_kg_louvain2(),
         "kg_charsets_incremental": sql_kg_charsets_incremental(),
+        "kg_charsets_estimate": sql_kg_charsets_estimate(),
+        "kg_eccentricity": sql_kg_eccentricity(),
         "kg_named_graphs": sql_kg_named_graphs(),
         "kg_update": sql_kg_update(),
         "kg_graph_management": sql_kg_graph_management(),

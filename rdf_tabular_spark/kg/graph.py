@@ -1284,3 +1284,47 @@ def louvain(edges: DataFrame, levels: int = 2, rounds: int = 3) -> DataFrame:
         )
         cur_edges, cur_w, cur_labels = wg, "w", up
     return mapping
+
+
+def eccentricity_probe(edges: DataFrame, max_hops: int = 8,
+                       seed: int = 7) -> DataFrame:
+    """Diameter lower bound by the double sweep (Magnien, Latapy &
+    Habib 2009): BFS from a deterministic md5-sampled pivot, then BFS
+    again from the farthest node found — ``ecc_peak`` is the classic
+    high-quality diameter lower bound (exact on trees). One row:
+    ``(start_node, peak_node, ecc_start, ecc_peak)``; eccentricities
+    are hop-bounded by *max_hops* (declared semantics, as everywhere).
+    Ties for the farthest node break on the smallest node id.
+
+    Shape: two :func:`sssp_hops` frontier iterations over the
+    symmetrized edge list (per round: one equi-join + anti-join, no
+    windows), and two 1-row argmax probes to the driver — the only
+    driver data is the pivot and the peak."""
+    spark = edges.sparkSession
+    und = (
+        edges.select(F.col("src").cast("string").alias("src"),
+                     F.col("dst").cast("string").alias("dst"))
+        .unionByName(edges.select(F.col("dst").cast("string").alias("src"),
+                                  F.col("src").cast("string").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    start = (
+        und.select("src").distinct()
+        .withColumn("_h", F.md5(F.concat(F.lit(f"ecc|{seed}|"),
+                                         F.col("src"))))
+        .orderBy("_h", "src").limit(1).collect()[0][0])
+
+    def _far(source: str):
+        d = sssp_hops(und, source, max_hops=max_hops)
+        b = d.agg(F.min(F.struct((-F.col("hops")).alias("nh"),
+                                 F.col("node").alias("n"))).alias("b")
+                  ).collect()[0]["b"]
+        return b["n"], -b["nh"]
+
+    peak, ecc1 = _far(start)
+    _, ecc2 = _far(peak)
+    return spark.createDataFrame(
+        [(start, peak, ecc1, ecc2)],
+        "start_node string, peak_node string, ecc_start long, ecc_peak long")

@@ -423,3 +423,31 @@ def test_charsets_incremental_equals_full(spark):
         characteristic_sets_incremental(charset_state(v1), diff)).collect())
     want = sorted(tuple(r) for r in characteristic_sets(v2).collect())
     assert got == want
+
+
+def test_eccentricity_probe_path_graph(spark):
+    # path a-b-c-d-e: whatever the pivot, the double sweep lands on an
+    # endpoint and reports the true diameter 4
+    row = G.eccentricity_probe(_edges_df(spark, PATH5),
+                               max_hops=8).collect()[0]
+    assert row["ecc_peak"] == 4
+    assert row["peak_node"] in ("a", "e")
+    assert row["ecc_start"] <= row["ecc_peak"]
+
+
+def test_star_cardinality_exact(spark):
+    from rdf_tabular_spark.kg.materialize import (
+        characteristic_sets,
+        star_cardinality,
+    )
+
+    triples = spark.createDataFrame(
+        [("s1", "p", "1"), ("s1", "q", "2"), ("s2", "p", "1"),
+         ("s3", "p", "3"), ("s3", "q", "4"), ("s3", "r", "5")],
+        "subj string, pred string, obj string")
+    cs = characteristic_sets(triples)
+    row = star_cardinality(cs, ["p", "q"]).collect()[0]
+    # s1 {p,q} and s3 {p,q,r} carry both; their total triples = 2 + 3
+    assert (row["star_subjects"], row["covered_triples"]) == (2, 5)
+    empty = star_cardinality(cs, ["zz"]).collect()[0]
+    assert (empty["star_subjects"], empty["covered_triples"]) == (0, 0)
