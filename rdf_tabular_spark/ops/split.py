@@ -276,7 +276,10 @@ def select_token_budget(df: DataFrame, budget_tokens: int,
     sums are non-decreasing, so "cum ≤ budget" IS the maximal prefix).
     """
     q, t, i = F.col(quality_col), F.col(tokens_col), F.col(id_col)
-    if budget_tokens <= 0:
+    # budget 0 is NOT empty: zero-token docs ride a zero budget (the
+    # prefix rule admits every row with cum <= budget) — found by the
+    # Hypothesis replay; only a negative budget short-circuits
+    if budget_tokens < 0:
         return df.select(id_col, quality_col, tokens_col).filter(F.lit(False))
     hist = sorted(
         ((r[0], r[1]) for r in

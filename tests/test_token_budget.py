@@ -62,3 +62,19 @@ def test_partition_invariant(spark):
     got = sorted(tuple(r) for r in
                  select_token_budget(df, 3_333).collect())
     assert got == ref_select(ROWS, 3_333)
+
+
+from hypothesis import given, settings, strategies as st
+
+_doc_st = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 3), st.integers(0, 40)),
+    min_size=1, max_size=40, unique_by=lambda t: t[0],
+).map(lambda rows: [(f"d{i}", q * 125_000, t) for i, q, t in rows])
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_doc_st, budget=st.integers(0, 600))
+def test_fuzz_matches_naive_prefix(spark, rows, budget):
+    got = sorted(tuple(r) for r in
+                 select_token_budget(_docs(spark, rows), budget).collect())
+    assert got == ref_select(rows, budget)
