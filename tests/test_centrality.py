@@ -451,3 +451,36 @@ def test_star_cardinality_exact(spark):
     assert (row["star_subjects"], row["covered_triples"]) == (2, 5)
     empty = star_cardinality(cs, ["zz"]).collect()[0]
     assert (empty["star_subjects"], empty["covered_triples"]) == (0, 0)
+
+
+def ref_wsssp(wedges, source, max_hops):
+    """Bounded Bellman-Ford replay: min total weight over ≤max_hops
+    edges, parallel edges collapsed to their cheapest."""
+    emin = {}
+    for a, b, w in wedges:
+        emin[(a, b)] = min(emin.get((a, b), w), w)
+    best = {source: 0}
+    for _ in range(max_hops):
+        nxt = dict(best)
+        for (a, b), w in emin.items():
+            if a in best and best[a] + w < nxt.get(b, float("inf")):
+                nxt[b] = best[a] + w
+        if nxt == best:
+            break
+        best = nxt
+    return best
+
+
+_wedge_st = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(0, 9)).map(
+        lambda t: (f"n{t[0]}", f"n{t[1]}", t[2])),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=12, deadline=None)
+@given(wedges=_wedge_st, hops=st.integers(1, 4))
+def test_wsssp_fuzz_matches_reference(spark, wedges, hops):
+    df = spark.createDataFrame(wedges, "src string, dst string, w long")
+    got = {r["node"]: r["dist"]
+           for r in G.weighted_sssp(df, "n0", max_hops=hops).collect()}
+    assert got == ref_wsssp(wedges, "n0", hops)
