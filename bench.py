@@ -177,6 +177,20 @@ def kg_job(spark, n_files: int, stage: str = "full"):
             src, layout="source", carry_sha=False).count()
         return n, time.time() - t0
     _, _, triples = entry._kg_pipeline(src)
+    if stage == "full_ids":
+        # round-5 product path (kg/termdict.py): the materialized graph
+        # is (s,p,o) int64 id triples + the vocabulary dictionary;
+        # strings decode only at sinks. The count scan never builds the
+        # ~60-byte IRI strings (Catalyst collapses concat->xxhash64
+        # inside one codegen stage), which is what the string path's
+        # memory-bus ceiling was made of. Both the id triples and the
+        # dictionary are counted — the dictionary IS part of the
+        # product, exactly as RDF-3X's loader builds it.
+        from rdf_tabular_spark.kg import termdict
+
+        n = termdict.encode_triples(triples).count()
+        termdict.vocabulary(triples).count()
+        return n, time.time() - t0
     n = triples.count()
     return n, time.time() - t0
 
@@ -258,6 +272,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     pass2, n2 = _suite_pass(spark, entry, bench_dir, n_files)
     assert n2 == n_triples  # deterministic pipeline
     raw_wall = time.time() - t_suite
+    # dictionary-encoded pipeline (round-5 product path) timed OUTSIDE
+    # the headline sum so the cross-round basis stays unchanged; best
+    # of 2 like everything else
+    ids_wall = min(kg_job(spark, n_files, stage="full_ids")[1],
+                   kg_job(spark, n_files, stage="full_ids")[1])
     per_query = {k: min(pass1[k], pass2[k]) for k in pass1}
     for name in per_query:
         print(f"  {name}: {per_query[name]}s", file=sys.stderr)
@@ -286,6 +305,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "kg_files": n_files,
         "kg_triples": n_triples,
         "kg_triples_per_sec": round(n_triples / kg_wall, 1),
+        # round-5 dictionary-encoded product path (id triples + term
+        # dictionary; kg/termdict.py) — reported alongside, NOT summed
+        # into the headline, so the cross-round basis is unchanged
+        "kg_pipeline_ids_s": round(ids_wall, 3),
+        "kg_triples_per_sec_ids": round(n_triples / ids_wall, 1),
     }
 
 

@@ -37,6 +37,27 @@ EDGE_PREDICATES = (KG + "imports", KG + "dependsOn", KG + "defines")
 MODULE_PREDICATES = (KG + "imports", KG + "dependsOn")
 
 
+def _require_exact_int64(df: DataFrame, op: str) -> None:
+    """Overflow must fail LOUDLY, never wrap (ADVICE r4): the exact-
+    integer formulations here (modularity's 4m·e_c, assortativity's
+    S1², weighted SSSP's path sums) can exceed int64 at the 10^12-edge
+    scale their docstrings target. Under Spark 4's default ANSI mode
+    every long overflow raises ARITHMETIC_OVERFLOW, which is exactly
+    the contract we want; a deployment that disabled ANSI would get
+    silent wraparound — wrong exact-integer results — so refuse to run
+    there. Escape hatch for such clusters: re-enable ANSI for the job,
+    or pre-scale weights/degrees so the documented bound (see each
+    docstring) holds."""
+    if df.sparkSession.conf.get(
+            "spark.sql.ansi.enabled", "true").lower() != "true":
+        raise RuntimeError(
+            f"{op} computes exact int64 arithmetic and relies on ANSI "
+            "overflow checking (spark.sql.ansi.enabled=true, the Spark "
+            "4 default); with ANSI off an overflow would wrap silently "
+            "and corrupt the exact-integer result. Enable ANSI for "
+            "this job.")
+
+
 def edge_list(triples: DataFrame,
               predicates: tuple[str, ...] = EDGE_PREDICATES) -> DataFrame:
     """Triple table -> (src, dst) edge list over the dependency predicates.
@@ -220,7 +241,18 @@ def pagerank(triples: DataFrame, damping: float = 0.85,
     statically known number of stages (resume/lineage friendly) and so a
     plain unrolled-SQL twin can replicate it exactly.
     """
-    edges = edge_list(triples, predicates)
+    return pagerank_edges(edge_list(triples, predicates),
+                          damping=damping, iterations=iterations,
+                          sources=sources)
+
+
+def pagerank_edges(edges: DataFrame, damping: float = 0.85,
+                   iterations: int = 8,
+                   sources: list | None = None) -> DataFrame:
+    """:func:`pagerank` over a prebuilt ``(src, dst)`` edge list — the
+    entry point for DICTIONARY-ENCODED graphs (kg/termdict.py), where
+    nodes are int64 term ids and the iteration's shuffles move 8-byte
+    keys instead of IRI strings. Node column type follows the input."""
     # localCheckpoint (eager), NOT persist: the iteration loop re-references
     # these bases 8+ times, and a persisted DataFrame still carries its full
     # logical plan — over an upstream as deep as the KG pipeline the
@@ -237,8 +269,12 @@ def pagerank(triples: DataFrame, damping: float = 0.85,
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return triples.sparkSession.createDataFrame(
-            [], "node string, rank double")
+        from pyspark.sql.types import StructField, StructType, DoubleType
+
+        return edges.sparkSession.createDataFrame(
+            [], StructType([
+                StructField("node", edges.schema["src"].dataType),
+                StructField("rank", DoubleType())]))
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
     # weight each edge once, up front: contribution factor = d / out_deg(src).
     # partitioned on src so every iteration's ranks join lands on the same
@@ -883,6 +919,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     shuffles on node — still no windows), two per-label aggs over
     |communities| keys, and one 1-row final fold with the m scalar
     joined via broadcast crossJoin (the accepted 1-row pattern)."""
+    _require_exact_int64(edges, "modularity")
     pairs = (
         edges.select(F.least(F.col("src").cast("string"),
                              F.col("dst").cast("string")).alias("a"),
@@ -1127,6 +1164,7 @@ def weighted_sssp(wedges: DataFrame, source: str,
     rows computes the same fixpoint as full Bellman-Ford rounds, since
     un-improved rows would only re-derive known distances). Early exit
     when no row improves. No windows, no global sorts."""
+    _require_exact_int64(wedges, "weighted_sssp")
     spark = wedges.sparkSession
     e = (
         wedges.select(F.col("src").cast("string").alias("src"),
@@ -1179,6 +1217,7 @@ def assortativity(edges: DataFrame) -> DataFrame:
     1-row fold. Overflow: S1² ≤ (2M·k_max)² — at 10^12 edges use
     DECIMAL(38) intermediates; BIGINT is exact to ~3·10⁹ edges of
     10³ degree."""
+    _require_exact_int64(edges, "assortativity")
     pairs = (
         edges.select(F.least(F.col("src").cast("string"),
                              F.col("dst").cast("string")).alias("a"),

@@ -171,9 +171,16 @@ def characteristic_sets_incremental(state: DataFrame, diff: DataFrame
     narrower than the graph) and its key domain is the charset
     vocabulary."""
     delta_counts = (
+        # unknown change kinds must FAIL, not silently decrement the
+        # state (ADVICE r4): raise_error inside the otherwise branch
+        # fires only if a row is neither added nor removed
         diff.groupBy("subj", "pred").agg(
             F.sum(F.when(F.col("change") == "added", 1)
-                  .otherwise(-1)).alias("n"))
+                  .when(F.col("change") == "removed", -1)
+                  .otherwise(F.raise_error(F.concat(
+                      F.lit("characteristic_sets_incremental: unknown "
+                            "change kind '"), F.col("change"), F.lit("'"))
+                  ).cast("int"))).alias("n"))
     )
     touched = delta_counts.select("subj").distinct()
     updated = (

@@ -66,13 +66,24 @@ class KGPipeline:
         footer already stores (Iceberg keeps the same counts in manifest
         metadata; this is the seam-equivalent read). Partition id = the
         file's rank in sorted-name order — stable across resumes, unlike
-        a reader's spark_partition_id, which depends on split packing."""
+        a reader's spark_partition_id, which depends on split packing.
+
+        Lineage-schema note (ADVICE r4): ``partition_rows`` keys are
+        part-FILE ranks since this change, not reader-partition ids —
+        lineage written by the pre-footer formulation keyed on
+        ``spark_partition_id`` and is not directly comparable. The
+        listing assumes the checkpoint dir is a local POSIX path
+        (``os.listdir``); a real object-store/Iceberg deployment reads
+        the same counts from manifest metadata behind the snapshot seam
+        (sources/snapshots.py)."""
         import pyarrow.parquet as pq
 
         files = sorted(f for f in os.listdir(path)
                        if f.endswith(".parquet") and not f.startswith("."))
+        # read_metadata opens-reads-closes the footer; ParquetFile would
+        # leave a dangling open handle per part file (ADVICE r4)
         return {
-            i: pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            i: pq.read_metadata(os.path.join(path, f)).num_rows
             for i, f in enumerate(files)
         }
 

@@ -281,9 +281,19 @@ def select_token_budget(df: DataFrame, budget_tokens: int,
     # Hypothesis replay; only a negative budget short-circuits
     if budget_tokens < 0:
         return df.select(id_col, quality_col, tokens_col).filter(F.lit(False))
+    from rdf_tabular_spark.caching import cache_bounded
+
+    # ONE evaluation of the upstream plan: this function takes five
+    # actions/branches over *df* (two driver histograms + three keep
+    # branches); without a persist an expensive or non-deterministic
+    # upstream is recomputed per action, and the histogram and filter
+    # views could disagree. Cache the 3-column projection (bounded
+    # registry — evicted after a few newer operator caches).
+    proj = cache_bounded(df.select(id_col, quality_col, tokens_col))
     hist = sorted(
         ((r[0], r[1]) for r in
-         df.groupBy(quality_col).agg(F.sum(tokens_col).alias("s")).collect()),
+         proj.groupBy(quality_col).agg(F.sum(tokens_col).alias("s"))
+         .collect()),
         key=lambda x: -x[0])
     cum = 0
     q_star, s_hi = None, 0
@@ -293,11 +303,14 @@ def select_token_budget(df: DataFrame, budget_tokens: int,
             break
         cum += s
     if q_star is None:
-        return df.select(id_col, quality_col, tokens_col)  # all fit
-    keep_hi = df.filter(q > F.lit(q_star)).select(
-        id_col, quality_col, tokens_col)
-    boundary = df.filter(q == F.lit(q_star)).withColumn(
-        "_hx", F.md5(i.cast("string")))
+        return proj  # all fit
+    keep_hi = proj.filter(q > F.lit(q_star))
+    # the boundary bucket is itself read twice (range histogram + the
+    # keep_mid/keep_cut branches) — cache it too; it is 1/|score domain|
+    # of the corpus
+    boundary = cache_bounded(
+        proj.filter(q == F.lit(q_star)).withColumn(
+            "_hx", F.md5(i.cast("string"))))
     rem = budget_tokens - s_hi
     ranges = sorted(
         (r[0], r[1]) for r in boundary

@@ -50,6 +50,35 @@ class TableScan:
 #: (path, mtime, quoteChar, delimiter) -> does the file need record framing
 _MULTILINE_PROBE_CACHE: dict[tuple, bool] = {}
 
+#: driver-side bound on collected comment annotations (VERDICT r4 #4: a
+#: pathological 100 GB file that is mostly commentPrefix lines must not
+#: OOM the driver). The reference keeps every comment as a table
+#: annotation (metadata.rb:882-886) but streams them; we keep the first
+#: _COMMENT_CAP in source order — far beyond any real metadata header —
+#: and warn when truncating.
+_COMMENT_CAP = 10_000
+
+
+def _collect_comments_bounded(comment_rows: DataFrame, render) -> list[str]:
+    """Collect comment-row annotations with BOUNDED driver memory: the
+    ordered ``limit`` compiles to TakeOrderedAndProject — each task
+    keeps at most cap rows and the driver merges per-task heaps — so
+    the scan never materializes an unbounded comment set (the previous
+    bare ``collect()`` did). Ordering on ``_sourceRow`` also makes the
+    source-order contract explicit instead of relying on partition
+    pickup order."""
+    rows = comment_rows.orderBy("_sourceRow").limit(_COMMENT_CAP + 1) \
+        .collect()
+    if len(rows) > _COMMENT_CAP:
+        import warnings
+
+        warnings.warn(
+            f"comment annotations truncated to first {_COMMENT_CAP} "
+            "comment rows (source order); the file has more",
+            stacklevel=2)
+        rows = rows[:_COMMENT_CAP]
+    return list(filter(None, (render(r) for r in rows)))
+
 
 def _parse_csv_line(line: str, dialect: Dialect) -> list[str]:
     r = pycsv.reader(
@@ -251,11 +280,13 @@ def _read_table_multiline(
         first_col = F.coalesce(F.col("_x0"), F.lit(""))
         comment_rows = df.filter(first_col.startswith(d.commentPrefix))
         # data-region comments join on ' ', strip, drop empty
-        # (metadata.rb:882-886)
-        comments.extend(filter(None, (
-            " ".join(str(v) for v in tuple(r)[:n_cols] if v is not None)[
-                len(d.commentPrefix):].strip()
-            for r in comment_rows.collect())))
+        # (metadata.rb:882-886); bounded ordered collect — never the
+        # whole file to the driver
+        comments.extend(_collect_comments_bounded(
+            comment_rows,
+            lambda r: " ".join(
+                str(v) for v in tuple(r)[:n_cols] if v is not None)[
+                len(d.commentPrefix):].strip()))
         df = df.filter(~first_col.startswith(d.commentPrefix))
 
     cols = [F.col(f"_x{i + d.skipColumns}").alias(f"_c{i}")
@@ -378,9 +409,9 @@ def read_table(
     # (metadata.rb:882-886)
     if d.commentPrefix:
         comment_rows = df.filter(F.col("value").startswith(d.commentPrefix))
-        comments.extend(filter(None, (
-            r.value[len(d.commentPrefix):].strip()
-            for r in comment_rows.collect())))
+        comments.extend(_collect_comments_bounded(
+            comment_rows,
+            lambda r: r.value[len(d.commentPrefix):].strip()))
         df = df.filter(~F.col("value").startswith(d.commentPrefix))
 
     # determine physical width: declared schema, else the header row, else

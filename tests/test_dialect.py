@@ -429,3 +429,49 @@ def test_utf8_bom_stripped_from_header(spark, tmp_path):
     scan = read_table(spark, table, str(p))
     assert scan.header_titles == ["name", "age"]
     assert [(r["_c0"], r["_c1"]) for r in scan.df.collect()] == [("ann", "3")]
+
+
+def test_comment_collect_is_bounded(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #4: a file that is mostly commentPrefix lines must not
+    materialize an unbounded comment list on the driver. The collect is
+    an ordered limit (TakeOrderedAndProject — each task keeps at most
+    cap rows), comments truncate to the cap IN SOURCE ORDER with a
+    warning, and the data rows are untouched."""
+    import warnings
+
+    from rdf_tabular_spark.sources import csv_source
+
+    monkeypatch.setattr(csv_source, "_COMMENT_CAP", 5)
+    body = "".join(f"#c{i}\n1,x\n" for i in range(20))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        scan, _ = _scan(spark, tmp_path, "a,b\n" + body,
+                        {"commentPrefix": "#"})
+    assert scan.comments == [f"c{i}" for i in range(5)]  # first 5, ordered
+    assert any("truncated" in str(x.message) for x in w)
+    assert scan.df.count() == 20  # every data row survives
+
+
+def test_comment_collect_plan_is_top_k(spark, tmp_path):
+    """The ordered-limit shape actually compiles to
+    TakeOrderedAndProject in the physical plan (not a global Sort +
+    Collect): assert on the plan of the same expression the scan
+    builds."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    # cap (5) below the row count so the top-K survives optimization —
+    # with cap >= |rows| Catalyst rightly folds the limit away, which is
+    # also bounded; the interesting case is cap << rows
+    df = spark.range(100).select(
+        F.col("id").alias("_sourceRow"),
+        F.concat(F.lit("#c"), F.col("id")).alias("value"))
+    limited = df.orderBy("_sourceRow").limit(5 + 1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        limited.explain()
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no shuffle: per-task heaps + driver merge
