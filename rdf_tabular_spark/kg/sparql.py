@@ -48,8 +48,12 @@ Supported surface (SPARQL 1.1 Query, pragmatic subset)
   (BIND'd variables carry no term metadata — the literal-matching
   divergence below). Term-metadata builtins (LANG/DATATYPE/is*) ride
   the ``term_meta`` columns of kg/query.match_bgp — plain projections
-  of the scan, no join, no UDF. Aggregates: COUNT(*) / COUNT([DISTINCT]
-  ?v), SUM, AVG, MIN, MAX, SAMPLE, GROUP_CONCAT(?v; SEPARATOR "s").
+  of the scan, no join, no UDF. Aggregates: COUNT(*) / COUNT(DISTINCT
+  *) (distinct SOLUTIONS over the in-scope variables — r5) /
+  COUNT([DISTINCT] ?v), SUM, AVG, MIN, MAX, SAMPLE, GROUP_CONCAT(?v;
+  SEPARATOR "s") — every aggregate takes full EXPRESSION arguments
+  (``SUM(?x * ?y)``, ``AVG(?a + 1)``; r5), with arithmetic operands
+  coerced into double's value space (see ``_num``).
 
 Documented divergences (all deterministic, all narrowing):
 * Literal constants in triple patterns match by lexical form (the
@@ -763,14 +767,14 @@ class _Parser:
         left = self._mul_expr()
         while self.at_op("+", "-"):
             op = self.next().text
-            left = f"({left} {op} {self._mul_expr()})"
+            left = f"({_num(left)} {op} {_num(self._mul_expr())})"
         return left
 
     def _mul_expr(self) -> str:
         left = self._unary_expr()
         while self.at_op("*", "/"):
             op = self.next().text
-            left = f"({left} {op} {self._unary_expr()})"
+            left = f"({_num(left)} {op} {_num(self._unary_expr())})"
         return left
 
     def _unary_expr(self) -> str:
@@ -779,7 +783,7 @@ class _Parser:
             return f"(NOT {self._unary_expr()})"
         if self.at_op("-"):
             self.next()
-            return f"(- {self._unary_expr()})"
+            return f"(- {_num(self._unary_expr())})"
         if self.at_op("+"):
             self.next()
             return self._unary_expr()
@@ -1175,7 +1179,14 @@ class _Parser:
         if name == "COUNT" and self.at_op("*"):
             self.next()
             self.eat_op(")")
-            return "count(1)" if not distinct else "count(distinct 1)"
+            if not distinct:
+                return "count(1)"
+            # COUNT(DISTINCT *) counts DISTINCT SOLUTIONS — the column
+            # set isn't known at parse time, so emit a sentinel that
+            # _run_select expands to count(distinct struct(<in-scope
+            # vars>)) against the actual solution table (r5; the old
+            # count(distinct 1) was simply wrong — always 1)
+            return _COUNT_DISTINCT_STAR
         inner = self._expr()
         if name == "GROUP_CONCAT":
             sep = " "
@@ -1201,6 +1212,27 @@ class _Parser:
         if name == "SAMPLE":
             return f"min({inner})"  # deterministic sample (docstring)
         return f"{name.lower()}({d}{inner})"
+
+
+#: parse-time sentinel for COUNT(DISTINCT *) — expanded against the
+#: solution table's in-scope columns in _run_select
+_COUNT_DISTINCT_STAR = "__COUNT_DISTINCT_STAR__()"
+
+
+def _num(sql: str) -> str:
+    """Numeric coercion for arithmetic operands (r5 — VERDICT r4 #7:
+    ``SUM(?x * ?y)``-style expression aggregates): term values are
+    stored as lexical strings, so ``?x * ?y`` compiles to a string
+    multiply that Spark rejects. SPARQL arithmetic is defined on the
+    numeric VALUE space; with lexical storage every operand promotes
+    to double (an engine keeping typed columns would dispatch on
+    ``obj_datatype`` — xsd numeric types all promote into double's
+    value space, so results agree up to float formatting, which the
+    contract queries canonicalize by rounding). Numeric literals pass
+    through untouched."""
+    if re.fullmatch(r"-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?", sql):
+        return sql
+    return f"CAST({sql} AS DOUBLE)"
 
 
 def _unquote(s: str) -> str:
@@ -1498,8 +1530,18 @@ def _run_select(triples: DataFrame, sel: _Select, ev: _Evaluator,
         # (HAVING (COUNT(?f) > 1)) — compute each as a hidden boolean
         # aggregate in the same hash aggregation, filter, drop
         hidden = {f"__h{i}": h for i, h in enumerate(sel.having)}
-        agg_exprs = ([F.expr(e).alias(n) for n, e in aggs.items()]
-                     + [F.expr(e).alias(n) for n, e in hidden.items()])
+        # expand the COUNT(DISTINCT *) sentinel against the actual
+        # in-scope solution columns (distinct SOLUTIONS, per §18.5.1 —
+        # struct equality treats unbound the way solution equality does)
+        scope = [c for c in sols.columns if "__" not in c]
+        cds = (f"count(distinct struct({', '.join(scope)}))" if scope
+               else "count(distinct 1)")
+
+        def _x(e: str) -> str:
+            return e.replace(_COUNT_DISTINCT_STAR, cds)
+
+        agg_exprs = ([F.expr(_x(e)).alias(n) for n, e in aggs.items()]
+                     + [F.expr(_x(e)).alias(n) for n, e in hidden.items()])
         if not group_by:
             out = sols.agg(*agg_exprs)
         else:

@@ -1033,3 +1033,37 @@ def test_reorder_stats_same_solutions(spark):
     plain = rows(sparql(_t(spark), q), "f", "m", "r")
     stats = rows(sparql(_t(spark), q, reorder="stats"), "f", "m", "r")
     assert plain == stats and plain
+
+
+def test_expression_aggregate(spark):
+    """r5: aggregates take full expression arguments — SUM(?x * ?y),
+    AVG(?a + 1) — with operands coerced into double's value space."""
+    out = sparql(_t(spark), """
+        SELECT (SUM(?s * ?s) AS ?ssq) (AVG(?s + 1) AS ?m)
+        WHERE { ?f <k:size> ?s }
+    """).collect()[0]
+    assert out["ssq"] == 42.0 * 42 + 7 * 7
+    assert out["m"] == ((42 + 1) + (7 + 1)) / 2
+
+
+def test_count_distinct_star_counts_solutions(spark):
+    """r5: COUNT(DISTINCT *) counts distinct SOLUTIONS over the
+    in-scope variables (the r4 compiler folded it to a constant)."""
+    # ?f <k:imports> ?m has 3 distinct (f, m) solutions
+    out = sparql(_t(spark), """
+        SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?f <k:imports> ?m }
+    """).collect()[0]
+    assert out["n"] == 3
+    # grouped: distinct (f) per module
+    got = rows(sparql(_t(spark), """
+        SELECT ?m (COUNT(DISTINCT *) AS ?n)
+        WHERE { ?f <k:imports> ?m } GROUP BY ?m
+    """), "m", "n")
+    assert got == [("m:x", 2), ("m:y", 1)]
+
+
+def test_arithmetic_in_filter_still_works(spark):
+    got = rows(sparql(_t(spark), """
+        SELECT ?f WHERE { ?f <k:size> ?s . FILTER(?s * 2 > 20) }
+    """), "f")
+    assert got == [("f:a",)]
