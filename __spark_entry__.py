@@ -3346,7 +3346,9 @@ def q_kg_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "incremental KG ingest did not drain within 600s — the sink "
             "would be partial; failing instead of comparing garbage")
-    return spark.read.parquet(sink)
+    from rdf_tabular_spark.streaming.incremental import read_sink
+
+    return read_sink(spark, sink)
 
 
 def sql_kg_streaming_triples() -> str:
@@ -5242,7 +5244,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "streaming dedup did not drain within 600s — the sink would "
             "be partial; failing instead of comparing garbage")
-    return spark.read.parquet(sink)
+    from rdf_tabular_spark.streaming.incremental import read_sink
+
+    return read_sink(spark, sink)
 
 
 def sql_streaming_dedup() -> str:
@@ -7865,7 +7869,9 @@ def q_kg_streaming_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "streaming CONSTRUCT did not drain within 600s — the view "
             "would be partial; failing instead of comparing garbage")
-    return spark.read.parquet(os.path.join(sink, "view"))
+    from rdf_tabular_spark.streaming.incremental import read_sink
+
+    return read_sink(spark, os.path.join(sink, "view"))
 
 
 def sql_kg_streaming_construct() -> str:
@@ -7907,7 +7913,9 @@ def q_kg_streaming_rdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "streaming RDFS did not drain within 600s — the sink would "
             "be partial; failing instead of comparing garbage")
-    return spark.read.parquet(sink)
+    from rdf_tabular_spark.streaming.incremental import read_sink
+
+    return read_sink(spark, sink)
 
 
 def sql_kg_streaming_rdfs() -> str:
@@ -7991,7 +7999,9 @@ def q_kg_streaming_owl(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "streaming OWL did not drain within 600s — the sink would "
             "be partial; failing instead of comparing garbage")
-    return spark.read.parquet(sink)
+    from rdf_tabular_spark.streaming.incremental import read_sink
+
+    return read_sink(spark, sink)
 
 
 def sql_kg_streaming_owl() -> str:

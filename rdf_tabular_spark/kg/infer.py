@@ -254,8 +254,17 @@ def rdfs_incremental(materialized: DataFrame, delta: DataFrame,
     instance property would break the single-premise shape and force
     semi-naive iteration over old+delta.)
     """
+    return materialized.unionByName(
+        rdfs_incremental_delta(materialized, delta, ontology))
+
+
+def rdfs_incremental_delta(materialized: DataFrame, delta: DataFrame,
+                           ontology: DataFrame) -> DataFrame:
+    """The NET-NEW rows of :func:`rdfs_incremental` alone — what a
+    MERGE-INTO-shaped snapshot sink commits as its append (r5: the
+    streaming RDFS sink appends exactly this delta per micro-batch
+    instead of rewriting the closed graph)."""
     delta_inferred = rdfs_materialize(delta, ontology, include_tbox=False)
-    new_rows = delta_inferred.join(
+    return delta_inferred.join(
         materialized.select("subj", "pred", "obj"),
         ["subj", "pred", "obj"], "left_anti")
-    return materialized.unionByName(new_rows)

@@ -218,6 +218,25 @@ def owl_incremental(
     old facts is already in *materialized*). Same broadcast-rule /
     vocabulary-pruned shapes as the full closure; the 10^12-row closed
     graph streams to the output with no shuffle."""
+    return materialized.select(*TRIPLE_COLUMNS).unionByName(
+        owl_incremental_delta(
+            materialized, delta, inverse=inverse, symmetric=symmetric,
+            transitive=transitive, chains=chains, ontology=ontology,
+            max_rounds=max_rounds))
+
+
+def owl_incremental_delta(
+        materialized: DataFrame, delta: DataFrame, *,
+        inverse: list[tuple[str, str]] | None = None,
+        symmetric: list[str] | None = None,
+        transitive: list[str] | None = None,
+        chains: list[tuple[str, str, str]] | None = None,
+        ontology: DataFrame | None = None,
+        max_rounds: int = 12) -> DataFrame:
+    """The NET-NEW rows of :func:`owl_incremental` alone (new asserted
+    delta + its closure consequences, both anti-joined against the
+    closed base) — what a MERGE-INTO-shaped snapshot sink commits as
+    its append per micro-batch (r5)."""
     swap_pairs, chain_rules, vocab = _compile_rules(
         inverse, symmetric, transitive, chains, ontology)
     base = materialized.select(*TRIPLE_COLUMNS)
@@ -226,7 +245,7 @@ def owl_incremental(
                  .join(base.select("subj", "pred", "obj"),
                        ["subj", "pred", "obj"], "left_anti"))
     if not vocab:
-        return base.unionByName(new_delta)
+        return new_delta
     mat_vocab = base.filter(F.col("pred").isin(vocab))
     frontier = new_delta.filter(F.col("pred").isin(vocab))
     all_edges = _closure_loop(
@@ -237,7 +256,7 @@ def owl_incremental(
     inferred = all_edges.join(
         mat_vocab.unionByName(frontier).select("subj", "pred", "obj"),
         ["subj", "pred", "obj"], "left_anti")
-    return base.unionByName(new_delta).unionByName(inferred)
+    return new_delta.unionByName(inferred)
 
 
 def functional_sameas(triples: DataFrame, *,

@@ -63,6 +63,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _evolve_schema(parent: dict, incoming: dict) -> dict:
@@ -226,6 +227,118 @@ class SnapshotTable:
 
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(tmp)
+
+    def commit_rewrite(self, df: DataFrame, replaced: list[str],
+                       require_parent: int) -> int:
+        """Publish a snapshot whose live set = (parent's files −
+        *replaced*) + *df*'s new files — the commit shape of a
+        MERGE-INTO / copy-on-write rewrite. ALWAYS conditional: the
+        rewritten rows were derived from *require_parent*'s state, so
+        if the current snapshot moved the commit aborts (rebasing would
+        silently drop the concurrent commit's rows — same argument as
+        commit(require_parent=...)). The surviving file list re-shards
+        from scratch (O(live files) manifest work — Iceberg avoids this
+        with delete manifests; at this table's scale the re-shard is
+        metadata-only and cheap, and the DATA cost is already only the
+        candidate files)."""
+        parent = self.current_snapshot_id()
+        if parent != require_parent:
+            raise RuntimeError(
+                f"rewrite aborted: parent moved from {require_parent} "
+                f"to {parent} (re-derive and retry)")
+        pm = self.manifest(parent)
+        survivors = [f for f in self._files(pm) if f not in set(replaced)]
+        df_schema = json.loads(df.schema.json())
+        token = uuid.uuid4().hex[:12]
+        data_dir = f"data-{token}"
+        df.write.parquet(os.path.join(self.path, data_dir))
+        added = sorted(
+            f"{data_dir}/{f}"
+            for f in os.listdir(os.path.join(self.path, data_dir))
+            if f.startswith("part-") and f.endswith(".parquet"))
+        schema = _evolve_schema(pm.get("schema", df_schema), df_schema)
+        shards, tail = self._shard_out([], survivors, added, token, 0)
+        sid = parent + 1
+        tmp = os.path.join(self._snap_dir(), f".tmp-{token}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot_id": sid, "parent": parent,
+                       "mode": "rewrite", "files": tail,
+                       "file_shards": shards, "schema": schema,
+                       "added": added, "replaced": sorted(replaced)}, fh)
+        try:
+            os.link(tmp, self._snap_file(sid))
+        except FileExistsError:
+            raise RuntimeError(
+                f"rewrite aborted: lost the publish race for snapshot "
+                f"{sid} (re-derive and retry)") from None
+        finally:
+            import contextlib
+
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
+        return sid
+
+    def _file_key_range(self, rel: str, key_col: str
+                        ) -> tuple | None:
+        """(min, max) of *key_col* across a data file's row groups,
+        from the parquet FOOTER statistics only — the same per-file
+        pruning metadata an Iceberg manifest stores inline. None when
+        stats are absent (the file then always qualifies as a merge
+        candidate — conservative)."""
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(os.path.join(self.path, rel))
+        try:
+            idx = md.schema.names.index(key_col)
+        except ValueError:
+            return None
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return None if lo is None else (lo, hi)
+
+    def merge_upsert(self, spark: SparkSession, source: DataFrame,
+                     key_col: str, resolve) -> int:
+        """MERGE INTO, copy-on-write at FILE granularity: upsert
+        *source* into the table keyed on *key_col*. Only live data
+        files whose footer [min, max] range of the key overlaps the
+        source's key range are read and rewritten (range pruning — the
+        conservative file-skipping every lake engine does from manifest
+        stats); every other file survives by name. ``resolve(candidates,
+        source)`` produces the merged rows for the candidate set — it
+        must pass through candidate rows whose key is absent from
+        *source* (e.g. ``union ∪ groupBy(key)`` for a CRDT register).
+        The publish is conditional on the snapshot the merge read."""
+        sid = self.current_snapshot_id()
+        if sid is None:
+            empty = source.filter(F.lit(False))
+            return self.commit(resolve(empty, source), "append")
+        bounds = source.agg(F.min(key_col), F.max(key_col)).collect()[0]
+        lo, hi = bounds[0], bounds[1]
+        m = self.manifest(sid)
+        live = self._files(m)
+        if lo is None:  # empty source: nothing to merge
+            return sid
+        cand = []
+        for f in live:
+            rng = self._file_key_range(f, key_col)
+            if rng is None or not (rng[1] < lo or rng[0] > hi):
+                cand.append(f)
+        if not cand:
+            # pure insert: no live file can contain a matching key
+            return self.commit(
+                resolve(source.filter(F.lit(False)), source),
+                "append", require_parent=sid)
+        candidates = self._read_files(spark, cand, m.get("schema"))
+        merged = resolve(candidates, source)
+        # materialize BEFORE the rewrite publishes (merged's lineage
+        # reads the files the new snapshot drops)
+        merged = merged.localCheckpoint()
+        return self.commit_rewrite(merged, cand, require_parent=sid)
 
     # -- read --------------------------------------------------------------
     def _require(self, sid: int | None) -> int:

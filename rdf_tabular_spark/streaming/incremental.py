@@ -53,19 +53,26 @@ def incremental_triples(src_stream: DataFrame) -> DataFrame:
 
 
 def merge_batch_into_sink(batch_df: DataFrame, sink_path: str) -> None:
-    """Graph set-semantics merge: append only triples not already in the
-    sink (dedupe within the batch, anti-join against the sink). Idempotent
-    under batch replay because every id is deterministic."""
+    """Graph set-semantics merge through the snapshot seam (r5): append
+    only triples not already in the sink (dedupe within the batch,
+    anti-join against the current snapshot) as an atomic conditional
+    commit. Idempotent under batch replay because every id is
+    deterministic — a redelivered batch's delta is empty and no
+    snapshot publishes."""
+    from ..sources.snapshots import SnapshotTable
+
     spark = batch_df.sparkSession
     fresh = batch_df.dropDuplicates(TRIPLE_COLUMNS)
-    if os.path.exists(os.path.join(sink_path, "_SUCCESS")) or (
-            os.path.isdir(sink_path) and any(
-                f.endswith(".parquet") for f in os.listdir(sink_path))):
-        existing = spark.read.parquet(sink_path)
-        fresh = fresh.join(
-            existing.select("subj", "pred", "obj"),
-            on=["subj", "pred", "obj"], how="left_anti")
-    fresh.write.mode("append").parquet(sink_path)
+    table = SnapshotTable(sink_path)
+    sid = table.current_snapshot_id()
+    if sid is None:
+        table.commit(fresh.localCheckpoint(), "append")
+        return
+    delta = fresh.join(
+        table.read(spark).select("subj", "pred", "obj"),
+        on=["subj", "pred", "obj"], how="left_anti").localCheckpoint()
+    if not delta.isEmpty():
+        table.commit(delta, "append", require_parent=sid)
 
 
 def run_incremental_ingest(
@@ -106,54 +113,71 @@ def windowed_event_counts(
     )
 
 
+def read_sink(spark: SparkSession, sink_path: str) -> DataFrame:
+    """Read a streamed sink maintained through the snapshot seam (r5:
+    dedup/rdfs/owl/construct sinks are SnapshotTable dirs — VERDICT r4
+    Next-round #5). The read plans from the current manifest exactly
+    like the batch path."""
+    from ..sources.snapshots import SnapshotTable
+
+    return SnapshotTable(sink_path).read(spark)
+
+
 def dedup_merge_batch(batch_df: DataFrame, sink_path: str,
                       id_col: str = "doc_id") -> None:
-    """Exact-dedup upsert for one micro-batch: union the sink with the
-    batch's per-fingerprint min ids and re-elect the min per fingerprint,
-    then overwrite. The merge is commutative and idempotent (a CRDT
-    min-register per fingerprint), so the final sink is the GLOBAL min id
-    per fingerprint regardless of micro-batch order, replay, or restarts
-    — which is what makes the streamed result comparable to a batch
-    groupBy at all. The overwrite is localCheckpoint-ed first (reading
-    and overwriting the same path in one plan is the classic
-    self-overwrite trap); in production this step is an Iceberg
-    MERGE INTO keyed on the fingerprint, not a full rewrite."""
+    """Exact-dedup upsert for one micro-batch, as a real MERGE INTO
+    against the snapshot seam (r5 — the previous full-sink rewrite was
+    a documented test-scale stand-in): the batch's per-fingerprint min
+    ids upsert into the SnapshotTable keyed on ``fp``, copy-on-write at
+    file granularity — only live files whose footer key range overlaps
+    the batch's fingerprints rewrite; the rest survive by name
+    (sources/snapshots.merge_upsert). The merge rule is a commutative
+    idempotent CRDT min-register per fingerprint, so the drained table
+    is the GLOBAL min id per fingerprint regardless of micro-batch
+    order, replay, or restarts — a replayed batch publishes a
+    value-identical snapshot."""
+    from ..sources.snapshots import SnapshotTable
+
     spark = batch_df.sparkSession
     merged = batch_df.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    if os.path.isdir(sink_path) and any(
-            f.endswith(".parquet") for f in os.listdir(sink_path)):
-        existing = spark.read.parquet(sink_path)
-        merged = (
-            existing.unionByName(merged)
-            .groupBy("fp").agg(F.min(id_col).alias(id_col))
-        )
-    out = merged.localCheckpoint()
-    out.write.mode("overwrite").parquet(sink_path)
+    SnapshotTable(sink_path).merge_upsert(
+        spark, merged, "fp",
+        lambda cand, src: cand.unionByName(src)
+        .groupBy("fp").agg(F.min(id_col).alias(id_col)))
 
 
 def rdfs_merge_batch(batch_df: DataFrame, sink_path: str,
                      ontology_rows: list[tuple]) -> None:
     """One micro-batch of asserted triples -> maintain the CLOSED graph
-    in the sink: first batch materializes the RDFS closure, every later
-    batch runs kg/infer.rdfs_incremental against the closed sink (delta
-    frontier only — the sink never re-derives). Replay-idempotent: a
-    redelivered batch's triples anti-join away inside the incremental
-    path. The full-sink rewrite is the test-scale stand-in for an
-    Iceberg MERGE INTO keyed on (subj, pred, obj)."""
-    from ..kg.infer import ontology_df, rdfs_incremental, rdfs_materialize
+    as a snapshot table (r5): the first batch COMMITS the RDFS closure;
+    every later batch computes kg/infer.rdfs_incremental_delta against
+    the table's current snapshot and APPENDS exactly those net-new rows
+    as a conditional commit — the closed graph is monotone, so the
+    merge is insert-only and the old files never rewrite (the storage
+    shape a 10^12-row closure demands; the pre-r5 full-sink overwrite
+    was the documented stand-in). Replay-idempotent AT THE STORAGE
+    LAYER: a redelivered batch's delta anti-joins to empty and NO
+    snapshot is published (tested by snapshot-history length)."""
+    from ..kg.infer import (ontology_df, rdfs_incremental_delta,
+                            rdfs_materialize)
+    from ..sources.snapshots import SnapshotTable
 
     spark = batch_df.sparkSession
     onto = ontology_df(spark, ontology_rows or None)
     fresh = batch_df.dropDuplicates(TRIPLE_COLUMNS)
-    if os.path.isdir(sink_path) and any(
-            f.endswith(".parquet") for f in os.listdir(sink_path)):
-        existing = spark.read.parquet(sink_path)
-        out = rdfs_incremental(existing, fresh, onto)
-    else:
+    table = SnapshotTable(sink_path)
+    sid = table.current_snapshot_id()
+    if sid is None:
         # corpus triples + inference only; the (tiny, static) TBox is a
         # catalog concern, not a per-sink one
-        out = rdfs_materialize(fresh, onto, include_tbox=False)
-    out.localCheckpoint().write.mode("overwrite").parquet(sink_path)
+        table.commit(
+            rdfs_materialize(fresh, onto, include_tbox=False)
+            .localCheckpoint(), "append")
+        return
+    existing = table.read(spark)
+    delta = rdfs_incremental_delta(existing, fresh, onto).localCheckpoint()
+    if not delta.isEmpty():
+        table.commit(delta, "append", require_parent=sid)
 
 
 def run_streaming_rdfs(
@@ -189,17 +213,27 @@ def owl_merge_batch(batch_df: DataFrame, sink_path: str,
     kg/owl.owl_incremental's semi-naive loop does exactly that, so the
     streamed sink still equals the from-scratch closure whatever the
     micro-batch boundaries."""
-    from ..kg.owl import owl_incremental, owl_property_materialize
+    from ..kg.owl import owl_incremental_delta, owl_property_materialize
+    from ..sources.snapshots import SnapshotTable
 
     spark = batch_df.sparkSession
     fresh = batch_df.dropDuplicates(TRIPLE_COLUMNS)
-    if os.path.isdir(sink_path) and any(
-            f.endswith(".parquet") for f in os.listdir(sink_path)):
-        existing = spark.read.parquet(sink_path)
-        out = owl_incremental(existing, fresh, **rules)
-    else:
-        out = owl_property_materialize(fresh, **rules)
-    out.localCheckpoint().write.mode("overwrite").parquet(sink_path)
+    table = SnapshotTable(sink_path)
+    sid = table.current_snapshot_id()
+    if sid is None:
+        table.commit(
+            owl_property_materialize(fresh, **rules).localCheckpoint(),
+            "append")
+        return
+    existing = table.read(spark)
+    # closure is monotone under insertions -> the snapshot merge is
+    # insert-only: append the net-new delta (asserted + consequences),
+    # conditional on the snapshot the semi-naive loop read (r5; the
+    # pre-r5 full-sink overwrite was the documented stand-in)
+    delta = owl_incremental_delta(existing, fresh, **rules) \
+        .localCheckpoint()
+    if not delta.isEmpty():
+        table.commit(delta, "append", require_parent=sid)
 
 
 def run_streaming_owl(
@@ -234,31 +268,36 @@ def construct_merge_batch(batch_df: DataFrame, sink_path: str,
     only delta-sized join chains, the old graph never re-joins itself.
     The full-sink rewrite is the test-scale stand-in for MERGE INTO."""
     from ..kg.query import construct, construct_incremental
+    from ..sources.snapshots import SnapshotTable
 
     spark = batch_df.sparkSession
     fresh = batch_df.dropDuplicates(TRIPLE_COLUMNS)
-    tri_path = os.path.join(sink_path, "triples")
-    view_path = os.path.join(sink_path, "view")
-    if os.path.isdir(tri_path) and any(
-            f.endswith(".parquet") for f in os.listdir(tri_path)):
-        old = spark.read.parquet(tri_path)
-        old_view = spark.read.parquet(view_path)
-        delta = fresh.join(old.select("subj", "pred", "obj"),
-                           ["subj", "pred", "obj"], "left_anti")
-        inc = construct_incremental(old, delta, patterns, template,
-                                    filters=filters, old_view=old_view)
-        new_tri = old.unionByName(delta)
-        new_view = old_view.unionByName(inc)
-    else:
-        new_tri = fresh
-        new_view = construct(fresh, patterns, template=template,
-                             filters=filters)
-    # materialize BOTH before overwriting either — new_view's lineage
-    # reads both sink paths
-    new_tri = new_tri.localCheckpoint()
-    new_view = new_view.localCheckpoint()
-    new_tri.write.mode("overwrite").parquet(tri_path)
-    new_view.write.mode("overwrite").parquet(view_path)
+    tri = SnapshotTable(os.path.join(sink_path, "triples"))
+    view = SnapshotTable(os.path.join(sink_path, "view"))
+    tri_sid = tri.current_snapshot_id()
+    if tri_sid is None:
+        tri.commit(fresh.localCheckpoint(), "append")
+        view.commit(
+            construct(fresh, patterns, template=template,
+                      filters=filters).localCheckpoint(), "append")
+        return
+    old = tri.read(spark)
+    view_sid = view.current_snapshot_id()
+    old_view = view.read(spark)
+    delta = (fresh.join(old.select("subj", "pred", "obj"),
+                        ["subj", "pred", "obj"], "left_anti")
+             .localCheckpoint())
+    if delta.isEmpty():  # replayed batch: publish nothing (r5)
+        return
+    inc = construct_incremental(old, delta, patterns, template,
+                                filters=filters, old_view=old_view) \
+        .localCheckpoint()
+    # both maintenance streams are monotone (plain-BGP CONSTRUCT is
+    # insert-only), so both sinks take append-only conditional commits
+    # — delta-sized data, no rewrite of old files (r5; the pre-r5
+    # full-sink overwrite was the documented stand-in)
+    tri.commit(delta, "append", require_parent=tri_sid)
+    view.commit(inc, "append", require_parent=view_sid)
 
 
 def run_streaming_construct(

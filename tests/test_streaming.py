@@ -23,6 +23,12 @@ def _write_batch(spark, src_dir: str, n: int, start: int = 0) -> None:
     ).coalesce(1).write.mode("append").parquet(src_dir)
 
 
+def _read_sink(spark, path):
+    from rdf_tabular_spark.streaming.incremental import read_sink
+
+    return read_sink(spark, path)
+
+
 def test_incremental_ingest_matches_batch(spark, tmp_path):
     from rdf_tabular_spark.streaming import run_incremental_ingest
     from rdf_tabular_spark.kg import annotate, extract
@@ -40,7 +46,7 @@ def test_incremental_ingest_matches_batch(spark, tmp_path):
     q = run_incremental_ingest(spark, src_dir, sink, ckpt)
     q.awaitTermination(120)
 
-    got = {tuple(r) for r in spark.read.parquet(sink)
+    got = {tuple(r) for r in _read_sink(spark, sink)
            .select("subj", "pred", "obj").collect()}
 
     src = spark.read.parquet(src_dir).withColumn(
@@ -51,8 +57,8 @@ def test_incremental_ingest_matches_batch(spark, tmp_path):
             .dropDuplicates().collect()}
     assert got == want
     # set semantics in the sink: no duplicate triples
-    n_rows = spark.read.parquet(sink).count()
-    assert n_rows == spark.read.parquet(sink).dropDuplicates(
+    n_rows = _read_sink(spark, sink).count()
+    assert n_rows == _read_sink(spark, sink).dropDuplicates(
         ["subj", "pred", "obj"]).count()
 
 
@@ -154,7 +160,8 @@ def test_streaming_dedup_order_independent_and_replayable(spark, tmp_path):
             spark, str(src), sink, str(tmp_path / f"ckpt_{tag}"), schema,
             max_files_per_trigger=1)
         assert q.awaitTermination(300)
-        return {(r.fp, r.doc_id) for r in spark.read.parquet(sink).collect()}
+        return {(r.fp, r.doc_id)
+                for r in _read_sink(spark, sink).collect()}
 
     got = drain("one")
     # normalization collapses the double space: 10 and 2 collide, min wins
@@ -173,7 +180,7 @@ def test_streaming_dedup_order_independent_and_replayable(spark, tmp_path):
             "doc_id"),
         sink)
     assert {(r.fp, r.doc_id)
-            for r in spark.read.parquet(sink).collect()} == before
+            for r in _read_sink(spark, sink).collect()} == before
 
 
 def test_session_window_streaming_matches_batch(spark, tmp_path):
@@ -238,7 +245,7 @@ def test_streaming_rdfs_matches_batch_closure(spark, tmp_path):
     q = run_streaming_rdfs(spark, src_dir, sink, ckpt)
     q.awaitTermination(120)
 
-    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    got = {tuple(r) for r in _read_sink(spark, sink).collect()}
 
     src = spark.read.parquet(src_dir).withColumn(
         "content_sha256", F.sha2(F.col("content"), 256))
@@ -280,7 +287,7 @@ def test_streaming_construct_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
 
     got = {tuple(r) for r in
-           spark.read.parquet(sink + "/view").collect()}
+           _read_sink(spark, sink + "/view").collect()}
 
     src = spark.read.parquet(src_dir).withColumn(
         "content_sha256", F.sha2(F.col("content"), 256))
@@ -319,7 +326,7 @@ def test_streaming_owl_matches_batch_closure(spark, tmp_path):
     q = run_streaming_owl(spark, src_dir, sink, ckpt, rules)
     q.awaitTermination(120)
 
-    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    got = {tuple(r) for r in _read_sink(spark, sink).collect()}
 
     src = spark.read.parquet(src_dir).withColumn(
         "content_sha256", F.sha2(F.col("content"), 256))
