@@ -284,6 +284,13 @@ def to_json(
     standard -> {"tables": [...]} envelope. Row objects are assembled
     distributed as JSON text (operators/json_rows.py); the driver only
     concatenates fragments in row order.
+
+    DRIVER-SIZED TABLES ONLY: this is the in-memory-document API — the
+    per-table ``collect()`` materializes every row fragment on the
+    driver, which is the point (the caller wants a Python value). For
+    tables that don't fit a driver, use :func:`to_json_lines`, the
+    distributed sink with identical serialization (property-pinned:
+    tests/test_properties_reader.py).
     """
     from .operators.json_rows import (
         assemble_minimal,
